@@ -1,0 +1,40 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory — the engine's canonical configuration.
+  *
+  * Applies what the reference *declared but forgot to apply*
+  * (`spark.sql.shuffle.partitions` — reference: src/config/settings.py:27,
+  * never reaches the builder in src/data_processing/spark_processor.py:29-38,
+  * SURVEY.md §4.1) plus what it got right (AQE on, coalesced shuffle
+  * partitions — reference: src/data_processing/spark_processor.py:32-33).
+  *
+  * `local[N]` is the test topology; on a real cluster the same config holds
+  * except shuffle partitions scale with executor count (AQE coalescing makes
+  * an over-estimate cheap).
+  */
+object Sessions {
+
+  def builder(master: String, shufflePartitions: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // the events table carries parquet TIMESTAMP(NANOS) which Spark does
+      // not support natively; read as long (ns since epoch) and convert in
+      // the loader (see graft.model.Tables.events).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session sized from SPARK_GRAFT_CPUS (driver convention). */
+  def local(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = builder(s"local[$cpus]", cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,49 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the synthetic test corpus (one parquet file per table,
+  * see TESTDATA.md / FIXTURES.md §B). Schema-on-read from the parquet
+  * footer, mirroring the reference's ingestion style
+  * (reference: src/data_processing/spark_processor.py:44-61).
+  *
+  * At cluster scale each of these would be a partitioned parquet
+  * directory (or catalog table); the single-file layout is a test
+  * artifact. Nothing here collects to the driver.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  /** `ts` is parquet TIMESTAMP(NANOS); Spark reads it as long nanoseconds
+    * (spark.sql.legacy.parquet.nanosAsLong — see graft.engine.Sessions).
+    * Normalize to a proper TimestampType (microsecond truncation) so all
+    * downstream time ops are standard. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = load(s, d, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else raw
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every table as a temp view so `spark.sql(...)` serves the
+    * reference's EP2/EP3 SQL reporting surface without an external DB
+    * (reference: src/main.py:311-424 goes through Postgres; we stay
+    * self-contained — SURVEY.md §3 EP2). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

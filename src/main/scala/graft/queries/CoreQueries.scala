@@ -1,0 +1,350 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+import graft.QuerySpec.{rowsOnly, sql}
+import graft.model.Tables
+import graft.ops.{Cleaning, Det, Features}
+import graft.ops.Cleaning.RangeRule
+
+/** Reference-parity operator inventory (SURVEY.md §2) re-expressed over the
+  * driver's TPC-H-ish corpus: `lineitem` stands in for the taxi-trip table
+  * (FIXTURES.md §B usage mapping — quantity↔trip_distance, extendedprice↔
+  * fare_amount, suppkey↔VendorID, returnflag↔payment_type).
+  *
+  * Every query here is deterministic per SURVEY.md §7.5 and carries a DuckDB
+  * oracle. Money aggregates use exact DECIMAL accumulation ([[graft.ops.Det]])
+  * so Spark and the oracle agree bit-for-bit with no rounding discipline.
+  */
+object CoreQueries {
+
+  /** P1 cleaning chain constants (range-predicate analog of
+    * reference src/data_processing/spark_processor.py:110-118). */
+  val cleanRules: Seq[RangeRule] = Seq(
+    RangeRule("l_quantity", lo = Some(0), hi = Some(50)),
+    RangeRule("l_extendedprice", lo = Some(0), hi = Some(100000)),
+    RangeRule("l_discount", lo = Some(0), hi = Some(0.08), loInclusive = true, hiInclusive = true),
+    RangeRule("l_tax", lo = Some(0), hi = Some(0.06), loInclusive = true, hiInclusive = true))
+
+  private val cleanWhere =
+    """l_quantity > 0 AND l_quantity < 50
+      | AND l_extendedprice > 0 AND l_extendedprice < 100000
+      | AND l_discount >= 0 AND l_discount <= 0.08
+      | AND l_tax >= 0 AND l_tax <= 0.06""".stripMargin.replace("\n", "")
+
+  /** D1 bucket splits on l_quantity — left-closed (SURVEY.md §7.4.1). */
+  val bucketSplits = Seq(10.0, 25.0, 40.0)
+  val bucketLabels = Seq("low", "mid", "high", "very_high")
+
+  private def bucket = Features.bucketize(col("l_quantity"), bucketSplits, bucketLabels)
+  private val bucketSql =
+    """CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 25 THEN 'mid'
+      | WHEN l_quantity < 40 THEN 'high' ELSE 'very_high' END""".stripMargin.replace("\n", "")
+
+  /** Net revenue per line — 2dp×2dp ⇒ exactly 4 decimal digits. */
+  private def revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+  private val revenueSql = "l_extendedprice * (1.0 - l_discount)"
+
+  import Det.{davg, dsum, ravg, rstddev}
+  import Det.Sql.{davg => savg, dsum => ssum, ravg => sravg, rstddev => srstddev}
+
+  val all: Seq[QuerySpec] = Seq(
+
+    sql("p1_clean_filter",
+      "P1: chained range-predicate cleaning (pushed into the parquet scan)",
+      s"""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
+         | FROM lineitem WHERE $cleanWhere
+         | ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Cleaning.applyRules(Tables.lineitem(s, d), cleanRules)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    sql("p2_iqr_filter",
+      "P2: two-pass IQR outlier removal, exact percentile (oracle mode)",
+      """WITH q AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+        |                  quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem)
+        |SELECT l.l_orderkey AS l_orderkey, l.l_linenumber AS l_linenumber,
+        |       l.l_extendedprice AS l_extendedprice
+        | FROM lineitem l, q
+        | WHERE l.l_extendedprice >= q.q1 - 1.5 * (q.q3 - q.q1)
+        |   AND l.l_extendedprice <= q.q3 + 1.5 * (q.q3 - q.q1)
+        | ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Cleaning.iqrFilter(Tables.lineitem(s, d), "l_extendedprice", k = 1.5, exact = true)
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    sql("p5_project_cast",
+      "P5: projection + rename + down-cast (reference prepare_for_postgres)",
+      """SELECT l_orderkey AS order_id, CAST(l_linenumber AS INT) AS line_no,
+        | CAST(l_quantity AS REAL) AS quantity, CAST(l_extendedprice AS REAL) AS price,
+        | l_returnflag AS return_flag
+        | FROM lineitem ORDER BY order_id, line_no""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.lineitem(s, d).select(
+          col("l_orderkey").as("order_id"),
+          col("l_linenumber").cast("int").as("line_no"),
+          col("l_quantity").cast("float").as("quantity"),
+          col("l_extendedprice").cast("float").as("price"),
+          col("l_returnflag").as("return_flag"))
+          .orderBy("order_id", "line_no")
+    },
+
+    sql("d1_bucket_features",
+      "D1–D3: left-closed bucketing + guarded division + guarded percentage",
+      s"""SELECT l_orderkey, l_linenumber, $bucketSql AS quantity_bucket,
+         | CASE WHEN l_quantity > 0 THEN l_extendedprice / l_quantity ELSE 0.0 END AS price_per_unit,
+         | CASE WHEN l_extendedprice > 0 THEN (l_extendedprice * l_discount) / l_extendedprice * 100 ELSE 0.0 END AS discount_pct
+         | FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          bucket.as("quantity_bucket"),
+          Features.guardedDiv(col("l_extendedprice"), col("l_quantity")).as("price_per_unit"),
+          Features.guardedPct(col("l_extendedprice") * col("l_discount"), col("l_extendedprice")).as("discount_pct"))
+          .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    sql("a1_supplier_stats",
+      "A1: keyed hash aggregation (vendor-stats analog), partial+final agg",
+      s"""SELECT l_suppkey, COUNT(*) AS total_lines,
+         | ${ssum(revenueSql)} AS total_revenue,
+         | ${savg("l_quantity")} AS avg_quantity,
+         | ${savg("l_extendedprice")} AS avg_price,
+         | ${savg("l_discount")} AS avg_discount
+         | FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.lineitem(s, d).groupBy("l_suppkey").agg(
+          count(lit(1)).as("total_lines"),
+          dsum(revenue).as("total_revenue"),
+          davg(col("l_quantity")).as("avg_quantity"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_discount"))
+          .orderBy("l_suppkey")
+    },
+
+    sql("a2_bucket_stats",
+      "A2: aggregation grouped on a derived (bucketed) column",
+      s"""SELECT $bucketSql AS quantity_bucket, COUNT(*) AS total_lines,
+         | ${savg("l_extendedprice")} AS avg_price,
+         | ${savg("l_quantity")} AS avg_quantity,
+         | ${sravg("CASE WHEN l_quantity > 0 THEN l_extendedprice / l_quantity ELSE 0.0 END")} AS avg_price_per_unit
+         | FROM lineitem GROUP BY 1 ORDER BY quantity_bucket""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .withColumn("quantity_bucket", bucket)
+          .groupBy("quantity_bucket").agg(
+            count(lit(1)).as("total_lines"),
+            davg(col("l_extendedprice")).as("avg_price"),
+            davg(col("l_quantity")).as("avg_quantity"),
+            ravg(Features.guardedDiv(col("l_extendedprice"), col("l_quantity"))).as("avg_price_per_unit"))
+          .orderBy("quantity_bucket")
+    },
+
+    sql("a3_returnflag_stats",
+      "A3: keyed aggregation + derived ratio-of-averages aggregate",
+      s"""SELECT l_returnflag, COUNT(*) AS total_lines,
+         | ${savg("l_extendedprice")} AS avg_price,
+         | ${savg("l_extendedprice * l_discount")} AS avg_discount_value,
+         | ${savg("l_extendedprice * (1.0 + l_tax)")} AS avg_total,
+         | ${savg("l_extendedprice * l_discount")} / ${savg("l_extendedprice")} * 100 AS avg_discount_pct
+         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+          count(lit(1)).as("total_lines"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_extendedprice") * col("l_discount")).as("avg_discount_value"),
+          davg(col("l_extendedprice") * (lit(1.0) + col("l_tax"))).as("avg_total"),
+          (davg(col("l_extendedprice") * col("l_discount")) / davg(col("l_extendedprice")) * 100)
+            .as("avg_discount_pct"))
+          .orderBy("l_returnflag")
+    },
+
+    sql("a4_global_stats",
+      "A4: single-row global min/max/avg/stddev per numeric column (one pass)",
+      s"""SELECT COUNT(*) AS total_rows,
+         | MIN(l_quantity) AS min_quantity, MAX(l_quantity) AS max_quantity,
+         | ${savg("l_quantity")} AS avg_quantity, ${srstddev("l_quantity", 4)} AS std_quantity,
+         | MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+         | ${savg("l_extendedprice")} AS avg_price, ${srstddev("l_extendedprice", 2)} AS std_price,
+         | MIN(l_discount) AS min_discount, MAX(l_discount) AS max_discount,
+         | ${savg("l_discount")} AS avg_discount, ${srstddev("l_discount", 6)} AS std_discount
+         | FROM lineitem""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.lineitem(s, d).agg(
+          count(lit(1)).as("total_rows"),
+          min("l_quantity").as("min_quantity"), max("l_quantity").as("max_quantity"),
+          davg(col("l_quantity")).as("avg_quantity"), rstddev(col("l_quantity"), 4).as("std_quantity"),
+          min("l_extendedprice").as("min_price"), max("l_extendedprice").as("max_price"),
+          davg(col("l_extendedprice")).as("avg_price"), rstddev(col("l_extendedprice"), 2).as("std_price"),
+          min("l_discount").as("min_discount"), max("l_discount").as("max_discount"),
+          davg(col("l_discount")).as("avg_discount"), rstddev(col("l_discount"), 6).as("std_discount"))
+    },
+
+    sql("a5_percentiles",
+      "A5: exact percentiles (oracle mode; percentile_approx is the 100TB path)",
+      """SELECT ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+        | ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS q50,
+        | ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS q75
+        | FROM lineitem""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.lineitem(s, d).agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q25"),
+          round(expr("percentile(l_extendedprice, 0.50)"), 4).as("q50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q75"))
+    },
+
+    sql("a6_null_completeness",
+      "A6: per-column null counts + completeness % in ONE pass (not the reference's N scans)",
+      """SELECT COUNT(*) AS total_rows,
+        | SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS user_id_nulls,
+        | SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_nulls,
+        | SUM(CASE WHEN NULLIF(event_type, 'error') IS NULL THEN 1 ELSE 0 END) AS etype_nulls,
+        | (COUNT(*) - SUM(CASE WHEN NULLIF(event_type, 'error') IS NULL THEN 1 ELSE 0 END)) * 100.0 / COUNT(*) AS etype_completeness
+        | FROM events""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.events(s, d).agg(
+          count(lit(1)).as("total_rows"),
+          sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("user_id_nulls"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("value_nulls"),
+          sum(when(expr("nullif(event_type, 'error')").isNull, 1L).otherwise(0L)).as("etype_nulls"))
+          .withColumn("etype_completeness",
+            (col("total_rows") - col("etype_nulls")) * lit(100.0) / col("total_rows"))
+    },
+
+    sql("a7_duplicate_count",
+      "A7: whole-row duplicate count (total − distinct), single distinct shuffle",
+      """SELECT (SELECT COUNT(*) FROM lineitem) AS total_rows,
+        | (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM lineitem)) AS distinct_rows,
+        | (SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM lineitem)) AS duplicate_count""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        li.agg(count(lit(1)).as("total_rows"))
+          .crossJoin(li.distinct().agg(count(lit(1)).as("distinct_rows")))
+          .select(col("total_rows"), col("distinct_rows"),
+            (col("total_rows") - col("distinct_rows")).as("duplicate_count"))
+      }
+    },
+
+    sql("a8_rule_violations",
+      "A8: disjunctive business-rule violation counts, ONE conditional-agg pass",
+      """SELECT COUNT(*) AS total_rows,
+        | SUM(CASE WHEN l_quantity < 1 OR l_quantity > 45 THEN 1 ELSE 0 END) AS invalid_quantity,
+        | SUM(CASE WHEN l_extendedprice < 1000 OR l_extendedprice > 100000 THEN 1 ELSE 0 END) AS invalid_price,
+        | SUM(CASE WHEN l_discount < 0 OR l_discount > 0.08 THEN 1 ELSE 0 END) AS invalid_discount
+        | FROM lineitem""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.lineitem(s, d).agg(
+          count(lit(1)).as("total_rows"),
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 45, 1L).otherwise(0L)).as("invalid_quantity"),
+          sum(when(col("l_extendedprice") < 1000 || col("l_extendedprice") > 100000, 1L).otherwise(0L)).as("invalid_price"),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 0.08, 1L).otherwise(0L)).as("invalid_discount"))
+    },
+
+    sql("a9_quality_score",
+      "A9: composite data-quality score max(0, (rows − Σviolations)/rows·100)",
+      """SELECT total_rows, total_violations,
+        | GREATEST(0.0, ROUND((total_rows - total_violations) * 100.0 / total_rows, 2)) AS quality_score
+        | FROM (SELECT COUNT(*) AS total_rows,
+        |   SUM(CASE WHEN l_quantity < 1 OR l_quantity > 45 THEN 1 ELSE 0 END)
+        |   + SUM(CASE WHEN l_extendedprice < 1000 OR l_extendedprice > 100000 THEN 1 ELSE 0 END)
+        |   + SUM(CASE WHEN l_discount < 0 OR l_discount > 0.08 THEN 1 ELSE 0 END) AS total_violations
+        |  FROM lineitem)""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.lineitem(s, d).agg(
+          count(lit(1)).as("total_rows"),
+          (sum(when(col("l_quantity") < 1 || col("l_quantity") > 45, 1L).otherwise(0L))
+            + sum(when(col("l_extendedprice") < 1000 || col("l_extendedprice") > 100000, 1L).otherwise(0L))
+            + sum(when(col("l_discount") < 0 || col("l_discount") > 0.08, 1L).otherwise(0L))).as("total_violations"))
+          .select(col("total_rows"), col("total_violations"),
+            greatest(lit(0.0),
+              round((col("total_rows") - col("total_violations")) * lit(100.0) / col("total_rows"), 2))
+              .as("quality_score"))
+    },
+
+    sql("a10_multikey_group",
+      "A10: multi-column GROUP BY + ORDER BY + LIMIT (reference report SQL)",
+      s"""SELECT l_returnflag, $bucketSql AS quantity_bucket, COUNT(*) AS total_lines,
+         | ${savg("l_extendedprice")} AS avg_price, ${savg("l_quantity")} AS avg_quantity
+         | FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, quantity_bucket LIMIT 100""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .withColumn("quantity_bucket", bucket)
+          .groupBy("l_returnflag", "quantity_bucket").agg(
+            count(lit(1)).as("total_lines"),
+            davg(col("l_extendedprice")).as("avg_price"),
+            davg(col("l_quantity")).as("avg_quantity"))
+          .orderBy("l_returnflag", "quantity_bucket")
+          .limit(100)
+    },
+
+    sql("a11_summary_rollup",
+      "A11: second-level aggregate over the A1 output (cross-DF roll-up)",
+      s"""SELECT CAST(SUM(total_lines) AS BIGINT) AS grand_total_lines,
+         | ${ssum("total_revenue")} AS grand_total_revenue,
+         | ${savg("avg_quantity")} AS mean_avg_quantity,
+         | ${savg("avg_price")} AS mean_avg_price
+         | FROM (SELECT l_suppkey, COUNT(*) AS total_lines,
+         |   ${ssum(revenueSql)} AS total_revenue,
+         |   ${savg("l_quantity")} AS avg_quantity,
+         |   ${savg("l_extendedprice")} AS avg_price
+         |  FROM lineitem GROUP BY l_suppkey)""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.lineitem(s, d).groupBy("l_suppkey").agg(
+          count(lit(1)).as("total_lines"),
+          dsum(revenue).as("total_revenue"),
+          davg(col("l_quantity")).as("avg_quantity"),
+          davg(col("l_extendedprice")).as("avg_price"))
+          .agg(
+            sum("total_lines").as("grand_total_lines"),
+            dsum(col("total_revenue")).as("grand_total_revenue"),
+            davg(col("avg_quantity")).as("mean_avg_quantity"),
+            davg(col("avg_price")).as("mean_avg_price"))
+    },
+
+    sql("o2_topk",
+      "O2: ORDER BY … DESC LIMIT k — planned as TakeOrderedAndProject (no full sort)",
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        | FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10)
+    },
+
+    sql("u2_distinct",
+      "U2: DISTINCT on a column subset",
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        | ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.lineitem(s, d).select("l_returnflag", "l_linestatus")
+          .distinct()
+          .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    sql("f_scalar_funcs",
+      "F1–F6: scalar string/math/conditional/null functions in one projection",
+      """SELECT p_partkey, UPPER(p_type) AS u_type, SUBSTRING(p_name, 1, 8) AS name_prefix,
+        | LENGTH(p_name) AS name_len, ABS(p_size - 25) AS size_dist,
+        | ROUND(p_retailprice * 1.1, 2) AS marked_up,
+        | CASE WHEN p_size >= 25 THEN 'big' ELSE 'small' END AS size_class,
+        | COALESCE(NULLIF(p_brand, 'Brand#1'), 'other') AS brand_or_other
+        | FROM part ORDER BY p_partkey""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.part(s, d).select(
+          col("p_partkey"),
+          upper(col("p_type")).as("u_type"),
+          substring(col("p_name"), 1, 8).as("name_prefix"),
+          length(col("p_name")).as("name_len"),
+          abs(col("p_size") - 25).as("size_dist"),
+          round(col("p_retailprice") * 1.1, 2).as("marked_up"),
+          when(col("p_size") >= 25, "big").otherwise("small").as("size_class"),
+          coalesce(expr("nullif(p_brand, 'Brand#1')"), lit("other")).as("brand_or_other"))
+          .orderBy("p_partkey")
+    }
+  )
+}
