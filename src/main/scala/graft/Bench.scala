@@ -1,35 +1,51 @@
 package graft
 
-/** Benchmark main — runs every registered query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver.
+/** Benchmark main — runs every registered query (PRODUCTION plan, see
+  * [[QuerySpec.production]]) against SPARK_GRAFT_SF_DIR and prints ONE JSON
+  * line for the driver.
   *
   * Each query is forced through the `noop` sink so the full plan executes
   * and materializes every output column (a bare `count()` would let Catalyst
   * prune the job down to nothing and flatter the numbers).
+  *
+  * A query that throws is reported with value -1 and listed under "failed"
+  * so the driver can distinguish a broken query from a slow one.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.engine.Sessions.local()
 
-    def runOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      (System.nanoTime() - t0) / 1e9
-    }
+    val ordered = SparkEntry.specs.sortBy(_.name)
 
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    // JVM/codegen warm-up on the smallest sf (not timed)
-    ordered.take(2).foreach { case (n, f) =>
-      try f(spark, "/root/testdata/sf0.001").write.mode("overwrite").format("noop").save()
+    // JVM/codegen warm-up on the smallest sf (not timed). Fall back to the
+    // bench dir itself if the smoke corpus is absent on this machine.
+    val warmDir =
+      Seq("/root/testdata/sf0.001", sfDir)
+        .find(p => new java.io.File(p).isDirectory).getOrElse(sfDir)
+    ordered.foreach { spec =>
+      try spec.production(spark, warmDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
     }
-    val results = ordered.map { case (name, fn) => name -> runOnce(name, fn) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def runOnce(spec: QuerySpec): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { spec.production(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${spec.name} failed: ${e.getMessage}"); false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+
+    val results = ordered.map(spec => (spec.name, runOnce(spec)))
+    val qs = results.map { case (k, (v, ok)) =>
+      "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, (v, true)) => v }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

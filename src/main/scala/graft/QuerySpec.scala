@@ -15,7 +15,20 @@ final case class QuerySpec(
     name: String,
     doc: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    benchRun: Option[(SparkSession, String) => DataFrame] = None) {
+
+  /** Production-mode plan: what a real pipeline would run at 100 TB — no
+    * oracle-only total ORDER BY, sketches instead of exact percentiles,
+    * row-hash dedup instead of full-width distinct. Falls back to `run`
+    * when the oracle plan already IS the production plan (post-agg sorts
+    * on ≤100-row outputs cost nothing). Benched by [[graft.Bench]]. */
+  def production: (SparkSession, String) => DataFrame = benchRun.getOrElse(run)
+
+  /** Attach a production-mode variant (see [[production]]). */
+  def withBench(fn: (SparkSession, String) => DataFrame): QuerySpec =
+    copy(benchRun = Some(fn))
+}
 
 object QuerySpec {
   def sql(name: String, doc: String, oracle: String)(

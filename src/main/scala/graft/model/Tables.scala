@@ -45,5 +45,13 @@ object Tables {
     * (reference: src/main.py:311-424 goes through Postgres; we stay
     * self-contained — SURVEY.md §3 EP2). */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      // route through the per-table loaders so e.g. the events view gets
+      // the same ns→TimestampType normalization as DataFrame-path consumers
+      val df = n match {
+        case "events" => events(spark, dir)
+        case other    => load(spark, dir, other)
+      }
+      df.createOrReplaceTempView(n)
+    }
 }

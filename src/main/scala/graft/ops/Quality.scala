@@ -46,8 +46,9 @@ object Quality {
   }
 
   /** Full quality report (A6+A7+A8+A9) in two jobs total. Quality score
-    * formula mirrors reference src/data_validator.py:149-152:
-    * max(0, (rows − Σ nulls − Σ violations) / rows · 100), 2dp. */
+    * formula mirrors reference src/data_validator.py:149-152 exactly:
+    * max(0, (rows − Σ violations) / rows · 100), 2dp — business-rule
+    * violations ONLY; null counts are reported but do not penalize. */
   def report(df: DataFrame, columns: Seq[String], rules: Seq[Rule]): QualityReport = {
     val row = metricsPlan(df, columns, rules).head()
     val total = row.getLong(0)
@@ -57,10 +58,9 @@ object Quality {
     val completeness = nulls.map { case (c, n) =>
       c -> (if (total == 0) 0.0 else math.rint((total - n).toDouble / total * 10000) / 100)
     }
-    val penalty = nulls.values.sum + viol.values.sum
     val score =
       if (total == 0) 0.0
-      else math.max(0.0, math.rint((total - penalty).toDouble / total * 10000) / 100)
+      else math.max(0.0, math.rint((total - viol.values.sum).toDouble / total * 10000) / 100)
     QualityReport(total, nulls, completeness, dups, viol, score)
   }
 

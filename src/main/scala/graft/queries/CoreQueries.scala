@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.QuerySpec
 import graft.QuerySpec.{rowsOnly, sql}
 import graft.model.Tables
-import graft.ops.{Cleaning, Det, Features}
+import graft.ops.{Cleaning, Det, Features, Quality}
 import graft.ops.Cleaning.RangeRule
 
 /** Reference-parity operator inventory (SURVEY.md §2) re-expressed over the
@@ -31,6 +31,13 @@ object CoreQueries {
       | AND l_extendedprice > 0 AND l_extendedprice < 100000
       | AND l_discount >= 0 AND l_discount <= 0.08
       | AND l_tax >= 0 AND l_tax <= 0.06""".stripMargin.replace("\n", "")
+
+  /** A8/A9 business rules — the single source shared by the registry
+    * queries AND [[Quality.report]] (one implementation, two consumers). */
+  val violationRules: Seq[Quality.Rule] = Seq(
+    Quality.Rule("invalid_quantity", col("l_quantity") < 1 || col("l_quantity") > 45),
+    Quality.Rule("invalid_price", col("l_extendedprice") < 1000 || col("l_extendedprice") > 100000),
+    Quality.Rule("invalid_discount", col("l_discount") < 0 || col("l_discount") > 0.08))
 
   /** D1 bucket splits on l_quantity — left-closed (SURVEY.md §7.4.1). */
   val bucketSplits = Seq(10.0, 25.0, 40.0)
@@ -59,6 +66,11 @@ object CoreQueries {
         Cleaning.applyRules(Tables.lineitem(s, d), cleanRules)
           .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
           .orderBy("l_orderkey", "l_linenumber")
+    }.withBench { (s, d) =>
+      // production: cleaned data is written unsorted (the total ORDER BY
+      // exists only for oracle determinism — a 100 TB global sort killer)
+      Cleaning.applyRules(Tables.lineitem(s, d), cleanRules)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
     },
 
     sql("p2_iqr_filter",
@@ -75,6 +87,10 @@ object CoreQueries {
         Cleaning.iqrFilter(Tables.lineitem(s, d), "l_extendedprice", k = 1.5, exact = true)
           .select("l_orderkey", "l_linenumber", "l_extendedprice")
           .orderBy("l_orderkey", "l_linenumber")
+    }.withBench { (s, d) =>
+      // production: single-pass mergeable quantile sketch, unsorted output
+      Cleaning.iqrFilter(Tables.lineitem(s, d), "l_extendedprice", k = 1.5, exact = false)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
     },
 
     sql("p5_project_cast",
@@ -91,6 +107,13 @@ object CoreQueries {
           col("l_extendedprice").cast("float").as("price"),
           col("l_returnflag").as("return_flag"))
           .orderBy("order_id", "line_no")
+    }.withBench { (s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey").as("order_id"),
+        col("l_linenumber").cast("int").as("line_no"),
+        col("l_quantity").cast("float").as("quantity"),
+        col("l_extendedprice").cast("float").as("price"),
+        col("l_returnflag").as("return_flag"))
     },
 
     sql("d1_bucket_features",
@@ -106,6 +129,12 @@ object CoreQueries {
           Features.guardedDiv(col("l_extendedprice"), col("l_quantity")).as("price_per_unit"),
           Features.guardedPct(col("l_extendedprice") * col("l_discount"), col("l_extendedprice")).as("discount_pct"))
           .orderBy("l_orderkey", "l_linenumber")
+    }.withBench { (s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        bucket.as("quantity_bucket"),
+        Features.guardedDiv(col("l_extendedprice"), col("l_quantity")).as("price_per_unit"),
+        Features.guardedPct(col("l_extendedprice") * col("l_discount"), col("l_extendedprice")).as("discount_pct"))
     },
 
     sql("a1_supplier_stats",
@@ -195,22 +224,27 @@ object CoreQueries {
           round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q25"),
           round(expr("percentile(l_extendedprice, 0.50)"), 4).as("q50"),
           round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q75"))
+    }.withBench { (s, d) =>
+      // production: one-pass mergeable sketch, constant memory per partition
+      // (exact percentile buffers every value in one agg buffer — OOM at scale)
+      Tables.lineitem(s, d).agg(
+        round(expr("percentile_approx(l_extendedprice, 0.25, 10000)"), 4).as("q25"),
+        round(expr("percentile_approx(l_extendedprice, 0.50, 10000)"), 4).as("q50"),
+        round(expr("percentile_approx(l_extendedprice, 0.75, 10000)"), 4).as("q75"))
     },
 
     sql("a6_null_completeness",
       "A6: per-column null counts + completeness % in ONE pass (not the reference's N scans)",
       """SELECT COUNT(*) AS total_rows,
-        | SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS user_id_nulls,
-        | SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_nulls,
-        | SUM(CASE WHEN NULLIF(event_type, 'error') IS NULL THEN 1 ELSE 0 END) AS etype_nulls,
+        | CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id_nulls,
+        | CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
+        | CAST(SUM(CASE WHEN NULLIF(event_type, 'error') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS etype_nulls,
         | (COUNT(*) - SUM(CASE WHEN NULLIF(event_type, 'error') IS NULL THEN 1 ELSE 0 END)) * 100.0 / COUNT(*) AS etype_completeness
         | FROM events""".stripMargin.replace("\n", "")) {
       (s, d) =>
-        Tables.events(s, d).agg(
-          count(lit(1)).as("total_rows"),
-          sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("user_id_nulls"),
-          sum(when(col("value").isNull, 1L).otherwise(0L)).as("value_nulls"),
-          sum(when(expr("nullif(event_type, 'error')").isNull, 1L).otherwise(0L)).as("etype_nulls"))
+        Quality.metricsPlan(Tables.events(s, d),
+          columns = Seq("user_id", "value"),
+          rules = Seq(Quality.Rule("etype_nulls", expr("nullif(event_type, 'error')").isNull)))
           .withColumn("etype_completeness",
             (col("total_rows") - col("etype_nulls")) * lit(100.0) / col("total_rows"))
     },
@@ -227,21 +261,26 @@ object CoreQueries {
           .select(col("total_rows"), col("distinct_rows"),
             (col("total_rows") - col("distinct_rows")).as("duplicate_count"))
       }
+    }.withBench { (s, d) =>
+      // production: shuffle an 8-byte xxhash64 per row instead of the full
+      // row width (collision probability ~n²/2⁶⁵ — negligible as a metric)
+      val li = Tables.lineitem(s, d)
+      li.select(xxhash64(struct(li.columns.map(col): _*)).as("h"))
+        .agg(count(lit(1)).as("total_rows"),
+          count_distinct(col("h")).as("distinct_rows"))
+        .select(col("total_rows"), col("distinct_rows"),
+          (col("total_rows") - col("distinct_rows")).as("duplicate_count"))
     },
 
     sql("a8_rule_violations",
       "A8: disjunctive business-rule violation counts, ONE conditional-agg pass",
       """SELECT COUNT(*) AS total_rows,
-        | SUM(CASE WHEN l_quantity < 1 OR l_quantity > 45 THEN 1 ELSE 0 END) AS invalid_quantity,
-        | SUM(CASE WHEN l_extendedprice < 1000 OR l_extendedprice > 100000 THEN 1 ELSE 0 END) AS invalid_price,
-        | SUM(CASE WHEN l_discount < 0 OR l_discount > 0.08 THEN 1 ELSE 0 END) AS invalid_discount
+        | CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT) AS invalid_quantity,
+        | CAST(SUM(CASE WHEN l_extendedprice < 1000 OR l_extendedprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS invalid_price,
+        | CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS invalid_discount
         | FROM lineitem""".stripMargin.replace("\n", "")) {
       (s, d) =>
-        Tables.lineitem(s, d).agg(
-          count(lit(1)).as("total_rows"),
-          sum(when(col("l_quantity") < 1 || col("l_quantity") > 45, 1L).otherwise(0L)).as("invalid_quantity"),
-          sum(when(col("l_extendedprice") < 1000 || col("l_extendedprice") > 100000, 1L).otherwise(0L)).as("invalid_price"),
-          sum(when(col("l_discount") < 0 || col("l_discount") > 0.08, 1L).otherwise(0L)).as("invalid_discount"))
+        Quality.metricsPlan(Tables.lineitem(s, d), columns = Nil, rules = violationRules)
     },
 
     sql("a9_quality_score",
@@ -249,16 +288,14 @@ object CoreQueries {
       """SELECT total_rows, total_violations,
         | GREATEST(0.0, ROUND((total_rows - total_violations) * 100.0 / total_rows, 2)) AS quality_score
         | FROM (SELECT COUNT(*) AS total_rows,
-        |   SUM(CASE WHEN l_quantity < 1 OR l_quantity > 45 THEN 1 ELSE 0 END)
+        |   CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 45 THEN 1 ELSE 0 END)
         |   + SUM(CASE WHEN l_extendedprice < 1000 OR l_extendedprice > 100000 THEN 1 ELSE 0 END)
-        |   + SUM(CASE WHEN l_discount < 0 OR l_discount > 0.08 THEN 1 ELSE 0 END) AS total_violations
+        |   + SUM(CASE WHEN l_discount < 0 OR l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS total_violations
         |  FROM lineitem)""".stripMargin.replace("\n", "")) {
       (s, d) =>
-        Tables.lineitem(s, d).agg(
-          count(lit(1)).as("total_rows"),
-          (sum(when(col("l_quantity") < 1 || col("l_quantity") > 45, 1L).otherwise(0L))
-            + sum(when(col("l_extendedprice") < 1000 || col("l_extendedprice") > 100000, 1L).otherwise(0L))
-            + sum(when(col("l_discount") < 0 || col("l_discount") > 0.08, 1L).otherwise(0L))).as("total_violations"))
+        Quality.metricsPlan(Tables.lineitem(s, d), columns = Nil, rules = violationRules)
+          .select(col("total_rows"),
+            violationRules.map(r => col(r.name)).reduce(_ + _).as("total_violations"))
           .select(col("total_rows"), col("total_violations"),
             greatest(lit(0.0),
               round((col("total_rows") - col("total_violations")) * lit(100.0) / col("total_rows"), 2))
@@ -339,12 +376,24 @@ object CoreQueries {
           col("p_partkey"),
           upper(col("p_type")).as("u_type"),
           substring(col("p_name"), 1, 8).as("name_prefix"),
-          length(col("p_name")).as("name_len"),
+          // cast: Spark length() is INT, DuckDB LENGTH is BIGINT — typed hash
+        length(col("p_name")).cast("long").as("name_len"),
           abs(col("p_size") - 25).as("size_dist"),
           round(col("p_retailprice") * 1.1, 2).as("marked_up"),
           when(col("p_size") >= 25, "big").otherwise("small").as("size_class"),
           coalesce(expr("nullif(p_brand, 'Brand#1')"), lit("other")).as("brand_or_other"))
           .orderBy("p_partkey")
+    }.withBench { (s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_type")).as("u_type"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        // cast: Spark length() is INT, DuckDB LENGTH is BIGINT — typed hash
+        length(col("p_name")).cast("long").as("name_len"),
+        abs(col("p_size") - 25).as("size_dist"),
+        round(col("p_retailprice") * 1.1, 2).as("marked_up"),
+        when(col("p_size") >= 25, "big").otherwise("small").as("size_class"),
+        coalesce(expr("nullif(p_brand, 'Brand#1')"), lit("other")).as("brand_or_other"))
     }
   )
 }

@@ -61,6 +61,15 @@ def main(sf_dir, out_dir):
         if s_cols != d_cols:
             results[name] = f"COLUMNS differ: spark={s_cols} duck={d_cols}"
             continue
+        # Driver's gate hashes TYPED values: a BIGINT vs HUGEINT/float64 dtype
+        # mismatch fails it even when the values compare equal in Python.
+        dt_diffs = [
+            (c, str(spark_df[c].dtype), str(duck_df[c].dtype))
+            for c in s_cols if str(spark_df[c].dtype) != str(duck_df[c].dtype)]
+        if dt_diffs:
+            results[name] = "DTYPES differ: " + "; ".join(
+                f"{c}: spark={s} duck={d}" for c, s, d in dt_diffs)
+            continue
         if len(spark_df) != len(duck_df):
             results[name] = f"ROWS differ: spark={len(spark_df)} duck={len(duck_df)}"
             continue
