@@ -12,7 +12,9 @@ object SparkEntry {
 
   /** Full registry, one entry per implemented operator (SURVEY.md §2). */
   def specs: Seq[QuerySpec] =
-    graft.queries.CoreQueries.all
+    graft.queries.CoreQueries.all ++
+    graft.queries.JoinQueries.all ++
+    graft.queries.WindowQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A1 supplier-stats — the reference's core "vendor stats" aggregation

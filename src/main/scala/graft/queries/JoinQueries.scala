@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+import graft.QuerySpec.sql
+import graft.model.Tables
+import graft.ops.Det
+
+/** J1 — joins over the star schema (SURVEY.md §2.5).
+  *
+  * The reference has ZERO joins (its FK lookups are delegated to Postgres
+  * views — reference: scripts/create_tables.sql:60-78); the target engine
+  * needs them for the driver's TPC-H-shaped corpus (FIXTURES.md §B).
+  *
+  * Scale design: dimension tables (region, nation, supplier, part) are
+  * broadcast explicitly — at 100 TB they stay KB–MB-sized, so every join
+  * against them is a map-side hash join with no shuffle of the fact table.
+  * Fact⋈fact joins (lineitem⋈orders) shuffle on the join key and are left
+  * to Catalyst/AQE (sort-merge with skew splitting); forcing a broadcast
+  * there would OOM at scale.
+  */
+object JoinQueries {
+
+  import Det.{davg, dsum}
+  import Det.Sql.{davg => savg, dsum => ssum}
+
+  /** Net revenue per line (same money discipline as CoreQueries). */
+  private def revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+  private val revenueSql = "l_extendedprice * (1.0 - l_discount)"
+
+  val all: Seq[QuerySpec] = Seq(
+
+    sql("j1_star_agg",
+      "J1: 5-way star join (fact⋈fact shuffled, dims broadcast) + keyed agg",
+      s"""SELECT r_name AS region_name, n_name AS nation_name, COUNT(*) AS total_lines,
+         | ${ssum(revenueSql)} AS total_revenue,
+         | ${savg("l_quantity")} AS avg_quantity
+         | FROM lineitem
+         | JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         | GROUP BY 1, 2 ORDER BY region_name, nation_name""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+          .agg(
+            count(lit(1)).as("total_lines"),
+            dsum(revenue).as("total_revenue"),
+            davg(col("l_quantity")).as("avg_quantity"))
+          .orderBy("region_name", "nation_name")
+    },
+
+    sql("j2_left_join",
+      "J1: left outer fact⋈fact join preserving orders with zero lineitems",
+      s"""SELECT o_orderkey, COUNT(l_orderkey) AS n_lines,
+         | COALESCE(${ssum("l_quantity")}, 0.0) AS sum_quantity
+         | FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+         | GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"), "left")
+          .groupBy("o_orderkey")
+          .agg(
+            count(col("l_orderkey")).as("n_lines"),
+            coalesce(dsum(col("l_quantity")), lit(0.0)).as("sum_quantity"))
+          .orderBy("o_orderkey")
+    },
+
+    sql("j3_semi_join",
+      "J1: left-semi join — orders having at least one max-quantity line (no fact-side duplication)",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        | WHERE EXISTS (SELECT 1 FROM lineitem
+        |               WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        | ORDER BY o_orderkey""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.orders(s, d)
+          .join(
+            Tables.lineitem(s, d).filter(col("l_quantity") >= 48),
+            col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey")
+    },
+
+    sql("j4_anti_join",
+      "J1: left-anti join — orders with no lineitems at all",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        | WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        | ORDER BY o_orderkey""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.orders(s, d)
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"), "left_anti")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .orderBy("o_orderkey")
+    },
+
+    sql("j5_broadcast_dim",
+      "J1: explicit broadcast-hash join fact⋈dim (zero fact shuffle) + agg",
+      s"""SELECT p_brand, COUNT(*) AS total_lines,
+         | ${ssum(revenueSql)} AS total_revenue
+         | FROM lineitem JOIN part ON l_partkey = p_partkey
+         | GROUP BY p_brand ORDER BY p_brand""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(
+            count(lit(1)).as("total_lines"),
+            dsum(revenue).as("total_revenue"))
+          .orderBy("p_brand")
+    }
+  )
+}

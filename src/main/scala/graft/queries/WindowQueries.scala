@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+import graft.QuerySpec.sql
+import graft.model.Tables
+
+/** W1 — window functions (SURVEY.md §2.6; ABSENT in the reference).
+  *
+  * Scale design: every window here partitions on a key (user_id/custkey/
+  * priority), so the work is one hash shuffle on the partition key followed
+  * by a per-partition sort — no global sort, no driver involvement. Skewed
+  * partition keys are AQE's problem (skew-join splitting does not apply to
+  * windows, but per-key cardinality in this corpus is bounded: orders per
+  * customer, events per user).
+  *
+  * Determinism: window ORDER BY uses unique tie-break columns (event_id /
+  * o_orderkey) so ROW_NUMBER/LAG agree bit-for-bit with the oracle. Event
+  * windows order by event_id, not ts: Spark truncates the parquet NANOS
+  * timestamps to micros (Tables.events) while DuckDB keeps nanos, so a
+  * ts-ordered window could legitimately disagree on sub-microsecond ties.
+  */
+object WindowQueries {
+
+  val all: Seq[QuerySpec] = Seq(
+
+    sql("w1_topk_per_group",
+      "W1: top-3 orders per customer via ROW_NUMBER (per-group top-k, the similarity-search substrate)",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) WHERE rn <= 3
+        | ORDER BY o_custkey, rn""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).cast("long").as("rn"))
+          .filter(col("rn") <= 3)
+          .orderBy("o_custkey", "rn")
+      }
+    },
+
+    sql("w2_lag_lead",
+      "W1: LAG/LEAD analytic functions over per-user event sequences",
+      """SELECT user_id, event_id, value,
+        | LAG(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+        | LEAD(value) OVER (PARTITION BY user_id ORDER BY event_id) AS next_value
+        | FROM events WHERE user_id IS NOT NULL
+        | ORDER BY user_id, event_id""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        Tables.events(s, d)
+          .filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("event_id"), col("value"),
+            lag("value", 1).over(w).as("prev_value"),
+            lead("value", 1).over(w).as("next_value"))
+          .orderBy("user_id", "event_id")
+      }
+    },
+
+    sql("w3_sliding_avg",
+      "W1: sliding frame aggregate (3-row moving average) per user",
+      """SELECT user_id, event_id,
+        | ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+        | FROM events WHERE user_id IS NOT NULL
+        | ORDER BY user_id, event_id""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(-2, Window.currentRow)
+        Tables.events(s, d)
+          .filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            round(avg("value").over(w), 4).as("moving_avg"))
+          .orderBy("user_id", "event_id")
+      }
+    },
+
+    sql("w4_rank_dense",
+      "W1: RANK and DENSE_RANK with value ties, partitioned by order priority",
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        | RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS price_rank,
+        | DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS price_dense_rank
+        | FROM orders
+        | ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc)
+        Tables.orders(s, d)
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+            rank().over(w).cast("long").as("price_rank"),
+            dense_rank().over(w).cast("long").as("price_dense_rank"))
+          .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+      }
+    },
+
+    sql("w5_running_sum",
+      "W1: cumulative (unbounded-preceding) sum per customer, exact DECIMAL accumulation",
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        | FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(col("o_totalprice").cast("decimal(18,4)")).over(w)
+              .cast("double").as("running_total"))
+          .orderBy("o_custkey", "o_orderkey")
+      }
+    }
+  )
+}
