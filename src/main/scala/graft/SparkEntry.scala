@@ -14,7 +14,10 @@ object SparkEntry {
   def specs: Seq[QuerySpec] =
     graft.queries.CoreQueries.all ++
     graft.queries.JoinQueries.all ++
-    graft.queries.WindowQueries.all
+    graft.queries.WindowQueries.all ++
+    graft.queries.DedupQueries.all ++
+    graft.queries.SimilarityQueries.all ++
+    graft.queries.TextQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A1 supplier-stats — the reference's core "vendor stats" aggregation

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`) — north-star
+  * component (SURVEY.md §7.6). All scoring is pure Catalyst higher-order
+  * array expressions (zip_with/transform/aggregate): codegen'd, no UDFs,
+  * no driver round-trips.
+  *
+  * Scale design:
+  *  - Brute-force top-k = broadcast the query vector, score every row
+  *    map-side, `orderBy(desc).limit(k)` → Spark plans
+  *    TakeOrderedAndProject (per-partition heap + driver merge of k rows,
+  *    never a global sort).
+  *  - The ANN path buckets vectors by sign-random-projection (SRP) LSH;
+  *    the probe is a bucket-equality semi-join (multi-probe over nearby
+  *    buckets), so scored candidates are a tiny fraction of the table.
+  *  - Per-group top-k uses a row_number window partitioned by the group
+  *    key (one hash shuffle, no global sort).
+  */
+object Similarity {
+
+  /** Double-precision dot product of two float arrays. Element-wise
+    * products are widened to double BEFORE multiplication and summed
+    * left-to-right — bit-identical to the DuckDB oracle's
+    * list_sum(list_transform(list_zip(...))) form. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm, double accumulation. */
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Brute-force cosine top-k against one query vector (the exact
+    * baseline ANN is measured against). `query` is a 1-row DF with column
+    * `qe`; broadcast so scoring is map-side over the base table. */
+  def cosineTopK(base: DataFrame, query: DataFrame, k: Int,
+                 roundScale: Int = 6): DataFrame =
+    base.crossJoin(broadcast(query))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("qe")), roundScale).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+
+  /** SRP-LSH bucket id: bit b = sign of the projection of the embedding
+    * onto pseudo-random hyperplane b (components ±1 derived from
+    * xxhash64(b, j) — deterministic, no stored model). One partial+final
+    * aggregation over position-exploded vectors. */
+  def srpBuckets(df: DataFrame, bits: Int = 6): DataFrame = {
+    val pe = df.select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "ej")))
+    val sums = (0 until bits).map(b =>
+      sum(when(xxhash64(lit(b), col("j")).bitwiseAND(1) === 1,
+        col("ej").cast("double")).otherwise(-col("ej").cast("double"))).as(s"p$b"))
+    val bucket = (0 until bits).map(b =>
+      when(col(s"p$b") > 0, lit(1 << b)).otherwise(0)).reduce(_ + _)
+    pe.groupBy("vec_id").agg(sums.head, sums.tail: _*)
+      .select(col("vec_id"), bucket.as("bucket"))
+  }
+
+  /** ANN top-k: score only vectors whose SRP bucket is within hamming
+    * distance `probe` of the query's bucket (multi-probe LSH). Returns
+    * the same schema as [[cosineTopK]]; recall < 1 by construction — the
+    * scale path when scoring every row is too expensive. */
+  def annTopK(base: DataFrame, query: DataFrame, k: Int,
+              bits: Int = 6, probe: Int = 1): DataFrame = {
+    val buckets = srpBuckets(base)
+    val qBucket = srpBuckets(query.select(col("qvec_id").as("vec_id"),
+      col("qe").as("embedding")))
+      .select(col("bucket").as("qbucket"))
+    val cand = buckets.crossJoin(broadcast(qBucket))
+      .filter(bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= probe)
+      .select("vec_id")
+    cosineTopK(base.join(cand, Seq("vec_id"), "left_semi"), query, k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: SRP-bucket candidates (equal
+    * bucket ⇒ likely-similar), verified with exact cosine ≥ thr. Never
+    * all-pairs; recall governed by bits/probe like any LSH. */
+  def cosineNearDupPairs(base: DataFrame, thr: Double, bits: Int = 6): DataFrame = {
+    val withBucket = base.join(srpBuckets(base, bits), "vec_id")
+    val x = withBucket.select(col("bucket"), col("vec_id").as("id1"), col("embedding").as("e1"))
+    val y = withBucket.select(col("bucket"), col("vec_id").as("id2"), col("embedding").as("e2"))
+    x.join(y, Seq("bucket")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), round(cosine(col("e1"), col("e2")), 6).as("cosine"))
+      .filter(col("cosine") >= thr)
+      .distinct()
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines — token statistics, quality
+  * scoring, heuristic language ID, winnowing fingerprints (north-star —
+  * SURVEY.md §7.6). Everything is Catalyst array/string expressions:
+  * codegen'd, map-side, zero UDFs and zero shuffles until the caller
+  * aggregates.
+  *
+  * Portability note: fingerprints hash with md5 (identical hex output in
+  * Spark and DuckDB) so the oracle can reproduce them; xxhash64 would be
+  * faster but is Spark-only. At 100 TB swap `md5` for `xxhash64` here —
+  * one line — since the oracle constraint is test-time only.
+  */
+object TextOps {
+
+  /** Whitespace tokens — mirrors DuckDB string_split (no empty filtering). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Type-token ratio: distinct / total tokens (lexical diversity). */
+  def typeTokenRatio(text: Column): Column = {
+    val ws = tokens(text)
+    size(array_distinct(ws)).cast("double") / size(ws)
+  }
+
+  /** Mean token length over the whitespace-stripped text. */
+  def avgTokenLen(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") / size(tokens(text))
+
+  /** Fraction of tokens found in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val ws = tokens(text)
+    size(array_intersect_count(ws, stopwords)).cast("double") / size(ws)
+  }
+
+  /** Tokens ∈ stopword set, multiplicity preserved (array_intersect
+    * dedups, which would undercount repeated stopwords). */
+  private def array_intersect_count(ws: Column, stopwords: Seq[String]): Column =
+    filter(ws, w => w.isInCollection(stopwords))
+
+  /** Heuristic document quality ∈ [0,100]: penalizes stopword padding and
+    * very short documents (reference-style hand-rolled scoring — the
+    * reference's analog is the A9 rule score, data_validator.py:149-152). */
+  def qualityScore(text: Column, stopwords: Seq[String], fullLengthTokens: Int = 50): Column =
+    round(lit(100.0) * (lit(1.0) - stopwordRatio(text, stopwords)) *
+      least(lit(1.0), size(tokens(text)) / lit(fullLengthTokens.toDouble)), 2)
+
+  /** Marker-word profiles for heuristic language ID. Tiny by design —
+    * real pipelines plug a trained profile table into the same shape. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "la", "los", "y", "es"))
+
+  /** Predicted language = argmax over marker-hit counts (ties and
+    * zero-hit docs → "und", ISO-639-ish undetermined). Pure CASE chain. */
+  def langId(text: Column): Column = {
+    val ws = tokens(text)
+    val hits = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      lang -> size(filter(ws, w => w.isInCollection(markers)))
+    }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldRight(lit("und"): Column) { case ((lang, h), rest) =>
+      when(h === best && h > 0, lang).otherwise(rest)
+    }
+  }
+
+  /** Positional (non-distinct) k-word shingles — winnowing needs document
+    * order, unlike [[Dedup.shingles]] which dedups for Jaccard sets. */
+  def positionalShingles(text: Column, k: Int = 3): Column = {
+    val ws = tokens(text)
+    when(size(ws) >= k,
+      transform(sequence(lit(0), size(ws) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + j + lit(1))): _*)))
+      .otherwise(array(text))
+  }
+
+  /** Winnowing window-min step (Schleimer et al., SIGMOD'03): minimum of
+    * every sliding window of `w` hashes, dedup'd. The fingerprint set is
+    * robust to local edits — the standard document-fingerprint for
+    * plagiarism/near-dup pipelines.
+    *
+    * IMPORTANT: pass an already-materialized column of hashes (a projected
+    * attribute), NOT a nested expression — lambda bodies re-evaluate their
+    * free sub-expressions per element, so an inline
+    * `transform(shingles, md5)` here would recompute every md5 for every
+    * window: O(windows × shingles) md5 calls per row. Chain projections
+    * instead (see TextQueries t4): Catalyst keeps expensive multiply-
+    * referenced projections separate, so each array is built once per row. */
+  def winnowFromHashes(hashes: Column, w: Int = 4): Column =
+    when(size(hashes) >= w,
+      array_distinct(transform(sequence(lit(0), size(hashes) - w),
+        i => array_min(slice(hashes, i + lit(1), lit(w))))))
+      .otherwise(array(array_min(hashes)))
+}

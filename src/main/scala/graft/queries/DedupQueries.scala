@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+import graft.QuerySpec.{rowsOnly, sql}
+import graft.model.Tables
+import graft.ops.Dedup
+
+/** Dedup operators over the `documents` table (north-star components —
+  * SURVEY.md §7.6). The corpus plants ~25 near-duplicate pairs per 500
+  * docs (3-shingle Jaccard ≥ 0.9), which both the MinHash and the direct
+  * shingle-join pipelines must recover exactly.
+  */
+object DedupQueries {
+
+  /** Shared DuckDB ground truth: exact 3-shingle Jaccard over all pairs
+    * sharing a shingle, threshold 0.8. Both dd2 (MinHash+verify) and
+    * dd3 (direct shingle join) must reproduce this exactly — same final
+    * semantics, different physical strategy. */
+  private val jaccardOracle =
+    """WITH sh AS (
+      | SELECT doc_id, UNNEST(CASE WHEN len(string_split(text,' ')) >= 3
+      |   THEN list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+      |        i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))
+      |   ELSE [text] END) AS shingle FROM documents),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT id1, id2, ROUND(i * 1.0 / (c1.n + c2.n - i), 4) AS jaccard
+      | FROM inter JOIN cnt c1 ON id1 = c1.doc_id JOIN cnt c2 ON id2 = c2.doc_id
+      | WHERE i * 1.0 / (c1.n + c2.n - i) >= 0.8
+      | ORDER BY id1, id2""".stripMargin.replace("\n", "")
+
+  val all: Seq[QuerySpec] = Seq(
+
+    sql("dd1_exact_dedup",
+      "Dedup: exact dedup on text, deterministic survivor = min(doc_id), with copy counts",
+      """SELECT MIN(doc_id) AS doc_id, text, COUNT(*) AS n_copies
+        | FROM documents GROUP BY text ORDER BY doc_id""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy("text")
+          .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+          .select("doc_id", "text", "n_copies")
+          .orderBy("doc_id")
+    }.withBench { (s, d) =>
+      // production: group on a 64-bit text hash so the shuffle moves 8 bytes
+      // per row instead of the document body; survivors resolved by id
+      Tables.documents(s, d)
+        .select(xxhash64(col("text")).as("text_hash"), col("doc_id"))
+        .groupBy("text_hash")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+    },
+
+    sql("dd2_minhash_neardup",
+      "Dedup: MinHash(64) + LSH(16 bands × 4) candidates, exact-Jaccard verified ≥ 0.8",
+      jaccardOracle) {
+      (s, d) =>
+        Dedup.minhashNearDup(Tables.documents(s, d))
+          .orderBy("id1", "id2")
+    },
+
+    sql("dd3_ngram_jaccard",
+      "Dedup: direct shared-shingle bucket join, exact 3-gram Jaccard ≥ 0.8 (no sketch)",
+      jaccardOracle) {
+      (s, d) =>
+        Dedup.exactJaccardPairs(
+          Dedup.shingleDF(Tables.documents(s, d)), minJaccard = 0.8)
+          .orderBy("id1", "id2")
+    },
+
+    rowsOnly("dd4_simhash_neardup",
+      "Dedup: 64-bit SimHash signatures, 4×16-bit band join, hamming ≤ 3 (ScalaTest-pinned)") {
+      (s, d) =>
+        Dedup.simhashNearDup(Dedup.simhash(Tables.documents(s, d)))
+          .orderBy("id1", "id2")
+    }
+  )
+}

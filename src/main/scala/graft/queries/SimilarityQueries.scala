@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+import graft.QuerySpec.{rowsOnly, sql}
+import graft.model.Tables
+import graft.ops.Similarity
+
+/** Similarity search over the `embeddings` table (north-star — SURVEY.md
+  * §7.6). The fixed query vector is the embedding of vec_id = 0, read from
+  * the table itself so Spark and the DuckDB oracle score the identical
+  * vector with identical double arithmetic.
+  */
+object SimilarityQueries {
+
+  /** DuckDB cosine expression mirroring Similarity.cosine bit-for-bit:
+    * cast floats to double BEFORE multiplying, sum left-to-right. */
+  private def duckCosine(e: String, q: String): String =
+    s"list_sum(list_transform(list_zip($e, $q), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))" +
+      s" / (sqrt(list_sum(list_transform($e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))" +
+      s" * sqrt(list_sum(list_transform($q, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+
+  private def queryVec(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+
+  val all: Seq[QuerySpec] = Seq(
+
+    sql("ss1_cosine_topk",
+      "Similarity: brute-force cosine top-10 vs broadcast query vector (TakeOrderedAndProject)",
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, ROUND(${duckCosine("embedding", "qe")}, 6) AS cosine
+         | FROM embeddings, q WHERE vec_id <> 0
+         | ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Similarity.cosineTopK(
+          Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
+          queryVec(s, d), k = 10)
+    },
+
+    sql("ss2_label_topk",
+      "Similarity: per-label top-3 nearest via ROW_NUMBER window (grouped k-NN)",
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |scored AS (SELECT vec_id, label,
+         |  ROUND(${duckCosine("embedding", "qe")}, 6) AS cosine
+         |  FROM embeddings, q WHERE vec_id <> 0)
+         |SELECT label, vec_id, cosine, rn FROM (
+         |  SELECT label, vec_id, cosine,
+         |   ROW_NUMBER() OVER (PARTITION BY label ORDER BY cosine DESC, vec_id) AS rn
+         |  FROM scored) WHERE rn <= 3
+         | ORDER BY label, rn""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val scored = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(queryVec(s, d)))
+          .select(col("vec_id"), col("label"),
+            round(Similarity.cosine(col("embedding"), col("qe")), 6).as("cosine"))
+        val w = Window.partitionBy("label").orderBy(col("cosine").desc, col("vec_id"))
+        scored
+          .select(col("label"), col("vec_id"), col("cosine"),
+            row_number().over(w).cast("long").as("rn"))
+          .filter(col("rn") <= 3)
+          .orderBy("label", "rn")
+      }
+    },
+
+    rowsOnly("ss3_ann_lsh_topk",
+      "Similarity: SRP-LSH multi-probe ANN top-10 — the 100TB path; recall vs ss1 pinned in ScalaTest") {
+      (s, d) =>
+        Similarity.annTopK(
+          Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
+          Tables.embeddings(s, d).filter(col("vec_id") === 0)
+            .select(col("vec_id").as("qvec_id"), col("embedding").as("qe")),
+          k = 10)
+    },
+
+    rowsOnly("ss4_cosine_neardup",
+      "Similarity: embedding-cosine near-dup pairs via SRP buckets + exact verify (empty on this corpus — max pairwise cosine 0.51)") {
+      (s, d) =>
+        Similarity.cosineNearDupPairs(Tables.embeddings(s, d), thr = 0.95)
+          .orderBy("id1", "id2")
+    }
+  )
+}

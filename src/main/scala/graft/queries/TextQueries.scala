@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+import graft.QuerySpec.{rowsOnly, sql}
+import graft.model.Tables
+import graft.ops.TextOps
+
+/** Text analysis over the `documents` table (north-star — SURVEY.md §7.6).
+  * All per-doc metrics are map-side Catalyst expressions; aggregations are
+  * standard partial+final hash aggs on the `lang`/`source` keys.
+  */
+object TextQueries {
+
+  /** Stopword set shared with the oracle SQL (corpus vocabulary words). */
+  private val stopwords = Seq("a", "the", "row", "data", "value", "table")
+  private val stopSql = stopwords.map(w => s"'$w'").mkString(", ")
+
+  val all: Seq[QuerySpec] = Seq(
+
+    sql("t1_token_stats",
+      "Text: per-doc token count, char length, mean token length, type-token ratio",
+      """SELECT doc_id,
+        | CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars_actual,
+        | ROUND(length(replace(text,' ','')) * 1.0 / len(string_split(text,' ')), 4) AS avg_token_len,
+        | ROUND(len(list_distinct(string_split(text,' '))) * 1.0 / len(string_split(text,' ')), 4) AS ttr
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_actual"),
+          round(TextOps.avgTokenLen(col("text")), 4).as("avg_token_len"),
+          round(TextOps.typeTokenRatio(col("text")), 4).as("ttr"))
+          .orderBy("doc_id")
+    },
+
+    sql("t2_lang_stats",
+      "Text: per-language corpus stats (A1-shaped agg on a text-derived surface)",
+      """SELECT lang, COUNT(*) AS n_docs,
+        | ROUND(AVG(n_chars), 4) AS avg_chars,
+        | ROUND(AVG(len(string_split(text,' '))), 4) AS avg_tokens,
+        | CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens
+        | FROM documents GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(avg("n_chars"), 4).as("avg_chars"),
+            round(avg(size(split(col("text"), " "))), 4).as("avg_tokens"),
+            sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+          .orderBy("lang")
+    },
+
+    sql("t3_quality_score",
+      "Text: heuristic quality score (stopword + length factors), low-quality doc count per source",
+      s"""WITH scored AS (SELECT source,
+         | ROUND(100.0 * (1.0 - len(list_filter(string_split(text,' '), w -> w IN ($stopSql))) * 1.0 / len(string_split(text,' ')))
+         |   * LEAST(1.0, len(string_split(text,' ')) / 50.0), 2) AS q FROM documents)
+         |SELECT source, COUNT(*) AS n_docs, ROUND(AVG(q), 4) AS avg_quality,
+         | CAST(SUM(CASE WHEN q < 60 THEN 1 ELSE 0 END) AS BIGINT) AS low_quality_docs
+         | FROM scored GROUP BY source ORDER BY source""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("source"),
+            TextOps.qualityScore(col("text"), stopwords).as("q"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(avg("q"), 4).as("avg_quality"),
+            sum(when(col("q") < 60, 1L).otherwise(0L)).as("low_quality_docs"))
+          .orderBy("source")
+    },
+
+    sql("t4_fingerprint",
+      "Text: winnowing fingerprints (rolling min-hash windows over md5'd shingles)",
+      """WITH s AS (SELECT doc_id, text, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+        |  THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |  ELSE [text] END AS shingles FROM s),
+        |h AS (SELECT doc_id, list_transform(shingles, x -> md5(x)) AS hs FROM sh),
+        |f AS (SELECT doc_id, CASE WHEN len(hs) >= 4
+        |  THEN list_distinct(list_transform(range(1, len(hs) - 2), i -> list_aggregate(hs[i:i+3], 'min')))
+        |  ELSE [list_aggregate(hs, 'min')] END AS fps FROM h)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+        | list_aggregate(fps, 'min') AS min_fp
+        | FROM f ORDER BY doc_id""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        // staged projections: each array is materialized once per row
+        // (inlining these recomputes md5 per sliding window — see
+        // TextOps.winnowFromHashes)
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.positionalShingles(col("text")).as("shingles"))
+          .select(col("doc_id"), transform(col("shingles"), sh => md5(sh)).as("hashes"))
+          .select(col("doc_id"), TextOps.winnowFromHashes(col("hashes")).as("fps"))
+          .select(
+            col("doc_id"),
+            size(col("fps")).cast("long").as("n_fingerprints"),
+            array_min(col("fps")).as("min_fp"))
+          .orderBy("doc_id")
+    },
+
+    rowsOnly("t5_langid",
+      "Text: heuristic marker-word language ID — predicted-language counts (profiles pinned in ScalaTest; corpus vocab is language-neutral)") {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(TextOps.langId(col("text")).as("predicted_lang"), col("lang"))
+          .groupBy("predicted_lang", "lang")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("predicted_lang", "lang")
+    }
+  )
+}
