@@ -17,7 +17,9 @@ object SparkEntry {
     graft.queries.WindowQueries.all ++
     graft.queries.DedupQueries.all ++
     graft.queries.SimilarityQueries.all ++
-    graft.queries.TextQueries.all
+    graft.queries.TextQueries.all ++
+    graft.queries.ExtraQueries.all ++
+    graft.queries.StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A1 supplier-stats — the reference's core "vendor stats" aggregation

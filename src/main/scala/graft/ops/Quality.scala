@@ -29,10 +29,12 @@ object Quality {
   /** Single-pass aggregate plan producing one wide row:
     * total_rows, <col>_nulls per column, <rule> count per rule. */
   def metricsPlan(df: DataFrame, columns: Seq[String], rules: Seq[Rule]): DataFrame = {
+    // coalesce: SUM over an empty frame is NULL — surface 0 so consumers
+    // (report, the a6/a8 oracles) never see nulls on degenerate input
     val aggs =
       count(lit(1)).as("total_rows") +:
-      (columns.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")) ++
-       rules.map(r => sum(when(r.predicate, 1L).otherwise(0L)).as(r.name)))
+      (columns.map(c => coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as(s"${c}_nulls")) ++
+       rules.map(r => coalesce(sum(when(r.predicate, 1L).otherwise(0L)), lit(0L)).as(r.name)))
     df.agg(aggs.head, aggs.tail: _*)
   }
 

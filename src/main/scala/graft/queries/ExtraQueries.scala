@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+import graft.QuerySpec.{rowsOnly, sql}
+import graft.model.Tables
+import graft.ops.Det
+
+/** Set operations (U1/U2-variant), sampling (O3), preview (O4), grouping
+  * sets (A13), distinct aggregates (A14), and string/date helpers (F7/F8)
+  * — the SURVEY.md Phase-5 items the reference lacks.
+  */
+object ExtraQueries {
+
+  import Det.Sql.{dsum => ssum}
+
+  val all: Seq[QuerySpec] = Seq(
+
+    sql("u1_union_all",
+      "U1: multi-month UNION ALL append (the reference's per-month loop made set-native)",
+      """SELECT l_returnflag, COUNT(*) AS total_lines FROM
+        | (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)
+        | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        li.unionByName(li)
+          .groupBy("l_returnflag").agg(count(lit(1)).as("total_lines"))
+          .orderBy("l_returnflag")
+      }
+    },
+
+    sql("u3_intersect",
+      "U1: INTERSECT — customers with both finished and open orders",
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        | ORDER BY o_custkey""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderstatus") === "F").select("o_custkey")
+          .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+          .orderBy("o_custkey")
+      }
+    },
+
+    sql("u4_except",
+      "U1: EXCEPT — customers with orders but none finished",
+      """SELECT o_custkey FROM orders
+        | EXCEPT
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        | ORDER BY o_custkey""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.select("o_custkey")
+          .except(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+          .orderBy("o_custkey")
+      }
+    },
+
+    sql("a13_rollup",
+      "A13: ROLLUP grouping sets (per-flag-and-status, per-flag, grand total)",
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS total_lines,
+         | ${ssum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+         | FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         | ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(
+            count(lit(1)).as("total_lines"),
+            Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    sql("a14_count_distinct",
+      "A14: exact COUNT(DISTINCT) — production plan swaps in HLL approx_count_distinct",
+      """SELECT COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
+        | COUNT(DISTINCT l_partkey) AS distinct_parts,
+        | COUNT(DISTINCT l_orderkey) AS distinct_orders
+        | FROM lineitem""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.lineitem(s, d).agg(
+          countDistinct(col("l_suppkey")).as("distinct_suppliers"),
+          countDistinct(col("l_partkey")).as("distinct_parts"),
+          countDistinct(col("l_orderkey")).as("distinct_orders"))
+    }.withBench { (s, d) =>
+      // production: one pass, mergeable HLL sketches, no expand+shuffle per
+      // distinct column (exact multi-column COUNT DISTINCT expands the scan)
+      Tables.lineitem(s, d).agg(
+        approx_count_distinct(col("l_suppkey")).as("distinct_suppliers"),
+        approx_count_distinct(col("l_partkey")).as("distinct_parts"),
+        approx_count_distinct(col("l_orderkey")).as("distinct_orders"))
+    },
+
+    rowsOnly("o3_seeded_sample",
+      "O3: seeded Bernoulli sample — engine-specific RNG, excluded from oracle by design (SURVEY §7.4.6); invariants pinned in ScalaTest") {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .sample(withReplacement = false, fraction = 0.01, seed = 42)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    },
+
+    sql("o4_head",
+      "O4: bounded preview (LIMIT over a deterministic order)",
+      """SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey LIMIT 5""") {
+      (s, d) =>
+        Tables.nation(s, d).select("n_nationkey", "n_name")
+          .orderBy("n_nationkey").limit(5)
+    },
+
+    sql("f7_url_month",
+      "F7: URL → month-name helper as a column op (reference does this driver-side, src/main.py:100)",
+      """SELECT DISTINCT l_returnflag,
+        | regexp_replace(string_split('https://host/data/' || l_returnflag || '_2023-01.parquet', '/')[-1], '\.parquet$', '') AS month_file
+        | FROM lineitem ORDER BY l_returnflag""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"),
+            regexp_replace(
+              element_at(split(concat(lit("https://host/data/"), col("l_returnflag"), lit("_2023-01.parquet")), "/"), -1),
+              "\\.parquet$", "").as("month_file"))
+          .distinct()
+          .orderBy("l_returnflag")
+    },
+
+    sql("f8_monthly_revenue",
+      "F8: date/time helpers — the EP3 monthly time dimension the reference dropped",
+      s"""SELECT strftime(o_orderdate, '%Y-%m') AS order_month, COUNT(*) AS n_orders,
+         | ${ssum("o_totalprice")} AS total_revenue
+         | FROM orders GROUP BY 1 ORDER BY order_month""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            Det.dsum(col("o_totalprice")).as("total_revenue"))
+          .orderBy("order_month")
+    }
+  )
+}

@@ -1,0 +1,47 @@
+package graft.queries
+
+import graft.QuerySpec
+import graft.QuerySpec.sql
+import graft.model.Tables
+import graft.streaming.EventStreams
+
+/** Batch-mode verification of the streaming transforms (SURVEY.md §2.10).
+  * The SAME functions run over `readStream` inputs — batch-vs-stream
+  * equivalence is pinned in StreamingSpec; here the batch results are
+  * hash-matched against DuckDB (time_bucket / gaps-and-islands SQL).
+  */
+object StreamingQueries {
+
+  val all: Seq[QuerySpec] = Seq(
+
+    sql("st1_tumbling_window",
+      "Streaming: tumbling 1h windowed counts + mean value (watermarked; batch = stream)",
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, COUNT(*) AS n_events, ROUND(AVG(value), 4) AS avg_value
+        | FROM events WHERE user_id IS NOT NULL
+        | GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        EventStreams.tumblingCounts(Tables.events(s, d))
+          .orderBy("window_start", "event_type")
+    },
+
+    sql("st2_session_window",
+      "Streaming: per-user 5-minute-gap sessionization via session_window (batch = stream)",
+      """WITH e AS (SELECT user_id, ts FROM events WHERE user_id IS NOT NULL),
+        |x AS (SELECT user_id, ts,
+        |  CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 5 MINUTE
+        |       THEN 1 ELSE 0 END AS new_s FROM e),
+        |y AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x)
+        |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(MAX(ts) + INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |       COUNT(*) AS n_events
+        | FROM y GROUP BY user_id, sid
+        | ORDER BY user_id, session_start""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        EventStreams.userSessions(Tables.events(s, d))
+          .orderBy("user_id", "session_start")
+    }
+  )
+}

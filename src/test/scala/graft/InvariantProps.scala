@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.ops.{Cleaning, Features, Quality}
+import graft.ops.Cleaning.RangeRule
+
+/** ScalaCheck invariants (SURVEY.md §5.2.3). Each case runs a real local
+  * Spark job on a small frame, so the case count is kept deliberately low. */
+object InvariantProps extends Properties("graft") {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(12)
+
+  private val values = Gen.listOfN(40, Gen.chooseNum(-100.0, 100.0))
+
+  property("cleaning output ⊆ input and satisfies every rule") =
+    forAll(values, Gen.chooseNum(-50.0, 0.0), Gen.chooseNum(0.0, 50.0)) { (xs, lo, hi) =>
+      val df = xs.toDF("x")
+      val rules = Seq(RangeRule("x", Some(lo), Some(hi)))
+      val out = Cleaning.applyRules(df, rules).as[Double].collect()
+      out.forall(v => v > lo && v < hi) && out.length <= xs.length
+    }
+
+  property("bucketize is total and order-preserving") =
+    forAll(values) { xs =>
+      val labels = Seq("a", "b", "c")
+      val splits = Seq(-10.0, 10.0)
+      val got = xs.toDF("x")
+        .select(col("x"), Features.bucketize(col("x"), splits, labels).as("b"))
+        .collect().map(r => (r.getDouble(0), r.getString(1)))
+      val rank = labels.zipWithIndex.toMap
+      got.forall { case (_, b) => rank.contains(b) } &&
+        got.sortBy(_._1).map(r => rank(r._2)).toSeq.sliding(2).forall {
+          case Seq(p, n) => p <= n
+          case _ => true
+        }
+    }
+
+  property("quality score ∈ [0,100]") =
+    forAll(values) { xs =>
+      val df = xs.toDF("x")
+      val rules = Seq(Quality.Rule("neg", col("x") < 0))
+      val s = Quality.report(df, Seq("x"), rules).qualityScore
+      s >= 0.0 && s <= 100.0
+    }
+
+  property("group counts sum to total count") =
+    forAll(Gen.listOfN(40, Gen.oneOf("a", "b", "c"))) { ks =>
+      val df = ks.toDF("k")
+      val grouped = df.groupBy("k").count().agg(sum("count")).as[Long].collect()(0)
+      grouped == ks.length.toLong
+    }
+}

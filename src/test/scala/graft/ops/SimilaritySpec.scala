@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class SimilaritySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def base = Seq(
+    (1L, Array(1f, 0f, 0f), 0),
+    (2L, Array(0f, 1f, 0f), 1),
+    (3L, Array(0.8f, 0.6f, 0f), 0),
+    (4L, Array(-1f, 0f, 0f), 1)).toDF("vec_id", "embedding", "label")
+
+  private def query = Seq(Tuple1(Array(1f, 0f, 0f))).toDF("qe")
+
+  test("cosine: identity 1, orthogonal 0, opposite -1, hand-checked angle") {
+    val got = base.crossJoin(query)
+      .select(col("vec_id"), round(Similarity.cosine(col("embedding"), col("qe")), 6).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 1.0 && got(2L) == 0.0 && got(4L) == -1.0)
+    assert(got(3L) == 0.8) // (0.8)/(1.0·1.0)
+  }
+
+  test("cosineTopK returns k rows in descending score order") {
+    val top = Similarity.cosineTopK(base, query, k = 2).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(top(0).getDouble(2) >= top(1).getDouble(2))
+  }
+
+  test("annTopK finds an identical vector (same SRP bucket by construction)") {
+    val q = Seq((0L, Array(1f, 0f, 0f))).toDF("qvec_id", "qe")
+    val got = Similarity.annTopK(base, q, k = 4).collect().map(_.getLong(0)).toSet
+    assert(got.contains(1L))             // exact match always shares the bucket
+    assert(got.subsetOf(Set(1L, 2L, 3L, 4L)))
+  }
+
+  test("cosineNearDupPairs: exact duplicates found, threshold respected") {
+    val withDup = base.union(Seq((5L, Array(1f, 0f, 0f), 0)).toDF("vec_id", "embedding", "label"))
+    val pairs = Similarity.cosineNearDupPairs(withDup, thr = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 5L)))
+  }
+}

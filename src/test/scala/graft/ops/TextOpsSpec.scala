@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class TextOpsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one[T](df: org.apache.spark.sql.DataFrame): T =
+    df.collect()(0).getAs[T](0)
+
+  test("token stats: count, type-token ratio, mean token length") {
+    val df = Seq("aa bb aa cccc").toDF("text")
+    assert(one[Long](df.select(TextOps.tokenCount(col("text")))) == 4L)
+    assert(one[Double](df.select(TextOps.typeTokenRatio(col("text")))) == 0.75)
+    assert(one[Double](df.select(TextOps.avgTokenLen(col("text")))) == 10.0 / 4)
+  }
+
+  test("stopwordRatio preserves multiplicity (repeated stopwords count)") {
+    val df = Seq("the the cat").toDF("text")
+    assert(one[Double](df.select(TextOps.stopwordRatio(col("text"), Seq("the")))) == 2.0 / 3)
+  }
+
+  test("qualityScore ∈ [0,100]: stopword-free long doc scores 100, all-stopword doc 0") {
+    val long = Seq(Seq.fill(60)("word").mkString(" ")).toDF("text")
+    assert(one[Double](long.select(TextOps.qualityScore(col("text"), Seq("the")))) == 100.0)
+    val allStop = Seq(Seq.fill(60)("the").mkString(" ")).toDF("text")
+    assert(one[Double](allStop.select(TextOps.qualityScore(col("text"), Seq("the")))) == 0.0)
+    val short = Seq("word word").toDF("text") // length factor 2/50
+    assert(one[Double](short.select(TextOps.qualityScore(col("text"), Seq("the")))) == 4.0)
+  }
+
+  test("langId: marker argmax, 'und' for no or tied evidence") {
+    val df = Seq(
+      "the cat of a house and a dog is here",
+      "der hund und die katze ist da",
+      "le chat et la maison est grande",
+      "xyzzy qwerty").toDF("text")
+    val got = df.select(TextOps.langId(col("text")).as("l")).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "fr", "und"))
+  }
+
+  test("positionalShingles keeps duplicates and document order") {
+    val got = Seq("a b a b a").toDF("text")
+      .select(TextOps.positionalShingles(col("text"), 2).as("s"))
+      .as[Seq[String]].collect()(0)
+    assert(got == Seq("a b", "b a", "a b", "b a"))
+  }
+
+  test("winnowFromHashes: sliding window minima, dedup'd; short arrays → global min") {
+    val df = Seq(Tuple1(Seq("d", "c", "b", "a", "e"))).toDF("hashes")
+    val got = df.select(TextOps.winnowFromHashes(col("hashes"), w = 2).as("f"))
+      .as[Seq[String]].collect()(0)
+    assert(got == Seq("c", "b", "a")) // windows: dc→c, cb→b, ba→a, ae→a
+    val short = Seq(Tuple1(Seq("z", "m"))).toDF("hashes")
+    assert(short.select(TextOps.winnowFromHashes(col("hashes"), w = 4).as("f"))
+      .as[Seq[String]].collect()(0) == Seq("m"))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.model.Tables
+
+/** Batch-vs-stream equivalence: the SAME EventStreams transforms, applied
+  * to a `readStream` parquet source, must produce the batch results the
+  * DuckDB oracle already verified (st1/st2). This is the §2.10 north-star
+  * smoke — real Structured Streaming execution, not a mock. */
+class StreamingSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  // Re-write normalized events (micros timestamps) so the stream source
+  // reads plain TimestampType without the nanosAsLong legacy path.
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("graft-stream-events").toString
+    Tables.events(spark, TestSpark.sfDir).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def streamEvents = {
+    val schema = Tables.events(spark, TestSpark.sfDir).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(eventsDir)
+  }
+
+  private def runToCompletion(df: org.apache.spark.sql.DataFrame, table: String): Unit = {
+    val q = df.writeStream.format("memory").queryName(table).outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("tumbling-window counts: streaming equals batch") {
+    val batch = EventStreams.tumblingCounts(Tables.events(spark, TestSpark.sfDir))
+      .collect().toSet
+    runToCompletion(EventStreams.tumblingCounts(streamEvents), "stream_tumbling")
+    val streamed = spark.table("stream_tumbling").collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("sessionization: streaming equals batch") {
+    val batch = EventStreams.userSessions(Tables.events(spark, TestSpark.sfDir))
+      .collect().toSet
+    runToCompletion(EventStreams.userSessions(streamEvents), "stream_sessions")
+    val streamed = spark.table("stream_sessions").collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+}
