@@ -21,11 +21,15 @@ object SparkEntry {
     graft.queries.ExtraQueries.all ++
     graft.queries.StreamingQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * A1 supplier-stats — the reference's core "vendor stats" aggregation
-    * (reference: src/data_processing/spark_processor.py:220-232). */
-  def entry(spark: SparkSession): DataFrame =
-    queries("a1_supplier_stats")(spark, "/root/testdata/sf0.001")
+  /** Flagship on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Runs the REAL EP1 pipeline end-to-end (schema gate → quality →
+    * clean → derive → sample-load → aggregates → sinks) into a temp dir
+    * and returns the per-stage report (reference: src/main.py:88-309). */
+  def entry(spark: SparkSession): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-entry").toString
+    val reports = graft.pipeline.Pipeline.run(spark, Seq("/root/testdata/sf0.001"), out)
+    graft.pipeline.Pipeline.reportDF(spark, reports)
+  }
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,49 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+
+/** First-class sinks — SURVEY.md §2.1 S2/S3/S4/S7. All writes are
+  * DISTRIBUTED (executor-side `DataFrameWriter`), never a driver collect:
+  * the reference funnels every result through `toPandas()` before writing
+  * (src/main.py:151,197-205 — the §4.3.3 anti-pattern this replaces).
+  */
+object Sinks {
+
+  /** S2/S7: parquet sink (any Hadoop-compatible path: local, hdfs://,
+    * s3a://). `partitionBy` enables partition pruning for downstream
+    * readers — the 100 TB default for date/month-keyed outputs. */
+  def parquet(df: DataFrame, path: String,
+              partitionBy: Seq[String] = Nil,
+              mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** S3: CSV sink with header (quality metrics / reports).
+    * `singleFile = true` mimics the reference's one-file-per-report layout
+    * via coalesce(1) — fine for KB-scale reports, a deliberate funnel;
+    * leave false for data-scale output. */
+  def csv(df: DataFrame, path: String,
+          singleFile: Boolean = false,
+          mode: String = "overwrite"): Unit =
+    (if (singleFile) df.coalesce(1) else df)
+      .write.mode(mode).option("header", "true").csv(path)
+
+  /** S4: JDBC append sink (reference: postgres_manager.py:95-152 does a
+    * driver-side chunked pandas insert; this pushes batched inserts from
+    * EXECUTORS — batchsize mirrors the reference's 1000-row chunks).
+    * Untestable in this container (no database); wiring is exercised by
+    * the writer-options unit test only. */
+  def jdbc(df: DataFrame, url: String, table: String,
+           user: String, password: String,
+           batchsize: Int = 1000,
+           mode: String = "append"): Unit =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("user", user)
+      .option("password", password)
+      .option("batchsize", batchsize.toString)
+      .mode(mode)
+      .save()
+}

@@ -1,0 +1,147 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Sinks
+import graft.model.Tables
+import graft.ops.{Cleaning, Det, Features, Quality}
+import graft.queries.CoreQueries
+
+/** EP1 — the reference's pipeline orchestration re-expressed
+  * (reference: src/main.py:88-309): per-directory loop ("months"),
+  * schema gate → quality metrics → clean → derive(+cache) → sample-load →
+  * aggregate → sink artifacts → unpersist.
+  *
+  * Error-isolation policy is the reference's, made explicit instead of
+  * bare try/except (SURVEY.md §7.4.7): a failed schema gate skips the
+  * directory (src/main.py:114-116 `continue`); any other failed stage
+  * records the error and the run continues (src/main.py:140-145,171-188).
+  *
+  * Scale notes: `cache()` holds the enriched frame across the multiple
+  * downstream actions exactly like the reference (C1/C2,
+  * src/main.py:135-137,293-295); all sinks write distributed; the only
+  * driver materialization is the one-row quality report.
+  */
+object Pipeline {
+
+  final case class StageResult(stage: String, ok: Boolean, rows: Long, detail: String)
+  final case class DirReport(dir: String, stages: Seq[StageResult]) {
+    def ok: Boolean = stages.forall(_.ok)
+  }
+
+  /** The engine's trip-table analog columns (FIXTURES.md §B mapping). */
+  private val requiredCols = Set("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+  private val criticalCols = Set("l_quantity", "l_extendedprice")
+
+  def processDir(spark: SparkSession, dir: String, outDir: String,
+                 exactPercentiles: Boolean = false): DirReport = {
+    val stages = scala.collection.mutable.ArrayBuffer.empty[StageResult]
+    def stage(name: String)(f: => (Long, String)): Boolean = {
+      val r =
+        try { val (rows, detail) = f; StageResult(name, ok = true, rows, detail) }
+        catch { case e: Exception =>
+          StageResult(name, ok = false, -1, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      stages += r
+      r.ok
+    }
+
+    val li =
+      try Tables.lineitem(spark, dir)
+      catch { case e: Exception =>
+        stages += StageResult("scan", ok = false, -1, e.getMessage)
+        return DirReport(dir, stages.toSeq)
+      }
+    stages += StageResult("scan", ok = true, -1, s"schema=${li.columns.length} cols")
+
+    // schema gate — failure skips the directory, like the reference's
+    // `continue` (metadata-only check, no job)
+    Quality.validateSchema(li, requiredCols, criticalCols) match {
+      case Left(err) =>
+        stages += StageResult("schema_gate", ok = false, -1, err)
+        return DirReport(dir, stages.toSeq)
+      case Right(()) =>
+        stages += StageResult("schema_gate", ok = true, -1, "ok")
+    }
+
+    var quality: Option[Quality.QualityReport] = None
+    stage("quality_metrics") {
+      val r = Quality.report(li, Seq("l_quantity", "l_extendedprice"), CoreQueries.violationRules)
+      quality = Some(r)
+      (r.totalRows, f"score=${r.qualityScore}%.2f dups=${r.duplicateCount}")
+    }
+
+    // clean + derive (D1–D3), cached across the downstream actions (C1)
+    val cleaned = Cleaning.iqrFilter(
+      Cleaning.applyRules(li, CoreQueries.cleanRules),
+      "l_extendedprice", exact = exactPercentiles)
+    val enriched = cleaned
+      .withColumn("quantity_bucket",
+        Features.bucketize(col("l_quantity"), CoreQueries.bucketSplits, CoreQueries.bucketLabels))
+      .withColumn("price_per_unit",
+        Features.guardedDiv(col("l_extendedprice"), col("l_quantity")))
+      .withColumn("discount_pct",
+        Features.guardedPct(col("l_extendedprice") * col("l_discount"), col("l_extendedprice")))
+      .cache()
+    try {
+      stage("clean_derive") {
+        ((-1L), "lazy (materialized by first sink)")
+      }
+
+      // sample-load: the reference's 1%-sample Postgres path
+      // (src/main.py:147-188) with a parquet destination
+      stage("sample_load") {
+        val sampled = enriched.sample(withReplacement = false, 0.01, seed = 42).limit(1000)
+        Sinks.parquet(sampled, s"$outDir/sample_load")
+        (spark.read.parquet(s"$outDir/sample_load").count(), "1% seeded sample, 1000-row cap")
+      }
+
+      stage("supplier_stats") {
+        val agg = enriched.groupBy("l_suppkey").agg(
+          count(lit(1)).as("total_lines"),
+          Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"),
+          Det.davg(col("l_quantity")).as("avg_quantity"),
+          Det.davg(col("l_extendedprice")).as("avg_price"),
+          Det.davg(col("l_discount")).as("avg_discount"))
+        Sinks.parquet(agg, s"$outDir/supplier_stats")
+        (spark.read.parquet(s"$outDir/supplier_stats").count(), "A1 analog")
+      }
+
+      stage("bucket_stats") {
+        val agg = enriched.groupBy("quantity_bucket").agg(
+          count(lit(1)).as("total_lines"),
+          Det.davg(col("l_extendedprice")).as("avg_price"),
+          Det.davg(col("l_quantity")).as("avg_quantity"),
+          Det.ravg(col("price_per_unit")).as("avg_price_per_unit"))
+        Sinks.parquet(agg, s"$outDir/bucket_stats")
+        (spark.read.parquet(s"$outDir/bucket_stats").count(), "A2 analog")
+      }
+
+      stage("quality_csv") {
+        import spark.implicits._
+        val q = quality.get
+        val df = Seq((dir, q.totalRows, q.duplicateCount, q.qualityScore))
+          .toDF("dir", "total_rows", "duplicate_count", "quality_score")
+        Sinks.csv(df, s"$outDir/quality_report", singleFile = true)
+        (1L, "quality metrics CSV")
+      }
+    } finally {
+      enriched.unpersist() // C2
+    }
+    DirReport(dir, stages.toSeq)
+  }
+
+  /** The per-month loop: one report per directory, failures isolated. */
+  def run(spark: SparkSession, dirs: Seq[String], outRoot: String): Seq[DirReport] =
+    dirs.map { dir =>
+      val name = dir.replaceAll(".*/", "")
+      processDir(spark, dir, s"$outRoot/$name")
+    }
+
+  /** Stage results as a DataFrame — the t1 smoke surface. */
+  def reportDF(spark: SparkSession, reports: Seq[DirReport]): DataFrame = {
+    import spark.implicits._
+    reports.flatMap(r => r.stages.map(s => (r.dir, s.stage, s.ok, s.rows, s.detail)))
+      .toDF("dir", "stage", "ok", "rows", "detail")
+  }
+}

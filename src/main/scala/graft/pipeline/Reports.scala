@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.io.{FileUtils, Sinks}
+import graft.model.Tables
+
+/** EP2 — SQL reporting (reference: src/main.py:311-424 runs two SQL
+  * strings against Postgres and builds a storage-inventory report; ours
+  * runs the same shapes via `spark.sql` over registered views — fully
+  * self-contained, no external database).
+  */
+object Reports {
+
+  /** Summary report: top aggregates from the pipeline's own output
+    * (the reference's `ORDER BY id DESC LIMIT 10` summary analog). */
+  def summary(spark: SparkSession, artifactsDir: String): DataFrame = {
+    spark.read.parquet(s"$artifactsDir/supplier_stats")
+      .createOrReplaceTempView("supplier_stats")
+    spark.sql(
+      """SELECT l_suppkey, total_lines, total_revenue
+        |FROM supplier_stats ORDER BY total_revenue DESC, l_suppkey LIMIT 10""".stripMargin)
+  }
+
+  /** Trips-analysis analog: the reference's multi-key GROUP BY report SQL
+    * (src/main.py:332-341), served by Catalyst over the raw corpus view. */
+  def analysis(spark: SparkSession, dataDir: String): DataFrame = {
+    Tables.registerAll(spark, dataDir)
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS total_lines,
+        |       ROUND(AVG(l_extendedprice), 2) AS avg_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus LIMIT 100""".stripMargin)
+  }
+
+  /** Storage inventory (reference: src/main.py:389-415 from
+    * list_objects()): one row per artifact file with its size. */
+  def storageInventory(spark: SparkSession, artifactsDir: String): DataFrame = {
+    import spark.implicits._
+    FileUtils.listObjects(artifactsDir)
+      .map(rel => (rel, FileUtils.sizeBytes(artifactsDir, rel)))
+      .toDF("object", "size_bytes")
+  }
+
+  /** Full EP2 run: write all three reports as CSV under `reportsDir`. */
+  def generate(spark: SparkSession, dataDir: String, artifactsDir: String,
+               reportsDir: String): Unit = {
+    Sinks.csv(summary(spark, artifactsDir), s"$reportsDir/summary", singleFile = true)
+    Sinks.csv(analysis(spark, dataDir), s"$reportsDir/analysis", singleFile = true)
+    Sinks.csv(storageInventory(spark, artifactsDir), s"$reportsDir/inventory", singleFile = true)
+  }
+}

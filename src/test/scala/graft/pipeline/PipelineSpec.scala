@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.io.{Ddl, FileUtils, Sinks}
+
+/** EP1/EP2 end-to-end on the smoke corpus — replaces the reference's
+  * assert-True integration test (test_integration.py) with artifact
+  * assertions. */
+class PipelineSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private lazy val outDir = {
+    val d = Files.createTempDirectory("graft-pipe").toString
+    Pipeline.run(spark, Seq(TestSpark.sfDir), d) -> d
+  }
+
+  test("pipeline runs every stage green and writes all artifacts") {
+    val (reports, dir) = outDir
+    assert(reports.size == 1 && reports.head.ok,
+      reports.head.stages.filterNot(_.ok).mkString("; "))
+    val arts = s"$dir/sf0.001"
+    for (a <- Seq("supplier_stats", "bucket_stats", "sample_load"))
+      assert(spark.read.parquet(s"$arts/$a").count() > 0, s"$a empty")
+    val q = spark.read.option("header", "true").csv(s"$arts/quality_report").collect()
+    assert(q.length == 1 && q(0).getAs[String]("quality_score").toDouble >= 0)
+  }
+
+  test("error isolation: missing table reports a failed scan, never throws") {
+    val bad = Pipeline.processDir(spark, "/nonexistent/dir", "/tmp/graft-bad-out")
+    assert(!bad.ok && bad.stages.exists(s => s.stage == "scan" && !s.ok))
+  }
+
+  test("reports (EP2) generate from pipeline artifacts via spark.sql") {
+    val (_, dir) = outDir
+    val arts = s"$dir/sf0.001"
+    val reportsDir = Files.createTempDirectory("graft-reports").toString
+    Reports.generate(spark, TestSpark.sfDir, arts, reportsDir)
+    val summary = spark.read.option("header", "true").csv(s"$reportsDir/summary")
+    assert(summary.count() == 10 && summary.columns.contains("total_revenue"))
+    val analysis = spark.read.option("header", "true").csv(s"$reportsDir/analysis")
+    assert(analysis.count() > 0)
+    val inv = spark.read.option("header", "true").csv(s"$reportsDir/inventory")
+    assert(inv.count() > 0) // at least the parquet artifacts are inventoried
+  }
+
+  test("DDL (S6): catalog tables create over artifact locations, idempotently") {
+    val (_, dir) = outDir
+    val results = Ddl.createAnalyticsTables(spark, s"$dir/sf0.001")
+    assert(results.forall(_.isRight), results.collect { case Left(e) => e }.mkString)
+    assert(spark.catalog.tableExists("supplier_stats"))
+    assert(spark.sql("SELECT * FROM supplier_stats").count() > 0)
+    assert(Ddl.createAnalyticsTables(spark, s"$dir/sf0.001").forall(_.isRight))
+    Seq("supplier_stats", "bucket_stats", "pipeline_quality")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("sinks: parquet partitionBy round-trips; CSV writes header") {
+    import spark.implicits._
+    val df = Seq((1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)).toDF("id", "k", "v")
+    val d = Files.createTempDirectory("graft-sink").toString
+    Sinks.parquet(df, s"$d/p", partitionBy = Seq("k"))
+    val back = spark.read.parquet(s"$d/p")
+    assert(back.count() == 3 && back.select("k").distinct().count() == 2)
+    assert(FileUtils.listObjects(s"$d/p").exists(_.startsWith("k=a")))
+    Sinks.csv(df, s"$d/c", singleFile = true)
+    val csv = spark.read.option("header", "true").csv(s"$d/c")
+    assert(csv.columns.toSeq == Seq("id", "k", "v") && csv.count() == 3)
+  }
+
+  test("file utils (S9): copy + prefix listing") {
+    val d = Files.createTempDirectory("graft-fu").toString
+    Files.writeString(java.nio.file.Paths.get(d, "x.txt"), "hi")
+    FileUtils.copy(s"$d/x.txt", s"$d/sub/y.txt")
+    assert(FileUtils.listObjects(d).toSet == Set("x.txt", "sub/y.txt"))
+    assert(FileUtils.listObjects(d, "sub") == Seq("sub/y.txt"))
+    assert(FileUtils.listObjects("/nonexistent-root").isEmpty)
+  }
+}
