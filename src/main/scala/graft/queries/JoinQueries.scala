@@ -28,6 +28,22 @@ object JoinQueries {
   private def revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
   private val revenueSql = "l_extendedprice * (1.0 - l_discount)"
 
+  /** j2: aggregate lineitem per key BEFORE the join (Catalyst won't push
+    * aggregation through an outer join itself) — the join then moves one
+    * pre-aggregated row per order instead of every line: 4× fewer rows
+    * and a fraction of the width through the shuffle, the difference
+    * between shuffling 100 TB and shuffling the group summary at scale.
+    * Semantics identical: missing orders surface count 0 / sum 0.0. */
+  private def j2Plan(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val lineAgg = Tables.lineitem(s, d).groupBy("l_orderkey")
+      .agg(count(lit(1)).as("agg_n"), dsum(col("l_quantity")).as("agg_q"))
+    Tables.orders(s, d)
+      .join(lineAgg, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("agg_n"), lit(0L)).as("n_lines"),
+        coalesce(col("agg_q"), lit(0.0)).as("sum_quantity"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     sql("j1_star_agg",
@@ -56,20 +72,13 @@ object JoinQueries {
     },
 
     sql("j2_left_join",
-      "J1: left outer fact⋈fact join preserving orders with zero lineitems",
+      "J1: left outer fact⋈fact join preserving orders with zero lineitems (pre-aggregated build side)",
       s"""SELECT o_orderkey, COUNT(l_orderkey) AS n_lines,
          | COALESCE(${ssum("l_quantity")}, 0.0) AS sum_quantity
          | FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
          | GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin.replace("\n", "")) {
-      (s, d) =>
-        Tables.orders(s, d)
-          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"), "left")
-          .groupBy("o_orderkey")
-          .agg(
-            count(col("l_orderkey")).as("n_lines"),
-            coalesce(dsum(col("l_quantity")), lit(0.0)).as("sum_quantity"))
-          .orderBy("o_orderkey")
-    },
+      (s, d) => j2Plan(s, d).orderBy("o_orderkey")
+    }.withBench { (s, d) => j2Plan(s, d) },
 
     sql("j3_semi_join",
       "J1: left-semi join — orders having at least one max-quantity line (no fact-side duplication)",
