@@ -1,0 +1,42 @@
+package graft.io
+
+import java.io.{BufferedInputStream, FileOutputStream}
+import java.nio.file.{Files, Paths}
+
+/** S8 — source fetch (reference: scripts/download_data.py:14-51 streams
+  * parquet files to local disk in 8 KB chunks). Driver-side pre-step:
+  * Spark then scans the landed copy. Any java.net.URL scheme works
+  * (https in production; file:// in the zero-egress test container). */
+object Fetch {
+
+  /** Stream `url` to `dest`, chunked; returns bytes written. Existing
+    * files are skipped (the reference's idempotent re-run behavior). */
+  def fetchToLocal(url: String, dest: String, chunkBytes: Int = 8192,
+                   overwrite: Boolean = false): Long = {
+    val destPath = Paths.get(dest)
+    if (Files.exists(destPath) && !overwrite) return Files.size(destPath)
+    Option(destPath.getParent).foreach(Files.createDirectories(_))
+    val in = new BufferedInputStream(new java.net.URL(url).openStream())
+    val out = new FileOutputStream(dest)
+    try {
+      val buf = new Array[Byte](chunkBytes)
+      var total = 0L
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        total += n
+        n = in.read(buf)
+      }
+      total
+    } finally { in.close(); out.close() }
+  }
+
+  /** Fetch a list of URLs into `destDir`, keeping the reference's
+    * error-isolation policy: one failed download logs and continues. */
+  def fetchAll(urls: Seq[String], destDir: String): Seq[(String, Either[String, Long])] =
+    urls.map { url =>
+      val name = url.replaceAll(".*/", "")
+      url -> (try Right(fetchToLocal(url, s"$destDir/$name"))
+      catch { case e: Exception => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") })
+    }
+}

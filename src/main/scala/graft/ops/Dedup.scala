@@ -46,6 +46,14 @@ object Dedup {
                 textCol: String = "text", k: Int = 3): DataFrame =
     docs.select(col(idCol).as("doc_id"), explode(shingles(col(textCol), k)).as("shingle"))
 
+  /** Production shingle form: 64-bit hashes instead of shingle strings, so
+    * downstream joins/aggregations shuffle 8 bytes per shingle instead of
+    * the text. Collision probability per doc pair is ~|shingles|²/2⁶⁴ —
+    * irrelevant in production, but the oracle path keeps strings because
+    * a collision would (astronomically rarely) perturb exact Jaccard. */
+  def hashedShingleDF(docs: DataFrame, k: Int = 3): DataFrame =
+    shingleDF(docs, k = k).select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+
   /** MinHash signature: numPerm independent min-hashes per doc. Permutation
     * i is xxhash64(shingle, i) — seeding by hashing the permutation index
     * alongside the shingle avoids modular-arithmetic overflow tricks and
@@ -99,8 +107,9 @@ object Dedup {
     * Recall at J≥0.8 with 16 bands × 4 rows is 1 − 5e-8 (deterministic
     * hashes make the tiny miss probability reproducible, not flaky). */
   def minhashNearDup(docs: DataFrame, k: Int = 3, numPerm: Int = 64,
-                     bands: Int = 16, rows: Int = 4, thr: Double = 0.8): DataFrame = {
-    val sh = shingleDF(docs, k = k)
+                     bands: Int = 16, rows: Int = 4, thr: Double = 0.8,
+                     hashShingles: Boolean = false): DataFrame = {
+    val sh = if (hashShingles) hashedShingleDF(docs, k) else shingleDF(docs, k = k)
     val cand = lshCandidates(minhashSignatures(sh, numPerm), bands, rows)
     val candDocs = cand.select(col("id1").as("doc_id"))
       .union(cand.select(col("id2").as("doc_id"))).distinct()

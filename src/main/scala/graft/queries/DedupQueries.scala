@@ -59,6 +59,12 @@ object DedupQueries {
       (s, d) =>
         Dedup.minhashNearDup(Tables.documents(s, d))
           .orderBy("id1", "id2")
+    }.withBench { (s, d) =>
+      // production: same plan minus the oracle sort. hashShingles=true is
+      // the cross-network scale path (8-byte shuffle keys) but measured
+      // SLOWER on single-node local[32] — the extra hash pass costs CPU
+      // and there is no network to save; see Dedup.hashedShingleDF.
+      Dedup.minhashNearDup(Tables.documents(s, d))
     },
 
     sql("dd3_ngram_jaccard",
@@ -68,6 +74,9 @@ object DedupQueries {
         Dedup.exactJaccardPairs(
           Dedup.shingleDF(Tables.documents(s, d)), minJaccard = 0.8)
           .orderBy("id1", "id2")
+    }.withBench { (s, d) =>
+      Dedup.exactJaccardPairs(
+        Dedup.shingleDF(Tables.documents(s, d)), minJaccard = 0.8)
     },
 
     rowsOnly("dd4_simhash_neardup",

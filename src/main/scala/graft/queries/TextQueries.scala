@@ -100,6 +100,17 @@ object TextQueries {
             size(col("fps")).cast("long").as("n_fingerprints"),
             array_min(col("fps")).as("min_fp"))
           .orderBy("doc_id")
+    }.withBench { (s, d) =>
+      // production: xxhash64 fingerprints (md5 exists only for oracle
+      // portability — see TextOps scaladoc), no total sort
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.positionalShingles(col("text")).as("shingles"))
+        .select(col("doc_id"), transform(col("shingles"), sh => xxhash64(sh)).as("hashes"))
+        .select(col("doc_id"), TextOps.winnowFromHashes(col("hashes")).as("fps"))
+        .select(
+          col("doc_id"),
+          size(col("fps")).cast("long").as("n_fingerprints"),
+          array_min(col("fps")).as("min_fp"))
     },
 
     rowsOnly("t5_langid",

@@ -39,6 +39,12 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.exists { case (a, b) => a == 2L || b == 2L })
   }
 
+  test("hashed-shingle scale path finds the same near-dup pairs") {
+    val got = Dedup.minhashNearDup(docs, thr = 0.7, hashShingles = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+
   test("minhash signatures of identical texts are identical") {
     val sig = Dedup.minhashSignatures(Dedup.shingleDF(docs), numPerm = 8)
     val rows = sig.filter(col("doc_id").isin(0L, 3L)).drop("doc_id").collect()
