@@ -123,6 +123,21 @@ object ExtraQueries {
           .orderBy("l_returnflag")
     },
 
+    sql("f9_array_json",
+      "F9: array access/size + JSON struct serialization over the embeddings table",
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        | ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+        | to_json(struct_pack(vec_id := vec_id, label := label)) AS meta_json
+        | FROM embeddings ORDER BY vec_id""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            size(col("embedding")).cast("long").as("dim"),
+            round(element_at(col("embedding"), 1).cast("double"), 6).as("first_val"),
+            to_json(struct(col("vec_id"), col("label"))).as("meta_json"))
+          .orderBy("vec_id")
+    },
+
     sql("f8_monthly_revenue",
       "F8: date/time helpers — the EP3 monthly time dimension the reference dropped",
       s"""SELECT strftime(o_orderdate, '%Y-%m') AS order_month, COUNT(*) AS n_orders,
