@@ -107,6 +107,32 @@ object JoinQueries {
           .orderBy("o_orderkey")
     },
 
+    sql("j6_asof_join",
+      "J1+: backward as-of join — last click at or before each purchase, per user (union + running-window plan)",
+      """WITH p AS (SELECT event_id, user_id, date_trunc('second', ts) AS pts FROM events
+        |           WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |c AS (SELECT user_id, date_trunc('second', ts) AS cts FROM events
+        |      WHERE event_type = 'click' AND user_id IS NOT NULL)
+        |SELECT p.event_id, p.user_id, strftime(p.pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |       strftime(c.cts, '%Y-%m-%d %H:%M:%S') AS last_click_ts
+        | FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.pts >= c.cts
+        | ORDER BY p.event_id""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // second-truncated on BOTH sides: Spark stores micros, the oracle
+        // nanos — truncation makes the boundary comparison identical
+        val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), date_trunc("second", col("ts")).as("pts"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), date_trunc("second", col("ts")).as("cts"))
+        graft.ops.AsOf.asofBackward(p, c, "user_id", "pts", "cts", "asof")
+          .select(col("event_id"), col("user_id"),
+            date_format(col("pts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+            date_format(col("asof"), "yyyy-MM-dd HH:mm:ss").as("last_click_ts"))
+          .orderBy("event_id")
+      }
+    },
+
     sql("j5_broadcast_dim",
       "J1: explicit broadcast-hash join fact⋈dim (zero fact shuffle) + agg",
       s"""SELECT p_brand, COUNT(*) AS total_lines,
