@@ -20,6 +20,8 @@ object Sessions {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      // native function registry (graft_cosine — codegen'd Expression)
+      .withExtensions(new graft.expressions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

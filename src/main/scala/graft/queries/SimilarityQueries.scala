@@ -37,6 +37,16 @@ object SimilarityQueries {
         Similarity.cosineTopK(
           Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
           queryVec(s, d), k = 10)
+    }.withBench { (s, d) =>
+      // production: native codegen'd expression (one fused loop, no
+      // intermediate arrays) — bit-identical to the HOF form, see
+      // graft.expressions.CosineSimilarity
+      Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(queryVec(s, d)))
+        .select(col("vec_id"), col("label"),
+          round(expr("graft_cosine(embedding, qe)"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10)
     },
 
     sql("ss2_label_topk",
