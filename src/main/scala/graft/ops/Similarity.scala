@@ -79,6 +79,43 @@ object Similarity {
     cosineTopK(base.join(cand, Seq("vec_id"), "left_semi"), query, k)
   }
 
+  /** IVF coarse quantizer: centroid picks are the first K vectors
+    * (deterministic degenerate "training" — production plugs a KMeans
+    * model into the same (cid, cvec) shape). Centroids are KB-scale at
+    * any data size: always broadcast. */
+  def ivfCentroids(base: DataFrame, k: Int): DataFrame =
+    base.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+
+  /** IVF assignment: each vector joins its nearest centroid. Scoring is
+    * map-side against the broadcast centroid table (n×K scores, no
+    * shuffle); the argmax is one row_number window on vec_id. */
+  def ivfAssign(base: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = base.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cid"),
+        cosine(col("embedding"), col("cvec")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("vec_id", "cid")
+  }
+
+  /** IVF top-k: rank centroids against the query, semi-join the base
+    * down to the `nprobe` nearest clusters, score only those. The scale
+    * alternative to SRP when cluster structure exists (recall tracks how
+    * well centroids cover the data, like any IVF index). */
+  def ivfTopK(base: DataFrame, centroids: DataFrame, query: DataFrame,
+              k: Int, nprobe: Int = 2): DataFrame = {
+    val probed = centroids.crossJoin(broadcast(query))
+      .select(col("cid"), cosine(col("cvec"), col("qe")).as("sim"))
+      .orderBy(col("sim").desc, col("cid")).limit(nprobe)
+      .select("cid")
+    val cand = ivfAssign(base, centroids)
+      .join(broadcast(probed), Seq("cid"), "left_semi")
+      .select("vec_id")
+    cosineTopK(base.join(cand, Seq("vec_id"), "left_semi"), query, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: SRP-bucket candidates (equal
     * bucket ⇒ likely-similar), verified with exact cosine ≥ thr. Never
     * all-pairs; recall governed by bits/probe like any LSH. */

@@ -84,6 +84,16 @@ object SimilarityQueries {
           k = 10)
     },
 
+    rowsOnly("ss5_ivf_topk",
+      "Similarity: IVF ANN — broadcast centroid table, nprobe nearest clusters scored (ScalaTest-pinned)") {
+      (s, d) => {
+        val base = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        Similarity.ivfTopK(base,
+          Similarity.ivfCentroids(Tables.embeddings(s, d), k = 16),
+          queryVec(s, d), k = 10, nprobe = 4)
+      }
+    },
+
     rowsOnly("ss4_cosine_neardup",
       "Similarity: embedding-cosine near-dup pairs via SRP buckets + exact verify (empty on this corpus — max pairwise cosine 0.51)") {
       (s, d) =>

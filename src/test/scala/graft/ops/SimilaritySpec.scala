@@ -37,6 +37,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.subsetOf(Set(1L, 2L, 3L, 4L)))
   }
 
+  test("IVF: vectors assign to their nearest centroid; probing finds exact matches") {
+    val centroids = Seq((0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)))
+      .toDF("cid", "cvec")
+    val assign = Similarity.ivfAssign(base, centroids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign == Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
+    // 4 is anti-parallel to centroid 0 → its best (least-bad) is centroid 1
+
+    val q = Seq(Tuple1(Array(1f, 0f, 0f))).toDF("qe")
+    val top = Similarity.ivfTopK(base, centroids, q, k = 2, nprobe = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 3L)) // probes cluster 0 only: {1, 3}
+  }
+
   test("cosineNearDupPairs: exact duplicates found, threshold respected") {
     val withDup = base.union(Seq((5L, Array(1f, 0f, 0f), 0)).toDF("vec_id", "embedding", "label"))
     val pairs = Similarity.cosineNearDupPairs(withDup, thr = 0.999)
