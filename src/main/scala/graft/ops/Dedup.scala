@@ -117,6 +117,36 @@ object Dedup {
     exactJaccardPairs(shCand, thr)
   }
 
+  /** Prefix-filtered exact Jaccard join (PPJoin-style): under a single
+    * global shingle order (ascending document frequency — rarest first),
+    * any pair with J ≥ thr MUST share a shingle within each doc's first
+    * ⌊(1−thr)·|d|⌋+1 shingles, so only those prefixes are indexed for
+    * candidate generation — the candidate join touches the rare end of
+    * the frequency distribution instead of every hot shingle. Recall is
+    * 1 by the prefix-filter theorem, and candidates are then verified
+    * with the full exact Jaccard, so the output equals
+    * [[exactJaccardPairs]] bit-for-bit (pinned in DedupSpec). */
+  def prefixFilteredJaccardPairs(docs: DataFrame, k: Int = 3,
+                                 thr: Double = 0.8): DataFrame = {
+    val sh = shingleDF(docs, k = k)
+    val docFreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val prefixes = sh.join(docFreq, "shingle")
+      .withColumn("r", row_number().over(w))
+      .join(sizes, "doc_id")
+      .filter(col("r") <= floor((lit(1.0) - thr) * col("n")) + 1)
+      .select("doc_id", "shingle")
+    val cand = prefixes.as("x").join(prefixes.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+    val candDocs = cand.select(col("id1").as("doc_id"))
+      .union(cand.select(col("id2").as("doc_id"))).distinct()
+    exactJaccardPairs(sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi"), thr)
+  }
+
   /** 64-bit SimHash over term-frequency-weighted whitespace tokens: bit b
     * of the signature is the sign of Σ_tokens (±1 per token depending on
     * bit b of xxhash64(token)). One wide conditional aggregation. */

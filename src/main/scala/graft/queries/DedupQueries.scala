@@ -75,6 +75,12 @@ object DedupQueries {
           Dedup.shingleDF(Tables.documents(s, d)), minJaccard = 0.8)
           .orderBy("id1", "id2")
     }.withBench { (s, d) =>
+      // production plan = oracle plan minus the sort. The PPJoin-style
+      // Dedup.prefixFilteredJaccardPairs (recall 1, parity-pinned in
+      // DedupSpec) is the scale path for realistic Zipfian-vocabulary
+      // corpora, but measured 2× SLOWER here: this synthetic corpus has
+      // a 31-word vocabulary, so every shingle is high-frequency and the
+      // df/rank passes cost more than the candidate pruning saves.
       Dedup.exactJaccardPairs(
         Dedup.shingleDF(Tables.documents(s, d)), minJaccard = 0.8)
     },

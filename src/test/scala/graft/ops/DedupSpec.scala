@@ -39,6 +39,14 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.exists { case (a, b) => a == 2L || b == 2L })
   }
 
+  test("prefix-filtered join equals the full exact-Jaccard join (recall 1)") {
+    val full = Dedup.exactJaccardPairs(Dedup.shingleDF(docs), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pref = Dedup.prefixFilteredJaccardPairs(docs, thr = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pref == full && full.nonEmpty)
+  }
+
   test("hashed-shingle scale path finds the same near-dup pairs") {
     val got = Dedup.minhashNearDup(docs, thr = 0.7, hashShingles = true)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
