@@ -1,0 +1,53 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.model.Tables
+
+/** flatMapGroupsWithState: cross-batch running per-user state. The
+  * stream delivers files one per trigger, so state must survive and
+  * accumulate across micro-batches; the final running value per user
+  * must equal the one-shot batch aggregate. */
+class StatefulSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("running user stats accumulate across micro-batches to the batch totals") {
+    val events = Tables.events(spark, TestSpark.sfDir)
+    val dir = Files.createTempDirectory("graft-stateful").toString
+    // split into 3 files → 3 micro-batches exercising cross-batch state
+    events.repartition(3).write.mode("overwrite").parquet(dir)
+
+    val expected = StatefulOps.asUserEvents(events)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StatefulOps.runningUserStats(StatefulOps.asUserEvents(stream))
+      .writeStream.format("memory").queryName("user_stats").outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // update mode appends one row per key per batch — the running maximum
+    // per user is its final state
+    val got = spark.table("user_stats")
+      .groupBy("user_id")
+      .agg(max("n_events").as("n"), max("n_purchases").as("p"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected && expected.nonEmpty)
+  }
+
+  test("the same stateful function runs in plain batch mode (empty initial state)") {
+    val out = StatefulOps.runningUserStats(
+      StatefulOps.asUserEvents(Tables.events(spark, TestSpark.sfDir)))
+      .collect().map(s => s.user_id -> s.n_events).toMap
+    val expected = StatefulOps.asUserEvents(Tables.events(spark, TestSpark.sfDir))
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == expected)
+  }
+}
