@@ -32,9 +32,13 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
-  /** Local session sized from SPARK_GRAFT_CPUS (driver convention). */
+  /** Local session sized from SPARK_GRAFT_CPUS (driver convention),
+    * defaulting to every available core — an unset env var must not
+    * silently run the bench on local[4]. Shuffle partitions match the
+    * core count (not Spark's default 200, §4.1). */
   def local(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val s = builder(s"local[$cpus]", cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
