@@ -94,6 +94,27 @@ object SimilarityQueries {
       }
     },
 
+    sql("ss6_label_centroids",
+      "Similarity: per-label centroid via custom typed Aggregator (IVF/KMeans training step)",
+      """SELECT label, pos, ROUND(AVG(v), 6) AS avg_val FROM (
+        | SELECT label,
+        |  UNNEST(range(1, len(embedding) + 1)) AS pos,
+        |  UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        | FROM embeddings)
+        | GROUP BY label, pos ORDER BY label, pos""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val centroid = udaf(graft.expressions.CentroidAgg,
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+        Tables.embeddings(s, d)
+          .groupBy("label")
+          .agg(centroid(col("embedding")).as("centroid"))
+          .select(col("label"), posexplode(col("centroid")).as(Seq("p", "v")))
+          .select(col("label"), (col("p") + 1).cast("long").as("pos"),
+            round(col("v"), 6).as("avg_val"))
+          .orderBy("label", "pos")
+      }
+    },
+
     rowsOnly("ss4_cosine_neardup",
       "Similarity: embedding-cosine near-dup pairs via SRP buckets + exact verify (empty on this corpus — max pairwise cosine 0.51)") {
       (s, d) =>
