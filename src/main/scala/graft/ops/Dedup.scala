@@ -30,21 +30,31 @@ object Dedup {
     * (no empty-token filtering) so shingle sets match the oracle. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct k-word shingles; a doc with fewer than k tokens contributes
-    * its whole text as one shingle (totality). Pure Catalyst array exprs. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val ws = tokens(text)
+  /** Distinct k-word shingles over an ALREADY-MATERIALIZED token array
+    * column; a doc with fewer than k tokens contributes its whole text
+    * as one shingle (totality). `ws` must be a projected attribute, not
+    * an inline `split(...)`: the transform lambda reads it per element,
+    * and a nested expression would re-split the text for every shingle
+    * (measured 5s → 0.5s for the sf0.1 shingle explode). */
+  def shinglesFromTokens(text: Column, ws: Column, k: Int = 3): Column =
     when(size(ws) >= k,
       array_distinct(transform(sequence(lit(0), size(ws) - k),
         i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + j + lit(1))): _*))))
       .otherwise(array(text))
-  }
+
+  /** Convenience single-expression form (tests / tiny inputs). Hot paths
+    * go through [[shingleDF]], which stages the token array first. */
+  def shingles(text: Column, k: Int = 3): Column =
+    shinglesFromTokens(text, tokens(text), k)
 
   /** (doc_id, shingle) exploded pairs — the substrate for signatures and
     * for exact-Jaccard verification. */
   def shingleDF(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text", k: Int = 3): DataFrame =
-    docs.select(col(idCol).as("doc_id"), explode(shingles(col(textCol), k)).as("shingle"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        tokens(col(textCol)).as("__ws"))
+      .select(col("doc_id"),
+        explode(shinglesFromTokens(col("__text"), col("__ws"), k)).as("shingle"))
 
   /** Production shingle form: 64-bit hashes instead of shingle strings, so
     * downstream joins/aggregations shuffle 8 bytes per shingle instead of

@@ -71,14 +71,19 @@ object TextOps {
   }
 
   /** Positional (non-distinct) k-word shingles — winnowing needs document
-    * order, unlike [[Dedup.shingles]] which dedups for Jaccard sets. */
-  def positionalShingles(text: Column, k: Int = 3): Column = {
-    val ws = tokens(text)
+    * order, unlike [[Dedup.shingles]] which dedups for Jaccard sets.
+    * Like Dedup.shinglesFromTokens, `ws` must be a projected attribute:
+    * the lambda reads it per element, so an inline split would re-run
+    * for every shingle. */
+  def positionalShinglesFromTokens(text: Column, ws: Column, k: Int = 3): Column =
     when(size(ws) >= k,
       transform(sequence(lit(0), size(ws) - k),
         i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + j + lit(1))): _*)))
       .otherwise(array(text))
-  }
+
+  /** Convenience single-expression form (tests / tiny inputs). */
+  def positionalShingles(text: Column, k: Int = 3): Column =
+    positionalShinglesFromTokens(text, tokens(text), k)
 
   /** Winnowing window-min step (Schleimer et al., SIGMOD'03): minimum of
     * every sliding window of `w` hashes, dedup'd. The fingerprint set is

@@ -90,9 +90,11 @@ object TextQueries {
       (s, d) =>
         // staged projections: each array is materialized once per row
         // (inlining these recomputes md5 per sliding window — see
-        // TextOps.winnowFromHashes)
+        // TextOps.winnowFromHashes — and re-splits per shingle)
         Tables.documents(s, d)
-          .select(col("doc_id"), TextOps.positionalShingles(col("text")).as("shingles"))
+          .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("ws"))
+          .select(col("doc_id"),
+            TextOps.positionalShinglesFromTokens(col("text"), col("ws")).as("shingles"))
           .select(col("doc_id"), transform(col("shingles"), sh => md5(sh)).as("hashes"))
           .select(col("doc_id"), TextOps.winnowFromHashes(col("hashes")).as("fps"))
           .select(
@@ -104,7 +106,9 @@ object TextQueries {
       // production: xxhash64 fingerprints (md5 exists only for oracle
       // portability — see TextOps scaladoc), no total sort
       Tables.documents(s, d)
-        .select(col("doc_id"), TextOps.positionalShingles(col("text")).as("shingles"))
+        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("ws"))
+        .select(col("doc_id"),
+          TextOps.positionalShinglesFromTokens(col("text"), col("ws")).as("shingles"))
         .select(col("doc_id"), transform(col("shingles"), sh => xxhash64(sh)).as("hashes"))
         .select(col("doc_id"), TextOps.winnowFromHashes(col("hashes")).as("fps"))
         .select(
