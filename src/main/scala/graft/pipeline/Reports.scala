@@ -32,6 +32,19 @@ object Reports {
         |ORDER BY l_returnflag, l_linestatus LIMIT 100""".stripMargin)
   }
 
+  /** EP3: the hourly-demand analytics the reference README promises but
+    * its shipped pipeline cannot run (it dropped every datetime column —
+    * SURVEY.md §3 EP3, scripts/create_tables.sql:9). Served over the
+    * events view with a real time dimension. */
+  def hourlyDemand(spark: SparkSession, dataDir: String): DataFrame = {
+    Tables.registerAll(spark, dataDir)
+    spark.sql(
+      """SELECT hour(ts) AS hour_of_day, COUNT(*) AS n_events,
+        |       ROUND(AVG(value), 2) AS avg_value
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY hour(ts) ORDER BY hour_of_day""".stripMargin)
+  }
+
   /** Storage inventory (reference: src/main.py:389-415 from
     * list_objects()): one row per artifact file with its size. */
   def storageInventory(spark: SparkSession, artifactsDir: String): DataFrame = {
@@ -46,6 +59,7 @@ object Reports {
                reportsDir: String): Unit = {
     Sinks.csv(summary(spark, artifactsDir), s"$reportsDir/summary", singleFile = true)
     Sinks.csv(analysis(spark, dataDir), s"$reportsDir/analysis", singleFile = true)
+    Sinks.csv(hourlyDemand(spark, dataDir), s"$reportsDir/hourly_demand", singleFile = true)
     Sinks.csv(storageInventory(spark, artifactsDir), s"$reportsDir/inventory", singleFile = true)
   }
 }

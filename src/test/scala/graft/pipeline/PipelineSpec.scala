@@ -41,6 +41,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(summary.count() == 10 && summary.columns.contains("total_revenue"))
     val analysis = spark.read.option("header", "true").csv(s"$reportsDir/analysis")
     assert(analysis.count() > 0)
+    val hourly = spark.read.option("header", "true").csv(s"$reportsDir/hourly_demand")
+    assert(hourly.count() == 24) // every hour of day present in the corpus
     val inv = spark.read.option("header", "true").csv(s"$reportsDir/inventory")
     assert(inv.count() > 0) // at least the parquet artifacts are inventoried
   }
