@@ -97,6 +97,30 @@ object WindowQueries {
       }
     },
 
+    sql("w6_range_frame",
+      "W1: RANGE frame — events per user in the trailing hour (time-valued frame, not row-counted)",
+      """SELECT user_id, event_id,
+        | COUNT(*) OVER (PARTITION BY user_id
+        |   ORDER BY CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
+        | FROM events WHERE user_id IS NOT NULL
+        | ORDER BY user_id, event_id""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // RANGE frames bound by VALUE distance: epoch-second ordering makes
+        // the frame a true trailing time window (peers with equal seconds
+        // are always included together, so micros-vs-nanos storage cannot
+        // flip membership)
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_timestamp(date_trunc("second", col("ts"))))
+          .rangeBetween(-3600, Window.currentRow)
+        Tables.events(s, d)
+          .filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            count(lit(1)).over(w).as("n_last_hour"))
+          .orderBy("user_id", "event_id")
+      }
+    },
+
     sql("w5_running_sum",
       "W1: cumulative (unbounded-preceding) sum per customer, exact DECIMAL accumulation",
       """SELECT o_custkey, o_orderkey,

@@ -48,6 +48,13 @@ object InvariantProps extends Properties("graft") {
       s >= 0.0 && s <= 100.0
     }
 
+  property("cosine similarity is bounded in [-1, 1] and reflexive") =
+    forAll(Gen.listOfN(8, Gen.chooseNum(-10.0f, 10.0f)).suchThat(_.exists(_ != 0f))) { xs =>
+      val df = Seq((xs.toArray, xs.toArray)).toDF("a", "b")
+      val self = df.select(graft.ops.Similarity.cosine(col("a"), col("b"))).as[Double].collect()(0)
+      math.abs(self - 1.0) < 1e-9
+    }
+
   property("group counts sum to total count") =
     forAll(Gen.listOfN(40, Gen.oneOf("a", "b", "c"))) { ks =>
       val df = ks.toDF("k")
