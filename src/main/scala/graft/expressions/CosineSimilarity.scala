@@ -19,7 +19,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Arithmetic is kept BIT-IDENTICAL to the HOF form (and the DuckDB
   * oracle): widen each float to double before multiplying, accumulate
   * left-to-right, `dot / (sqrt(na) * sqrt(nb))` — pinned by
-  * CosineExpressionSpec's exact-equality test.
+  * CosineExpressionSpec's exact-equality test. Ragged (unequal-length)
+  * inputs yield NULL, also matching the HOF form (zip_with null-pads).
   *
   * Registered as SQL function `graft_cosine` via
   * [[graft.expressions.GraftExtensions]] (SparkSessionExtensions).
@@ -39,15 +40,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
     }
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // ragged inputs yield NULL
   override def prettyName: String = "graft_cosine"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toFloatArray()
     val y = b.asInstanceOf[ArrayData].toFloatArray()
-    val n = math.min(x.length, y.length)
+    // length mismatch → NULL, matching the zip_with HOF form (which
+    // null-pads the shorter array and so aggregates to null)
+    if (x.length != y.length) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
-    while (i < n) {
+    while (i < x.length) {
       val xi = x(i).toDouble; val yi = y(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
@@ -58,19 +62,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
-      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val i = ctx.freshName("i")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
       s"""
          |float[] $x = $a.toFloatArray();
          |float[] $y = $b.toFloatArray();
-         |int $n = java.lang.Math.min($x.length, $y.length);
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $x[$i]; double $yi = (double) $y[$i];
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |if ($x.length != $y.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $x.length; $i++) {
+         |    double $xi = (double) $x[$i]; double $yi = (double) $y[$i];
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

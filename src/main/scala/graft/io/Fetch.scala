@@ -1,7 +1,7 @@
 package graft.io
 
 import java.io.{BufferedInputStream, FileOutputStream}
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 /** S8 — source fetch (reference: scripts/download_data.py:14-51 streams
   * parquet files to local disk in 8 KB chunks). Driver-side pre-step:
@@ -10,25 +10,35 @@ import java.nio.file.{Files, Paths}
 object Fetch {
 
   /** Stream `url` to `dest`, chunked; returns bytes written. Existing
-    * files are skipped (the reference's idempotent re-run behavior). */
+    * files are skipped (the reference's idempotent re-run behavior).
+    * Downloads land in a temp sibling and move into place atomically, so
+    * an interrupted fetch can never leave a partial file that the
+    * skip-if-exists guard would later treat as complete. */
   def fetchToLocal(url: String, dest: String, chunkBytes: Int = 8192,
                    overwrite: Boolean = false): Long = {
     val destPath = Paths.get(dest)
     if (Files.exists(destPath) && !overwrite) return Files.size(destPath)
     Option(destPath.getParent).foreach(Files.createDirectories(_))
+    val tmp = destPath.resolveSibling(destPath.getFileName.toString + ".part")
     val in = new BufferedInputStream(new java.net.URL(url).openStream())
-    val out = new FileOutputStream(dest)
-    try {
-      val buf = new Array[Byte](chunkBytes)
-      var total = 0L
-      var n = in.read(buf)
-      while (n >= 0) {
-        out.write(buf, 0, n)
-        total += n
-        n = in.read(buf)
-      }
-      total
-    } finally { in.close(); out.close() }
+    val out = new FileOutputStream(tmp.toFile)
+    val total =
+      try {
+        val buf = new Array[Byte](chunkBytes)
+        var n = in.read(buf)
+        var written = 0L
+        while (n >= 0) {
+          out.write(buf, 0, n)
+          written += n
+          n = in.read(buf)
+        }
+        written
+      } catch {
+        case e: Throwable => out.close(); Files.deleteIfExists(tmp); throw e
+      } finally { in.close(); out.close() }
+    Files.move(tmp, destPath,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    total
   }
 
   /** Fetch a list of URLs into `destDir`, keeping the reference's

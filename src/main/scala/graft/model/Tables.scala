@@ -33,8 +33,11 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val raw = load(s, d, "events")
+    // integral `div`, NOT `/`: Divide casts to double, whose ulp at
+    // epoch-nanos magnitude (~1.7e18 > 2^53) is ~256 ns — a ±1 µs error
+    // that could flip second-boundary truncation vs the nanos-exact oracle
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

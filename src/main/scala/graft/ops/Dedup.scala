@@ -36,11 +36,13 @@ object Dedup {
     * an inline `split(...)`: the transform lambda reads it per element,
     * and a nested expression would re-split the text for every shingle
     * (measured 5s → 0.5s for the sf0.1 shingle explode). */
-  def shinglesFromTokens(text: Column, ws: Column, k: Int = 3): Column =
-    when(size(ws) >= k,
-      array_distinct(transform(sequence(lit(0), size(ws) - k),
-        i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + j + lit(1))): _*))))
+  def shinglesFromTokens(text: Column, ws: Column, k: Int = 3,
+                         distinct: Boolean = true): Column = {
+    val arr = transform(sequence(lit(0), size(ws) - k),
+      i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + j + lit(1))): _*))
+    when(size(ws) >= k, if (distinct) array_distinct(arr) else arr)
       .otherwise(array(text))
+  }
 
   /** Convenience single-expression form (tests / tiny inputs). Hot paths
     * go through [[shingleDF]], which stages the token array first. */
@@ -114,8 +116,10 @@ object Dedup {
 
   /** MinHash+LSH near-dup detection with exact verification: LSH candidates
     * → semi-join shingles down to candidate docs → exact Jaccard ≥ thr.
-    * Recall at J≥0.8 with 16 bands × 4 rows is 1 − 5e-8 (deterministic
-    * hashes make the tiny miss probability reproducible, not flaky). */
+    * Recall with 16 bands × 4 rows: a pair at exactly J=0.8 is missed
+    * with probability (1−0.8⁴)¹⁶ ≈ 2e-4; at J=0.9 (this corpus's planted
+    * pairs) ≈ 4e-8. Deterministic hashes make any miss reproducible, not
+    * flaky; raise `bands` if a corpus carries boundary-similarity pairs. */
   def minhashNearDup(docs: DataFrame, k: Int = 3, numPerm: Int = 64,
                      bands: Int = 16, rows: Int = 4, thr: Double = 0.8,
                      hashShingles: Boolean = false): DataFrame = {

@@ -66,8 +66,10 @@ object Multimodal {
     * offset as a frame index — pure Catalyst (sequence/transform), no
     * decode needed for manifest-level planning. */
   def frameOffsets(media: DataFrame, blockSize: Int = 1024, stride: Int = 4): DataFrame =
-    media.filter(col("kind") === "video")
+    media.filter(col("kind") === "video" && length(col("payload")) > 0)
       .select(col("media_id"),
+        // empty payloads are filtered above: sequence(0, -1, +stride)
+        // would otherwise throw on illegal boundaries
         sequence(lit(0L),
           floor((length(col("payload")).cast("long") - 1) / blockSize).cast("long"),
           lit(stride.toLong)).as("frame_blocks"))

@@ -69,9 +69,9 @@ object Similarity {
     * scale path when scoring every row is too expensive. */
   def annTopK(base: DataFrame, query: DataFrame, k: Int,
               bits: Int = 6, probe: Int = 1): DataFrame = {
-    val buckets = srpBuckets(base)
+    val buckets = srpBuckets(base, bits)
     val qBucket = srpBuckets(query.select(col("qvec_id").as("vec_id"),
-      col("qe").as("embedding")))
+      col("qe").as("embedding")), bits)
       .select(col("bucket").as("qbucket"))
     val cand = buckets.crossJoin(broadcast(qBucket))
       .filter(bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= probe)

@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens — mirrors DuckDB string_split (no empty filtering). */
-  def tokens(text: Column): Column = split(text, " ")
+  /** Whitespace tokens — mirrors DuckDB string_split (no empty filtering);
+    * single definition shared with the dedup pipeline. */
+  def tokens(text: Column): Column = Dedup.tokens(text)
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
@@ -58,28 +59,26 @@ object TextOps {
     "es" -> Seq("el", "la", "los", "y", "es"))
 
   /** Predicted language = argmax over marker-hit counts (ties and
-    * zero-hit docs → "und", ISO-639-ish undetermined). Pure CASE chain. */
+    * zero-hit docs → "und", ISO-639-ish undetermined). Pure CASE chain:
+    * a language wins only when it UNIQUELY holds the nonzero maximum. */
   def langId(text: Column): Column = {
     val ws = tokens(text)
     val hits = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
       lang -> size(filter(ws, w => w.isInCollection(markers)))
     }
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val atBest = hits.map { case (_, h) => when(h === best, 1).otherwise(0) }.reduce(_ + _)
     hits.foldRight(lit("und"): Column) { case ((lang, h), rest) =>
-      when(h === best && h > 0, lang).otherwise(rest)
+      when(h === best && h > 0 && atBest === 1, lang).otherwise(rest)
     }
   }
 
   /** Positional (non-distinct) k-word shingles — winnowing needs document
-    * order, unlike [[Dedup.shingles]] which dedups for Jaccard sets.
-    * Like Dedup.shinglesFromTokens, `ws` must be a projected attribute:
-    * the lambda reads it per element, so an inline split would re-run
-    * for every shingle. */
+    * order, unlike the Jaccard path which dedups into sets. Delegates to
+    * the single shingle builder in [[Dedup.shinglesFromTokens]] (same
+    * `ws`-must-be-a-projected-attribute performance contract). */
   def positionalShinglesFromTokens(text: Column, ws: Column, k: Int = 3): Column =
-    when(size(ws) >= k,
-      transform(sequence(lit(0), size(ws) - k),
-        i => concat_ws(" ", (0 until k).map(j => element_at(ws, i + j + lit(1))): _*)))
-      .otherwise(array(text))
+    Dedup.shinglesFromTokens(text, ws, k, distinct = false)
 
   /** Convenience single-expression form (tests / tiny inputs). */
   def positionalShingles(text: Column, k: Int = 3): Column =

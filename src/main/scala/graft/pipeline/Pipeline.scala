@@ -123,7 +123,9 @@ object Pipeline {
         val df = Seq((dir, q.totalRows, q.duplicateCount, q.qualityScore))
           .toDF("dir", "total_rows", "duplicate_count", "quality_score")
         Sinks.csv(df, s"$outDir/quality_report", singleFile = true)
-        (1L, "quality metrics CSV")
+        // parquet copy backs the Ddl.pipeline_quality catalog table
+        Sinks.parquet(df, s"$outDir/pipeline_quality")
+        (1L, "quality metrics CSV + parquet")
       }
     } finally {
       enriched.unpersist() // C2

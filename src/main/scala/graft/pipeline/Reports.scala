@@ -14,11 +14,13 @@ object Reports {
   /** Summary report: top aggregates from the pipeline's own output
     * (the reference's `ORDER BY id DESC LIMIT 10` summary analog). */
   def summary(spark: SparkSession, artifactsDir: String): DataFrame = {
+    // view name must not collide with the Ddl-created catalog table
+    // `supplier_stats` — temp views shadow catalog tables session-wide
     spark.read.parquet(s"$artifactsDir/supplier_stats")
-      .createOrReplaceTempView("supplier_stats")
+      .createOrReplaceTempView("supplier_stats_artifact")
     spark.sql(
       """SELECT l_suppkey, total_lines, total_revenue
-        |FROM supplier_stats ORDER BY total_revenue DESC, l_suppkey LIMIT 10""".stripMargin)
+        |FROM supplier_stats_artifact ORDER BY total_revenue DESC, l_suppkey LIMIT 10""".stripMargin)
   }
 
   /** Trips-analysis analog: the reference's multi-key GROUP BY report SQL

@@ -27,6 +27,13 @@ class CosineExpressionSpec extends AnyFunSuite {
     assert(both.count() > 0)
   }
 
+  test("ragged (unequal-length) inputs yield NULL, matching the HOF form") {
+    val df = Seq((Array(1f, 2f), Array(1f))).toDF("a", "b")
+    assert(df.selectExpr("graft_cosine(a, b) AS c").collect()(0).isNullAt(0))
+    val hof = df.select(Similarity.cosine(col("a"), col("b")).as("c")).collect()(0)
+    assert(hof.isNullAt(0)) // the contract both forms share
+  }
+
   test("null inputs propagate null") {
     val df = Seq((Some(Array(1f, 0f)), Option.empty[Array[Float]])).toDF("a", "b")
     val r = df.selectExpr("graft_cosine(a, b) AS c").collect()(0)

@@ -37,9 +37,10 @@ class TextOpsSpec extends AnyFunSuite {
       "the cat of a house and a dog is here",
       "der hund und die katze ist da",
       "le chat et la maison est grande",
-      "xyzzy qwerty").toDF("text")
+      "xyzzy qwerty",
+      "la la la").toDF("text") // 'la' hits es AND fr equally → tie → und
     val got = df.select(TextOps.langId(col("text")).as("l")).as[String].collect().toSeq
-    assert(got == Seq("en", "de", "fr", "und"))
+    assert(got == Seq("en", "de", "fr", "und", "und"))
   }
 
   test("positionalShingles keeps duplicates and document order") {

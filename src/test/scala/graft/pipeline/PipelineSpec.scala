@@ -53,6 +53,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(results.forall(_.isRight), results.collect { case Left(e) => e }.mkString)
     assert(spark.catalog.tableExists("supplier_stats"))
     assert(spark.sql("SELECT * FROM supplier_stats").count() > 0)
+    assert(spark.sql("SELECT * FROM pipeline_quality").count() == 1)
     assert(Ddl.createAnalyticsTables(spark, s"$dir/sf0.001").forall(_.isRight))
     Seq("supplier_stats", "bucket_stats", "pipeline_quality")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
