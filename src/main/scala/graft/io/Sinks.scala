@@ -38,7 +38,9 @@ object Sinks {
            user: String, password: String,
            batchsize: Int = 1000,
            mode: String = "append"): Unit =
-    df.write.format("jdbc")
+    // drop rows where every column is null before insert, mirroring the
+    // reference's dropna(how='all') (postgres_manager.py:115)
+    df.na.drop("all").write.format("jdbc")
       .option("url", url)
       .option("dbtable", table)
       .option("user", user)

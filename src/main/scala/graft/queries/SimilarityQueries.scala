@@ -116,9 +116,9 @@ object SimilarityQueries {
     },
 
     rowsOnly("ss4_cosine_neardup",
-      "Similarity: embedding-cosine near-dup pairs via SRP buckets + exact verify (empty on this corpus — max pairwise cosine 0.51)") {
+      "Similarity: embedding-cosine near-dup pairs via SRP buckets + exact verify (thr 0.4 — corpus max pairwise cosine is 0.51; production dedup would use ~0.95)") {
       (s, d) =>
-        Similarity.cosineNearDupPairs(Tables.embeddings(s, d), thr = 0.95)
+        Similarity.cosineNearDupPairs(Tables.embeddings(s, d), thr = 0.4)
           .orderBy("id1", "id2")
     }
   )
