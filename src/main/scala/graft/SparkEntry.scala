@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.TextQueries.all ++
     graft.queries.ExtraQueries.all ++
     graft.queries.StreamingQueries.all ++
-    graft.queries.MultimodalQueries.all
+    graft.queries.MultimodalQueries.all ++
+    graft.queries.LlmPipelineQueries.all
 
   /** Flagship on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the REAL EP1 pipeline end-to-end (schema gate → quality →

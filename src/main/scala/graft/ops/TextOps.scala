@@ -50,6 +50,10 @@ object TextOps {
     round(lit(100.0) * (lit(1.0) - stopwordRatio(text, stopwords)) *
       least(lit(1.0), size(tokens(text)) / lit(fullLengthTokens.toDouble)), 2)
 
+  /** Stopword set for this corpus's quality scoring (shared by the t3
+    * query, its oracle SQL, and the DocPipeline capstone). */
+  val corpusStopwords: Seq[String] = Seq("a", "the", "row", "data", "value", "table")
+
   /** Marker-word profiles for heuristic language ID. Tiny by design —
     * real pipelines plug a trained profile table into the same shape. */
   val langMarkers: Map[String, Seq[String]] = Map(

@@ -1,0 +1,46 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextOps}
+
+/** The composed LLM training-data cleaning pipeline — the north-star
+  * components chained the way a real corpus build runs them:
+  *
+  *   quality filter → exact dedup → near-dup removal → cleaned corpus
+  *
+  * Every stage is one of the already-verified operators; the composition
+  * itself is oracle-checked end-to-end (llm1_clean_corpus).
+  *
+  * Scale shape: quality scoring is map-side; exact dedup is one shuffle
+  * on the text key (hash-group at 100 TB — see dd1's production
+  * variant); near-dup candidates come from MinHash banding (never
+  * all-pairs) and the drop set is a broadcast anti-join. Survivor rules
+  * are deterministic: min doc_id per duplicate text, and of every
+  * near-dup pair the higher doc_id is dropped (greedy by id — chains
+  * resolve identically in any engine).
+  */
+object DocPipeline {
+
+  def cleanCorpus(docs: DataFrame,
+                  minQuality: Double = 60.0,
+                  nearDupThr: Double = 0.8): DataFrame = {
+    val scored = docs.withColumn("quality",
+      TextOps.qualityScore(col("text"), TextOps.corpusStopwords))
+    val qualified = scored.filter(col("quality") >= minQuality)
+
+    // exact dedup: deterministic min-id survivor per identical text
+    val w = Window.partitionBy("text").orderBy("doc_id")
+    val deduped = qualified
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+
+    // near-dup removal among survivors: drop the higher id of each pair
+    val pairs = Dedup.minhashNearDup(deduped, thr = nearDupThr)
+    val drops = pairs.select(col("id2").as("doc_id")).distinct()
+    deduped.join(broadcast(drops), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextOps.tokenCount(col("text")).as("n_tokens"), col("quality"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.queries
+
+import graft.QuerySpec
+import graft.QuerySpec.sql
+import graft.model.Tables
+import graft.pipeline.DocPipeline
+
+/** The composed LLM training-data cleaning pipeline, oracle-checked
+  * END-TO-END: quality filter → exact dedup (min-id survivor) → MinHash
+  * near-dup removal (drop the higher id of each verified pair). One
+  * query proving the north-star operators compose into the corpus build
+  * they exist for.
+  */
+object LlmPipelineQueries {
+
+  val all: Seq[QuerySpec] = Seq(
+
+    sql("llm1_clean_corpus",
+      "LLM pipeline capstone: quality-filter → exact-dedup → near-dup-removal, end-to-end",
+      """WITH scored AS (SELECT doc_id, text, lang, source,
+        |  ROUND(100.0 * (1.0 - len(list_filter(string_split(text,' '), w -> w IN ('a','the','row','data','value','table'))) * 1.0 / len(string_split(text,' ')))
+        |    * LEAST(1.0, len(string_split(text,' ')) / 50.0), 2) AS quality FROM documents),
+        |qualified AS (SELECT * FROM scored WHERE quality >= 60.0),
+        |deduped AS (SELECT * FROM qualified q
+        |            WHERE doc_id = (SELECT MIN(doc_id) FROM qualified q2 WHERE q2.text = q.text)),
+        |sh AS (SELECT doc_id, UNNEST(CASE WHEN len(string_split(text,' ')) >= 3
+        |   THEN list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |        i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))
+        |   ELSE [text] END) AS shingle FROM deduped),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT id1, id2 FROM inter
+        |          JOIN cnt c1 ON id1 = c1.doc_id JOIN cnt c2 ON id2 = c2.doc_id
+        |          WHERE i * 1.0 / (c1.n + c2.n - i) >= 0.8)
+        |SELECT d.doc_id, d.lang, d.source,
+        |       CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens, d.quality
+        | FROM deduped d
+        | WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id2 = d.doc_id)
+        | ORDER BY doc_id""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        DocPipeline.cleanCorpus(Tables.documents(s, d))
+          .orderBy("doc_id")
+    }
+  )
+}

@@ -13,7 +13,7 @@ import graft.ops.TextOps
 object TextQueries {
 
   /** Stopword set shared with the oracle SQL (corpus vocabulary words). */
-  private val stopwords = Seq("a", "the", "row", "data", "value", "table")
+  private val stopwords = TextOps.corpusStopwords
   private val stopSql = stopwords.map(w => s"'$w'").mkString(", ")
 
   val all: Seq[QuerySpec] = Seq(

@@ -1,0 +1,33 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class DocPipelineSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val longText = (1 to 60).map(i => s"w$i").mkString(" ")
+
+  test("cleanCorpus: quality filter, min-id exact dedup, higher-id near-dup drop") {
+    val docs = Seq(
+      (1L, longText, "en", "s1"),                       // survives
+      (2L, longText, "en", "s2"),                       // exact dup of 1 → dropped
+      (3L, "the the the the", "en", "s3"),              // all-stopword short → quality 0
+      (4L, longText.replace("w60", "x60"), "en", "s4"), // near-dup of 1 → dropped (higher id)
+      (5L, (1 to 60).map(i => s"z$i").mkString(" "), "de", "s5")) // distinct → survives
+      .toDF("doc_id", "text", "lang", "source")
+
+    val out = DocPipeline.cleanCorpus(docs, minQuality = 60.0, nearDupThr = 0.8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toList.sortBy(_._1)
+    assert(out.map(_._1) == List(1L, 5L))
+    assert(out.head._3 == 60L) // n_tokens carried through
+  }
+
+  test("cleanCorpus is idempotent: re-cleaning the survivors drops nothing") {
+    val docs = graft.model.Tables.documents(spark, TestSpark.sfDir)
+    val once = DocPipeline.cleanCorpus(docs)
+    val surviving = docs.join(once.select("doc_id"), "doc_id")
+    assert(DocPipeline.cleanCorpus(surviving).count() == once.count())
+  }
+}
