@@ -37,7 +37,7 @@ object AsOf {
       right.select(col(key).as("__k"), col(rightTs).as("__t"), col(rightTs).as("__rt"))
         .withColumn("__side", lit(0))) { (df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select(l.columns.map(col): _*)
+    }.select(l.columns.toIndexedSeq.map(col): _*)
 
     val w = Window.partitionBy("__k")
       .orderBy(col("__t"), col("__side"))

@@ -42,7 +42,7 @@ object Quality {
     * one job, not the reference's two full counts
     * (reference: src/data_validator.py:127-129 does count() + distinct().count()). */
   def duplicateCount(df: DataFrame): Long = {
-    val r = df.groupBy(df.columns.map(col): _*).count()
+    val r = df.groupBy(df.columns.toIndexedSeq.map(col): _*).count()
       .agg(sum(when(col("count") > 1, col("count") - 1)).as("dups")).head()
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }

@@ -24,7 +24,7 @@ object Skew {
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*)), lit(salts.toLong)).cast("int"))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(saltedSmall, Seq(key, "__salt"), joinType).drop("__salt")
@@ -37,7 +37,7 @@ object Skew {
     * locality). Counts only — extend per-aggregate as needed. */
   def saltedCount(df: DataFrame, key: String, salts: Int): DataFrame =
     df.withColumn("__salt",
-        pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salts.toLong)).cast("int"))
+        pmod(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)), lit(salts.toLong)).cast("int"))
       .groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__partial"))
       .groupBy(col(key)).agg(sum("__partial").as("count"))
 }

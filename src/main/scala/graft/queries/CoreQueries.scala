@@ -265,7 +265,7 @@ object CoreQueries {
       // production: shuffle an 8-byte xxhash64 per row instead of the full
       // row width (collision probability ~n²/2⁶⁵ — negligible as a metric)
       val li = Tables.lineitem(s, d)
-      li.select(xxhash64(struct(li.columns.map(col): _*)).as("h"))
+      li.select(xxhash64(struct(li.columns.toIndexedSeq.map(col): _*)).as("h"))
         .agg(count(lit(1)).as("total_rows"),
           count_distinct(col("h")).as("distinct_rows"))
         .select(col("total_rows"), col("distinct_rows"),
