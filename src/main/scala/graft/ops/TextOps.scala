@@ -77,6 +77,36 @@ object TextOps {
     }
   }
 
+  /** Distinct character bigrams of a text column. The lambda's substring
+    * reads the text ATTRIBUTE per element (cheap); keep `text` a column
+    * reference, not a nested expression. */
+  def charBigrams(text: Column): Column =
+    array_distinct(transform(sequence(lit(1), greatest(length(text) - 1, lit(1))),
+      i => text.substr(i, lit(2))))
+
+  /** Character-bigram frequency profiles (top distinguishing bigrams per
+    * language) — the classic n-gram language-ID shape (Cavnar & Trenkle
+    * '94 reduced to a containment score). Swap in trained profiles for
+    * production; these cover the test fixtures. */
+  val langBigramProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("th", "he", "in", "er", "an", "re", "nd", "ng"),
+    "de" -> Seq("ch", "ei", "ie", "sc", "un", "st", "de", "ge"),
+    "fr" -> Seq("es", "le", "de", "en", "ou", "qu", "ai", "ur"),
+    "es" -> Seq("de", "la", "os", "el", "en", "ue", "ar", "ci"))
+
+  /** N-gram language ID: argmax over per-language profile-bigram hits in
+    * the doc's bigram set; unique-nonzero-max rule like [[langId]]. */
+  def langIdNgram(textBigrams: Column): Column = {
+    val hits = langBigramProfiles.toSeq.sortBy(_._1).map { case (lang, grams) =>
+      lang -> size(array_intersect(textBigrams, array(grams.map(lit): _*)))
+    }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    val atBest = hits.map { case (_, h) => when(h === best, 1).otherwise(0) }.reduce(_ + _)
+    hits.foldRight(lit("und"): Column) { case ((lang, h), rest) =>
+      when(h === best && h > 0 && atBest === 1, lang).otherwise(rest)
+    }
+  }
+
   /** Positional (non-distinct) k-word shingles — winnowing needs document
     * order, unlike the Jaccard path which dedups into sets. Delegates to
     * the single shingle builder in [[Dedup.shinglesFromTokens]] (same

@@ -117,6 +117,17 @@ object TextQueries {
           array_min(col("fps")).as("min_fp"))
     },
 
+    rowsOnly("t6_langid_ngram",
+      "Text: char-bigram-profile language ID (Cavnar-Trenkle shape) — predicted counts vs label") {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("lang"), TextOps.charBigrams(col("text")).as("bg"))
+          .select(TextOps.langIdNgram(col("bg")).as("predicted_lang"), col("lang"))
+          .groupBy("predicted_lang", "lang")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("predicted_lang", "lang")
+    },
+
     rowsOnly("t5_langid",
       "Text: heuristic marker-word language ID — predicted-language counts (profiles pinned in ScalaTest; corpus vocab is language-neutral)") {
       (s, d) =>

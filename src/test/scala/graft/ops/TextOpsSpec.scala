@@ -43,6 +43,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == Seq("en", "de", "fr", "und", "und"))
   }
 
+  test("charBigrams + n-gram langId: natural text classifies by character profile") {
+    val df = Seq(
+      "the weather here is rather interesting and warm",
+      "ich scheue die schlechten geschichten und steige ein",
+      "xqxq zzzz").toDF("text")
+    val got = df.select(TextOps.charBigrams(col("text")).as("bg"))
+      .select(TextOps.langIdNgram(col("bg")).as("l")).as[String].collect().toSeq
+    assert(got(0) == "en" && got(1) == "de" && got(2) == "und")
+    val bg = df.limit(1).select(TextOps.charBigrams(col("text")).as("b"))
+      .as[Seq[String]].collect()(0)
+    assert(bg.contains("th") && bg.contains("he") && !bg.exists(_.length > 2))
+  }
+
   test("positionalShingles keeps duplicates and document order") {
     val got = Seq("a b a b a").toDF("text")
       .select(TextOps.positionalShingles(col("text"), 2).as("s"))
