@@ -63,6 +63,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("approx_count_distinct"))
   }
 
+  test("keyed aggregations run partial+final (map-side combine before the shuffle)") {
+    val p = plan(specs("a1_supplier_stats").run(spark, TestSpark.sfDir))
+    // partial_* functions in the lower HashAggregate = map-side combine
+    // (the single-partition smoke input elides the Exchange itself)
+    assert(p.split("HashAggregate").length >= 3, s"no two-level agg in:\n$p")
+    assert(p.contains("partial_sum") && p.contains("partial_count"))
+  }
+
   test("every registered query has distinct name; oracle queries keep deterministic output") {
     val names = SparkEntry.specs.map(_.name)
     assert(names.distinct.size == names.size)

@@ -17,6 +17,14 @@ class DetSpec extends AnyFunSuite {
     assert(got == expected) // bit-exact, not approx
   }
 
+  test("dsum is invariant to partitioning (decimal accumulation is associative)") {
+    val vals = Seq.tabulate(999)(i => (i % 997) / 100.0)
+    val results = Seq(1, 7, 32).map { p =>
+      vals.toDF("x").repartition(p).agg(Det.dsum(col("x"))).as[Double].collect()(0)
+    }
+    assert(results.distinct.size == 1)
+  }
+
   test("davg divides the exact decimal sum by the non-null count") {
     val df = Seq(Some(0.1), Some(0.2), None).toDF("x")
     val got = df.agg(Det.davg(col("x")).as("a")).as[Double].collect()(0)

@@ -47,4 +47,20 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = spark.table("stream_sessions").collect().toSet
     assert(streamed == batch && batch.nonEmpty)
   }
+
+  test("append mode emits only watermark-finalized windows, all matching batch") {
+    // append is the production output mode: a window row is emitted once,
+    // when the watermark passes its end — so the stream emits a subset of
+    // the batch result (trailing windows stay open), every row identical
+    val q = EventStreams.tumblingCounts(streamEvents)
+      .writeStream.format("memory").queryName("stream_append").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_append").collect().toSet
+    val batch = EventStreams.tumblingCounts(Tables.events(spark, TestSpark.sfDir))
+      .collect().toSet
+    assert(streamed.nonEmpty && streamed.subsetOf(batch))
+    // the corpus spans ~30 days with a 10-minute watermark: all but the
+    // final hour's windows must have finalized
+    assert(streamed.size >= batch.size - 10)
+  }
 }
