@@ -123,6 +123,64 @@ object ExtraQueries {
           .orderBy("l_returnflag")
     },
 
+    sql("j7_cross_join",
+      "J1: explicit CROSS JOIN (cartesian of two small dims)",
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        | ORDER BY r_name, n_name""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.region(s, d).select("r_name")
+          .crossJoin(Tables.nation(s, d).select("n_name"))
+          .orderBy("r_name", "n_name")
+    },
+
+    sql("p7_na_handling",
+      "F5: df.na surface — drop null-keyed rows, fill null measures",
+      """SELECT event_id, user_id, COALESCE(value, 0.0) AS value_filled
+        | FROM events WHERE user_id IS NOT NULL
+        | ORDER BY event_id""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.events(s, d)
+          .na.drop(Seq("user_id"))
+          .na.fill(0.0, Seq("value"))
+          .select(col("event_id"), col("user_id"), col("value").as("value_filled"))
+          .orderBy("event_id")
+    },
+
+    sql("o5_offset",
+      "O2+: pagination — ORDER BY ... OFFSET/LIMIT",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        | ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .offset(5).limit(10)
+    },
+
+    sql("u5_union_distinct",
+      "U1: distinct UNION across two different sources",
+      """SELECT l_returnflag AS flag FROM lineitem
+        | UNION SELECT o_orderstatus FROM orders ORDER BY flag""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.lineitem(s, d).select(col("l_returnflag").as("flag"))
+          .union(Tables.orders(s, d).select(col("o_orderstatus")))
+          .distinct()
+          .orderBy("flag")
+    },
+
+    sql("f10_regexp",
+      "F2+: regexp extraction/matching over part type strings",
+      """SELECT DISTINCT p_type, regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+        | CAST(regexp_matches(p_type, 'BRASS|STEEL') AS INT) AS is_metal
+        | FROM part ORDER BY p_type""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.part(s, d).select(
+          col("p_type"),
+          regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("type_head"),
+          col("p_type").rlike("BRASS|STEEL").cast("int").as("is_metal"))
+          .distinct()
+          .orderBy("p_type")
+    },
+
     sql("f9_array_json",
       "F9: array access/size + JSON struct serialization over the embeddings table",
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,

@@ -97,6 +97,31 @@ object WindowQueries {
       }
     },
 
+    sql("w7_ntile_firstlast",
+      "W1: NTILE quartiles + FIRST_VALUE/LAST_VALUE frame endpoints per priority",
+      """SELECT o_orderpriority, o_orderkey,
+        | CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+        |   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_quartile,
+        | FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_orderpriority
+        |   ORDER BY o_totalprice DESC, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS top_order,
+        | LAST_VALUE(o_orderkey) OVER (PARTITION BY o_orderpriority
+        |   ORDER BY o_totalprice DESC, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS bottom_order
+        | FROM orders ORDER BY o_orderpriority, o_orderkey""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val ord = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, d)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            ntile(4).over(ord).cast("long").as("price_quartile"),
+            first("o_orderkey").over(full).as("top_order"),
+            last("o_orderkey").over(full).as("bottom_order"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      }
+    },
+
     sql("w6_range_frame",
       "W1: RANGE frame — events per user in the trailing hour (time-valued frame, not row-counted)",
       """SELECT user_id, event_id,
