@@ -30,6 +30,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft-entry").toString
     val reports = graft.pipeline.Pipeline.run(spark, Seq("/root/testdata/sf0.001"), out)
+    // The report has one row per stage regardless of stage outcome, so a
+    // bare rows>0 smoke check would pass even on total failure — gate it.
+    require(reports.forall(_.ok),
+      s"pipeline stage(s) failed: ${reports.filterNot(_.ok)
+        .flatMap(r => r.stages.filterNot(_.ok).map(s => s"${r.dir}/${s.stage}: ${s.detail}"))
+        .mkString("; ")}")
     graft.pipeline.Pipeline.reportDF(spark, reports)
   }
 

@@ -20,10 +20,15 @@ object Fetch {
     if (Files.exists(destPath) && !overwrite) return Files.size(destPath)
     Option(destPath.getParent).foreach(Files.createDirectories(_))
     val tmp = destPath.resolveSibling(destPath.getFileName.toString + ".part")
-    val in = new BufferedInputStream(new java.net.URL(url).openStream())
-    val out = new FileOutputStream(tmp.toFile)
+    // Both streams are opened INSIDE the try with null-guarded closes, so a
+    // failing FileOutputStream constructor (unwritable dir, tmp is a
+    // directory) cannot leak the already-opened URL stream.
+    var in: BufferedInputStream = null
+    var out: FileOutputStream = null
     val total =
       try {
+        in = new BufferedInputStream(new java.net.URL(url).openStream())
+        out = new FileOutputStream(tmp.toFile)
         val buf = new Array[Byte](chunkBytes)
         var n = in.read(buf)
         var written = 0L
@@ -34,8 +39,14 @@ object Fetch {
         }
         written
       } catch {
-        case e: Throwable => out.close(); Files.deleteIfExists(tmp); throw e
-      } finally { in.close(); out.close() }
+        case e: Throwable =>
+          if (out != null) { out.close(); out = null }
+          Files.deleteIfExists(tmp)
+          throw e
+      } finally {
+        if (in != null) in.close()
+        if (out != null) out.close()
+      }
     Files.move(tmp, destPath,
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     total

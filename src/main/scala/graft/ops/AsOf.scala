@@ -27,6 +27,10 @@ object AsOf {
                    asofCol: String = "asof_ts"): DataFrame = {
     val tsType = right.schema(rightTs).dataType
     val leftCols = left.columns.toSeq
+    // SQL ASOF equality never matches NULL keys; without this filter a
+    // null-keyed left row would pick up null-keyed right rows (both land
+    // in the same window partition). Left nulls then simply find no match.
+    val rightNonNull = right.filter(col(key).isNotNull)
 
     val l = left
       .withColumn("__rt", lit(null).cast(tsType))
@@ -34,7 +38,7 @@ object AsOf {
       .withColumn("__k", col(key))
       .withColumn("__t", col(leftTs))
     val r = leftCols.foldLeft(
-      right.select(col(key).as("__k"), col(rightTs).as("__t"), col(rightTs).as("__rt"))
+      rightNonNull.select(col(key).as("__k"), col(rightTs).as("__t"), col(rightTs).as("__rt"))
         .withColumn("__side", lit(0))) { (df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }.select(l.columns.toIndexedSeq.map(col): _*)

@@ -18,13 +18,36 @@ import org.apache.spark.sql.functions._
   *    zero UDFs).
   *  - Exact-Jaccard verification runs ONLY over docs that appear in some
   *    candidate pair (a semi-join keeps the verify input tiny).
-  *  - Known residual hotspot: a shingle shared by millions of docs makes a
-  *    hot bucket. The standard production mitigation (drop shingles with
-  *    document frequency above a cap — they carry no discriminating
-  *    signal) is one extra groupBy; not applied here because the test
-  *    corpus has no such shingles and the oracle must see the exact set.
+  *  - Hot-shingle mitigation: a shingle shared by millions of docs makes a
+  *    hot bucket in both candidate generation and the verify join. The
+  *    production plans cap shingle document frequency
+  *    ([[capDocumentFrequency]]): shingles above the cap carry no
+  *    discriminating signal ("the the the") and are dropped BEFORE
+  *    signatures/candidates/verification. Oracle plans keep the full set
+  *    (DuckDB must see identical shingles). Parity: on a corpus whose
+  *    only hot shingle is ubiquitous, capped output == uncapped output on
+  *    the un-polluted corpus, bit for bit (pinned in DedupSpec).
   */
 object Dedup {
+
+  /** Production document-frequency cap: any shingle in more documents than
+    * this is a stop-shingle. The local test corpus tops out at df=25
+    * (sf0.1), so the cap is a no-op on it; at 100 TB it is the guard that
+    * keeps bucket sizes bounded. */
+  val DefaultMaxDf = 1000L
+
+  /** Drop shingles whose document frequency exceeds `maxDf` from a
+    * (doc_id, shingle) frame. One groupBy for the df table; the hot set is
+    * at most total_shingle_occurrences / maxDf rows — small by
+    * construction — so the removal is a broadcast anti-join, never a
+    * shuffle of the full substrate. Docs whose shingles are ALL hot drop
+    * out of dedup entirely (they are indistinguishable boilerplate). */
+  def capDocumentFrequency(sh: DataFrame, maxDf: Long = DefaultMaxDf): DataFrame = {
+    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("shingle")
+    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+      .select(sh.columns.map(col).toIndexedSeq: _*) // using-join moves the key first; keep caller's order
+  }
 
   /** Whitespace tokens. Mirrors DuckDB `string_split(text, ' ')` exactly
     * (no empty-token filtering) so shingle sets match the oracle. */
@@ -122,12 +145,27 @@ object Dedup {
     * flaky; raise `bands` if a corpus carries boundary-similarity pairs. */
   def minhashNearDup(docs: DataFrame, k: Int = 3, numPerm: Int = 64,
                      bands: Int = 16, rows: Int = 4, thr: Double = 0.8,
-                     hashShingles: Boolean = false): DataFrame = {
+                     hashShingles: Boolean = false,
+                     maxDf: Option[Long] = None): DataFrame = {
     val sh = if (hashShingles) hashedShingleDF(docs, k) else shingleDF(docs, k = k)
-    val cand = lshCandidates(minhashSignatures(sh, numPerm), bands, rows)
+    minhashNearDupFromShingles(sh, numPerm, bands, rows, thr, maxDf)
+  }
+
+  /** [[minhashNearDup]] from an already-built (doc_id, shingle) substrate —
+    * the seam DedupSpec uses to plant an exactly-ubiquitous stop-shingle
+    * (text-level pollution would also perturb doc-specific boundary
+    * shingles, making bit-parity unprovable). */
+  def minhashNearDupFromShingles(sh: DataFrame, numPerm: Int = 64,
+                                 bands: Int = 16, rows: Int = 4,
+                                 thr: Double = 0.8,
+                                 maxDf: Option[Long] = None): DataFrame = {
+    require(numPerm >= bands * rows,
+      s"numPerm ($numPerm) must cover bands*rows (${bands * rows}) — lshBands reads mh0..mh${bands * rows - 1}")
+    val capped = maxDf.fold(sh)(capDocumentFrequency(sh, _))
+    val cand = lshCandidates(minhashSignatures(capped, numPerm), bands, rows)
     val candDocs = cand.select(col("id1").as("doc_id"))
       .union(cand.select(col("id2").as("doc_id"))).distinct()
-    val shCand = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val shCand = capped.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
     exactJaccardPairs(shCand, thr)
   }
 
@@ -141,8 +179,10 @@ object Dedup {
     * with the full exact Jaccard, so the output equals
     * [[exactJaccardPairs]] bit-for-bit (pinned in DedupSpec). */
   def prefixFilteredJaccardPairs(docs: DataFrame, k: Int = 3,
-                                 thr: Double = 0.8): DataFrame = {
-    val sh = shingleDF(docs, k = k)
+                                 thr: Double = 0.8,
+                                 maxDf: Option[Long] = None): DataFrame = {
+    val shAll = shingleDF(docs, k = k)
+    val sh = maxDf.fold(shAll)(capDocumentFrequency(shAll, _))
     val docFreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window

@@ -60,11 +60,13 @@ object DedupQueries {
         Dedup.minhashNearDup(Tables.documents(s, d))
           .orderBy("id1", "id2")
     }.withBench { (s, d) =>
-      // production: same plan minus the oracle sort. hashShingles=true is
-      // the cross-network scale path (8-byte shuffle keys) but measured
-      // SLOWER on single-node local[32] — the extra hash pass costs CPU
-      // and there is no network to save; see Dedup.hashedShingleDF.
-      Dedup.minhashNearDup(Tables.documents(s, d))
+      // production: same plan minus the oracle sort, plus the hot-shingle
+      // df-cap (no-op on this corpus, max df 25 ≪ 1000; the guard that
+      // bounds bucket sizes at 100 TB — parity pinned in DedupSpec).
+      // hashShingles=true is the cross-network scale path (8-byte shuffle
+      // keys) but measured SLOWER on single-node local[32] — the extra
+      // hash pass costs CPU and there is no network to save.
+      Dedup.minhashNearDup(Tables.documents(s, d), maxDf = Some(Dedup.DefaultMaxDf))
     },
 
     sql("dd3_ngram_jaccard",
@@ -75,14 +77,17 @@ object DedupQueries {
           Dedup.shingleDF(Tables.documents(s, d)), minJaccard = 0.8)
           .orderBy("id1", "id2")
     }.withBench { (s, d) =>
-      // production plan = oracle plan minus the sort. The PPJoin-style
-      // Dedup.prefixFilteredJaccardPairs (recall 1, parity-pinned in
-      // DedupSpec) is the scale path for realistic Zipfian-vocabulary
-      // corpora, but measured 2× SLOWER here: this synthetic corpus has
-      // a 31-word vocabulary, so every shingle is high-frequency and the
-      // df/rank passes cost more than the candidate pruning saves.
-      Dedup.exactJaccardPairs(
-        Dedup.shingleDF(Tables.documents(s, d)), minJaccard = 0.8)
+      // production plan = PPJoin prefix filter + df-cap, NOT the direct
+      // shared-shingle join: on a Zipfian vocabulary the direct join's
+      // candidate pairs grow quadratically in hot-shingle frequency. The
+      // prefix filter has recall 1 (parity-pinned in DedupSpec) and only
+      // indexes each doc's rarest shingles; the df-cap bounds any residual
+      // hot bucket. Costs ~2× more than the direct join on THIS corpus
+      // (31-word vocab, nothing to prune) — a corpus property we no
+      // longer let pick a scale-unsafe default. Direct join stays as the
+      // oracle plan only.
+      Dedup.prefixFilteredJaccardPairs(Tables.documents(s, d),
+        thr = 0.8, maxDf = Some(Dedup.DefaultMaxDf))
     },
 
     rowsOnly("dd4_simhash_neardup",

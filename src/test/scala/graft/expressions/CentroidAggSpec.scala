@@ -20,11 +20,21 @@ class CentroidAggSpec extends AnyFunSuite {
     assert(got == Map(0 -> Seq(2.0, 4.0), 1 -> Seq(10.0, 0.0)))
   }
 
-  test("ragged vectors: shorter arrays contribute zero to trailing dims") {
+  test("ragged vectors: per-position mean over only the vectors that have the position") {
+    // AVG-per-position semantics (matches a SQL AVG over unnested positions,
+    // where absent positions are absent, not zero): dim 1 averages both
+    // vectors, dim 2 averages only the vector that has it.
     val df = Seq((0, Array(2f)), (0, Array(4f, 6f))).toDF("label", "embedding")
     val got = df.groupBy("label").agg(centroid(col("embedding")).as("c"))
       .collect()(0).getSeq[Double](1).toSeq
-    assert(got == Seq(3.0, 3.0)) // (2+4)/2, (0+6)/2
+    assert(got == Seq(3.0, 6.0)) // (2+4)/2, 6/1
+  }
+
+  test("ragged merge is order-independent across partial buffers") {
+    val x = CentroidAgg.reduce(CentroidAgg.zero, Array(2f))
+    val y = CentroidAgg.reduce(CentroidAgg.zero, Array(4f, 6f))
+    assert(CentroidAgg.finish(CentroidAgg.merge(x, y)).toSeq ==
+      CentroidAgg.finish(CentroidAgg.merge(y, x)).toSeq)
   }
 
   test("pure Aggregator semantics: zero/reduce/merge/finish") {

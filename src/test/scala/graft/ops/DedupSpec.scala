@@ -47,6 +47,49 @@ class DedupSpec extends AnyFunSuite {
     assert(pref == full && full.nonEmpty)
   }
 
+  test("capDocumentFrequency drops exactly the shingles above the cap") {
+    val sh = Seq((0L, "hot"), (1L, "hot"), (2L, "hot"), (0L, "rare"), (1L, "other"))
+      .toDF("doc_id", "shingle")
+    val kept = Dedup.capDocumentFrequency(sh, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept == Set((0L, "rare"), (1L, "other")))
+  }
+
+  test("df-cap parity: capped dedup on stop-shingle-polluted corpus == uncapped on clean corpus") {
+    // Plant a stop-shingle in EVERY doc at the substrate level (df = 4,
+    // above cap 3; every real shingle has df <= 3). With the cap on, the
+    // polluted corpus must give bit-identical (id1, id2, jaccard) output
+    // to the clean corpus uncapped — dropping a ubiquitous shingle
+    // recovers exactly the clean shingle sets. Without the cap, the
+    // planted shingle makes every doc pair a candidate (the hot bucket
+    // this guards against) and shifts every Jaccard value.
+    val clean = Dedup.shingleDF(docs)
+    val polluted = clean.union(
+      docs.select(col("doc_id"), lit("the the the").as("shingle")))
+    def result(sh: org.apache.spark.sql.DataFrame, cap: Option[Long]) =
+      Dedup.minhashNearDupFromShingles(sh, thr = 0.7, maxDf = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val cleanUncapped = result(clean, None)
+    assert(result(polluted, Some(3L)) == cleanUncapped && cleanUncapped.nonEmpty)
+    // sanity: uncapped on the polluted corpus is NOT bit-identical —
+    // the stop-shingle inflates every intersection and union
+    assert(result(polluted, None) != cleanUncapped)
+  }
+
+  test("prefix-filtered join with a generous df-cap is unchanged (cap is a guard, not a semantic)") {
+    val full = Dedup.prefixFilteredJaccardPairs(docs, thr = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = Dedup.prefixFilteredJaccardPairs(docs, thr = 0.5, maxDf = Some(1000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == full && full.nonEmpty)
+  }
+
+  test("minhashNearDup rejects numPerm below bands*rows") {
+    intercept[IllegalArgumentException] {
+      Dedup.minhashNearDup(docs, numPerm = 32, bands = 16, rows = 4)
+    }
+  }
+
   test("hashed-shingle scale path finds the same near-dup pairs") {
     val got = Dedup.minhashNearDup(docs, thr = 0.7, hashShingles = true)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
