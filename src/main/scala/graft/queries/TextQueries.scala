@@ -120,9 +120,11 @@ object TextQueries {
     rowsOnly("t6_langid_ngram",
       "Text: char-bigram-profile language ID (Cavnar-Trenkle shape) — predicted counts vs label") {
       (s, d) =>
+        // scan form: per-profile contains() hit counts, no bigram-array
+        // materialization (equivalent to the array form by construction —
+        // see TextOps.langIdNgramScan; parity pinned in TextOpsSpec)
         Tables.documents(s, d)
-          .select(col("lang"), TextOps.charBigrams(col("text")).as("bg"))
-          .select(TextOps.langIdNgram(col("bg")).as("predicted_lang"), col("lang"))
+          .select(TextOps.langIdNgramScan(col("text")).as("predicted_lang"), col("lang"))
           .groupBy("predicted_lang", "lang")
           .agg(count(lit(1)).as("n_docs"))
           .orderBy("predicted_lang", "lang")

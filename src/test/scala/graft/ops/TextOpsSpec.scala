@@ -56,6 +56,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(bg.contains("th") && bg.contains("he") && !bg.exists(_.length > 2))
   }
 
+  test("langIdNgramScan == langIdNgram(charBigrams) on fixtures and the real corpus") {
+    val fixtures = Seq(
+      "the weather here is rather interesting and warm",
+      "ich scheue die schlechten geschichten und steige ein",
+      "le dessin que vous aimez est pour moi",
+      "xqxq zzzz", "", "a").toDF("text")
+    val corpus = graft.model.Tables.documents(spark, graft.TestSpark.sfDir)
+      .select(col("text"))
+    for (df <- Seq(fixtures, corpus)) {
+      val both = df.select(
+        TextOps.langIdNgramScan(col("text")).as("scan"),
+        TextOps.langIdNgram(TextOps.charBigrams(col("text"))).as("arr"))
+      assert(both.filter(col("scan") =!= col("arr")).count() == 0)
+    }
+  }
+
   test("positionalShingles keeps duplicates and document order") {
     val got = Seq("a b a b a").toDF("text")
       .select(TextOps.positionalShingles(col("text"), 2).as("s"))
