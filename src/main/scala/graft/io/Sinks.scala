@@ -32,20 +32,25 @@ object Sinks {
   /** S4: JDBC append sink (reference: postgres_manager.py:95-152 does a
     * driver-side chunked pandas insert; this pushes batched inserts from
     * EXECUTORS — batchsize mirrors the reference's 1000-row chunks).
-    * Untestable in this container (no database); wiring is exercised by
-    * the writer-options unit test only. */
+    * Round-trip verified against embedded Derby in JdbcSpec (write →
+    * read-back → row/schema equality, incl. the drop-all-null-rows rule).
+    * `columnTypes` forwards createTableColumnTypes (e.g. "name VARCHAR(64)")
+    * for databases whose default string mapping is unindexable/ungroupable
+    * (Derby/Postgres map StringType to CLOB/TEXT). */
   def jdbc(df: DataFrame, url: String, table: String,
            user: String, password: String,
            batchsize: Int = 1000,
-           mode: String = "append"): Unit =
+           mode: String = "append",
+           columnTypes: Option[String] = None): Unit = {
     // drop rows where every column is null before insert, mirroring the
     // reference's dropna(how='all') (postgres_manager.py:115)
-    df.na.drop("all").write.format("jdbc")
+    val w = df.na.drop("all").write.format("jdbc")
       .option("url", url)
       .option("dbtable", table)
       .option("user", user)
       .option("password", password)
       .option("batchsize", batchsize.toString)
       .mode(mode)
-      .save()
+    columnTypes.fold(w)(ct => w.option("createTableColumnTypes", ct)).save()
+  }
 }
