@@ -8,10 +8,18 @@ package graft
   * and materializes every output column (a bare `count()` would let Catalyst
   * prune the job down to nothing and flatter the numbers).
   *
+  * Per-query time is the MEDIAN of `Iterations` runs: single-shot timing on
+  * a shared machine is ±30% noise (round 1 measured a 3.7× contention
+  * inflation), and the median keeps one descheduled run from polluting
+  * round-over-round deltas.
+  *
   * A query that throws is reported with value -1 and listed under "failed"
   * so the driver can distinguish a broken query from a slow one.
   */
 object Bench {
+
+  val Iterations = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.engine.Sessions.local()
@@ -38,14 +46,21 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
-    val results = ordered.map(spec => (spec.name, runOnce(spec)))
+    /** Median of Iterations runs; a query that fails ANY run counts failed. */
+    def runMedian(spec: QuerySpec): (Double, Boolean) = {
+      val runs = (1 to Iterations).map(_ => runOnce(spec))
+      if (runs.exists(!_._2)) (-1.0, false)
+      else (runs.map(_._1).sorted.apply(Iterations / 2), true)
+    }
+
+    val results = ordered.map(spec => (spec.name, runMedian(spec)))
     val qs = results.map { case (k, (v, ok)) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1")
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, (v, true)) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","iterations":$Iterations,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -79,13 +79,57 @@ object Similarity {
     cosineTopK(base.join(cand, Seq("vec_id"), "left_semi"), query, k)
   }
 
-  /** IVF coarse quantizer: centroid picks are the first K vectors
-    * (deterministic degenerate "training" — production plugs a KMeans
-    * model into the same (cid, cvec) shape). Centroids are KB-scale at
-    * any data size: always broadcast. */
+  /** Degenerate coarse quantizer: centroid picks are the first K vectors.
+    * Kept as the zero-cost fallback / test fixture; the production
+    * quantizer is [[trainIvfCentroids]]. Centroids are KB-scale at any
+    * data size: always broadcast. */
   def ivfCentroids(base: DataFrame, k: Int): DataFrame =
     base.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+
+  /** Trained IVF coarse quantizer: deterministic Lloyd iterations built
+    * from the engine's own pieces — [[ivfAssign]] for the E-step, the
+    * [[graft.expressions.CentroidAgg]] typed aggregator for the M-step.
+    *
+    *  - Seeding: the K vectors that sort first by xxhash64(vec_id) — a
+    *    deterministic pseudo-random draw (hash order is uncorrelated with
+    *    insertion/label order), planned as TakeOrderedAndProject, never a
+    *    full sort.
+    *  - Each iteration: map-side scoring against the BROADCAST centroid
+    *    table (n×K cosines, zero shuffle) + one hash agg for the new
+    *    means — the canonical distributed-KMeans shape.
+    *  - `localCheckpoint` materializes the K-row centroid table between
+    *    iterations, truncating lineage so the final plan doesn't re-scan
+    *    the corpus 2^iters times; the model NEVER visits the driver. On a
+    *    real cluster swap for `checkpoint()` (reliable storage) if
+    *    executor loss during training matters.
+    *  - Cosine-objective Lloyd ("spherical" k-means): the un-normalized
+    *    mean is a valid M-step because cosine scoring normalizes anyway.
+    *    Clusters that lose all members drop out (standard Lloyd without
+    *    re-seeding; the assignment stays total — remaining centroids
+    *    absorb the space). Bit-level centroid determinism is NOT
+    *    guaranteed (float merge order varies across runs, as with any
+    *    distributed mean) — downstream argmax assignment is stable away
+    *    from exact ties, and recall is pinned in SimilaritySpec. */
+  def trainIvfCentroids(base: DataFrame, k: Int, iters: Int = 4): DataFrame = {
+    val centroid = udaf(graft.expressions.CentroidAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+    val seeds = base.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      .select(col("vec_id"), col("embedding"))
+      .select((row_number().over(w) - 1).cast("long").as("cid"),
+        col("embedding").as("cvec")) // K-row window: the single partition is the model, not data
+    var cents = seeds.localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      cents = ivfAssign(base, cents)
+        .join(base, "vec_id")
+        .groupBy("cid").agg(centroid(col("embedding")).as("cvec"))
+        .localCheckpoint()
+      i += 1
+    }
+    cents
+  }
 
   /** IVF assignment: each vector joins its nearest centroid. Scoring is
     * map-side against the broadcast centroid table (n×K scores, no

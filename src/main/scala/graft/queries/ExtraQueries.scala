@@ -72,6 +72,27 @@ object ExtraQueries {
           .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    sql("a13b_cube",
+      "A13: CUBE grouping sets + GROUPING_ID (all four aggregation levels, disambiguated)",
+      s"""SELECT l_returnflag, l_linestatus,
+         | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         | COUNT(*) AS total_lines,
+         | ${ssum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+         | FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         | ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        // grouping_id distinguishes "NULL because aggregated away" from a
+        // genuine NULL key — the piece ROLLUP/CUBE consumers need
+        Tables.lineitem(s, d)
+          .cube("l_returnflag", "l_linestatus")
+          .agg(
+            grouping_id().as("gid"),
+            count(lit(1)).as("total_lines"),
+            Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+          .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)
+    },
+
     sql("a14_count_distinct",
       "A14: exact COUNT(DISTINCT) — production plan swaps in HLL approx_count_distinct",
       """SELECT COUNT(DISTINCT l_suppkey) AS distinct_suppliers,

@@ -85,12 +85,15 @@ object SimilarityQueries {
     },
 
     rowsOnly("ss5_ivf_topk",
-      "Similarity: IVF ANN — broadcast centroid table, nprobe nearest clusters scored (ScalaTest-pinned)") {
+      "Similarity: IVF ANN — Lloyd-trained broadcast centroids, nprobe nearest clusters scored (recall@10 vs ss1 pinned in ScalaTest)") {
       (s, d) => {
+        // k=8/nprobe=6 clears recall@10 >= 0.9 on this corpus — which has
+        // near-zero cluster structure, so recall tracks the scanned
+        // fraction; see SimilaritySpec for the swept curve
         val base = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
         Similarity.ivfTopK(base,
-          Similarity.ivfCentroids(Tables.embeddings(s, d), k = 16),
-          queryVec(s, d), k = 10, nprobe = 4)
+          Similarity.trainIvfCentroids(base, k = 8),
+          queryVec(s, d), k = 10, nprobe = 6)
       }
     },
 

@@ -51,6 +51,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top == Seq(1L, 3L)) // probes cluster 0 only: {1, 3}
   }
 
+  test("trainIvfCentroids: deterministic seeds, K clusters, recall@10 >= 0.9 vs brute force") {
+    val emb = graft.model.Tables.embeddings(spark, graft.TestSpark.sfDir)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+
+    val cents = Similarity.trainIvfCentroids(corpus, k = 8)
+    val cids = cents.select("cid").collect().map(_.getLong(0)).toSet
+    assert(cids.nonEmpty && cids.size <= 8 && cids.subsetOf((0L until 8L).toSet))
+    // every vector is assigned to exactly one surviving cluster
+    assert(Similarity.ivfAssign(corpus, cents).count() == corpus.count())
+
+    // This synthetic corpus has essentially NO cluster structure: a swept
+    // recall-vs-nprobe curve tracks the scanned fraction almost linearly
+    // (k=16/nprobe=8 -> 0.7, k=8/nprobe=6 -> 1.0), exactly what IVF theory
+    // predicts for near-uniform vectors. k=8/nprobe=6 is the measured
+    // config that clears 0.9 with margin here; on real clustered
+    // embeddings the same index probes a far smaller fraction.
+    val exact = Similarity.cosineTopK(corpus, q, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfTopK(corpus, cents, q, k = 10, nprobe = 6)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect ivf).size / 10.0
+    assert(recall >= 0.9, s"IVF recall@10 was $recall (exact=$exact ivf=$ivf)")
+  }
+
   test("cosineNearDupPairs: exact duplicates found, threshold respected") {
     val withDup = base.union(Seq((5L, Array(1f, 0f, 0f), 0)).toDF("vec_id", "embedding", "label"))
     val pairs = Similarity.cosineNearDupPairs(withDup, thr = 0.999)
