@@ -140,6 +140,43 @@ object Pipeline {
       processDir(spark, dir, s"$outRoot/$name")
     }
 
+  /** [[run]] with a [[PipelineMetrics]] listener attached: every stage the
+    * pipeline executes is captured with task counts / bytes / spills and
+    * attributed to its directory via a per-dir job group (the reference's
+    * psutil monitor, re-expressed executor-side — see [[PipelineMetrics]]).
+    * The listener bus is async, so we poll until the stage count settles
+    * before snapshotting (bounded wait; no private Spark API). */
+  def runInstrumented(spark: SparkSession, dirs: Seq[String], outRoot: String,
+                      settleMs: Long = 500, maxWaitMs: Long = 15000)
+      : (Seq[DirReport], Seq[StageMetricsRow]) = {
+    val listener = new PipelineMetrics
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val reports = dirs.map { dir =>
+        val name = dir.replaceAll(".*/", "")
+        spark.sparkContext.setJobGroup(s"graft-pipeline-$name", s"EP1 $dir")
+        try processDir(spark, dir, s"$outRoot/$name")
+        finally spark.sparkContext.clearJobGroup()
+      }
+      val deadline = System.currentTimeMillis() + maxWaitMs
+      var last = -1
+      var cur = listener.snapshot.size
+      while (cur != last && System.currentTimeMillis() < deadline) {
+        last = cur
+        Thread.sleep(settleMs)
+        cur = listener.snapshot.size
+      }
+      (reports, listener.snapshot)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** Stage metrics as a DataFrame (joins naturally against [[reportDF]]
+    * on the dir-derived group name). */
+  def metricsDF(spark: SparkSession, rows: Seq[StageMetricsRow]): DataFrame = {
+    import spark.implicits._
+    rows.toDF()
+  }
+
   /** Stage results as a DataFrame — the t1 smoke surface. */
   def reportDF(spark: SparkSession, reports: Seq[DirReport]): DataFrame = {
     import spark.implicits._

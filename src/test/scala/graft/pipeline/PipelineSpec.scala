@@ -32,6 +32,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(!bad.ok && bad.stages.exists(s => s.stage == "scan" && !s.ok))
   }
 
+  test("multi-dir run isolates a poisoned directory; the good dir's artifacts complete") {
+    import spark.implicits._
+    // poisoned "month": lineitem.parquet exists but is missing the
+    // required columns, so the schema gate must skip it (the reference's
+    // `continue` policy, src/main.py:114-116) without touching the good dir
+    val poisoned = Files.createTempDirectory("graft-poison").toString
+    Seq((1L, "x")).toDF("some_key", "some_text")
+      .write.mode("overwrite").parquet(s"$poisoned/lineitem.parquet")
+    val out = Files.createTempDirectory("graft-multi").toString
+
+    val reports = Pipeline.run(spark, Seq(TestSpark.sfDir, poisoned), out)
+    assert(reports.size == 2)
+    val (good, bad) = (reports(0), reports(1))
+    assert(good.ok, good.stages.filterNot(_.ok).mkString("; "))
+    assert(!bad.ok && bad.stages.exists(s => s.stage == "schema_gate" && !s.ok))
+    // the poisoned dir stopped AT the gate — no downstream stage ran
+    assert(bad.stages.map(_.stage).toSet.intersect(
+      Set("sample_load", "supplier_stats", "bucket_stats")).isEmpty)
+    // and the good dir's artifacts are complete on disk
+    for (a <- Seq("supplier_stats", "bucket_stats", "sample_load"))
+      assert(spark.read.parquet(s"$out/sf0.001/$a").count() > 0, s"$a empty")
+  }
+
+  test("instrumented run captures per-stage metrics attributed to the dir's job group") {
+    val out = Files.createTempDirectory("graft-instr").toString
+    val (reports, metrics) = Pipeline.runInstrumented(spark, Seq(TestSpark.sfDir), out)
+    assert(reports.forall(_.ok))
+    assert(metrics.nonEmpty, "listener captured no stages")
+    assert(metrics.exists(_.group == "graft-pipeline-sf0.001"),
+      s"no stage attributed to the pipeline job group; groups=${metrics.map(_.group).distinct}")
+    assert(metrics.exists(_.inputBytes > 0), "no stage read any input bytes")
+    assert(metrics.forall(_.numTasks > 0))
+    val df = Pipeline.metricsDF(spark, metrics)
+    assert(df.columns.contains("shuffleReadBytes") && df.count() == metrics.size)
+  }
+
   test("reports (EP2) generate from pipeline artifacts via spark.sql") {
     val (_, dir) = outDir
     val arts = s"$dir/sf0.001"
