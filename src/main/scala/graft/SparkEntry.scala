@@ -19,6 +19,7 @@ object SparkEntry {
     graft.queries.SimilarityQueries.all ++
     graft.queries.TextQueries.all ++
     graft.queries.ExtraQueries.all ++
+    graft.queries.StatsQueries.all ++
     graft.queries.StreamingQueries.all ++
     graft.queries.MultimodalQueries.all ++
     graft.queries.LlmPipelineQueries.all

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+import graft.QuerySpec.sql
+import graft.model.Tables
+import graft.ops.Det
+
+/** Statistical / relational breadth beyond the reference surface: higher
+  * moments, correlation + regression aggregates, PIVOT, and a scalar
+  * subquery — all single-pass partial+final hash aggregations (the same
+  * distribution shape as any sum), so they scale like A1/A4.
+  */
+object StatsQueries {
+
+  val all: Seq[QuerySpec] = Seq(
+
+    sql("a15_moments",
+      "A15: higher moments — skewness + excess kurtosis per numeric column, one pass",
+      // Spark's skewness/kurtosis are the POPULATION definitions
+      // (m3/m2^1.5 and m4/m2^2 - 3); DuckDB's built-ins are the
+      // bias-corrected SAMPLE versions, so the oracle spells out the
+      // moment formulas instead. Both are scale-free O(1) values: 6dp
+      // rounding sits ~6 orders above cross-engine ulp noise.
+      """WITH m AS (SELECT AVG(l_quantity) AS mq, AVG(l_extendedprice) AS mp, AVG(l_discount) AS md FROM lineitem),
+        |s AS (SELECT
+        |  AVG(POWER(l_quantity - mq, 2)) AS q2, AVG(POWER(l_quantity - mq, 3)) AS q3, AVG(POWER(l_quantity - mq, 4)) AS q4,
+        |  AVG(POWER(l_extendedprice - mp, 2)) AS p2, AVG(POWER(l_extendedprice - mp, 3)) AS p3, AVG(POWER(l_extendedprice - mp, 4)) AS p4,
+        |  AVG(POWER(l_discount - md, 2)) AS d2, AVG(POWER(l_discount - md, 3)) AS d3, AVG(POWER(l_discount - md, 4)) AS d4
+        |  FROM lineitem, m)
+        |SELECT ROUND(q3 / POWER(q2, 1.5), 6) AS skew_quantity, ROUND(q4 / (q2 * q2) - 3, 6) AS kurt_quantity,
+        | ROUND(p3 / POWER(p2, 1.5), 6) AS skew_price, ROUND(p4 / (p2 * p2) - 3, 6) AS kurt_price,
+        | ROUND(d3 / POWER(d2, 1.5), 6) AS skew_discount, ROUND(d4 / (d2 * d2) - 3, 6) AS kurt_discount
+        | FROM s""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.lineitem(s, d).agg(
+          round(skewness(col("l_quantity")), 6).as("skew_quantity"),
+          round(kurtosis(col("l_quantity")), 6).as("kurt_quantity"),
+          round(skewness(col("l_extendedprice")), 6).as("skew_price"),
+          round(kurtosis(col("l_extendedprice")), 6).as("kurt_price"),
+          round(skewness(col("l_discount")), 6).as("skew_discount"),
+          round(kurtosis(col("l_discount")), 6).as("kurt_discount"))
+    },
+
+    sql("a16_correlation",
+      "A16: Pearson correlation, sample covariance, and OLS regression aggregates (price ~ quantity)",
+      """SELECT ROUND(CORR(l_extendedprice, l_quantity), 6) AS corr_price_qty,
+        | ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 2) AS covar_price_qty,
+        | ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+        | ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 2) AS intercept,
+        | ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2
+        | FROM lineitem""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.lineitem(s, d).agg(
+          round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_price_qty"),
+          round(covar_samp(col("l_extendedprice"), col("l_quantity")), 2).as("covar_price_qty"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"))
+    },
+
+    sql("a17_pivot",
+      "A17: PIVOT — revenue per return flag by line status as columns (explicit value list, no discovery scan)",
+      s"""SELECT l_returnflag,
+         | ${Det.Sql.dsum("CASE WHEN l_linestatus = 'F' THEN l_extendedprice * (1.0 - l_discount) END")} AS revenue_f,
+         | ${Det.Sql.dsum("CASE WHEN l_linestatus = 'O' THEN l_extendedprice * (1.0 - l_discount) END")} AS revenue_o
+         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        // explicit pivot values: at scale, omitting them costs a separate
+        // distinct-scan job AND makes the schema data-dependent
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .select(col("l_returnflag"),
+            col("F").as("revenue_f"), col("O").as("revenue_o"))
+          .orderBy("l_returnflag")
+    },
+
+    sql("o6_scalar_subquery",
+      "O6: scalar-subquery threshold — per-flag stats over items priced above the global mean",
+      s"""SELECT l_returnflag, COUNT(*) AS n_above,
+         | ${Det.Sql.davg("l_extendedprice")} AS avg_above
+         | FROM lineitem
+         | WHERE l_extendedprice > (SELECT ${Det.Sql.davg("l_extendedprice")} FROM lineitem)
+         | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // the scalar is computed once and broadcast — a 1-row build side,
+        // not a driver round-trip; the threshold is an exact-decimal mean
+        // so the boundary comparison cannot flip between engines
+        val li = Tables.lineitem(s, d)
+        val threshold = li.agg(Det.davg(col("l_extendedprice")).as("avg_price"))
+        li.crossJoin(broadcast(threshold))
+          .filter(col("l_extendedprice") > col("avg_price"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_above"),
+            Det.davg(col("l_extendedprice")).as("avg_above"))
+          .orderBy("l_returnflag")
+      }
+    }
+  )
+}

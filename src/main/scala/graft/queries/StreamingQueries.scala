@@ -42,6 +42,24 @@ object StreamingQueries {
       (s, d) =>
         EventStreams.userSessions(Tables.events(s, d))
           .orderBy("user_id", "session_start")
+    },
+
+    sql("st3_stream_join",
+      "Streaming: stream-stream click->purchase attribution join (equality key + event-time range, both sides watermarked; batch = stream)",
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        | strftime(date_trunc('second', c.ts), '%Y-%m-%d %H:%M:%S') AS click_ts,
+        | strftime(date_trunc('second', p.ts), '%Y-%m-%d %H:%M:%S') AS purchase_ts
+        | FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        |  AND date_trunc('second', p.ts) >= date_trunc('second', c.ts)
+        |  AND date_trunc('second', p.ts) <= date_trunc('second', c.ts) + INTERVAL 60 MINUTE
+        | WHERE c.event_type = 'click' AND p.event_type = 'purchase' AND c.user_id IS NOT NULL
+        | ORDER BY click_id, purchase_id""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        EventStreams.clickPurchaseJoin(ev, Tables.events(s, d))
+          .orderBy("click_id", "purchase_id")
+      }
     }
   )
 }

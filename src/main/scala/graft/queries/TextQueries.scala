@@ -130,6 +130,29 @@ object TextQueries {
           .orderBy("predicted_lang", "lang")
     },
 
+    sql("t7_fuzzy_match",
+      "Text: levenshtein fuzzy-match pairs over a dimension (edit distance <= 1)",
+      """SELECT a.n_name AS name1, b.n_name AS name2,
+        | CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+        | FROM nation a JOIN nation b ON a.n_name < b.n_name
+        | WHERE levenshtein(a.n_name, b.n_name) <= 1
+        | ORDER BY name1, name2""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // dimension-scale fuzzy self-match: broadcast one side, filter on
+        // edit distance. At data scale this shape needs a blocking key
+        // first (length band / prefix bucket) — exactly what the dedup
+        // candidate generators provide; this is the verify step.
+        val a = Tables.nation(s, d).select(col("n_name").as("name1"))
+        val b = Tables.nation(s, d).select(col("n_name").as("name2"))
+        a.crossJoin(broadcast(b))
+          .filter(col("name1") < col("name2"))
+          .select(col("name1"), col("name2"),
+            levenshtein(col("name1"), col("name2")).cast("long").as("dist"))
+          .filter(col("dist") <= 1)
+          .orderBy("name1", "name2")
+      }
+    },
+
     rowsOnly("t5_langid",
       "Text: heuristic marker-word language ID — predicted-language counts (profiles pinned in ScalaTest; corpus vocab is language-neutral)") {
       (s, d) =>

@@ -34,6 +34,41 @@ object EventStreams {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("avg_value"))
 
+  /** Stream-stream click→purchase attribution join: every purchase a user
+    * makes within `horizon` of a click, keyed by user. The canonical
+    * Structured Streaming two-stream join — equality key + event-time
+    * range condition, with BOTH sides watermarked so each side's join
+    * state is evicted once the other's watermark passes the horizon
+    * (state stays bounded at any throughput; without the range condition
+    * Spark would rightly refuse to plan unbounded-state retention).
+    *
+    * Works identically on batch inputs (oracle-verified as st3). Both
+    * engines see second-truncated timestamps: the parquet carries
+    * nanosecond timestamps, Spark truncates to micros on read, and a
+    * raw-precision range boundary could flip between engines
+    * (SURVEY.md §7.4.4 discipline, same as the as-of join). */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        horizon: String = "60 minutes",
+                        watermark: String = "2 hours"): DataFrame = {
+    val c = clicks
+      .filter(col("user_id").isNotNull && col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        date_trunc("second", col("ts")).as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .filter(col("user_id").isNotNull && col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        date_trunc("second", col("ts")).as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
+  }
+
   /** Per-user sessionization with a gap timeout: events closer than `gap`
     * chain into one session. Built on session_window (no custom state). */
   def userSessions(events: DataFrame,

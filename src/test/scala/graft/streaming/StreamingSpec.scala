@@ -63,4 +63,21 @@ class StreamingSpec extends AnyFunSuite {
     // final hour's windows must have finalized
     assert(streamed.size >= batch.size - 10)
   }
+
+  test("stream-stream click->purchase join: streaming equals batch") {
+    // Two independent readStream sources joined on key + event-time range.
+    // Inner stream-stream joins emit matches eagerly (the watermark bounds
+    // STATE, not output), but files replay in listing order, not time
+    // order — a generous watermark keeps re-ordered files from being
+    // treated as late, making stream output exactly equal to batch.
+    val ev = Tables.events(spark, TestSpark.sfDir)
+    val batch = EventStreams
+      .clickPurchaseJoin(ev, Tables.events(spark, TestSpark.sfDir), watermark = "30 days")
+      .collect().toSet
+    val q = EventStreams.clickPurchaseJoin(streamEvents, streamEvents, watermark = "30 days")
+      .writeStream.format("memory").queryName("stream_joined").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_joined").collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
