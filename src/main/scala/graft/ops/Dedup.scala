@@ -161,6 +161,13 @@ object Dedup {
                                  maxDf: Option[Long] = None): DataFrame = {
     require(numPerm >= bands * rows,
       s"numPerm ($numPerm) must cover bands*rows (${bands * rows}) — lshBands reads mh0..mh${bands * rows - 1}")
+    // The substrate feeds signatures AND the 3-way verify join, so the
+    // tokenize+shingle explode recomputes per consumer. Persisting it was
+    // MEASURED SLOWER here (dd2 5.1→6.2s, llm1 5.1→14.8s at sf0.1): the
+    // cache is a materialization barrier plus row serialization, while
+    // recompute is pipelined map-side work that codegen fuses into each
+    // consumer. Same verdict as hashShingles — revisit only when the
+    // explode itself becomes the bottleneck (very long docs).
     val capped = maxDf.fold(sh)(capDocumentFrequency(sh, _))
     val cand = lshCandidates(minhashSignatures(capped, numPerm), bands, rows)
     val candDocs = cand.select(col("id1").as("doc_id"))
@@ -182,6 +189,8 @@ object Dedup {
                                  thr: Double = 0.8,
                                  maxDf: Option[Long] = None): DataFrame = {
     val shAll = shingleDF(docs, k = k)
+    // recomputed per consumer (df table, prefix index, verify) — measured
+    // faster than persisting; see minhashNearDupFromShingles
     val sh = maxDf.fold(shAll)(capDocumentFrequency(shAll, _))
     val docFreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
