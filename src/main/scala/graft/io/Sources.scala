@@ -25,6 +25,11 @@ object Sources {
                 partitionColumn: Option[String] = None,
                 lowerBound: Long = 0L, upperBound: Long = 0L,
                 numPartitions: Int = 1): DataFrame = {
+    partitionColumn.foreach { _ =>
+      require(upperBound > lowerBound,
+        s"partitioned read needs upperBound ($upperBound) > lowerBound ($lowerBound)")
+      require(numPartitions > 0, s"numPartitions must be positive, got $numPartitions")
+    }
     val base = spark.read.format("jdbc")
       .option("url", url)
       .option("dbtable", table)

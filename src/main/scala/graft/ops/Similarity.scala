@@ -112,6 +112,8 @@ object Similarity {
     *    distributed mean) — downstream argmax assignment is stable away
     *    from exact ties, and recall is pinned in SimilaritySpec. */
   def trainIvfCentroids(base: DataFrame, k: Int, iters: Int = 4): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(iters >= 0, s"iters must be non-negative, got $iters")
     val centroid = udaf(graft.expressions.CentroidAgg,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
     val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
@@ -144,21 +146,32 @@ object Similarity {
       .filter(col("rn") === 1).select("vec_id", "cid")
   }
 
-  /** IVF top-k: rank centroids against the query, semi-join the base
-    * down to the `nprobe` nearest clusters, score only those. The scale
-    * alternative to SRP when cluster structure exists (recall tracks how
-    * well centroids cover the data, like any IVF index). */
-  def ivfTopK(base: DataFrame, centroids: DataFrame, query: DataFrame,
-              k: Int, nprobe: Int = 2): DataFrame = {
+  /** IVF top-k over a PREBUILT assignment (the build-once/query-many
+    * shape a real deployment uses: [[ivfAssign]]'s (vec_id, cid) output
+    * is written once — ideally partitioned/bucketed by cid so probing
+    * prunes at the storage layer — and every query pays only the
+    * centroid ranking + candidate scoring). Rank centroids against the
+    * query, semi-join the base down to the `nprobe` nearest clusters,
+    * score only those. */
+  def ivfTopKIndexed(base: DataFrame, assigned: DataFrame,
+                     centroids: DataFrame, query: DataFrame,
+                     k: Int, nprobe: Int = 2): DataFrame = {
     val probed = centroids.crossJoin(broadcast(query))
       .select(col("cid"), cosine(col("cvec"), col("qe")).as("sim"))
       .orderBy(col("sim").desc, col("cid")).limit(nprobe)
       .select("cid")
-    val cand = ivfAssign(base, centroids)
+    val cand = assigned
       .join(broadcast(probed), Seq("cid"), "left_semi")
       .select("vec_id")
     cosineTopK(base.join(cand, Seq("vec_id"), "left_semi"), query, k)
   }
+
+  /** Single-shot convenience: builds the assignment inline. The scale
+    * alternative to SRP when cluster structure exists (recall tracks how
+    * well centroids cover the data, like any IVF index). */
+  def ivfTopK(base: DataFrame, centroids: DataFrame, query: DataFrame,
+              k: Int, nprobe: Int = 2): DataFrame =
+    ivfTopKIndexed(base, ivfAssign(base, centroids), centroids, query, k, nprobe)
 
   /** Embedding-cosine near-duplicate pairs: SRP-bucket candidates (equal
     * bucket ⇒ likely-similar), verified with exact cosine ≥ thr. Never

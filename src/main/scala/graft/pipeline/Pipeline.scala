@@ -147,7 +147,8 @@ object Pipeline {
     * The listener bus is async, so we poll until the stage count settles
     * before snapshotting (bounded wait; no private Spark API). */
   def runInstrumented(spark: SparkSession, dirs: Seq[String], outRoot: String,
-                      settleMs: Long = 500, maxWaitMs: Long = 15000)
+                      settleMs: Long = 500, maxWaitMs: Long = 15000,
+                      writeMetrics: Boolean = true)
       : (Seq[DirReport], Seq[StageMetricsRow]) = {
     val listener = new PipelineMetrics
     spark.sparkContext.addSparkListener(listener)
@@ -166,7 +167,12 @@ object Pipeline {
         Thread.sleep(settleMs)
         cur = listener.snapshot.size
       }
-      (reports, listener.snapshot)
+      val rows = listener.snapshot
+      // the monitoring artifact the reference writes as a CSV report
+      // (pipeline_monitor metrics log) — KB-scale, one row per stage
+      if (writeMetrics && rows.nonEmpty)
+        Sinks.csv(metricsDF(spark, rows), s"$outRoot/_stage_metrics", singleFile = true)
+      (reports, rows)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 

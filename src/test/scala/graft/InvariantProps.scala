@@ -55,6 +55,44 @@ object InvariantProps extends Properties("graft") {
       math.abs(self - 1.0) < 1e-9
     }
 
+  property("df-cap keeps exactly the shingles at or under the cap") =
+    forAll(Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 5L), Gen.oneOf("s1", "s2", "s3", "s4"))),
+      Gen.chooseNum(1L, 5L)) { (pairs, cap) =>
+      val sh = pairs.distinct.toDF("doc_id", "shingle")
+      val df = pairs.distinct.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val kept = graft.ops.Dedup.capDocumentFrequency(sh, cap)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      kept == pairs.distinct.filter(p => df(p._2) <= cap).toSet
+    }
+
+  property("CentroidAgg merge is commutative and finish is the per-position mean") =
+    forAll(Gen.listOfN(5, Gen.listOfN(3, Gen.chooseNum(-10.0f, 10.0f))),
+      Gen.listOfN(5, Gen.listOfN(2, Gen.chooseNum(-10.0f, 10.0f)))) { (xs, ys) =>
+      import graft.expressions.CentroidAgg
+      val bx = xs.map(_.toArray).foldLeft(CentroidAgg.zero)(CentroidAgg.reduce)
+      val by = ys.map(_.toArray).foldLeft(CentroidAgg.zero)(CentroidAgg.reduce)
+      val ab = CentroidAgg.finish(CentroidAgg.merge(bx, by)).toSeq
+      val ba = CentroidAgg.finish(CentroidAgg.merge(by, bx)).toSeq
+      val all = xs ++ ys
+      val expect = (0 until 3).map { i =>
+        val have = all.filter(_.length > i).map(_(i).toDouble)
+        have.sum / have.size
+      }
+      ab == ba && ab.zip(expect).forall { case (a, e) => math.abs(a - e) < 1e-9 }
+    }
+
+  property("scan-based n-gram language ID equals the array form on random text") =
+    forAll(Gen.listOfN(12, Gen.oneOf(
+      Gen.alphaLowerStr.map(_.take(20)),
+      Gen.oneOf("the rather", "ich scheue", "le dessin", "", "a", "zz")))) { texts =>
+      val df = texts.toDF("text")
+      val both = df.select(
+        graft.ops.TextOps.langIdNgramScan(col("text")).as("scan"),
+        graft.ops.TextOps.langIdNgram(
+          graft.ops.TextOps.charBigrams(col("text"))).as("arr"))
+      both.collect().forall(r => r.getString(0) == r.getString(1))
+    }
+
   property("group counts sum to total count") =
     forAll(Gen.listOfN(40, Gen.oneOf("a", "b", "c"))) { ks =>
       val df = ks.toDF("k")

@@ -75,4 +75,16 @@ class PlanSpec extends AnyFunSuite {
     val names = SparkEntry.specs.map(_.name)
     assert(names.distinct.size == names.size)
   }
+
+  test("production dedup plans carry the hot-shingle df-cap anti-join") {
+    // the cap is a broadcast LeftAnti against the over-cap shingle set —
+    // its presence in the BENCH plan is the scale-safety guarantee the
+    // oracle plan (exact shingle set) deliberately omits
+    for (name <- Seq("dd2_minhash_neardup", "dd3_ngram_jaccard")) {
+      val p = plan(specs(name).production(spark, TestSpark.sfDir))
+      assert(p.contains("LeftAnti"), s"$name bench plan lost the df-cap:\n${p.take(2000)}")
+    }
+    // and the oracle plan stays cap-free (DuckDB must see every shingle)
+    assert(!plan(specs("dd3_ngram_jaccard").run(spark, TestSpark.sfDir)).contains("LeftAnti"))
+  }
 }

@@ -74,6 +74,13 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     val recall = (exact intersect ivf).size / 10.0
     assert(recall >= 0.9, s"IVF recall@10 was $recall (exact=$exact ivf=$ivf)")
+
+    // build-once/query-many: a prebuilt (vec_id, cid) index gives the
+    // same answer as the inline assignment
+    val indexed = Similarity
+      .ivfTopKIndexed(corpus, Similarity.ivfAssign(corpus, cents), cents, q, k = 10, nprobe = 6)
+      .collect().map(_.getLong(0)).toSet
+    assert(indexed == ivf)
   }
 
   test("cosineNearDupPairs: exact duplicates found, threshold respected") {

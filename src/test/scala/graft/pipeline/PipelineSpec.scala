@@ -66,6 +66,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(metrics.forall(_.numTasks > 0))
     val df = Pipeline.metricsDF(spark, metrics)
     assert(df.columns.contains("shuffleReadBytes") && df.count() == metrics.size)
+    // the monitoring artifact lands next to the data artifacts
+    val csv = spark.read.option("header", "true").csv(s"$out/_stage_metrics")
+    assert(csv.count() == metrics.size && csv.columns.contains("inputBytes"))
   }
 
   test("reports (EP2) generate from pipeline artifacts via spark.sql") {
