@@ -1,0 +1,28 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ConfigSpec extends AnyFunSuite {
+
+  test("defaults apply with an empty environment; JDBC absent is valid") {
+    val c = Config.fromEnv(Map.empty).toOption.get
+    assert(c.batchSize == 100000 && c.jdbc.isEmpty && c.shufflePartitions > 0)
+  }
+
+  test("full JDBC block parses and builds a Spark-ready url") {
+    val c = Config.fromEnv(Map(
+      "GRAFT_JDBC_HOST" -> "db.internal", "GRAFT_JDBC_DB" -> "warehouse",
+      "GRAFT_JDBC_USER" -> "etl", "GRAFT_JDBC_PASSWORD" -> "s3cret")).toOption.get
+    assert(c.jdbc.get.url == "jdbc:postgresql://db.internal:5432/warehouse")
+  }
+
+  test("partial JDBC config is an error naming the missing keys, not a runtime surprise") {
+    val e = Config.fromEnv(Map("GRAFT_JDBC_HOST" -> "db")).swap.toOption.get
+    assert(e.contains("GRAFT_JDBC_DB") && e.contains("GRAFT_JDBC_USER"))
+  }
+
+  test("non-numeric and non-positive ints are rejected with the offending key") {
+    assert(Config.fromEnv(Map("GRAFT_BATCH_SIZE" -> "lots")).isLeft)
+    assert(Config.fromEnv(Map("GRAFT_SHUFFLE_PARTITIONS" -> "0")).isLeft)
+  }
+}
