@@ -18,9 +18,12 @@ package graft.engine
 object Config {
 
   final case class Jdbc(host: String, port: Int, database: String,
-                        user: String, password: String) {
-    /** Spark-ready JDBC url (settings.py builds the psycopg form). */
-    def url: String = s"jdbc:postgresql://$host:$port/$database"
+                        user: String, password: String,
+                        urlOverride: Option[String] = None) {
+    /** Spark-ready JDBC url — the postgres form settings.py builds, or
+      * `GRAFT_JDBC_URL` verbatim for any other dialect (embedded Derby in
+      * tests, say). */
+    def url: String = urlOverride.getOrElse(s"jdbc:postgresql://$host:$port/$database")
   }
 
   final case class Engine(
@@ -51,7 +54,8 @@ object Config {
         Left(s"partial JDBC config: missing ${jdbcKeys.diff(present).mkString(", ")}")
       else int("GRAFT_JDBC_PORT", 5432).map { port =>
         Some(Jdbc(env("GRAFT_JDBC_HOST"), port, env("GRAFT_JDBC_DB"),
-          env("GRAFT_JDBC_USER"), env.getOrElse("GRAFT_JDBC_PASSWORD", "")))
+          env("GRAFT_JDBC_USER"), env.getOrElse("GRAFT_JDBC_PASSWORD", ""),
+          env.get("GRAFT_JDBC_URL")))
       }
 
     for {

@@ -34,7 +34,8 @@ object Pipeline {
   private val criticalCols = Set("l_quantity", "l_extendedprice")
 
   def processDir(spark: SparkSession, dir: String, outDir: String,
-                 exactPercentiles: Boolean = false): DirReport = {
+                 exactPercentiles: Boolean = false,
+                 jdbc: Option[graft.engine.Config.Jdbc] = None): DirReport = {
     val stages = scala.collection.mutable.ArrayBuffer.empty[StageResult]
     def stage(name: String)(f: => (Long, String)): Boolean = {
       val r =
@@ -126,6 +127,24 @@ object Pipeline {
         // parquet copy backs the Ddl.pipeline_quality catalog table
         Sinks.parquet(df, s"$outDir/pipeline_quality")
         (1L, "quality metrics CSV + parquet")
+      }
+
+      // warehouse summary append — the reference's primary sink
+      // (src/main.py:212-227 inserts per-run summary stats into the
+      // daily_trip_stats Postgres table). Optional: runs only when a JDBC
+      // config is supplied; failure isolates like any stage.
+      jdbc.foreach { j =>
+        stage("summary_jdbc") {
+          val summary = enriched.agg(
+            count(lit(1)).as("total_lines"),
+            Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"),
+            Det.davg(col("l_quantity")).as("avg_quantity"),
+            Det.davg(col("l_extendedprice")).as("avg_price"))
+            .withColumn("dir", lit(dir))
+          Sinks.jdbc(summary, j.url, "PIPELINE_SUMMARY", j.user, j.password,
+            columnTypes = Some("dir VARCHAR(256)"))
+          (1L, s"summary appended to ${j.host}:${j.port}/${j.database}")
+        }
       }
     } finally {
       enriched.unpersist() // C2

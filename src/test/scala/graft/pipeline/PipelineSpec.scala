@@ -71,6 +71,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(csv.count() == metrics.size && csv.columns.contains("inputBytes"))
   }
 
+  test("pipeline summary appends to the warehouse when JDBC is configured (reference primary sink)") {
+    val dbDir = Files.createTempDirectory("graft-pipe-derby").toString
+    val jdbc = graft.engine.Config.Jdbc("localhost", 5432, "wh", "app", "",
+      urlOverride = Some(s"jdbc:derby:$dbDir/db;create=true"))
+    val out = Files.createTempDirectory("graft-pipe-jdbc").toString
+    val report = Pipeline.processDir(spark, TestSpark.sfDir, out, jdbc = Some(jdbc))
+    assert(report.ok, report.stages.filterNot(_.ok).mkString("; "))
+    assert(report.stages.exists(s => s.stage == "summary_jdbc" && s.ok))
+    val back = graft.io.Sources.jdbcTable(spark, jdbc.url, "PIPELINE_SUMMARY", "app")
+    assert(back.count() == 1)
+    val row = back.collect()(0)
+    assert(row.getAs[Long]("total_lines") > 0 && row.getAs[Double]("total_revenue") > 0)
+    // a second run appends (the reference's if_exists='append' behavior)
+    Pipeline.processDir(spark, TestSpark.sfDir, out, jdbc = Some(jdbc))
+    assert(graft.io.Sources.jdbcTable(spark, jdbc.url, "PIPELINE_SUMMARY", "app").count() == 2)
+  }
+
   test("reports (EP2) generate from pipeline artifacts via spark.sql") {
     val (_, dir) = outDir
     val arts = s"$dir/sf0.001"
