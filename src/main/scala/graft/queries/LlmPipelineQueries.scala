@@ -42,6 +42,40 @@ object LlmPipelineQueries {
       (s, d) =>
         DocPipeline.cleanCorpus(Tables.documents(s, d))
           .orderBy("doc_id")
+    },
+
+    sql("llm2_shard_stats",
+      "LLM pipeline: training-shard packaging — key-modulus shard assignment + per-shard quality/token stats",
+      // Sharding by key modulus (not NTILE) is the deliberate scale
+      // choice: shard assignment is a map-side expression — no global
+      // sort, no single-partition window — and with a dense key it gives
+      // the same near-equal shard sizes. The whole query is one
+      // partial+final hash agg.
+      """WITH scored AS (SELECT doc_id, doc_id % 16 AS shard,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |  ROUND(100.0 * (1.0 - len(list_filter(string_split(text,' '), w -> w IN ('a','the','row','data','value','table'))) * 1.0 / len(string_split(text,' ')))
+        |    * LEAST(1.0, len(string_split(text,' ')) / 50.0), 2) AS quality FROM documents)
+        |SELECT shard, COUNT(*) AS n_docs,
+        | ROUND(AVG(quality), 4) AS avg_quality,
+        | ROUND(MIN(quality), 2) AS min_quality,
+        | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        | FROM scored GROUP BY shard ORDER BY shard""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        Tables.documents(s, d)
+          .select(
+            (col("doc_id") % 16).as("shard"),
+            graft.ops.TextOps.tokenCount(col("text")).as("n_tokens"),
+            graft.ops.TextOps.qualityScore(col("text"),
+              graft.ops.TextOps.corpusStopwords).as("quality"))
+          .groupBy("shard")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(avg("quality"), 4).as("avg_quality"),
+            round(min("quality"), 2).as("min_quality"),
+            sum("n_tokens").as("total_tokens"))
+          .orderBy("shard")
+      }
     }
   )
 }
