@@ -113,6 +113,17 @@ object ExtraQueries {
         approx_count_distinct(col("l_orderkey")).as("distinct_orders"))
     },
 
+    rowsOnly("o7_stratified_sample",
+      "O7: seeded STRATIFIED sampling — per-stratum fractions via sampleBy (class rebalancing for training sets); invariants pinned in SamplingSpec") {
+      (s, d) =>
+        // downsample the majority 'N' flag 10×, keep A/R at 2% — the
+        // standard rebalance shape; map-side Bernoulli per row, no shuffle
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+          .stat.sampleBy("l_returnflag",
+            Map("N" -> 0.002, "A" -> 0.02, "R" -> 0.02), seed = 42L)
+    },
+
     rowsOnly("o3_seeded_sample",
       "O3: seeded Bernoulli sample — engine-specific RNG, excluded from oracle by design (SURVEY §7.4.6); invariants pinned in ScalaTest") {
       (s, d) =>

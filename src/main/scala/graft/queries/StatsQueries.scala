@@ -77,6 +77,32 @@ object StatsQueries {
           .orderBy("l_returnflag")
     },
 
+    sql("a18_grouped_percentiles",
+      "A18: per-group percentiles — exact for the oracle, sketch in production",
+      """SELECT l_returnflag,
+        | ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+        | ROUND(quantile_cont(l_extendedprice, 0.90), 4) AS p90,
+        | ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.50)"), 4).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.90)"), 4).as("p90"),
+            round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+          .orderBy("l_returnflag")
+    }.withBench { (s, d) =>
+      // production: per-group mergeable sketches — exact percentile
+      // buffers every value of the group in one agg buffer (OOM at scale)
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile_approx(l_extendedprice, 0.50, 10000)"), 4).as("p50"),
+          round(expr("percentile_approx(l_extendedprice, 0.90, 10000)"), 4).as("p90"),
+          round(expr("percentile_approx(l_extendedprice, 0.99, 10000)"), 4).as("p99"))
+    },
+
     sql("o6_scalar_subquery",
       "O6: scalar-subquery threshold — per-flag stats over items priced above the global mean",
       s"""SELECT l_returnflag, COUNT(*) AS n_above,

@@ -28,4 +28,27 @@ class SamplingSpec extends AnyFunSuite {
     val s = sample.run(spark, TestSpark.sfDir)
     assert(s.exceptAll(li).count() == 0)
   }
+
+  test("stratified sample: deterministic, per-stratum fractions within CI, subset") {
+    val strat = SparkEntry.specs.find(_.name == "o7_stratified_sample").get
+    val a = strat.run(spark, TestSpark.sfDir).collect().toSet
+    assert(a == strat.run(spark, TestSpark.sfDir).collect().toSet && a.nonEmpty)
+
+    val li = graft.model.Tables.lineitem(spark, TestSpark.sfDir)
+    val byFlag = li.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotByFlag = a.groupBy(_.getAs[String]("l_returnflag")).view.mapValues(_.size).toMap
+    for ((flag, frac) <- Map("N" -> 0.002, "A" -> 0.02, "R" -> 0.02)) {
+      val expected = frac * byFlag(flag)
+      val tol = 5 * math.sqrt(expected max 1.0)
+      val got = gotByFlag.getOrElse(flag, 0).toDouble
+      assert(got > expected - tol && got < expected + tol,
+        s"stratum $flag sampled $got, expected ~$expected")
+    }
+    // the majority stratum is actually downsampled relative to the others
+    assert(gotByFlag("N") < gotByFlag("A") + gotByFlag("R"))
+
+    val s = strat.run(spark, TestSpark.sfDir)
+    assert(s.exceptAll(li.select(s.columns.map(org.apache.spark.sql.functions.col): _*)).count() == 0)
+  }
 }
