@@ -32,6 +32,13 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
+  /** Builder from a validated [[Config.Engine]] — the settings.py →
+    * session wiring (SURVEY.md §7.1 SparkSessionFactory), with the
+    * config actually APPLIED (the reference declared shuffle partitions
+    * and never passed them to the builder, §4.1). */
+  def fromConfig(cfg: Config.Engine): SparkSession.Builder =
+    builder(cfg.master, cfg.shufflePartitions.toString).appName(cfg.appName)
+
   /** Local session sized from SPARK_GRAFT_CPUS (driver convention),
     * defaulting to every available core — an unset env var must not
     * silently run the bench on local[4]. Shuffle partitions match the

@@ -79,14 +79,6 @@ object Similarity {
     cosineTopK(base.join(cand, Seq("vec_id"), "left_semi"), query, k)
   }
 
-  /** Degenerate coarse quantizer: centroid picks are the first K vectors.
-    * Kept as the zero-cost fallback / test fixture; the production
-    * quantizer is [[trainIvfCentroids]]. Centroids are KB-scale at any
-    * data size: always broadcast. */
-  def ivfCentroids(base: DataFrame, k: Int): DataFrame =
-    base.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-
   /** Trained IVF coarse quantizer: deterministic Lloyd iterations built
     * from the engine's own pieces — [[ivfAssign]] for the E-step, the
     * [[graft.expressions.CentroidAgg]] typed aggregator for the M-step.

@@ -25,4 +25,10 @@ class ConfigSpec extends AnyFunSuite {
     assert(Config.fromEnv(Map("GRAFT_BATCH_SIZE" -> "lots")).isLeft)
     assert(Config.fromEnv(Map("GRAFT_SHUFFLE_PARTITIONS" -> "0")).isLeft)
   }
+
+  test("config wires into the session factory (the settings->builder link the reference dropped)") {
+    val c = Config.fromEnv(Map("GRAFT_SHUFFLE_PARTITIONS" -> "8",
+      "GRAFT_APP_NAME" -> "cfg-smoke")).toOption.get
+    Sessions.fromConfig(c) // builder constructs; shared test session stays untouched
+  }
 }
