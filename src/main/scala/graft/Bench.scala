@@ -46,11 +46,19 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
-    /** Median of Iterations runs; a query that fails ANY run counts failed. */
+    /** Median of Iterations runs; the first failed run short-circuits
+      * (re-running a broken query twice more just triples the cost of
+      * the failure). */
     def runMedian(spec: QuerySpec): (Double, Boolean) = {
-      val runs = (1 to Iterations).map(_ => runOnce(spec))
-      if (runs.exists(!_._2)) (-1.0, false)
-      else (runs.map(_._1).sorted.apply(Iterations / 2), true)
+      val times = new scala.collection.mutable.ArrayBuffer[Double](Iterations)
+      var i = 0
+      while (i < Iterations) {
+        val (t, ok) = runOnce(spec)
+        if (!ok) return (-1.0, false)
+        times += t
+        i += 1
+      }
+      (times.sorted.apply(Iterations / 2), true)
     }
 
     val results = ordered.map(spec => (spec.name, runMedian(spec)))

@@ -30,7 +30,15 @@ object SparkEntry {
     * and returns the per-stage report (reference: src/main.py:88-309). */
   def entry(spark: SparkSession): DataFrame = {
     val out = java.nio.file.Files.createTempDirectory("graft-entry").toString
-    val reports = graft.pipeline.Pipeline.run(spark, Seq("/root/testdata/sf0.001"), out)
+    // env-driven config reaches the production path here: a configured
+    // JDBC block switches on the warehouse summary stage; an INVALID one
+    // fails loudly (the reference's settings.py contract)
+    val cfg = graft.engine.Config.fromEnv() match {
+      case Right(c) => c
+      case Left(err) => throw new IllegalArgumentException(s"bad GRAFT_* config: $err")
+    }
+    val reports = graft.pipeline.Pipeline.run(spark, Seq("/root/testdata/sf0.001"), out,
+      jdbc = cfg.jdbc, jdbcBatchSize = cfg.batchSize)
     // The report has one row per stage regardless of stage outcome, so a
     // bare rows>0 smoke check would pass even on total failure — gate it.
     require(reports.forall(_.ok),

@@ -46,15 +46,20 @@ object Config {
           .toRight(s"$key must be a positive integer, got '$v'")
       }
 
+    // GRAFT_JDBC_URL alone is a complete configuration (the urlOverride
+    // path for non-Postgres dialects needs no host/db); without it, the
+    // postgres-form triple must be complete as a unit.
     val jdbcKeys = Seq("GRAFT_JDBC_HOST", "GRAFT_JDBC_DB", "GRAFT_JDBC_USER")
     val present = jdbcKeys.filter(env.contains)
     val jdbc: Either[String, Option[Jdbc]] =
-      if (present.isEmpty) Right(None)
-      else if (present.size < jdbcKeys.size)
+      if (present.isEmpty && !env.contains("GRAFT_JDBC_URL")) Right(None)
+      else if (!env.contains("GRAFT_JDBC_URL") && present.size < jdbcKeys.size)
         Left(s"partial JDBC config: missing ${jdbcKeys.diff(present).mkString(", ")}")
       else int("GRAFT_JDBC_PORT", 5432).map { port =>
-        Some(Jdbc(env("GRAFT_JDBC_HOST"), port, env("GRAFT_JDBC_DB"),
-          env("GRAFT_JDBC_USER"), env.getOrElse("GRAFT_JDBC_PASSWORD", ""),
+        Some(Jdbc(env.getOrElse("GRAFT_JDBC_HOST", ""), port,
+          env.getOrElse("GRAFT_JDBC_DB", ""),
+          env.getOrElse("GRAFT_JDBC_USER", ""),
+          env.getOrElse("GRAFT_JDBC_PASSWORD", ""),
           env.get("GRAFT_JDBC_URL")))
       }
 

@@ -37,15 +37,19 @@ object Dedup {
   val DefaultMaxDf = 1000L
 
   /** Drop shingles whose document frequency exceeds `maxDf` from a
-    * (doc_id, shingle) frame. One groupBy for the df table; the hot set is
-    * at most total_shingle_occurrences / maxDf rows — small by
-    * construction — so the removal is a broadcast anti-join, never a
-    * shuffle of the full substrate. Docs whose shingles are ALL hot drop
-    * out of dedup entirely (they are indistinguishable boilerplate). */
+    * (doc_id, shingle) frame. One groupBy for the df table, then an
+    * anti-join. The hot set is bounded by total_occurrences / maxDf —
+    * usually tiny, but at extreme corpus sizes that bound can itself
+    * exceed broadcast limits, so the join strategy is deliberately LEFT
+    * TO THE PLANNER: AQE broadcasts when the aggregated set is small and
+    * falls back to a shuffled anti-join when it isn't (a forced
+    * broadcast() here would OOM the driver at exactly the scale the cap
+    * exists for). Docs whose shingles are ALL hot drop out of dedup
+    * entirely (they are indistinguishable boilerplate). */
   def capDocumentFrequency(sh: DataFrame, maxDf: Long = DefaultMaxDf): DataFrame = {
     val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("shingle")
-    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    sh.join(hot, Seq("shingle"), "left_anti")
       .select(sh.columns.map(col).toIndexedSeq: _*) // using-join moves the key first; keep caller's order
   }
 

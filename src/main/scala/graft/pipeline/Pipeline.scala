@@ -35,7 +35,8 @@ object Pipeline {
 
   def processDir(spark: SparkSession, dir: String, outDir: String,
                  exactPercentiles: Boolean = false,
-                 jdbc: Option[graft.engine.Config.Jdbc] = None): DirReport = {
+                 jdbc: Option[graft.engine.Config.Jdbc] = None,
+                 jdbcBatchSize: Int = 1000): DirReport = {
     val stages = scala.collection.mutable.ArrayBuffer.empty[StageResult]
     def stage(name: String)(f: => (Long, String)): Boolean = {
       val r =
@@ -142,7 +143,7 @@ object Pipeline {
             Det.davg(col("l_extendedprice")).as("avg_price"))
             .withColumn("dir", lit(dir))
           Sinks.jdbc(summary, j.url, "PIPELINE_SUMMARY", j.user, j.password,
-            columnTypes = Some("dir VARCHAR(256)"))
+            batchsize = jdbcBatchSize, columnTypes = Some("dir VARCHAR(256)"))
           (1L, s"summary appended to ${j.host}:${j.port}/${j.database}")
         }
       }
@@ -152,11 +153,15 @@ object Pipeline {
     DirReport(dir, stages.toSeq)
   }
 
-  /** The per-month loop: one report per directory, failures isolated. */
-  def run(spark: SparkSession, dirs: Seq[String], outRoot: String): Seq[DirReport] =
+  /** The per-month loop: one report per directory, failures isolated.
+    * `jdbc`/`jdbcBatchSize` (usually from [[graft.engine.Config.fromEnv]])
+    * switch on the warehouse summary append per directory. */
+  def run(spark: SparkSession, dirs: Seq[String], outRoot: String,
+          jdbc: Option[graft.engine.Config.Jdbc] = None,
+          jdbcBatchSize: Int = 1000): Seq[DirReport] =
     dirs.map { dir =>
       val name = dir.replaceAll(".*/", "")
-      processDir(spark, dir, s"$outRoot/$name")
+      processDir(spark, dir, s"$outRoot/$name", jdbc = jdbc, jdbcBatchSize = jdbcBatchSize)
     }
 
   /** [[run]] with a [[PipelineMetrics]] listener attached: every stage the
@@ -167,7 +172,9 @@ object Pipeline {
     * before snapshotting (bounded wait; no private Spark API). */
   def runInstrumented(spark: SparkSession, dirs: Seq[String], outRoot: String,
                       settleMs: Long = 500, maxWaitMs: Long = 15000,
-                      writeMetrics: Boolean = true)
+                      writeMetrics: Boolean = true,
+                      jdbc: Option[graft.engine.Config.Jdbc] = None,
+                      jdbcBatchSize: Int = 1000)
       : (Seq[DirReport], Seq[StageMetricsRow]) = {
     val listener = new PipelineMetrics
     spark.sparkContext.addSparkListener(listener)
@@ -175,7 +182,7 @@ object Pipeline {
       val reports = dirs.map { dir =>
         val name = dir.replaceAll(".*/", "")
         spark.sparkContext.setJobGroup(s"graft-pipeline-$name", s"EP1 $dir")
-        try processDir(spark, dir, s"$outRoot/$name")
+        try processDir(spark, dir, s"$outRoot/$name", jdbc = jdbc, jdbcBatchSize = jdbcBatchSize)
         finally spark.sparkContext.clearJobGroup()
       }
       val deadline = System.currentTimeMillis() + maxWaitMs

@@ -46,7 +46,8 @@ class SamplingSpec extends AnyFunSuite {
         s"stratum $flag sampled $got, expected ~$expected")
     }
     // the majority stratum is actually downsampled relative to the others
-    assert(gotByFlag("N") < gotByFlag("A") + gotByFlag("R"))
+    assert(gotByFlag.getOrElse("N", 0) <
+      gotByFlag.getOrElse("A", 0) + gotByFlag.getOrElse("R", 0))
 
     val s = strat.run(spark, TestSpark.sfDir)
     assert(s.exceptAll(li.select(s.columns.map(org.apache.spark.sql.functions.col): _*)).count() == 0)

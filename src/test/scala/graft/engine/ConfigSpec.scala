@@ -21,6 +21,12 @@ class ConfigSpec extends AnyFunSuite {
     assert(e.contains("GRAFT_JDBC_DB") && e.contains("GRAFT_JDBC_USER"))
   }
 
+  test("GRAFT_JDBC_URL alone is a complete configuration (urlOverride dialect path)") {
+    val c = Config.fromEnv(Map(
+      "GRAFT_JDBC_URL" -> "jdbc:derby:/data/wh;create=true")).toOption.get
+    assert(c.jdbc.get.url == "jdbc:derby:/data/wh;create=true")
+  }
+
   test("non-numeric and non-positive ints are rejected with the offending key") {
     assert(Config.fromEnv(Map("GRAFT_BATCH_SIZE" -> "lots")).isLeft)
     assert(Config.fromEnv(Map("GRAFT_SHUFFLE_PARTITIONS" -> "0")).isLeft)
