@@ -64,6 +64,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size >= batch.size - 10)
   }
 
+  test("foreachBatch lands a stream into parquet identically to the batch sink") {
+    // the production stream→storage path: each micro-batch writes through
+    // the SAME distributed Sinks.parquet used by the batch pipeline
+    // (append mode), so a replayed stream reproduces the batch artifact
+    val dest = Files.createTempDirectory("graft-stream-sink").toString
+    val q = EventStreams.tumblingCounts(streamEvents)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.io.Sinks.parquet(batch, dest, mode = "append")
+      }
+      .outputMode("update")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // update mode re-emits amended windows; the LAST version per key must
+    // equal the batch result, and every batch row must appear
+    val landed = spark.read.parquet(dest)
+    val batch = EventStreams.tumblingCounts(Tables.events(spark, TestSpark.sfDir))
+      .collect().toSet
+    val latest = landed.collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+    assert(batch.forall(r => latest.contains((r.getString(0), r.getString(1)))))
+    assert(batch.forall(b => latest((b.getString(0), b.getString(1))).contains(b)))
+  }
+
   test("stream-stream click->purchase join: streaming equals batch") {
     // Two independent readStream sources joined on key + event-time range.
     // Inner stream-stream joins emit matches eagerly (the watermark bounds
