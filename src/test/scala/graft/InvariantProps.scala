@@ -93,6 +93,23 @@ object InvariantProps extends Properties("graft") {
       both.collect().forall(r => r.getString(0) == r.getString(1))
     }
 
+  property("asofBackward equals the brute-force per-row definition") =
+    forAll(
+      Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 50L))),
+      Gen.listOfN(12, Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 50L)))) { (ls, rs) =>
+      val left = ls.toDF("k", "lts")
+      val right = rs.toDF("k", "rts")
+      val got = graft.ops.AsOf.asofBackward(left, right, "k", "lts", "rts")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+      // brute force: greatest right ts <= left ts within the key
+      ls.forall { case (k, lt) =>
+        val expect = rs.filter(r => r._1 == k && r._2 <= lt)
+          .map(_._2).maxOption
+        got((k, lt)) == expect
+      }
+    }
+
   property("group counts sum to total count") =
     forAll(Gen.listOfN(40, Gen.oneOf("a", "b", "c"))) { ks =>
       val df = ks.toDF("k")
