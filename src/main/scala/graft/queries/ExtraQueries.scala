@@ -113,6 +113,40 @@ object ExtraQueries {
         approx_count_distinct(col("l_orderkey")).as("distinct_orders"))
     },
 
+    sql("o8_group_hash_sample",
+      "O8: deterministic fixed-k per-group sample — hash-order row_number (reproducible across runs, engines, and partitionings; Bernoulli can't fix k)",
+      """SELECT l_returnflag, l_orderkey, l_linenumber, rn FROM (
+        | SELECT l_returnflag, l_orderkey, l_linenumber,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |   ORDER BY md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR))) AS BIGINT) AS rn
+        | FROM lineitem)
+        | WHERE rn <= 5 ORDER BY l_returnflag, rn""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // md5 over the natural key gives a uniform, engine-portable
+        // pseudo-random order; the window is partitioned by the group so
+        // this is one hash shuffle + per-partition sort, like any w1-style
+        // top-k. Production at 100 TB would swap md5 for xxhash64
+        // (Spark-only, cheaper) — the oracle keeps md5 for portability.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_returnflag")
+          .orderBy(md5(concat(col("l_orderkey").cast("string"), lit("-"),
+            col("l_linenumber").cast("string"))))
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .orderBy("l_returnflag", "rn")
+      }
+    }.withBench { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+        .orderBy(xxhash64(col("l_orderkey"), col("l_linenumber")))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+    },
+
     rowsOnly("o7_stratified_sample",
       "O7: seeded STRATIFIED sampling — per-stratum fractions via sampleBy (class rebalancing for training sets); invariants pinned in SamplingSpec") {
       (s, d) =>

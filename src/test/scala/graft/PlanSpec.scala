@@ -63,6 +63,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("approx_count_distinct"))
   }
 
+  test("production grouped percentiles use per-group sketches") {
+    val p = plan(specs("a18_grouped_percentiles").production(spark, TestSpark.sfDir))
+    assert(p.contains("approx_percentile") || p.contains("percentile_approx"))
+    assert(!p.contains("percentile(l_extendedprice"))
+  }
+
   test("keyed aggregations run partial+final (map-side combine before the shuffle)") {
     val p = plan(specs("a1_supplier_stats").run(spark, TestSpark.sfDir))
     // partial_* functions in the lower HashAggregate = map-side combine
