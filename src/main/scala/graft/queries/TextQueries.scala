@@ -130,6 +130,34 @@ object TextQueries {
           .orderBy("predicted_lang", "lang")
     },
 
+    sql("t8_token_freq",
+      "Text: corpus vocabulary heavy hitters — token frequencies + doc frequencies, top 20",
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS occurrences,
+        | CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        | FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
+        | GROUP BY token ORDER BY occurrences DESC, token LIMIT 20""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        // explode → partial+final count agg on the token; the top-20 is
+        // TakeOrderedAndProject. At 100 TB the exact COUNT(DISTINCT doc_id)
+        // is the expensive part (expand+shuffle per token) — production
+        // would swap in approx_count_distinct, same as a14
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("occurrences"),
+            countDistinct("doc_id").as("doc_freq"))
+          .orderBy(col("occurrences").desc, col("token"))
+          .limit(20)
+    }.withBench { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("occurrences"),
+          approx_count_distinct("doc_id").as("doc_freq"))
+        .orderBy(col("occurrences").desc, col("token"))
+        .limit(20)
+    },
+
     sql("t7_fuzzy_match",
       "Text: levenshtein fuzzy-match pairs over a dimension (edit distance <= 1)",
       """SELECT a.n_name AS name1, b.n_name AS name2,
