@@ -20,6 +20,7 @@ object SparkEntry {
     graft.queries.TextQueries.all ++
     graft.queries.ExtraQueries.all ++
     graft.queries.StatsQueries.all ++
+    graft.queries.ReportQueries.all ++
     graft.queries.StreamingQueries.all ++
     graft.queries.MultimodalQueries.all ++
     graft.queries.LlmPipelineQueries.all

@@ -41,7 +41,7 @@ object Reports {
   def hourlyDemand(spark: SparkSession, dataDir: String): DataFrame = {
     Tables.registerAll(spark, dataDir)
     spark.sql(
-      """SELECT hour(ts) AS hour_of_day, COUNT(*) AS n_events,
+      """SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day, COUNT(*) AS n_events,
         |       ROUND(AVG(value), 2) AS avg_value
         |FROM events WHERE user_id IS NOT NULL
         |GROUP BY hour(ts) ORDER BY hour_of_day""".stripMargin)
