@@ -57,6 +57,23 @@ object ExtraQueries {
       }
     },
 
+    sql("u6_except_all",
+      "U6: bag-semantics EXCEPT ALL — multiset difference preserves multiplicities (set EXCEPT would collapse them)",
+      """SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        | SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'N'
+        | EXCEPT ALL
+        | SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+        | GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        li.filter(col("l_returnflag") === "N").select("l_suppkey")
+          .exceptAll(li.filter(col("l_returnflag") === "R").select("l_suppkey"))
+          .groupBy("l_suppkey")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("l_suppkey")
+      }
+    },
+
     sql("a13_rollup",
       "A13: ROLLUP grouping sets (per-flag-and-status, per-flag, grand total)",
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS total_lines,
