@@ -23,9 +23,13 @@ import graft.ops.{Dedup, TextOps}
   */
 object DocPipeline {
 
+  /** `maxDf` (production) caps hot-shingle document frequency inside the
+    * near-dup stage — see [[Dedup.capDocumentFrequency]]; None keeps the
+    * exact shingle set the llm1 oracle requires. */
   def cleanCorpus(docs: DataFrame,
                   minQuality: Double = 60.0,
-                  nearDupThr: Double = 0.8): DataFrame = {
+                  nearDupThr: Double = 0.8,
+                  maxDf: Option[Long] = None): DataFrame = {
     val scored = docs.withColumn("quality",
       TextOps.qualityScore(col("text"), TextOps.corpusStopwords))
     val qualified = scored.filter(col("quality") >= minQuality)
@@ -37,7 +41,7 @@ object DocPipeline {
       .filter(col("__rn") === 1).drop("__rn")
 
     // near-dup removal among survivors: drop the higher id of each pair
-    val pairs = Dedup.minhashNearDup(deduped, thr = nearDupThr)
+    val pairs = Dedup.minhashNearDup(deduped, thr = nearDupThr, maxDf = maxDf)
     val drops = pairs.select(col("id2").as("doc_id")).distinct()
     deduped.join(broadcast(drops), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"),

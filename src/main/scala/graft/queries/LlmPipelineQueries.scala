@@ -42,6 +42,12 @@ object LlmPipelineQueries {
       (s, d) =>
         DocPipeline.cleanCorpus(Tables.documents(s, d))
           .orderBy("doc_id")
+    }.withBench { (s, d) =>
+      // production: the same composition with the hot-shingle df-cap in
+      // the near-dup stage (no-op on this corpus; the scale guard at
+      // 100 TB) and no oracle-only total sort
+      DocPipeline.cleanCorpus(Tables.documents(s, d),
+        maxDf = Some(graft.ops.Dedup.DefaultMaxDf))
     },
 
     sql("llm2_shard_stats",

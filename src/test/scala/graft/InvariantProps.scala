@@ -110,6 +110,17 @@ object InvariantProps extends Properties("graft") {
       }
     }
 
+  property("winnowFromHashes equals the naive sliding-window minimum") =
+    forAll(Gen.listOfN(10, Gen.alphaLowerStr.map(s => s.take(6) + "x"))) { hs =>
+      val got = Seq(Tuple1(hs)).toDF("hashes")
+        .select(graft.ops.TextOps.winnowFromHashes(col("hashes"), w = 4).as("f"))
+        .as[Seq[String]].collect()(0)
+      val expect =
+        if (hs.length >= 4) hs.sliding(4).map(_.min).toSeq.distinct
+        else Seq(hs.min)
+      got == expect
+    }
+
   property("group counts sum to total count") =
     forAll(Gen.listOfN(40, Gen.oneOf("a", "b", "c"))) { ks =>
       val df = ks.toDF("k")

@@ -92,5 +92,16 @@ class PlanSpec extends AnyFunSuite {
     }
     // and the oracle plan stays cap-free (DuckDB must see every shingle)
     assert(!plan(specs("dd3_ngram_jaccard").run(spark, TestSpark.sfDir)).contains("LeftAnti"))
+    // the composed capstone's production plan carries the cap too: two
+    // LeftAnti joins — the df-cap plus the pipeline's own drop-set join
+    val llm1 = plan(specs("llm1_clean_corpus").production(spark, TestSpark.sfDir))
+    assert(llm1.split("LeftAnti").length >= 3, "llm1 production plan lost the df-cap")
+  }
+
+  test("production sampling/vocab plans use the cheap hash and the sketch") {
+    val o8 = plan(specs("o8_group_hash_sample").production(spark, TestSpark.sfDir))
+    assert(o8.contains("xxhash64") && !o8.contains("md5"))
+    val t8 = plan(specs("t8_token_freq").production(spark, TestSpark.sfDir))
+    assert(t8.contains("approx_count_distinct"))
   }
 }
