@@ -93,13 +93,19 @@ object Dedup {
   def hashedShingleDF(docs: DataFrame, k: Int = 3): DataFrame =
     shingleDF(docs, k = k).select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
 
-  /** MinHash signature: numPerm independent min-hashes per doc. Permutation
-    * i is xxhash64(shingle, i) — seeding by hashing the permutation index
-    * alongside the shingle avoids modular-arithmetic overflow tricks and
-    * stays inside whole-stage codegen. One wide partial+final hash agg. */
+  /** MinHash signature: numPerm independent min-hashes per doc. The shingle
+    * string is hashed ONCE (xxhash64), STAGED as a projected attribute, and
+    * each "permutation" re-hashes that fixed-width 8-byte value with the
+    * permutation index — so per shingle the string bytes are walked once,
+    * not numPerm times (same staging lesson as [[shinglesFromTokens]]).
+    * A multiply-add bijection (a·h+b mod 2⁶⁴) would be cheaper still but
+    * needs wrap-around semantics, and Spark 4 runs ANSI arithmetic — Long
+    * overflow throws instead of wrapping — so the mix stays a hash. One
+    * wide partial+final hash agg, fully codegen'd. */
   def minhashSignatures(sh: DataFrame, numPerm: Int = 64): DataFrame = {
-    val aggs = (0 until numPerm).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"mh$i"))
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val hashed = sh.select(col("doc_id"), xxhash64(col("shingle")).as("__h"))
+    val aggs = (0 until numPerm).map(i => min(xxhash64(col("__h"), lit(i))).as(s"mh$i"))
+    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: signature → (doc_id, band, band_hash) rows. Docs agreeing
@@ -204,9 +210,13 @@ object Dedup {
       .withColumn("r", row_number().over(w))
       .join(sizes, "doc_id")
       .filter(col("r") <= floor((lit(1.0) - thr) * col("n")) + 1)
-      .select("doc_id", "shingle")
+      .select("doc_id", "shingle", "n")
+    // PPJoin length filter: J ≥ t ⇒ |A∩B| ≤ min(n_a,n_b) and
+    // J = i/(n_a+n_b−i) ≥ t ⇒ min ≥ t·max — prune size-mismatched pairs
+    // at candidate time, before the distinct and the verify join.
     val cand = prefixes.as("x").join(prefixes.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.n") >= col("y.n") * thr && col("y.n") >= col("x.n") * thr)
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
       .distinct()
     val candDocs = cand.select(col("id1").as("doc_id"))
