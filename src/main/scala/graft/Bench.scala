@@ -24,7 +24,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.engine.Sessions.local()
 
+    // Optional comma-separated allowlist for local iteration on a subset
+    // (the driver never sets it, so driver runs always time the full set).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.specs.sortBy(_.name)
+      .filter(s => only.forall(_.contains(s.name)))
 
     // JVM/codegen warm-up on the smallest sf (not timed). Fall back to the
     // bench dir itself if the smoke corpus is absent on this machine.

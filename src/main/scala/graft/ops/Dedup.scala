@@ -45,10 +45,20 @@ object Dedup {
     * falls back to a shuffled anti-join when it isn't (a forced
     * broadcast() here would OOM the driver at exactly the scale the cap
     * exists for). Docs whose shingles are ALL hot drop out of dedup
-    * entirely (they are indistinguishable boilerplate). */
+    * entirely (they are indistinguishable boilerplate).
+    *
+    * The hot set is MATERIALIZED (localCheckpoint) rather than left lazy:
+    * the capped frame feeds several consumers downstream (signatures,
+    * candidate semi-join, the 3-way verify join), and a lazy hot set
+    * would re-run its groupBy — a full substrate pass plus a shuffle —
+    * once per consumer (measured ~4× per dedup query at sf0.1). After
+    * materialization each consumer pays only the map-side anti-join
+    * probe. On a real cluster swap for `checkpoint()` if executor loss
+    * during the (short) df pass matters. */
   def capDocumentFrequency(sh: DataFrame, maxDf: Long = DefaultMaxDf): DataFrame = {
     val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("shingle")
+      .localCheckpoint()
     sh.join(hot, Seq("shingle"), "left_anti")
       .select(sh.columns.map(col).toIndexedSeq: _*) // using-join moves the key first; keep caller's order
   }
@@ -172,13 +182,15 @@ object Dedup {
     require(numPerm >= bands * rows,
       s"numPerm ($numPerm) must cover bands*rows (${bands * rows}) — lshBands reads mh0..mh${bands * rows - 1}")
     // The substrate feeds signatures AND the 3-way verify join, so the
-    // tokenize+shingle explode recomputes per consumer. Persisting it was
-    // MEASURED SLOWER here (dd2 5.1→6.2s, llm1 5.1→14.8s at sf0.1): the
-    // cache is a materialization barrier plus row serialization, while
-    // recompute is pipelined map-side work that codegen fuses into each
-    // consumer. Same verdict as hashShingles — revisit only when the
-    // explode itself becomes the bottleneck (very long docs).
-    val capped = maxDf.fold(sh)(capDocumentFrequency(sh, _))
+    // tokenize+shingle explode recomputes per consumer. For the LAZY
+    // (oracle) path, persisting it was MEASURED SLOWER (dd2 5.1→6.2s,
+    // llm1 5.1→14.8s at sf0.1): the cache is a materialization barrier
+    // plus row serialization, while recompute is pipelined map-side work
+    // that codegen fuses into each consumer. The CAPPED (production) path
+    // flips that verdict: capping inserts a shuffle-bearing anti-join
+    // into every recompute, so the capped substrate is materialized once
+    // (localCheckpoint) and all consumers read the snapshot.
+    val capped = maxDf.fold(sh)(m => capDocumentFrequency(sh, m).localCheckpoint())
     val cand = lshCandidates(minhashSignatures(capped, numPerm), bands, rows)
     val candDocs = cand.select(col("id1").as("doc_id"))
       .union(cand.select(col("id2").as("doc_id"))).distinct()
@@ -199,9 +211,11 @@ object Dedup {
                                  thr: Double = 0.8,
                                  maxDf: Option[Long] = None): DataFrame = {
     val shAll = shingleDF(docs, k = k)
-    // recomputed per consumer (df table, prefix index, verify) — measured
-    // faster than persisting; see minhashNearDupFromShingles
-    val sh = maxDf.fold(shAll)(capDocumentFrequency(shAll, _))
+    // ~6 consumers here (df table, sizes, prefix index, semi-join, 3-way
+    // verify) — capped production runs materialize the substrate once;
+    // the uncapped lazy path keeps pipelined recompute (see
+    // minhashNearDupFromShingles for the measured tradeoff)
+    val sh = maxDf.fold(shAll)(m => capDocumentFrequency(shAll, m).localCheckpoint())
     val docFreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window

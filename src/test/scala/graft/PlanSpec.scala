@@ -83,19 +83,32 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("production dedup plans carry the hot-shingle df-cap anti-join") {
-    // the cap is a broadcast LeftAnti against the over-cap shingle set —
-    // its presence in the BENCH plan is the scale-safety guarantee the
-    // oracle plan (exact shingle set) deliberately omits
+    // The cap is a LeftAnti against the over-cap shingle set. Production
+    // paths MATERIALIZE the capped substrate (localCheckpoint) because
+    // ~4-7 consumers would otherwise re-run the cap's shuffle each — so
+    // the anti-join executes inside the eager checkpoint and the final
+    // plan shows the snapshot scan, not the join. Pin both halves:
+    // (1) the cap construction itself plans the LeftAnti…
+    val sh = graft.ops.Dedup.shingleDF(
+      graft.model.Tables.documents(spark, TestSpark.sfDir))
+    assert(plan(graft.ops.Dedup.capDocumentFrequency(sh, 1000)).contains("LeftAnti"))
+    // (2) …and every capped bench plan reads a materialized substrate
+    // (the checkpoint the cap ran inside). Cap SEMANTICS are pinned by
+    // DedupSpec's stop-shingle parity test.
     for (name <- Seq("dd2_minhash_neardup", "dd3_ngram_jaccard")) {
       val p = plan(specs(name).production(spark, TestSpark.sfDir))
-      assert(p.contains("LeftAnti"), s"$name bench plan lost the df-cap:\n${p.take(2000)}")
+      assert(p.contains("Scan ExistingRDD"),
+        s"$name bench plan no longer reads the materialized capped substrate:\n${p.take(2000)}")
     }
-    // and the oracle plan stays cap-free (DuckDB must see every shingle)
-    assert(!plan(specs("dd3_ngram_jaccard").run(spark, TestSpark.sfDir)).contains("LeftAnti"))
-    // the composed capstone's production plan carries the cap too: two
-    // LeftAnti joins — the df-cap plus the pipeline's own drop-set join
+    // the oracle plan stays cap-free AND fully lazy (DuckDB must see
+    // every shingle; pipelined recompute is the measured-faster shape)
+    val oracleP = plan(specs("dd3_ngram_jaccard").run(spark, TestSpark.sfDir))
+    assert(!oracleP.contains("LeftAnti") && !oracleP.contains("Scan ExistingRDD"))
+    // the composed capstone's production plan: capped materialized
+    // substrate + the pipeline's own drop-set anti-join
     val llm1 = plan(specs("llm1_clean_corpus").production(spark, TestSpark.sfDir))
-    assert(llm1.split("LeftAnti").length >= 3, "llm1 production plan lost the df-cap")
+    assert(llm1.contains("Scan ExistingRDD") && llm1.contains("LeftAnti"),
+      "llm1 production plan lost the df-cap substrate or the drop-set anti-join")
   }
 
   test("production sampling/vocab plans use the cheap hash and the sketch") {
