@@ -47,14 +47,17 @@ object Tables {
     * reference's EP2/EP3 SQL reporting surface without an external DB
     * (reference: src/main.py:311-424 goes through Postgres; we stay
     * self-contained — SURVEY.md §3 EP2). */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach { n =>
-      // route through the per-table loaders so e.g. the events view gets
-      // the same ns→TimestampType normalization as DataFrame-path consumers
-      val df = n match {
-        case "events" => events(spark, dir)
-        case other    => load(spark, dir, other)
-      }
-      df.createOrReplaceTempView(n)
+  /** Register one table as a temp view, routed through the per-table
+    * loaders so e.g. the events view gets the same ns→TimestampType
+    * normalization as DataFrame-path consumers. */
+  def register(spark: SparkSession, dir: String, name: String): Unit = {
+    val df = name match {
+      case "events" => events(spark, dir)
+      case other    => load(spark, dir, other)
     }
+    df.createOrReplaceTempView(name)
+  }
+
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(register(spark, dir, _))
 }

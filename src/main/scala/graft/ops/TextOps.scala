@@ -22,6 +22,24 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** BPE-style pre-tokenizer pattern (the GPT-2 shape reduced to
+    * constructs PCRE and java.util.regex evaluate identically):
+    * contraction suffixes, letter runs, digit runs, non-space symbol
+    * runs. This is the PRE-tokenization a byte-pair encoder merges
+    * within — the unit real token-count estimators meter, and a much
+    * better LLM-cost proxy than whitespace words (it splits punctuation
+    * and digits the way BPE vocabularies do). */
+  val bpeishPattern: String = "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  /** BPE-ish subword tokens via one codegen'd regexp_extract_all pass. */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpeishPattern), lit(0))
+
+  /** BPE-ish token count — whitespace never yields a token, so unlike
+    * [[tokenCount]] this is 0 for all-whitespace text. */
+  def bpeishTokenCount(text: Column): Column =
+    size(bpeishTokens(text)).cast("long")
+
   /** Type-token ratio: distinct / total tokens (lexical diversity). */
   def typeTokenRatio(text: Column): Column = {
     val ws = tokens(text)

@@ -26,7 +26,10 @@ object Reports {
   /** Trips-analysis analog: the reference's multi-key GROUP BY report SQL
     * (src/main.py:332-341), served by Catalyst over the raw corpus view. */
   def analysis(spark: SparkSession, dataDir: String): DataFrame = {
-    Tables.registerAll(spark, dataDir)
+    // register only the queried view: registerAll re-reads every table's
+    // footer (10 driver-side file opens) per call — needless here, and at
+    // cluster scale each would be a catalog/listing round-trip
+    Tables.register(spark, dataDir, "lineitem")
     spark.sql(
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS total_lines,
         |       ROUND(AVG(l_extendedprice), 2) AS avg_price
@@ -39,7 +42,7 @@ object Reports {
     * SURVEY.md §3 EP3, scripts/create_tables.sql:9). Served over the
     * events view with a real time dimension. */
   def hourlyDemand(spark: SparkSession, dataDir: String): DataFrame = {
-    Tables.registerAll(spark, dataDir)
+    Tables.register(spark, dataDir, "events") // just the queried view — see analysis()
     spark.sql(
       """SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day, COUNT(*) AS n_events,
         |       ROUND(AVG(value), 2) AS avg_value

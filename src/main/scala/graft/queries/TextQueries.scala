@@ -181,6 +181,37 @@ object TextQueries {
       }
     },
 
+    sql("t9_bpeish_tokens",
+      "Text: LLM token-cost report — whitespace vs BPE-ish subword counts per (lang, source)",
+      {
+        // the pattern's contraction apostrophe must be doubled inside a
+        // SQL single-quoted literal
+        val pat = TextOps.bpeishPattern.replace("'", "''")
+        s"""SELECT lang, source, COUNT(*) AS n_docs,
+           | CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS ws_tokens,
+           | CAST(SUM(len(regexp_extract_all(text, '$pat'))) AS BIGINT) AS bpeish_tokens,
+           | ROUND(SUM(len(regexp_extract_all(text, '$pat'))) * 1.0
+           |   / SUM(len(string_split(text,' '))), 4) AS subword_ratio
+           | FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin.replace("\n", "")
+      }) {
+      (s, d) =>
+        // both token counts are one map-side pass each (split / one
+        // regexp_extract_all); the agg is a partial+final hash agg on
+        // (lang, source). The regex is shared with the oracle via
+        // TextOps.bpeishPattern — RE2 (DuckDB) and java.util.regex agree
+        // on it by construction (no lookarounds, no backrefs).
+        Tables.documents(s, d)
+          .select(col("lang"), col("source"),
+            TextOps.tokenCount(col("text")).as("ws"),
+            TextOps.bpeishTokenCount(col("text")).as("bp"))
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("ws").as("ws_tokens"),
+            sum("bp").as("bpeish_tokens"),
+            round(sum("bp") * lit(1.0) / sum("ws"), 4).as("subword_ratio"))
+          .orderBy("lang", "source")
+    },
+
     rowsOnly("t5_langid",
       "Text: heuristic marker-word language ID — predicted-language counts (profiles pinned in ScalaTest; corpus vocab is language-neutral)") {
       (s, d) =>

@@ -32,6 +32,17 @@ class TextOpsSpec extends AnyFunSuite {
     assert(one[Double](short.select(TextOps.qualityScore(col("text"), Seq("the")))) == 4.0)
   }
 
+  test("bpeishTokens: contractions split, digit/letter/punct runs separate") {
+    val got = Seq("Don't pay $1,234.56 twice!!").toDF("text")
+      .select(TextOps.bpeishTokens(col("text")).as("t"))
+      .as[Seq[String]].collect()(0)
+    assert(got == Seq("Don", "'t", "pay", "$", "1", ",", "234", ".", "56", "twice", "!!"))
+    val counts = Seq("Don't pay $1,234.56 twice!!", "   ", "", "plain words here")
+      .toDF("text").select(TextOps.bpeishTokenCount(col("text")).as("n"))
+      .as[Long].collect().toSeq
+    assert(counts == Seq(11L, 0L, 0L, 3L)) // whitespace yields no subword tokens
+  }
+
   test("langId: marker argmax, 'und' for no or tied evidence") {
     val df = Seq(
       "the cat of a house and a dog is here",
