@@ -217,12 +217,15 @@ object Dedup {
     // minhashNearDupFromShingles for the measured tradeoff)
     val sh = maxDf.fold(shAll)(m => capDocumentFrequency(shAll, m).localCheckpoint())
     val docFreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
+    // rank + doc size in ONE window pass: both functions partition by
+    // doc_id, so Spark serves them from a single shuffle+sort (a separate
+    // groupBy-sizes + join would add a second doc_id shuffle)
+    val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("shingle"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val prefixes = sh.join(docFreq, "shingle")
-      .withColumn("r", row_number().over(w))
-      .join(sizes, "doc_id")
+      .select(col("doc_id"), col("shingle"),
+        row_number().over(wOrd).as("r"), count(lit(1)).over(wAll).as("n"))
       .filter(col("r") <= floor((lit(1.0) - thr) * col("n")) + 1)
       .select("doc_id", "shingle", "n")
     // PPJoin length filter: J ≥ t ⇒ |A∩B| ≤ min(n_a,n_b) and

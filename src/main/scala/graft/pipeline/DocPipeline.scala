@@ -36,9 +36,16 @@ object DocPipeline {
 
     // exact dedup: deterministic min-id survivor per identical text
     val w = Window.partitionBy("text").orderBy("doc_id")
-    val deduped = qualified
+    val dedupedLazy = qualified
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
+    // Production (capped) runs materialize the deduped corpus once — the
+    // standard inter-stage persist between the exact-dedup and near-dup
+    // stages of a real corpus build: it feeds both the shingle substrate
+    // and the final anti-join, and lazy recompute would re-run the
+    // quality scan plus the window shuffle for each. The oracle path
+    // stays fully lazy (plan transparency for the correctness gate).
+    val deduped = if (maxDf.isDefined) dedupedLazy.localCheckpoint() else dedupedLazy
 
     // near-dup removal among survivors: drop the higher id of each pair
     val pairs = Dedup.minhashNearDup(deduped, thr = nearDupThr, maxDf = maxDf)
