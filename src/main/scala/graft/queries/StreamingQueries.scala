@@ -44,6 +44,23 @@ object StreamingQueries {
           .orderBy("user_id", "session_start")
     },
 
+    sql("st4_sliding_window",
+      "Streaming: sliding 1h windows hopping every 15min (4 overlapping windows per event; batch = stream)",
+      """WITH e AS (SELECT event_type, value, time_bucket(INTERVAL '15 minutes', ts) AS tb
+        |           FROM events WHERE user_id IS NOT NULL),
+        |w AS (SELECT event_type, value, tb - i * INTERVAL 15 MINUTE AS ws
+        |      FROM e, range(0, 4) t(i))
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        |       COUNT(*) AS n_events, ROUND(AVG(value), 4) AS avg_value
+        | FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin.replace("\n", "")) {
+      // oracle derivation: a 1h/15min hopping window contains ts iff its
+      // start is one of the 4 slide-aligned marks in (ts-1h, ts] — i.e.
+      // time_bucket(15min, ts) minus 0..3 slides, exactly
+      (s, d) =>
+        EventStreams.slidingCounts(Tables.events(s, d))
+          .orderBy("window_start", "event_type")
+    },
+
     sql("st3_stream_join",
       "Streaming: stream-stream click->purchase attribution join (equality key + event-time range, both sides watermarked; batch = stream)",
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,

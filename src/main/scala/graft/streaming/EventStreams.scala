@@ -34,6 +34,24 @@ object EventStreams {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("avg_value"))
 
+  /** Sliding (hopping) window counts + mean value per event type: windows
+    * of `windowDur` starting every `slide`, so each event lands in
+    * windowDur/slide overlapping windows. Same watermark-driven state
+    * eviction as tumbling — the per-key state multiplier is the overlap
+    * factor, which is why production slides are a small divisor of the
+    * window (4 here), not per-second micro-hops. */
+  def slidingCounts(events: DataFrame,
+                    windowDur: String = "1 hour",
+                    slide: String = "15 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events.filter(col("user_id").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(avg("value"), 4).as("avg_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("avg_value"))
+
   /** Stream-stream click→purchase attribution join: every purchase a user
     * makes within `horizon` of a click, keyed by user. The canonical
     * Structured Streaming two-stream join — equality key + event-time

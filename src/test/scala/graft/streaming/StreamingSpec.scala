@@ -40,6 +40,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("sliding-window counts: streaming equals batch") {
+    val batch = EventStreams.slidingCounts(Tables.events(spark, TestSpark.sfDir))
+      .collect().toSet
+    runToCompletion(EventStreams.slidingCounts(streamEvents), "stream_sliding")
+    val streamed = spark.table("stream_sliding").collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // overlap sanity: 1h/15min hops must yield ~4x the tumbling row count
+    val tumbling = EventStreams.tumblingCounts(Tables.events(spark, TestSpark.sfDir)).count()
+    assert(batch.size > 2 * tumbling)
+  }
+
   test("sessionization: streaming equals batch") {
     val batch = EventStreams.userSessions(Tables.events(spark, TestSpark.sfDir))
       .collect().toSet
