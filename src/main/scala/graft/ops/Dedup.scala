@@ -241,6 +241,46 @@ object Dedup {
     exactJaccardPairs(sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi"), thr)
   }
 
+  /** Connected components over a near-dup pair graph: every doc that
+    * appears in some pair gets the MINIMUM doc_id reachable from it as
+    * its cluster id — the transitive closure a real dedup needs (greedy
+    * per-pair dropping over-keeps whenever two docs are linked only
+    * through a common neighbor).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbors' labels; converges
+    * in O(component diameter) rounds (near-dup components are dense, so
+    * diameters are tiny). Each round is one join + one groupBy on the
+    * edge list; labels are localCheckpoint'd per round (lineage would
+    * otherwise double per iteration). Convergence is detected with a
+    * scalar changed-count — a per-round driver scalar, same budget as a
+    * Lloyd iteration, NOT a data collect. This is the standard
+    * large-graph CC shape (the "small-star" half of Kiveris et al.'s
+    * star contractions); at 100 TB the edge list is the near-dup pair
+    * output, orders of magnitude smaller than the corpus. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val prop = edges.join(labels, edges("b") === labels("doc_id"))
+        .groupBy(col("a")).agg(min("label").as("nbr_label"))
+      val next = labels.join(prop, labels("doc_id") === prop("a"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster"))
+  }
+
   /** 64-bit SimHash over term-frequency-weighted whitespace tokens: bit b
     * of the signature is the sign of Σ_tokens (±1 per token depending on
     * bit b of xxhash64(token)). One wide conditional aggregation. */

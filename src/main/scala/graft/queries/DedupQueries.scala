@@ -13,12 +13,11 @@ import graft.ops.Dedup
   */
 object DedupQueries {
 
-  /** Shared DuckDB ground truth: exact 3-shingle Jaccard over all pairs
-    * sharing a shingle, threshold 0.8. Both dd2 (MinHash+verify) and
-    * dd3 (direct shingle join) must reproduce this exactly — same final
-    * semantics, different physical strategy. */
-  private val jaccardOracle =
-    """WITH sh AS (
+  /** Shared DuckDB CTE chain computing the exact 3-shingle Jaccard ≥ 0.8
+    * pair set — the single ground truth dd2, dd3 AND dd5's cluster
+    * closure all build on. */
+  private val jaccardCtes =
+    """sh AS (
       | SELECT doc_id, UNNEST(CASE WHEN len(string_split(text,' ')) >= 3
       |   THEN list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
       |        i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))
@@ -26,11 +25,14 @@ object DedupQueries {
       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2)
-      |SELECT id1, id2, ROUND(i * 1.0 / (c1.n + c2.n - i), 4) AS jaccard
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT id1, id2, ROUND(i * 1.0 / (c1.n + c2.n - i), 4) AS jaccard
       | FROM inter JOIN cnt c1 ON id1 = c1.doc_id JOIN cnt c2 ON id2 = c2.doc_id
-      | WHERE i * 1.0 / (c1.n + c2.n - i) >= 0.8
-      | ORDER BY id1, id2""".stripMargin.replace("\n", "")
+      | WHERE i * 1.0 / (c1.n + c2.n - i) >= 0.8)""".stripMargin.replace("\n", "")
+
+  /** dd2/dd3 ground truth: the pair set itself, deterministically ordered. */
+  private val jaccardOracle =
+    s"WITH $jaccardCtes SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2"
 
   val all: Seq[QuerySpec] = Seq(
 
@@ -88,6 +90,27 @@ object DedupQueries {
       // oracle plan only.
       Dedup.prefixFilteredJaccardPairs(Tables.documents(s, d),
         thr = 0.8, maxDf = Some(Dedup.DefaultMaxDf))
+    },
+
+    sql("dd5_dedup_clusters",
+      "Dedup: near-dup pairs resolved to clusters (connected components, min-id representative)",
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+         |          UNION ALL SELECT id2, id1 FROM pairs),
+         |cc AS (SELECT DISTINCT a AS doc_id, a AS label FROM edges
+         |       UNION
+         |       SELECT e.b AS doc_id, cc.label FROM cc JOIN edges e ON cc.doc_id = e.a)
+         |SELECT doc_id, MIN(label) AS cluster FROM cc
+         | GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", "")) {
+      // the transitive closure a real dedup keeps ONE survivor per
+      // cluster with — greedy per-pair dropping over-keeps whenever two
+      // docs are linked only through a common neighbor
+      (s, d) =>
+        Dedup.connectedComponents(Dedup.minhashNearDup(Tables.documents(s, d)))
+          .orderBy("doc_id")
+    }.withBench { (s, d) =>
+      Dedup.connectedComponents(
+        Dedup.minhashNearDup(Tables.documents(s, d), maxDf = Some(Dedup.DefaultMaxDf)))
     },
 
     rowsOnly("dd4_simhash_neardup",

@@ -84,6 +84,22 @@ class DedupSpec extends AnyFunSuite {
     assert(capped == full && full.nonEmpty)
   }
 
+  test("connectedComponents: chains and common-neighbor links resolve to min-id clusters") {
+    // component {1,2,3} via a chain, {4,5,6} linked ONLY through common
+    // neighbor 6 (the case greedy per-pair dropping gets wrong: it would
+    // keep both 4 and 5), and an isolated pair {8,9}
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 6L), (5L, 6L), (8L, 9L))
+      .toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 8L -> 8L, 9L -> 8L))
+    // empty pair set → empty cluster table (no near-dups found)
+    val none = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id1", "id2"))
+    assert(none.isEmpty)
+  }
+
   test("minhashNearDup rejects numPerm below bands*rows") {
     intercept[IllegalArgumentException] {
       Dedup.minhashNearDup(docs, numPerm = 32, bands = 16, rows = 4)
