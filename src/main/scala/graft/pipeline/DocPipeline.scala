@@ -8,7 +8,7 @@ import graft.ops.{Dedup, TextOps}
 /** The composed LLM training-data cleaning pipeline — the north-star
   * components chained the way a real corpus build runs them:
   *
-  *   quality filter → exact dedup → near-dup removal → cleaned corpus
+  *   quality filter → exact dedup → near-dup clustering → cleaned corpus
   *
   * Every stage is one of the already-verified operators; the composition
   * itself is oracle-checked end-to-end (llm1_clean_corpus).
@@ -16,11 +16,11 @@ import graft.ops.{Dedup, TextOps}
   * Scale shape: quality scoring is map-side; exact dedup is one shuffle
   * on the text key (hash-group at 100 TB — see dd1's production
   * variant); near-dup candidates come from MinHash banding (never
-  * all-pairs) and the drop set is a broadcast anti-join. Survivor rules
-  * are deterministic: min doc_id per duplicate text, and of every
-  * near-dup pair the higher doc_id is dropped (greedy by id — chains
-  * resolve identically in any engine).
-  */
+  * all-pairs); verified pairs are resolved to clusters by
+  * [[Dedup.connectedComponents]] (the edge list is tiny relative to the
+  * corpus) and the drop set is a broadcast anti-join. Survivor rules
+  * are deterministic: min doc_id per duplicate text, min doc_id per
+  * near-dup cluster. */
 object DocPipeline {
 
   /** `maxDf` (production) caps hot-shingle document frequency inside the
@@ -47,9 +47,13 @@ object DocPipeline {
     // stays fully lazy (plan transparency for the correctness gate).
     val deduped = if (maxDf.isDefined) dedupedLazy.localCheckpoint() else dedupedLazy
 
-    // near-dup removal among survivors: drop the higher id of each pair
+    // near-dup removal among survivors: resolve verified pairs into
+    // connected components and keep ONE representative (min doc_id) per
+    // cluster — transitive closure, not greedy pair-dropping, which
+    // over-keeps docs linked only through a common neighbor
     val pairs = Dedup.minhashNearDup(deduped, thr = nearDupThr, maxDf = maxDf)
-    val drops = pairs.select(col("id2").as("doc_id")).distinct()
+    val drops = Dedup.connectedComponents(pairs)
+      .filter(col("cluster") =!= col("doc_id")).select("doc_id")
     deduped.join(broadcast(drops), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"),
         TextOps.tokenCount(col("text")).as("n_tokens"), col("quality"))

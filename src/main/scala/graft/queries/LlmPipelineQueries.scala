@@ -7,17 +7,17 @@ import graft.pipeline.DocPipeline
 
 /** The composed LLM training-data cleaning pipeline, oracle-checked
   * END-TO-END: quality filter → exact dedup (min-id survivor) → MinHash
-  * near-dup removal (drop the higher id of each verified pair). One
-  * query proving the north-star operators compose into the corpus build
-  * they exist for.
+  * near-dup clustering (connected components, keep the min-id
+  * representative per cluster). One query proving the north-star
+  * operators compose into the corpus build they exist for.
   */
 object LlmPipelineQueries {
 
   val all: Seq[QuerySpec] = Seq(
 
     sql("llm1_clean_corpus",
-      "LLM pipeline capstone: quality-filter → exact-dedup → near-dup-removal, end-to-end",
-      """WITH scored AS (SELECT doc_id, text, lang, source,
+      "LLM pipeline capstone: quality-filter → exact-dedup → near-dup clustering, end-to-end",
+      """WITH RECURSIVE scored AS (SELECT doc_id, text, lang, source,
         |  ROUND(100.0 * (1.0 - len(list_filter(string_split(text,' '), w -> w IN ('a','the','row','data','value','table'))) * 1.0 / len(string_split(text,' ')))
         |    * LEAST(1.0, len(string_split(text,' ')) / 50.0), 2) AS quality FROM documents),
         |qualified AS (SELECT * FROM scored WHERE quality >= 60.0),
@@ -33,11 +33,18 @@ object LlmPipelineQueries {
         |          GROUP BY 1, 2),
         |pairs AS (SELECT id1, id2 FROM inter
         |          JOIN cnt c1 ON id1 = c1.doc_id JOIN cnt c2 ON id2 = c2.doc_id
-        |          WHERE i * 1.0 / (c1.n + c2.n - i) >= 0.8)
+        |          WHERE i * 1.0 / (c1.n + c2.n - i) >= 0.8),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |          UNION ALL SELECT id2, id1 FROM pairs),
+        |cc AS (SELECT DISTINCT a AS doc_id, a AS label FROM edges
+        |       UNION
+        |       SELECT e.b AS doc_id, cc.label FROM cc JOIN edges e ON cc.doc_id = e.a),
+        |drops AS (SELECT doc_id FROM cc GROUP BY doc_id
+        |          HAVING MIN(label) <> doc_id)
         |SELECT d.doc_id, d.lang, d.source,
         |       CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens, d.quality
         | FROM deduped d
-        | WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id2 = d.doc_id)
+        | WHERE NOT EXISTS (SELECT 1 FROM drops p WHERE p.doc_id = d.doc_id)
         | ORDER BY doc_id""".stripMargin.replace("\n", "")) {
       (s, d) =>
         DocPipeline.cleanCorpus(Tables.documents(s, d))
