@@ -19,6 +19,25 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Parquet sink with output-file sizing: repartitions so each written
+    * file lands near `targetBytes` (in-memory plan-statistics estimate;
+    * parquet compression means files come out smaller — the point is the
+    * ORDER of magnitude, not the exact size). The 100 TB failure modes
+    * this guards: a wide shuffle upstream leaves 10k near-empty
+    * partitions → 10k tiny files that poison every downstream listing;
+    * or one coalesced partition → single multi-GB file with no read
+    * parallelism. Sizing comes from Catalyst's sizeInBytes — a
+    * plan-time estimate, NO extra job and no driver collect. */
+  def parquetSized(df: DataFrame, path: String,
+                   targetBytes: Long = 128L * 1024 * 1024,
+                   partitionBy: Seq[String] = Nil,
+                   mode: String = "overwrite"): Unit = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = (estBytes / targetBytes).min(BigInt(1 << 20)).toInt.max(1)
+    parquet(df.repartition(parts), path, partitionBy, mode)
+  }
+
   /** S3: CSV sink with header (quality metrics / reports).
     * `singleFile = true` mimics the reference's one-file-per-report layout
     * via coalesce(1) — fine for KB-scale reports, a deliberate funnel;

@@ -146,6 +146,25 @@ object WindowQueries {
       }
     },
 
+    sql("w8_pct_rank_cume",
+      "W1: percent_rank + cume_dist per order priority (relative standing — both rank-derived, tie-stable)",
+      """SELECT o_orderpriority, o_orderkey,
+        | ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice), 6) AS pct_rank,
+        | ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice), 6) AS cume
+        | FROM orders ORDER BY o_orderpriority, o_orderkey""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // both functions depend only on the RANK of the order-by value,
+        // so price ties produce identical output in any engine — no
+        // tie-break column needed (unlike row_number-based queries)
+        val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+        Tables.orders(s, d)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      }
+    },
+
     sql("w5_running_sum",
       "W1: cumulative (unbounded-preceding) sum per customer, exact DECIMAL accumulation",
       """SELECT o_custkey, o_orderkey,
