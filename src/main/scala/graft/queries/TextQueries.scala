@@ -212,6 +212,58 @@ object TextQueries {
           .orderBy("lang", "source")
     },
 
+    sql("t10_tfidf",
+      "Text: TF-IDF top-3 terms per doc (tf x ln(N/df), per-doc top-k window)",
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, token,
+        |    ROUND(tf * LN(n_docs * 1.0 / df), 4) AS tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY tf * LN(n_docs * 1.0 / df) DESC, token) AS rank
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT doc_id, token, tfidf, CAST(rank AS BIGINT) AS rank
+        | FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // tf and df are two partial+final hash aggs over one exploded
+        // token frame; N is a broadcast 1-row aggregate (never a driver
+        // scalar); the top-3 is a per-doc row_number window. Ties order
+        // by token — safe because equal (tf, df) pairs produce the SAME
+        // double in either engine, so tie-break order is engine-stable.
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+        val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val df = tok.groupBy("token").agg(countDistinct("doc_id").as("df"))
+        val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        val tfidf = col("tf") * log(col("n_docs") * lit(1.0) / col("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(tfidf.desc, col("token"))
+        tf.join(df, "token").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("token"),
+            round(tfidf, 4).as("tfidf"),
+            row_number().over(w).cast("long").as("rank"))
+          .filter(col("rank") <= 3)
+          .orderBy("doc_id", "rank")
+      }
+    }.withBench { (s, d) =>
+      // production: same plan minus the oracle sort, HLL doc frequencies
+      // (exact COUNT DISTINCT per token is the expensive expand at scale)
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy("token").agg(approx_count_distinct("doc_id").as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val tfidf = col("tf") * log(col("n_docs") * lit(1.0) / col("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(tfidf.desc, col("token"))
+      tf.join(df, "token").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("token"),
+          round(tfidf, 4).as("tfidf"),
+          row_number().over(w).cast("long").as("rank"))
+        .filter(col("rank") <= 3)
+    },
+
     rowsOnly("t5_langid",
       "Text: heuristic marker-word language ID — predicted-language counts (profiles pinned in ScalaTest; corpus vocab is language-neutral)") {
       (s, d) =>
