@@ -133,6 +133,43 @@ object JoinQueries {
       }
     },
 
+    sql("j8_range_join",
+      "J1+: point-in-interval range join — order prices vs per-priority price bands (grid-bucketized production plan)",
+      s"""WITH bands AS (SELECT o_orderpriority AS band,
+         |  ${savg("o_totalprice")} * 0.8 AS lo, ${savg("o_totalprice")} * 1.2 AS hi
+         |  FROM orders GROUP BY o_orderpriority)
+         |SELECT band, COUNT(*) AS n_orders, ${ssum("o_totalprice")} AS band_revenue
+         | FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+         | GROUP BY band ORDER BY band""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // band bounds via exact-decimal means (Det.davg) so the interval
+        // edges are bit-identical in both engines — a double-sum mean
+        // could flip membership for a row exactly at a boundary
+        val bands = Tables.orders(s, d)
+          .groupBy(col("o_orderpriority").as("band"))
+          .agg((davg(col("o_totalprice")) * 0.8).as("lo"),
+            (davg(col("o_totalprice")) * 1.2).as("hi"))
+        val pts = Tables.orders(s, d).select(col("o_totalprice"))
+        graft.ops.RangeJoin.pointInIntervalNaive(pts, bands, "o_totalprice", "lo", "hi")
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("band_revenue"))
+          .orderBy("band")
+      }
+    }.withBench { (s, d) =>
+      // production: the grid-bucketized equality join (RangeJoin scaladoc:
+      // the shape that survives millions of intervals where the broadcast
+      // nested loop dies); parity with the naive plan pinned in
+      // RangeJoinSpec. Width ~ interval length / 4 here.
+      val bands = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("band"))
+        .agg((davg(col("o_totalprice")) * 0.8).as("lo"),
+          (davg(col("o_totalprice")) * 1.2).as("hi"))
+      val pts = Tables.orders(s, d).select(col("o_totalprice"))
+      graft.ops.RangeJoin.pointInInterval(pts, bands, "o_totalprice", "lo", "hi", 25000.0)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("band_revenue"))
+    },
+
     sql("j5_broadcast_dim",
       "J1: explicit broadcast-hash join fact⋈dim (zero fact shuffle) + agg",
       s"""SELECT p_brand, COUNT(*) AS total_lines,
