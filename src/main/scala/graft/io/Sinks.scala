@@ -35,7 +35,17 @@ object Sinks {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val parts = (estBytes / targetBytes).min(BigInt(1 << 20)).toInt.max(1)
-    parquet(df.repartition(parts), path, partitionBy, mode)
+    // with partitionBy, shuffle BY the partition columns: a blind
+    // round-robin repartition would scatter every output partition across
+    // every task — parts × partitions small files, the exact disease this
+    // sink exists to cure. (Within one partition value all rows then land
+    // in one task/file; if single partition values exceed the target,
+    // add a salt column to the partitioning — not needed for the
+    // date/month-keyed outputs this serves.)
+    val sized =
+      if (partitionBy.isEmpty) df.repartition(parts)
+      else df.repartition(parts, partitionBy.map(org.apache.spark.sql.functions.col): _*)
+    parquet(sized, path, partitionBy, mode)
   }
 
   /** S3: CSV sink with header (quality metrics / reports).

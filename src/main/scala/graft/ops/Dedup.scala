@@ -259,6 +259,7 @@ object Dedup {
     * star contractions); at 100 TB the edge list is the near-dup pair
     * output, orders of magnitude smaller than the corpus. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    require(maxIters > 0, s"maxIters must be positive, got $maxIters")
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .localCheckpoint()
@@ -278,6 +279,11 @@ object Dedup {
       labels = next
       i += 1
     }
+    // maxIters is a backstop (diameter > maxIters means pathological
+    // chain-shaped components); surface it rather than silently emitting
+    // half-propagated labels
+    require(converged,
+      s"connectedComponents did not converge in $maxIters rounds — component diameter exceeds maxIters")
     labels.select(col("doc_id"), col("label").as("cluster"))
   }
 
