@@ -27,14 +27,23 @@ object Sinks {
     * partitions → 10k tiny files that poison every downstream listing;
     * or one coalesced partition → single multi-GB file with no read
     * parallelism. Sizing comes from Catalyst's sizeInBytes — a
-    * plan-time estimate, NO extra job and no driver collect. */
+    * plan-time estimate, NO extra job and no driver collect.
+    *
+    * CAVEAT: sizeInBytes is a SCAN-accurate estimate but inflates
+    * multiplicatively through joins/aggregates (a fact⋈fact join can
+    * estimate petabytes). `maxFiles` clamps the blowup — for sink inputs
+    * that are raw-ish scans the estimate is good; for heavily joined
+    * plans either raise `maxFiles` deliberately or materialize first so
+    * the estimate comes from real data. */
   def parquetSized(df: DataFrame, path: String,
                    targetBytes: Long = 128L * 1024 * 1024,
                    partitionBy: Seq[String] = Nil,
-                   mode: String = "overwrite"): Unit = {
+                   mode: String = "overwrite",
+                   maxFiles: Int = 10000): Unit = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    require(maxFiles > 0, s"maxFiles must be positive, got $maxFiles")
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val parts = (estBytes / targetBytes).min(BigInt(1 << 20)).toInt.max(1)
+    val parts = (estBytes / targetBytes).min(BigInt(maxFiles)).toInt.max(1)
     // with partitionBy, shuffle BY the partition columns: a blind
     // round-robin repartition would scatter every output partition across
     // every task — parts × partitions small files, the exact disease this

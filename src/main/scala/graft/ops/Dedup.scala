@@ -47,18 +47,14 @@ object Dedup {
     * exists for). Docs whose shingles are ALL hot drop out of dedup
     * entirely (they are indistinguishable boilerplate).
     *
-    * The hot set is MATERIALIZED (localCheckpoint) rather than left lazy:
-    * the capped frame feeds several consumers downstream (signatures,
-    * candidate semi-join, the 3-way verify join), and a lazy hot set
-    * would re-run its groupBy — a full substrate pass plus a shuffle —
-    * once per consumer (measured ~4× per dedup query at sf0.1). After
-    * materialization each consumer pays only the map-side anti-join
-    * probe. On a real cluster swap for `checkpoint()` if executor loss
-    * during the (short) df pass matters. */
+    * The result is LAZY; both production call sites localCheckpoint the
+    * capped frame as a whole (it feeds several consumers — signatures,
+    * candidate semi-join, the 3-way verify join — and a lazy cap would
+    * re-run this groupBy + anti-join once per consumer, measured ~4× per
+    * dedup query at sf0.1). */
   def capDocumentFrequency(sh: DataFrame, maxDf: Long = DefaultMaxDf): DataFrame = {
     val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("shingle")
-      .localCheckpoint()
     sh.join(hot, Seq("shingle"), "left_anti")
       .select(sh.columns.map(col).toIndexedSeq: _*) // using-join moves the key first; keep caller's order
   }
@@ -258,7 +254,7 @@ object Dedup {
     * large-graph CC shape (the "small-star" half of Kiveris et al.'s
     * star contractions); at 100 TB the edge list is the near-dup pair
     * output, orders of magnitude smaller than the corpus. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 64): DataFrame = {
     require(maxIters > 0, s"maxIters must be positive, got $maxIters")
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
@@ -279,9 +275,10 @@ object Dedup {
       labels = next
       i += 1
     }
-    // maxIters is a backstop (diameter > maxIters means pathological
-    // chain-shaped components); surface it rather than silently emitting
-    // half-propagated labels
+    // maxIters is a backstop (incremental-version chains CAN produce
+    // long path components — raise it via the parameter, plumbed
+    // through DocPipeline.cleanCorpus); surface non-convergence rather
+    // than silently emitting half-propagated labels
     require(converged,
       s"connectedComponents did not converge in $maxIters rounds — component diameter exceeds maxIters")
     labels.select(col("doc_id"), col("label").as("cluster"))

@@ -28,6 +28,14 @@ object RangeJoin {
                       pointCol: String, loCol: String, hiCol: String,
                       bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    // both guards fail fast at plan build: a shared name would make the
+    // post-join column references ambiguous at runtime, and a caller
+    // __cell column would be silently clobbered then dropped
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"points and intervals must not share column names, both have: ${shared.mkString(", ")}")
+    require(!points.columns.contains("__cell") && !intervals.columns.contains("__cell"),
+      "__cell is reserved by pointInInterval")
     val p = points.withColumn("__cell",
       floor(col(pointCol) / bucketWidth).cast("long"))
     // cells floor(lo/w)..floor(hi/w) inclusive: the hi-edge cell is

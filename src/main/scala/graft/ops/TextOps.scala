@@ -23,13 +23,19 @@ object TextOps {
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** BPE-style pre-tokenizer pattern (the GPT-2 shape reduced to
-    * constructs PCRE and java.util.regex evaluate identically):
+    * constructs RE2 and java.util.regex evaluate identically):
     * contraction suffixes, letter runs, digit runs, non-space symbol
     * runs. This is the PRE-tokenization a byte-pair encoder merges
     * within — the unit real token-count estimators meter, and a much
     * better LLM-cost proxy than whitespace words (it splits punctuation
-    * and digits the way BPE vocabularies do). */
-  val bpeishPattern: String = "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+    * and digits the way BPE vocabularies do).
+    *
+    * The whitespace class is spelled out explicitly instead of `\s`:
+    * Java's `\s` includes vertical tab, RE2's does not, so a literal
+    * `\s` would diverge between the engine and the DuckDB oracle on any
+    * text containing \x0B. */
+  val bpeishPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]+"
 
   /** BPE-ish subword tokens via one codegen'd regexp_extract_all pass. */
   def bpeishTokens(text: Column): Column =

@@ -25,11 +25,14 @@ object DocPipeline {
 
   /** `maxDf` (production) caps hot-shingle document frequency inside the
     * near-dup stage — see [[Dedup.capDocumentFrequency]]; None keeps the
-    * exact shingle set the llm1 oracle requires. */
+    * exact shingle set the llm1 oracle requires. `ccMaxIters` bounds the
+    * cluster-closure label-propagation rounds (raise for corpora with
+    * long incremental-version chains). */
   def cleanCorpus(docs: DataFrame,
                   minQuality: Double = 60.0,
                   nearDupThr: Double = 0.8,
-                  maxDf: Option[Long] = None): DataFrame = {
+                  maxDf: Option[Long] = None,
+                  ccMaxIters: Int = 64): DataFrame = {
     val scored = docs.withColumn("quality",
       TextOps.qualityScore(col("text"), TextOps.corpusStopwords))
     val qualified = scored.filter(col("quality") >= minQuality)
@@ -52,7 +55,7 @@ object DocPipeline {
     // cluster — transitive closure, not greedy pair-dropping, which
     // over-keeps docs linked only through a common neighbor
     val pairs = Dedup.minhashNearDup(deduped, thr = nearDupThr, maxDf = maxDf)
-    val drops = Dedup.connectedComponents(pairs)
+    val drops = Dedup.connectedComponents(pairs, ccMaxIters)
       .filter(col("cluster") =!= col("doc_id")).select("doc_id")
     deduped.join(broadcast(drops), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"),

@@ -221,16 +221,20 @@ object TextQueries {
         |scored AS (SELECT doc_id, token,
         |    ROUND(tf * LN(n_docs * 1.0 / df), 4) AS tfidf,
         |    ROW_NUMBER() OVER (PARTITION BY doc_id
-        |      ORDER BY tf * LN(n_docs * 1.0 / df) DESC, token) AS rank
+        |      ORDER BY ROUND(tf * LN(n_docs * 1.0 / df), 4) DESC, token) AS rank
         |  FROM tf JOIN df USING (token) CROSS JOIN n)
         |SELECT doc_id, token, tfidf, CAST(rank AS BIGINT) AS rank
         | FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin.replace("\n", "")) {
       (s, d) => {
         // tf and df are two partial+final hash aggs over one exploded
         // token frame; N is a broadcast 1-row aggregate (never a driver
-        // scalar); the top-3 is a per-doc row_number window. Ties order
-        // by token — safe because equal (tf, df) pairs produce the SAME
-        // double in either engine, so tie-break order is engine-stable.
+        // scalar); the top-3 is a per-doc row_number window. The window
+        // orders by the ROUNDED score: distinct (tf, df) pairs can yield
+        // mathematically-equal scores via different expressions (e.g.
+        // 2·ln(10) vs ln(100)) whose last ulps may differ between
+        // DuckDB's libm log and Java's Math.log — rounding first
+        // collapses those to equal, and the token tie-break then orders
+        // identically in both engines.
         val tok = Tables.documents(s, d)
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
         val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
@@ -238,7 +242,7 @@ object TextQueries {
         val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
         val tfidf = col("tf") * log(col("n_docs") * lit(1.0) / col("df"))
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy(tfidf.desc, col("token"))
+          .partitionBy("doc_id").orderBy(round(tfidf, 4).desc, col("token"))
         tf.join(df, "token").crossJoin(broadcast(n))
           .select(col("doc_id"), col("token"),
             round(tfidf, 4).as("tfidf"),
@@ -256,7 +260,7 @@ object TextQueries {
       val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       val tfidf = col("tf") * log(col("n_docs") * lit(1.0) / col("df"))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(tfidf.desc, col("token"))
+        .partitionBy("doc_id").orderBy(round(tfidf, 4).desc, col("token"))
       tf.join(df, "token").crossJoin(broadcast(n))
         .select(col("doc_id"), col("token"),
           round(tfidf, 4).as("tfidf"),

@@ -105,7 +105,10 @@ class PlanSpec extends AnyFunSuite {
     val oracleP = plan(specs("dd3_ngram_jaccard").run(spark, TestSpark.sfDir))
     assert(!oracleP.contains("LeftAnti") && !oracleP.contains("Scan ExistingRDD"))
     // the composed capstone's production plan: capped materialized
-    // substrate + the pipeline's own drop-set anti-join
+    // substrate + the pipeline's own drop-set anti-join. (These markers
+    // alone can't prove maxDf reaches the dedup stage — that plumbing is
+    // pinned behaviorally by DocPipelineSpec's cap-changes-the-outcome
+    // test.)
     val llm1 = plan(specs("llm1_clean_corpus").production(spark, TestSpark.sfDir))
     assert(llm1.contains("Scan ExistingRDD") && llm1.contains("LeftAnti"),
       "llm1 production plan lost the df-cap substrate or the drop-set anti-join")

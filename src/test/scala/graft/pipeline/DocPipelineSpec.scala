@@ -24,6 +24,24 @@ class DocPipelineSpec extends AnyFunSuite {
     assert(out.head._3 == 60L) // n_tokens carried through
   }
 
+  test("cleanCorpus plumbs maxDf into the near-dup stage (cap changes the outcome)") {
+    // two long docs share ONLY a ubiquitous boilerplate block (a hot
+    // shingle source); their unique halves are unrelated. Uncapped, the
+    // shared block pushes Jaccard over threshold → doc 2 dropped as a
+    // near-dup. With a tiny df-cap the boilerplate shingles are excluded
+    // → no pair → both survive. If maxDf ever stops reaching
+    // Dedup.minhashNearDup, the capped run loses a doc and this fails.
+    val boiler = (1 to 57).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler u1 u2 u3", "en", "s1"),
+      (2L, s"$boiler v1 v2 v3", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val uncapped = DocPipeline.cleanCorpus(docs).count()
+    val capped = DocPipeline.cleanCorpus(docs, maxDf = Some(1L)).count()
+    assert(uncapped == 1L, s"expected boilerplate overlap to drop doc 2, kept $uncapped")
+    assert(capped == 2L, s"expected the df-cap to suppress the boilerplate pair, kept $capped")
+  }
+
   test("cleanCorpus is idempotent: re-cleaning the survivors drops nothing") {
     val docs = graft.model.Tables.documents(spark, TestSpark.sfDir)
     val once = DocPipeline.cleanCorpus(docs)
