@@ -15,6 +15,33 @@ object StatsQueries {
 
   val all: Seq[QuerySpec] = Seq(
 
+    sql("a19_unpivot_stats",
+      "A19: UNPIVOT/stack — wide per-measure aggregates reshaped to long (measure, min, max, mean) rows",
+      {
+        val m = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        m.map(c =>
+          s"""SELECT '$c' AS measure, MIN($c) AS min_v, MAX($c) AS max_v,
+             | ${Det.Sql.davg(c)} AS mean_v FROM lineitem""".stripMargin.replace("\n", ""))
+          .mkString("", " UNION ALL ", " ORDER BY measure")
+      }) {
+      (s, d) => {
+        // ONE aggregation pass computes all 12 wide aggregates, then
+        // stack() reshapes the single row to long format map-side — vs
+        // the oracle's 4 UNION'd scans (fine for DuckDB, 4x the IO at
+        // scale). min/max are exact; means are exact-decimal (Det.davg).
+        val measures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val aggs = measures.flatMap(c => Seq(
+          min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+          Det.davg(col(c)).as(s"${c}_mean")))
+        val stackArgs = measures
+          .map(c => s"'$c', ${c}_min, ${c}_max, ${c}_mean").mkString(", ")
+        Tables.lineitem(s, d)
+          .agg(aggs.head, aggs.tail: _*)
+          .select(expr(s"stack(${measures.size}, $stackArgs) AS (measure, min_v, max_v, mean_v)"))
+          .orderBy("measure")
+      }
+    },
+
     sql("a15_moments",
       "A15: higher moments — skewness + excess kurtosis per numeric column, one pass",
       // Spark's skewness/kurtosis are the POPULATION definitions
