@@ -259,20 +259,29 @@ object Dedup {
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .localCheckpoint()
-    var labels = edges.select(col("a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint()
+    // round 0 folded into the seed: label = min(self, direct neighbors)
+    // in the same groupBy that enumerates the nodes — near-dup
+    // components are clique-ish, so most corpora converge on the first
+    // convergence check after this
+    var labels = edges.groupBy(col("a").as("doc_id"))
+      .agg(min(col("b")).as("mb"))
+      .select(col("doc_id"), least(col("doc_id"), col("mb")).as("label"))
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val prop = edges.join(labels, edges("b") === labels("doc_id"))
         .groupBy(col("a")).agg(min("label").as("nbr_label"))
+      // carry the changed flag INSIDE the propagated frame: convergence
+      // is then a trivial filter over the just-materialized snapshot
+      // instead of a join-per-round against the previous labels
       val next = labels.join(prop, labels("doc_id") === prop("a"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .select(labels("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"),
+          (coalesce(col("nbr_label"), col("label")) < col("label")).as("__changed"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("__changed")).isEmpty
+      labels = next.select(col("doc_id"), col("new_label").as("label"))
       i += 1
     }
     // maxIters is a backstop (incremental-version chains CAN produce
