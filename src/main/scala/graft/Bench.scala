@@ -73,7 +73,10 @@ object Bench {
     val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, (v, true)) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","iterations":$Iterations,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // "value" is emitted LAST: consumers that keep only the final N chars of
+    // the run log (tail truncation) still see the headline total; JSON key
+    // order is irrelevant to a real parser.
+    println(f"""{"metric":"total","unit":"sec","iterations":$Iterations,"queries":$qs,"failed":$failed,"sf":"$sfDir","value":$total%.3f}""")
     spark.stop()
   }
 }
