@@ -243,54 +243,88 @@ object Dedup {
     * per-pair dropping over-keeps whenever two docs are linked only
     * through a common neighbor).
     *
-    * Algorithm: iterative min-label propagation — each round every node
-    * takes the min of its own label and its neighbors' labels; converges
-    * in O(component diameter) rounds (near-dup components are dense, so
-    * diameters are tiny). Each round is one join + one groupBy on the
-    * edge list; labels are localCheckpoint'd per round (lineage would
-    * otherwise double per iteration). Convergence is detected with a
-    * scalar changed-count — a per-round driver scalar, same budget as a
-    * Lloyd iteration, NOT a data collect. This is the standard
-    * large-graph CC shape (the "small-star" half of Kiveris et al.'s
-    * star contractions); at 100 TB the edge list is the near-dup pair
-    * output, orders of magnitude smaller than the corpus. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 64): DataFrame = {
+    * Algorithm: ALTERNATING LARGE-STAR / SMALL-STAR contraction (Kiveris,
+    * Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components
+    * in MapReduce and Beyond", SoCC'14). Each round rewires edges toward
+    * neighborhood minima (large-star attaches every larger neighbor to
+    * the local min; small-star attaches the smaller neighbors and self);
+    * the edge set converges to a star forest whose centers are the
+    * component minima in O(log n) rounds on ANY graph — unlike plain
+    * min-label propagation, whose O(diameter) rounds abort on long
+    * path-shaped components (incremental-version chains are exactly
+    * that shape at corpus scale). Each round is two groupBy+join passes
+    * over the EDGE LIST (orders of magnitude smaller than the corpus),
+    * localCheckpoint'd so lineage stays flat; convergence is edge-set
+    * stability (count + anti-join — per-round driver scalars, never a
+    * data collect). */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 64): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIters)._1
+
+  /** [[connectedComponents]] exposing the number of contraction rounds
+    * actually run — the seam DedupSpec uses to pin the O(log n) bound
+    * on a long-chain graph. */
+  def connectedComponentsWithRounds(pairs: DataFrame,
+                                    maxIters: Int = 64): (DataFrame, Int) = {
     require(maxIters > 0, s"maxIters must be positive, got $maxIters")
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+    // canonical undirected edges: (hi, lo) with hi > lo, deduped
+    var edges = pairs
+      .select(greatest(col("id1"), col("id2")).as("hi"),
+        least(col("id1"), col("id2")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
       .localCheckpoint()
-    // round 0 folded into the seed: label = min(self, direct neighbors)
-    // in the same groupBy that enumerates the nodes — near-dup
-    // components are clique-ish, so most corpora converge on the first
-    // convergence check after this
-    var labels = edges.groupBy(col("a").as("doc_id"))
-      .agg(min(col("b")).as("mb"))
-      .select(col("doc_id"), least(col("doc_id"), col("mb")).as("label"))
-      .localCheckpoint()
-    var converged = false
+    val nodes = pairs.select(col("id1").as("doc_id"))
+      .union(pairs.select(col("id2").as("doc_id"))).distinct()
+    var converged = edges.isEmpty
     var i = 0
     while (!converged && i < maxIters) {
-      val prop = edges.join(labels, edges("b") === labels("doc_id"))
-        .groupBy(col("a")).agg(min("label").as("nbr_label"))
-      // carry the changed flag INSIDE the propagated frame: convergence
-      // is then a trivial filter over the just-materialized snapshot
-      // instead of a join-per-round against the previous labels
-      val next = labels.join(prop, labels("doc_id") === prop("a"), "left")
-        .select(labels("doc_id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"),
-          (coalesce(col("nbr_label"), col("label")) < col("label")).as("__changed"))
-        .localCheckpoint()
-      converged = next.filter(col("__changed")).isEmpty
-      labels = next.select(col("doc_id"), col("new_label").as("label"))
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // both sides are distinct canonical sets: equality ⇔ same count
+      // and next ⊆ edges (anti-join empty)
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
+      edges = next
       i += 1
     }
-    // maxIters is a backstop (incremental-version chains CAN produce
-    // long path components — raise it via the parameter, plumbed
-    // through DocPipeline.cleanCorpus); surface non-convergence rather
-    // than silently emitting half-propagated labels
+    // maxIters is a pure backstop now: 64 rounds covers components of
+    // ~2^64 nodes under the O(log n) bound — hitting it means a bug,
+    // not a long chain, so still fail loudly over silent wrong labels
     require(converged,
-      s"connectedComponents did not converge in $maxIters rounds — component diameter exceeds maxIters")
-    labels.select(col("doc_id"), col("label").as("cluster"))
+      s"connectedComponents did not converge in $maxIters rounds — edge set is not contracting")
+    // fixed point is a star forest: child → component-min root. Roots
+    // appear only on the lo side; every node keeps its own id if no
+    // parent edge exists (= it is the component min).
+    val roots = edges.groupBy(col("hi").as("doc_id")).agg(min("lo").as("root"))
+    val labels = nodes.join(roots, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster"))
+    (labels, i)
+  }
+
+  /** Large-star: for each node u, attach every STRICTLY LARGER neighbor
+    * to min(Γ(u) ∪ {u}). Components are preserved; tall trees flatten
+    * geometrically. Input/output: canonical (hi, lo) edge sets. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+      .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    // v > u ≥ m ⇒ (v, m) is already canonical and never a self-loop
+    sym.join(mins, "u").filter(col("v") > col("u"))
+      .select(col("v").as("hi"), col("m").as("lo"))
+      .distinct()
+  }
+
+  /** Small-star: for each node u, attach its SMALLER-OR-EQUAL neighbors
+    * (and u itself) to min(smaller neighbors). Canonical (hi, lo) edges
+    * already orient every edge large→small, so u's smaller neighborhood
+    * is exactly its lo side. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy("hi").agg(min("lo").as("m")) // m < hi
+    val joined = edges.join(mins, "hi")
+    joined.filter(col("lo") =!= col("m"))
+      .select(col("lo").as("hi"), col("m").as("lo")) // lo > m by minimality
+      .union(mins.select(col("hi"), col("m").as("lo")))
+      .distinct()
   }
 
   /** 64-bit SimHash over term-frequency-weighted whitespace tokens: bit b

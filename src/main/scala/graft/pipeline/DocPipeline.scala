@@ -25,9 +25,10 @@ object DocPipeline {
 
   /** `maxDf` (production) caps hot-shingle document frequency inside the
     * near-dup stage — see [[Dedup.capDocumentFrequency]]; None keeps the
-    * exact shingle set the llm1 oracle requires. `ccMaxIters` bounds the
-    * cluster-closure label-propagation rounds (raise for corpora with
-    * long incremental-version chains). */
+    * exact shingle set the llm1 oracle requires. `ccMaxIters` is a pure
+    * backstop on the cluster-closure star-contraction rounds — the
+    * alternating algorithm converges in O(log n) rounds on any graph,
+    * long incremental-version chains included. */
   def cleanCorpus(docs: DataFrame,
                   minQuality: Double = 60.0,
                   nearDupThr: Double = 0.8,
