@@ -100,6 +100,20 @@ class DedupSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("connectedComponents: 1000-node path converges in ~log n rounds, not O(diameter)") {
+    // the shape that killed min-label propagation: one component of
+    // diameter 999 (an incremental-version chain). Alternating star
+    // contraction must label it correctly WITHOUT ~1000 rounds — the
+    // proven bound is O(log² n), measured behavior ~log n (11 rounds).
+    val n = 1000
+    val chain = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("id1", "id2")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain, maxIters = 64)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == n && got.forall(_._2 == 0L))
+    val bound = 2 * (math.log(n) / math.log(2)).ceil.toInt // 2·⌈log₂ n⌉ = 20
+    assert(rounds <= bound, s"took $rounds rounds, expected ≤ $bound")
+  }
+
   test("minhashNearDup rejects numPerm below bands*rows") {
     intercept[IllegalArgumentException] {
       Dedup.minhashNearDup(docs, numPerm = 32, bands = 16, rows = 4)
