@@ -16,6 +16,31 @@ object TextQueries {
   private val stopwords = TextOps.corpusStopwords
   private val stopSql = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** DuckDB mirror of [[TextOps.uniqueArgmax]]: given per-language hit-count
+    * SQL expressions, the language that UNIQUELY holds the nonzero maximum;
+    * ties and zero-hit docs → 'und'. Shared by the t5 and t6 oracles so the
+    * decision rule lives in exactly one place per engine. */
+  private def argmaxSql(hits: Seq[(String, String)]): String = {
+    val hitCols = hits.map { case (lang, expr) => s"$expr AS h_$lang" }.mkString(", ")
+    val best = hits.map { case (lang, _) => s"h_$lang" }.mkString("GREATEST(", ", ", ")")
+    val atBest = hits.map { case (lang, _) =>
+      s"CASE WHEN h_$lang = best THEN 1 ELSE 0 END" }.mkString(" + ")
+    val pick = hits.map { case (lang, _) =>
+      s"WHEN h_$lang = best THEN '$lang'" }.mkString(" ")
+    // at_best/arg can't reference `best` in the SELECT that defines it,
+    // hence the m CTE; the CASE chain in `arg` only matters when the max
+    // is unique, so its order is irrelevant — same argument as the
+    // foldRight in TextOps.uniqueArgmax.
+    s"""WITH h AS (SELECT lang, $hitCols FROM documents),
+       |m AS (SELECT *, $best AS best FROM h),
+       |b AS (SELECT lang, best, $atBest AS at_best, CASE $pick END AS arg FROM m),
+       |p AS (SELECT lang, CASE WHEN best > 0 AND at_best = 1 THEN arg
+       |  ELSE 'und' END AS predicted_lang FROM b)
+       |SELECT predicted_lang, lang, COUNT(*) AS n_docs
+       | FROM p GROUP BY predicted_lang, lang
+       | ORDER BY predicted_lang, lang""".stripMargin.replace("\n", "")
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     sql("t1_token_stats",
@@ -117,8 +142,15 @@ object TextQueries {
           array_min(col("fps")).as("min_fp"))
     },
 
-    rowsOnly("t6_langid_ngram",
-      "Text: char-bigram-profile language ID (Cavnar-Trenkle shape) — predicted counts vs label") {
+    sql("t6_langid_ngram",
+      "Text: char-bigram-profile language ID (Cavnar-Trenkle shape) — predicted counts vs label",
+      // a 2-char gram is in the doc iff contains(text, gram) — the same
+      // scan identity langIdNgramScan is built on, so the oracle mirrors
+      // the production plan, not the O(len²) array form
+      argmaxSql(TextOps.langBigramProfiles.toSeq.sortBy(_._1).map { case (lang, grams) =>
+        lang -> grams.map(g => s"CASE WHEN contains(text, '$g') THEN 1 ELSE 0 END")
+          .mkString("(", " + ", ")")
+      })) {
       (s, d) =>
         // scan form: per-profile contains() hit counts, no bigram-array
         // materialization (equivalent to the array form by construction —
@@ -268,8 +300,14 @@ object TextQueries {
         .filter(col("rank") <= 3)
     },
 
-    rowsOnly("t5_langid",
-      "Text: heuristic marker-word language ID — predicted-language counts (profiles pinned in ScalaTest; corpus vocab is language-neutral)") {
+    sql("t5_langid",
+      "Text: heuristic marker-word language ID — predicted-language counts vs label",
+      // hit count = tokens ∈ marker set, multiplicity preserved — DuckDB
+      // list_filter mirrors Spark's filter(ws, isInCollection) exactly
+      argmaxSql(TextOps.langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+        val lst = markers.map(w => s"'$w'").mkString(", ")
+        lang -> s"len(list_filter(string_split(text,' '), w -> w IN ($lst)))"
+      })) {
       (s, d) =>
         Tables.documents(s, d)
           .select(TextOps.langId(col("text")).as("predicted_lang"), col("lang"))
