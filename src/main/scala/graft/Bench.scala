@@ -8,10 +8,11 @@ package graft
   * and materializes every output column (a bare `count()` would let Catalyst
   * prune the job down to nothing and flatter the numbers).
   *
-  * Per-query time is the MEDIAN of `Iterations` runs: single-shot timing on
-  * a shared machine is ±30% noise (round 1 measured a 3.7× contention
-  * inflation), and the median keeps one descheduled run from polluting
-  * round-over-round deltas.
+  * Per-query time is the MEDIAN of `Iterations` runs, taken across
+  * INTERLEAVED full passes over the query list (not back-to-back): single-
+  * shot timing on a shared machine is ±30% noise (round 1 measured a 3.7×
+  * contention inflation), and back-to-back samples all land in the same
+  * contention window, defeating the median.
   *
   * A query that throws is reported with value -1 and listed under "failed"
   * so the driver can distinguish a broken query from a slow one.
@@ -51,22 +52,29 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
-    /** Median of Iterations runs; the first failed run short-circuits
-      * (re-running a broken query twice more just triples the cost of
-      * the failure). */
-    def runMedian(spec: QuerySpec): (Double, Boolean) = {
-      val times = new scala.collection.mutable.ArrayBuffer[Double](Iterations)
-      var i = 0
-      while (i < Iterations) {
-        val (t, ok) = runOnce(spec)
-        if (!ok) return (-1.0, false)
-        times += t
-        i += 1
-      }
-      (times.sorted.apply(Iterations / 2), true)
+    // INTERLEAVED passes: run the FULL query list Iterations times and take
+    // each query's median ACROSS passes. Back-to-back per-query iterations
+    // put all 3 samples of one query inside the same co-tenant contention
+    // window — round 4's driver run manufactured a phantom 7× regression on
+    // t5 that way (4.28 s benched, 0.757 s re-measured idle). Spreading a
+    // query's samples ~a-full-pass apart makes a burst poison at most one
+    // sample, which the median discards. A query that fails on any pass is
+    // reported -1/failed and skipped on later passes (re-running a broken
+    // query just multiplies the cost of the failure).
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    val broken = scala.collection.mutable.Set.empty[String]
+    for (_ <- 1 to Iterations; spec <- ordered if !broken(spec.name)) {
+      val (t, ok) = runOnce(spec)
+      if (ok) times(spec.name) = t :: times.getOrElse(spec.name, Nil)
+      else broken += spec.name
     }
-
-    val results = ordered.map(spec => (spec.name, runMedian(spec)))
+    val results = ordered.map { spec =>
+      if (broken(spec.name)) (spec.name, (-1.0, false))
+      else {
+        val ts = times(spec.name).sorted
+        (spec.name, (ts(ts.size / 2), true))
+      }
+    }
     val qs = results.map { case (k, (v, ok)) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1")
     }.mkString("{", ",", "}")
