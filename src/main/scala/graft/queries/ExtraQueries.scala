@@ -110,6 +110,30 @@ object ExtraQueries {
             col("l_linestatus").asc_nulls_first)
     },
 
+    sql("a13c_grouping_sets",
+      "A13: explicit GROUPING SETS ((flag),(status),()) — arbitrary set list, the ROLLUP/CUBE variant neither subsumes",
+      s"""SELECT l_returnflag, l_linestatus,
+         | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         | COUNT(*) AS total_lines,
+         | ${ssum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+         | FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         | ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        // per-flag + per-status + grand total in ONE scan (the Expand
+        // operator replicates each input row once per set) — three separate
+        // groupBys would be three scans and three shuffles
+        Tables.lineitem(s, d)
+          .groupingSets(
+            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            grouping_id().as("gid"),
+            count(lit(1)).as("total_lines"),
+            Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+          .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first)
+    },
+
     sql("a14_count_distinct",
       "A14: exact COUNT(DISTINCT) — production plan swaps in HLL approx_count_distinct",
       """SELECT COUNT(DISTINCT l_suppkey) AS distinct_suppliers,
@@ -181,6 +205,21 @@ object ExtraQueries {
         Tables.lineitem(s, d)
           .sample(withReplacement = false, fraction = 0.01, seed = 42)
           .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    },
+
+    rowsOnly("o3b_exact_n_sample",
+      "O3: exact-n seeded random sample — rand(seed) order + LIMIT; engine-specific RNG excluded from oracle (SURVEY §7.4.6); size/determinism/subset pinned in SamplingSpec") {
+      (s, d) =>
+        // rand(seed) is deterministic per (seed, partition, row-position),
+        // so a repartition-stable input gives a stable sample; the key
+        // tie-break makes the order total even if two rows drew the same
+        // double. LIMIT over an order = TakeOrderedAndProject: per-partition
+        // top-n then a single merge of n-sized heaps — no full sort, no
+        // full shuffle, scale-safe for training-set-sized n.
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+          .orderBy(rand(7L), col("l_orderkey"), col("l_linenumber"))
+          .limit(500)
     },
 
     sql("o4_head",

@@ -29,6 +29,17 @@ class SamplingSpec extends AnyFunSuite {
     assert(s.exceptAll(li).count() == 0)
   }
 
+  test("exact-n sample: exactly n rows, deterministic across runs, subset of input") {
+    val exact = SparkEntry.specs.find(_.name == "o3b_exact_n_sample").get
+    val a = exact.run(spark, TestSpark.sfDir).collect()
+    assert(a.length == 500, s"expected exactly 500 rows, got ${a.length}")
+    val b = exact.run(spark, TestSpark.sfDir).collect()
+    assert(a.toSeq == b.toSeq) // order included: the sort is total
+    val li = graft.model.Tables.lineitem(spark, TestSpark.sfDir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    assert(exact.run(spark, TestSpark.sfDir).exceptAll(li).count() == 0)
+  }
+
   test("stratified sample: deterministic, per-stratum fractions within CI, subset") {
     val strat = SparkEntry.specs.find(_.name == "o7_stratified_sample").get
     val a = strat.run(spark, TestSpark.sfDir).collect().toSet
