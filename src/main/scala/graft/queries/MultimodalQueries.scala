@@ -2,15 +2,16 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.QuerySpec
-import graft.QuerySpec.{rowsOnly, sql}
+import graft.QuerySpec.sql
 import graft.model.Tables
 import graft.ops.Multimodal
 
-/** Multimodal plumbing over a media table derived deterministically from
-  * `documents` (payload = utf-8 bytes, kind cycles by id — see
-  * Multimodal.mediaFromDocuments). mm1 proves opaque binary columns flow
-  * through the relational surface (oracle on byte lengths); mm2 runs the
-  * partition-batched decode stub.
+/** Multimodal plumbing over media tables derived deterministically from
+  * `documents`. mm1 proves opaque binary columns flow through the
+  * relational surface (oracle on byte lengths, raw utf-8 payloads — see
+  * Multimodal.mediaFromDocuments); mm2 runs the partition-batched REAL
+  * header decode over genuine PNG/WAV/AVI container bytes
+  * (Multimodal.mediaWithHeaders → parseFeatures).
   */
 object MultimodalQueries {
 
@@ -29,12 +30,25 @@ object MultimodalQueries {
           .orderBy("kind")
     },
 
-    rowsOnly("mm2_decode_features",
-      "Multimodal: partition-batched decode (mapPartitions; deterministic stub) → typed feature rows") {
+    sql("mm2_decode_features",
+      "Multimodal: REAL header decode — PNG/WAV/AVI magic-byte sniff + header-field parse out of the payload bytes (oracle recomputes the fields from the shared generative formulas)",
+      // Two independent paths to the same row: Spark PARSES the container
+      // bytes; DuckDB recomputes each field from MediaCodec's generative
+      // formulas (doc_id-deterministic) plus the fixed header sizes
+      // (PNG 33 B, WAV 44 B, AVI 88 B). A wrong offset/endianness/layout
+      // on either side breaks the hash match.
+      """SELECT doc_id AS media_id,
+        | CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind_sniffed,
+        | CAST(octet_length(encode(text)) + CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 33 WHEN 1 THEN 44 ELSE 88 END AS BIGINT) AS n_bytes,
+        | CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 64 + doc_id % 960 WHEN 2 THEN 320 + (doc_id % 4) * 160 END AS INTEGER) AS width,
+        | CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 64 + (doc_id * 7) % 960 WHEN 2 THEN 240 + (doc_id % 4) * 120 END AS INTEGER) AS height,
+        | CAST(CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN 8000 + (doc_id % 5) * 8000 END AS INTEGER) AS sample_rate,
+        | CAST(CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN 1 + doc_id % 2 END AS INTEGER) AS channels,
+        | CAST(CASE CAST(doc_id % 3 AS INT) WHEN 2 THEN 1 + doc_id % 240 END AS INTEGER) AS n_frames
+        | FROM documents ORDER BY media_id""".stripMargin.replace("\n", "")) {
       (s, d) =>
-        Multimodal.decodeFeatures(
-          Multimodal.asMedia(
-            Multimodal.mediaFromDocuments(Tables.documents(s, d))))
+        Multimodal.parseFeatures(
+          Multimodal.mediaWithHeaders(Tables.documents(s, d)))
           .toDF()
           .orderBy("media_id")
     }

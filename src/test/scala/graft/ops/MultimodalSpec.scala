@@ -37,6 +37,60 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(0).getSeq[Long](1) == Seq(0L, 2L, 4L)) // blocks 0..4, stride 2
   }
 
+  test("parseFeatures: header fields come back out of real container bytes") {
+    val body = "opaque-body".getBytes("UTF-8")
+    val rows = Seq(
+      Multimodal.MediaRow(10L, "image", MediaCodec.encodePng(123, 456, body)),
+      Multimodal.MediaRow(11L, "audio", MediaCodec.encodeWav(22050, 2, body)),
+      Multimodal.MediaRow(12L, "video", MediaCodec.encodeAvi(640, 480, 99, body))).toDS()
+    val got = Multimodal.parseFeatures(rows.repartition(2)).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(got(10L) == Multimodal.ParsedMedia(10L, "image", 33L + body.length,
+      Some(123), Some(456), None, None, None))
+    assert(got(11L) == Multimodal.ParsedMedia(11L, "audio", 44L + body.length,
+      None, None, Some(22050), Some(2), None))
+    assert(got(12L) == Multimodal.ParsedMedia(12L, "video", 88L + body.length,
+      Some(640), Some(480), None, None, Some(99)))
+  }
+
+  test("parseFeatures: kind comes from BYTES, not metadata (crafted divergence)") {
+    // metadata claims image, payload is a WAV — a features-from-metadata
+    // implementation (or the old stub) could not produce kind='audio'
+    val lying = Seq(Multimodal.MediaRow(0L, "image",
+      MediaCodec.encodeWav(8000, 1, "x".getBytes("UTF-8")))).toDS()
+    val f = Multimodal.parseFeatures(lying).collect().head
+    assert(f.kind_sniffed == "audio" && f.sample_rate.contains(8000) && f.width.isEmpty)
+  }
+
+  test("parseFeatures: garbage and truncated payloads degrade to unknown, never throw") {
+    val junk = Seq(
+      Multimodal.MediaRow(0L, "image", Array.empty[Byte]),
+      Multimodal.MediaRow(1L, "audio", Array[Byte](0x89.toByte, 'P', 'N')), // truncated sig
+      Multimodal.MediaRow(2L, "video", "RIFFxxxxWAVE".getBytes("US-ASCII")), // RIFF but no fmt
+      Multimodal.MediaRow(3L, "video", ("z" * 200).getBytes("UTF-8"))).toDS()
+    val got = Multimodal.parseFeatures(junk).collect()
+    assert(got.forall(f => f.kind_sniffed == "unknown" &&
+      f.width.isEmpty && f.sample_rate.isEmpty && f.n_frames.isEmpty))
+    assert(got.map(_.n_bytes).sorted.toSeq == Seq(0L, 3L, 12L, 200L))
+  }
+
+  test("mediaWithHeaders: generative formulas round-trip through encode→parse") {
+    val docs = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"), (3L, "delta"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.parseFeatures(Multimodal.mediaWithHeaders(docs))
+      .collect().map(f => f.media_id -> f).toMap
+    assert(got(0L).kind_sniffed == "image" &&
+      got(0L).width.contains(MediaCodec.imgWidth(0)) &&
+      got(0L).height.contains(MediaCodec.imgHeight(0)))
+    assert(got(1L).kind_sniffed == "audio" &&
+      got(1L).sample_rate.contains(MediaCodec.audioRate(1)) &&
+      got(1L).channels.contains(MediaCodec.audioChannels(1)))
+    assert(got(2L).kind_sniffed == "video" &&
+      got(2L).width.contains(MediaCodec.vidWidth(2)) &&
+      got(2L).n_frames.contains(MediaCodec.vidFrames(2)))
+    assert(got(3L).kind_sniffed == "image" && got(3L).n_bytes == 33L + "delta".length)
+  }
+
   test("mediaFromDocuments: kinds cycle by id, payload bytes round-trip the text") {
     val docs = Seq((0L, "hello"), (1L, "wo"), (2L, "rld")).toDF("doc_id", "text")
     val m = Multimodal.mediaFromDocuments(docs).collect()
