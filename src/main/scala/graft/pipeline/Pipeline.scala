@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Sinks
 import graft.model.Tables
@@ -32,6 +32,18 @@ object Pipeline {
   /** The engine's trip-table analog columns (FIXTURES.md §B mapping). */
   private val requiredCols = Set("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
   private val criticalCols = Set("l_quantity", "l_extendedprice")
+
+  /** Parquet sink + row count in ONE job: an [[Observation]] on the frame
+    * counts rows as a side-product of the write itself (CollectMetrics
+    * rides the write tasks). The previous shape — write, then
+    * `spark.read.parquet(path).count()` for the stage report — re-scanned
+    * every artifact it had just written: a full second pass per stage at
+    * 100 TB, purely to produce a report number the write already knew. */
+  private def parquetCounted(df: DataFrame, path: String): Long = {
+    val obs = Observation()
+    Sinks.parquet(df.observe(obs, count(lit(1)).as("rows")), path)
+    obs.get("rows").asInstanceOf[Long]
+  }
 
   def processDir(spark: SparkSession, dir: String, outDir: String,
                  exactPercentiles: Boolean = false,
@@ -94,8 +106,7 @@ object Pipeline {
       // (src/main.py:147-188) with a parquet destination
       stage("sample_load") {
         val sampled = enriched.sample(withReplacement = false, 0.01, seed = 42).limit(1000)
-        Sinks.parquet(sampled, s"$outDir/sample_load")
-        (spark.read.parquet(s"$outDir/sample_load").count(), "1% seeded sample, 1000-row cap")
+        (parquetCounted(sampled, s"$outDir/sample_load"), "1% seeded sample, 1000-row cap")
       }
 
       stage("supplier_stats") {
@@ -105,8 +116,7 @@ object Pipeline {
           Det.davg(col("l_quantity")).as("avg_quantity"),
           Det.davg(col("l_extendedprice")).as("avg_price"),
           Det.davg(col("l_discount")).as("avg_discount"))
-        Sinks.parquet(agg, s"$outDir/supplier_stats")
-        (spark.read.parquet(s"$outDir/supplier_stats").count(), "A1 analog")
+        (parquetCounted(agg, s"$outDir/supplier_stats"), "A1 analog")
       }
 
       stage("bucket_stats") {
@@ -115,8 +125,7 @@ object Pipeline {
           Det.davg(col("l_extendedprice")).as("avg_price"),
           Det.davg(col("l_quantity")).as("avg_quantity"),
           Det.ravg(col("price_per_unit")).as("avg_price_per_unit"))
-        Sinks.parquet(agg, s"$outDir/bucket_stats")
-        (spark.read.parquet(s"$outDir/bucket_stats").count(), "A2 analog")
+        (parquetCounted(agg, s"$outDir/bucket_stats"), "A2 analog")
       }
 
       stage("quality_csv") {

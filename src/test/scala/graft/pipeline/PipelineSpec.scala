@@ -27,6 +27,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(q.length == 1 && q(0).getAs[String]("quality_score").toDouble >= 0)
   }
 
+  test("stage rows come from the write job itself — no post-sink re-scan") {
+    // capture every job's callsite while a fresh processDir runs; the old
+    // shape launched a `count at Pipeline.scala:N` job per sink to produce
+    // the report row count (a full second scan of each artifact at scale)
+    val callsites = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        callsites.add(Option(e.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse(""))
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val out = java.nio.file.Files.createTempDirectory("graft-obs").toString
+    val report =
+      try Pipeline.processDir(spark, TestSpark.sfDir, out)
+      finally {
+        // async listener bus: settle until the event count stops moving
+        val deadline = System.currentTimeMillis() + 15000
+        var last = -1
+        while (callsites.size != last && System.currentTimeMillis() < deadline) {
+          last = callsites.size
+          Thread.sleep(300)
+        }
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    assert(report.ok, report.stages.filterNot(_.ok).mkString("; "))
+    import scala.jdk.CollectionConverters._
+    val pipelineCounts = callsites.iterator.asScala
+      .filter(cs => cs.startsWith("count at") && cs.contains("Pipeline.scala")).toSeq
+    assert(pipelineCounts.isEmpty, s"pipeline re-scanned its own sinks: $pipelineCounts")
+    // and the observed counts agree with what actually landed on disk
+    val byStage = report.stages.map(s => s.stage -> s.rows).toMap
+    for (a <- Seq("sample_load", "supplier_stats", "bucket_stats"))
+      assert(byStage(a) == spark.read.parquet(s"$out/$a").count(),
+        s"$a reported ${byStage(a)} rows but the artifact disagrees")
+  }
+
   test("error isolation: missing table reports a failed scan, never throws") {
     val bad = Pipeline.processDir(spark, "/nonexistent/dir", "/tmp/graft-bad-out")
     assert(!bad.ok && bad.stages.exists(s => s.stage == "scan" && !s.ok))
