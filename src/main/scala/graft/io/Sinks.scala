@@ -57,6 +57,49 @@ object Sinks {
     parquet(sized, path, partitionBy, mode)
   }
 
+  /** [[parquetSized]] with MEASURED sizing for arbitrary (joined/agg'd)
+    * inputs: persists the frame, materializes it once, and reads the
+    * actual cached byte count out of the `InMemoryRelation`'s metrics via
+    * `QueryExecution.withCachedData` — the same measured statistic
+    * Spark's own CBO consults for cached plans. On the join-inflated
+    * plans the estimate variant documents as unsafe (a fact⋈fact join can
+    * estimate petabytes and slam into `maxFiles`), this measures real
+    * post-join data: SinksSpec pins a case where the estimate is ~13000×
+    * off and this variant still lands near-target files.
+    *
+    * The measured read goes through a FRESH `QueryExecution` built after
+    * the materializing action: `QueryExecution.withCachedData` and plan
+    * statistics are both memoized, so re-using the frame's own (possibly
+    * pre-persist) execution would silently return the estimate again —
+    * even a caller's earlier `.stats` peek would freeze it.
+    *
+    * Cost: one persist + one extra pass (the count) + the write — the
+    * honest price of exact sizing; the count also returns exact rows.
+    * Cached bytes are the DESERIALIZED columnar size, so files come out
+    * smaller after parquet encoding+compression — same order-of-magnitude
+    * contract as [[parquetSized]], from measurement instead of guesswork. */
+  def parquetSizedMaterialized(df: DataFrame, path: String,
+                               targetBytes: Long = 128L * 1024 * 1024,
+                               partitionBy: Seq[String] = Nil,
+                               mode: String = "overwrite",
+                               maxFiles: Int = 10000): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    require(maxFiles > 0, s"maxFiles must be positive, got $maxFiles")
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      cached.count() // materialize the cache; stats below are then measured
+      val realBytes = new org.apache.spark.sql.execution.QueryExecution(
+        cached.queryExecution.sparkSession,
+        cached.queryExecution.logical).withCachedData.stats.sizeInBytes
+      val parts = (realBytes / targetBytes).min(BigInt(maxFiles)).toInt.max(1)
+      val sized =
+        if (partitionBy.isEmpty) cached.repartition(parts)
+        else cached.repartition(parts, partitionBy.map(org.apache.spark.sql.functions.col): _*)
+      parquet(sized, path, partitionBy, mode)
+      realBytes.toLong
+    } finally cached.unpersist()
+  }
+
   /** S3: CSV sink with header (quality metrics / reports).
     * `singleFile = true` mimics the reference's one-file-per-report layout
     * via coalesce(1) — fine for KB-scale reports, a deliberate funnel;

@@ -33,4 +33,33 @@ class SinksSpec extends AnyFunSuite {
     assert(parquetFiles(dir).size == 1)
     assert(spark.read.parquet(dir).count() == df.count())
   }
+
+  test("parquetSizedMaterialized sizes join-inflated plans from real data, not the estimate") {
+    // fact⋈fact self-join: Catalyst's multiplicative join estimate blows up
+    // while the real output stays small — the exact input class the
+    // estimate-based sink documents as unsafe
+    val li = Tables.lineitem(spark, TestSpark.sfDir)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val joined = li.join(li.withColumnRenamed("l_quantity", "q2"),
+      Seq("l_orderkey", "l_linenumber"))
+    val est = joined.queryExecution.optimizedPlan.stats.sizeInBytes
+    val dir = Files.createTempDirectory("graft-sized-mat").toString
+    val measured = Sinks.parquetSizedMaterialized(joined, dir, targetBytes = 4L * 1024 * 1024)
+    // the estimate would have demanded many files (or slammed the clamp);
+    // measurement sees the true ~100 KB and lands ONE near-target file
+    assert(est / (4L * 1024 * 1024) > 1, s"join estimate unexpectedly small: $est")
+    assert(BigInt(measured) < est / 10, s"measured $measured not ≪ estimate $est")
+    assert(parquetFiles(dir).size == 1, s"expected 1 file, got ${parquetFiles(dir).size}")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == joined.count())
+    assert(back.columns.sorted.toSeq == joined.columns.sorted.toSeq)
+  }
+
+  test("parquetSizedMaterialized splits when measured bytes exceed a tiny target") {
+    val df = Tables.lineitem(spark, TestSpark.sfDir)
+    val dir = Files.createTempDirectory("graft-sized-mat-split").toString
+    Sinks.parquetSizedMaterialized(df, dir, targetBytes = 64L * 1024)
+    assert(parquetFiles(dir).size > 1)
+    assert(spark.read.parquet(dir).count() == df.count())
+  }
 }
