@@ -100,6 +100,25 @@ object Sinks {
     } finally cached.unpersist()
   }
 
+  /** S2+: idempotent partition reload — overwrite ONLY the partitions
+    * present in `df`, leaving sibling partitions untouched (per-write
+    * `partitionOverwriteMode=dynamic`; the session default `static` would
+    * truncate the whole table root). This is the monthly-reprocess
+    * primitive the reference's per-month loop implies: re-running one
+    * month must replace exactly that month's output, atomically per
+    * partition, and never touch the other 119 months of a 10-year
+    * 100 TB table. Rerun-safe: same input ⇒ same partitions rewritten. */
+  def parquetPartitionOverwrite(df: DataFrame, path: String,
+                                partitionBy: Seq[String]): Unit = {
+    require(partitionBy.nonEmpty,
+      "parquetPartitionOverwrite needs partition columns — without them " +
+        "dynamic mode degenerates to a full-table overwrite")
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy: _*)
+      .parquet(path)
+  }
+
   /** S3: CSV sink with header (quality metrics / reports).
     * `singleFile = true` mimics the reference's one-file-per-report layout
     * via coalesce(1) — fine for KB-scale reports, a deliberate funnel;

@@ -194,6 +194,85 @@ object Dedup {
     exactJaccardPairs(shCand, thr)
   }
 
+  /** Persisted LSH band index of a corpus: (doc_id, band, bh). The
+    * artifact a 100 TB pipeline stores NEXT TO the archive so daily
+    * increments never re-shingle it — the index is ~bands rows of 20
+    * bytes per document regardless of document size, and
+    * [[incrementalNearDup]] joins new batches against it directly.
+    * Deterministic (xxhash64 end to end): rebuilding any index shard
+    * reproduces it bit-for-bit. */
+  def lshBandIndex(docs: DataFrame, k: Int = 3, numPerm: Int = 64,
+                   bands: Int = 16, rows: Int = 4,
+                   maxDf: Option[Long] = None): DataFrame = {
+    val sh = shingleDF(docs, k = k)
+    val capped = maxDf.fold(sh)(m => capDocumentFrequency(sh, m))
+    lshBands(minhashSignatures(capped, numPerm), bands, rows)
+  }
+
+  /** Incremental near-dup: a NEW batch against a corpus via its persisted
+    * [[lshBandIndex]] — the daily-increment shape at 100 TB, where
+    * re-running [[minhashNearDup]] over archive ∪ batch would re-shingle
+    * and re-sign the entire archive to dedup 0.1% new data.
+    *
+    * Work scales with the BATCH plus its collisions, never the archive:
+    *  - only the new batch is shingled and signed;
+    *  - candidates = new bands ⋈ index (bucket join) + within-batch
+    *    self-join;
+    *  - the archive text is touched ONLY for candidate docs (semi-join
+    *    before re-shingling), so exact-Jaccard verification reads a
+    *    candidate-sized sliver of the corpus;
+    *  - corpus⋈corpus collisions that surface in candidate buckets are
+    *    dropped — the archive's internal pairs are the full run's
+    *    business, not the increment's.
+    *
+    * Output = [[minhashNearDup]] over corpus ∪ batch RESTRICTED to pairs
+    * involving a new doc, bit-for-bit (banding is per-doc deterministic,
+    * so joint vs incremental banding yields identical candidates —
+    * pinned in DedupSpec). Caller contract: batch doc_ids are disjoint
+    * from corpus doc_ids, and `index` was built with the same
+    * k/numPerm/bands/rows. At production scale the df-cap composes by
+    * maintaining the shingle-df table incrementally and capping both the
+    * index build and the batch with it (same cap ⇒ same parity argument
+    * as DedupSpec's cap-on bit-parity). */
+  def incrementalNearDup(newDocs: DataFrame, corpus: DataFrame, index: DataFrame,
+                         k: Int = 3, numPerm: Int = 64,
+                         bands: Int = 16, rows: Int = 4,
+                         thr: Double = 0.8): DataFrame = {
+    // batch substrate feeds signatures AND verify — same lazy-recompute
+    // tradeoff as minhashNearDupFromShingles' uncapped path
+    val newSh = shingleDF(newDocs, k = k)
+    val newBands = lshBands(minhashSignatures(newSh, numPerm), bands, rows)
+    // cross candidates: batch bands probe the index buckets
+    val cross = newBands.as("x").join(index.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("id1"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("id2"))
+    val within = newBands.as("x").join(newBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+    val cand = cross.union(within).distinct()
+    // verify substrate: batch shingles + shingles of ONLY the candidate
+    // slice of the corpus (this semi-join is what keeps the archive scan
+    // candidate-sized)
+    val candIds = cand.select(col("id1").as("doc_id"))
+      .union(cand.select(col("id2").as("doc_id"))).distinct()
+    val corpusCandSh = shingleDF(corpus.join(candIds, Seq("doc_id"), "left_semi"), k = k)
+    val newShCand = newSh.join(candIds, Seq("doc_id"), "left_semi")
+    val pairs = exactJaccardPairs(corpusCandSh.union(newShCand), thr)
+    // keep pairs that involve a new doc; marker joins (not two semi-join
+    // branches) so the pair frame is computed once. Join strategy left to
+    // the planner: the aggregated id set is usually broadcast-sized, but
+    // a forced broadcast would cap batch size for no reason.
+    val newIds = newDocs.select(col("doc_id"))
+    pairs
+      .join(newIds.select(col("doc_id").as("id1"), lit(true).as("__n1")), Seq("id1"), "left")
+      .join(newIds.select(col("doc_id").as("id2"), lit(true).as("__n2")), Seq("id2"), "left")
+      .filter(col("__n1").isNotNull || col("__n2").isNotNull)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   /** Prefix-filtered exact Jaccard join (PPJoin-style): under a single
     * global shingle order (ascending document frequency — rarest first),
     * any pair with J ≥ thr MUST share a shingle within each doc's first

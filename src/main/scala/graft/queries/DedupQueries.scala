@@ -113,6 +113,27 @@ object DedupQueries {
         Dedup.minhashNearDup(Tables.documents(s, d), maxDf = Some(Dedup.DefaultMaxDf)))
     },
 
+    sql("dd6_incremental_neardup",
+      "Dedup: INCREMENTAL near-dup — new batch (top 20% of doc_ids) vs corpus via persisted LSH band index; archive re-read only for candidate docs",
+      // ground truth: the full exact-Jaccard pair set restricted to pairs
+      // involving a batch doc (id1 < id2, so "involves the batch" ⇔ the
+      // larger id is past the split)
+      s"""WITH $jaccardCtes
+         |SELECT id1, id2, jaccard FROM pairs
+         | WHERE id2 >= (SELECT (MAX(doc_id) * 4) // 5 FROM documents)
+         | ORDER BY id1, id2""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // sanctioned driver scalar (split point), same class as the
+        // quantile/quality scalars — not a data collect
+        val split = docs.agg(max("doc_id")).head.getLong(0) * 4 / 5
+        val corpus = docs.filter(col("doc_id") < split)
+        val batch = docs.filter(col("doc_id") >= split)
+        Dedup.incrementalNearDup(batch, corpus, Dedup.lshBandIndex(corpus))
+          .orderBy("id1", "id2")
+      }
+    },
+
     rowsOnly("dd4_simhash_neardup",
       "Dedup: 64-bit SimHash signatures, 4×16-bit band join, hamming ≤ 3 (ScalaTest-pinned)") {
       (s, d) =>

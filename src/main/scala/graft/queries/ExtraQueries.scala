@@ -268,6 +268,15 @@ object ExtraQueries {
           .orderBy("event_id")
     },
 
+    sql("p8_salted_agg",
+      "Skew: two-phase salted aggregation — (key,salt) partial then key final; identical to the direct GROUP BY (the skewed-reduce-key escape hatch when map-side partials can't save you)",
+      """SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS count
+        | FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        graft.ops.Skew.saltedCount(Tables.lineitem(s, d), "l_suppkey", salts = 8)
+          .orderBy("l_suppkey")
+    },
+
     sql("o5_offset",
       "O2+: pagination — ORDER BY ... OFFSET/LIMIT",
       """SELECT o_orderkey, o_totalprice FROM orders

@@ -55,6 +55,26 @@ class SinksSpec extends AnyFunSuite {
     assert(back.columns.sorted.toSeq == joined.columns.sorted.toSeq)
   }
 
+  test("parquetPartitionOverwrite replaces only the incoming partitions (idempotent month reload)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dyn-overwrite").toString
+    val initial = Seq(("2023-01", 1L, 10.0), ("2023-01", 2L, 20.0), ("2023-02", 3L, 30.0))
+      .toDF("month", "id", "v")
+    Sinks.parquetPartitionOverwrite(initial, dir, Seq("month"))
+    // reprocess ONLY 2023-02 with corrected data
+    val reload = Seq(("2023-02", 3L, 99.0), ("2023-02", 4L, 40.0)).toDF("month", "id", "v")
+    Sinks.parquetPartitionOverwrite(reload, dir, Seq("month"))
+    val back = spark.read.parquet(dir)
+    // january untouched, february fully replaced (old row gone, new rows in)
+    assert(back.filter($"month" === "2023-01").count() == 2)
+    val feb = back.filter($"month" === "2023-02").select("id", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(feb == Map(3L -> 99.0, 4L -> 40.0))
+    // contrast: a static overwrite of the same frame truncates the table root
+    reload.write.mode("overwrite").partitionBy("month").parquet(dir)
+    assert(spark.read.parquet(dir).filter($"month" === "2023-01").count() == 0)
+  }
+
   test("parquetSizedMaterialized splits when measured bytes exceed a tiny target") {
     val df = Tables.lineitem(spark, TestSpark.sfDir)
     val dir = Files.createTempDirectory("graft-sized-mat-split").toString

@@ -114,6 +114,33 @@ class DedupSpec extends AnyFunSuite {
     assert(rounds <= bound, s"took $rounds rounds, expected ≤ $bound")
   }
 
+  test("incrementalNearDup == full run restricted to batch-involving pairs; corpus-internal pairs excluded") {
+    // corpus: internal near-dup pair (10,11) that must NOT appear in the
+    // increment's output; 12 unrelated. batch: 100 near-dups corpus doc 10
+    // (cross-batch), 101 near-dups 100 (within-batch), 102 unique.
+    val corpus = Seq(
+      (10L, "a b c d e f g h i j"),
+      (11L, "a b c d e f g h i j"),
+      (12L, "z y x w v u t s r q")).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "a b c d e f g h i j"),
+      (101L, "a b c d e f g h i j"),
+      (102L, "m n o p q r s t u v")).toDF("doc_id", "text")
+    val inc = Dedup.incrementalNearDup(batch, corpus, Dedup.lshBandIndex(corpus))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // expected: every copy-pair that touches the batch
+    assert(inc == Set(
+      (10L, 100L, 1.0), (11L, 100L, 1.0),
+      (10L, 101L, 1.0), (11L, 101L, 1.0),
+      (100L, 101L, 1.0)))
+    // bit-parity with the joint run restricted to batch-involving pairs
+    val batchIds = Set(100L, 101L, 102L)
+    val full = Dedup.minhashNearDup(corpus.union(batch))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => batchIds(p._1) || batchIds(p._2)).toSet
+    assert(inc == full)
+  }
+
   test("minhashNearDup rejects numPerm below bands*rows") {
     intercept[IllegalArgumentException] {
       Dedup.minhashNearDup(docs, numPerm = 32, bands = 16, rows = 4)
