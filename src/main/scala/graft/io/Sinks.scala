@@ -119,6 +119,28 @@ object Sinks {
       .parquet(path)
   }
 
+  /** S2+: range-clustered parquet layout — `repartitionByRange` on the
+    * cluster keys, then sort within each partition, then write. Each
+    * output file covers a narrow, pairwise-disjoint key interval, so the
+    * parquet column min/max statistics become USEFUL: a pushed range or
+    * point predicate on the cluster keys skips whole row groups and files
+    * instead of scanning 100 TB to filter it. This is the write-side half
+    * of predicate pushdown — the scan-side half (PushedFilters) is free,
+    * but only pays off if the layout concentrates key ranges. The range
+    * exchange samples boundaries from the data (one extra sampling pass),
+    * giving even output sizes on skewed keys, unlike hash clustering. */
+  def parquetRangeClustered(df: DataFrame, path: String,
+                            clusterBy: Seq[String],
+                            partitions: Int,
+                            mode: String = "overwrite"): Unit = {
+    require(clusterBy.nonEmpty, "clusterBy columns required")
+    require(partitions > 0, s"partitions must be positive, got $partitions")
+    val cols = clusterBy.map(org.apache.spark.sql.functions.col)
+    df.repartitionByRange(partitions, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode(mode).parquet(path)
+  }
+
   /** S3: CSV sink with header (quality metrics / reports).
     * `singleFile = true` mimics the reference's one-file-per-report layout
     * via coalesce(1) — fine for KB-scale reports, a deliberate funnel;

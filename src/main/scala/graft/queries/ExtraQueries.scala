@@ -222,6 +222,24 @@ object ExtraQueries {
           .limit(500)
     },
 
+    rowsOnly("o9_weighted_sample",
+      "O3+: weight-proportional sample without replacement (Efraimidis–Spirakis A-ES): key = rand(seed)^(1/w), top-n by key — the training-mixture sampler (upweight curated sources, downweight crawl); engine RNG ⇒ no oracle (SURVEY §7.4.6); invariants in SamplingSpec") {
+      (s, d) =>
+        // A-ES: P(row i in top-n) is proportional to w_i without
+        // replacement; top-n by key is TakeOrderedAndProject (per-partition
+        // heaps + single merge, no full sort) — same envelope as o3b.
+        // Zero/negative weights are excluded up front (their A-ES key is
+        // degenerate), matching the algorithm's w > 0 domain.
+        val weighted = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          .filter(col("l_quantity") > 0)
+        weighted
+          .withColumn("__key", pow(rand(11L), lit(1.0) / col("l_quantity")))
+          .orderBy(col("__key").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(500)
+          .drop("__key")
+    },
+
     sql("o4_head",
       "O4: bounded preview (LIMIT over a deterministic order)",
       """SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey LIMIT 5""") {

@@ -40,6 +40,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(exact.run(spark, TestSpark.sfDir).exceptAll(li).count() == 0)
   }
 
+  test("weighted sample: exact n, deterministic, subset, heavy rows oversampled") {
+    val ws = SparkEntry.specs.find(_.name == "o9_weighted_sample").get
+    val a = ws.run(spark, TestSpark.sfDir).collect()
+    assert(a.length == 500)
+    assert(a.toSeq == ws.run(spark, TestSpark.sfDir).collect().toSeq)
+    val li = graft.model.Tables.lineitem(spark, TestSpark.sfDir)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .filter(org.apache.spark.sql.functions.col("l_quantity") > 0)
+    assert(ws.run(spark, TestSpark.sfDir).exceptAll(li).count() == 0)
+    // weight-proportionality: the sampled mean quantity must exceed the
+    // population mean (heavier rows are preferentially selected). The gap
+    // is large by construction (P ∝ w over w ∈ 1..50), so this is a
+    // deterministic property of the seeded sample, not a flaky CI bound.
+    val popMean = li.agg(org.apache.spark.sql.functions.avg("l_quantity"))
+      .head().getDouble(0)
+    val sampleMean = a.map(_.getAs[Double]("l_quantity")).sum / a.length
+    assert(sampleMean > popMean * 1.2,
+      f"weighted sample mean $sampleMean%.2f not above population mean $popMean%.2f")
+  }
+
   test("stratified sample: deterministic, per-stratum fractions within CI, subset") {
     val strat = SparkEntry.specs.find(_.name == "o7_stratified_sample").get
     val a = strat.run(spark, TestSpark.sfDir).collect().toSet

@@ -75,6 +75,27 @@ class SinksSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).filter($"month" === "2023-01").count() == 0)
   }
 
+  test("parquetRangeClustered: per-file key intervals are disjoint (min/max stats become prunable)") {
+    val df = Tables.lineitem(spark, TestSpark.sfDir).select("l_orderkey", "l_quantity")
+    val dir = Files.createTempDirectory("graft-range-cluster").toString
+    Sinks.parquetRangeClustered(df, dir, Seq("l_orderkey"), partitions = 4)
+    val files = parquetFiles(dir)
+    assert(files.size > 1, "need multiple files to demonstrate disjoint ranges")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(org.apache.spark.sql.functions.min("l_orderkey"),
+          org.apache.spark.sql.functions.max("l_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    // disjoint, ordered intervals: every file's min is past the previous
+    // file's max — the property that lets min/max stats prune row groups
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(lo2 > hi1, s"overlap: $ranges")
+      case _ => ()
+    }
+    assert(spark.read.parquet(dir).count() == df.count())
+  }
+
   test("parquetSizedMaterialized splits when measured bytes exceed a tiny target") {
     val df = Tables.lineitem(spark, TestSpark.sfDir)
     val dir = Files.createTempDirectory("graft-sized-mat-split").toString
