@@ -74,6 +74,48 @@ object ExtraQueries {
       }
     },
 
+    sql("u7_snapshot_diff",
+      "U7: snapshot diff — added/removed/changed rows between two table versions (one full-outer shuffle; the reprocessing-regression primitive)",
+      // the "new" snapshot is a deterministic perturbation of orders:
+      // drop keys %97, bump price on keys %89, add negated keys %83
+      """WITH base AS (SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p, o_orderstatus AS st FROM orders),
+        |newv AS (
+        | SELECT k, c, p + CASE WHEN k % 89 = 0 THEN 1.0 ELSE 0.0 END AS p, st FROM base WHERE k % 97 <> 0
+        | UNION ALL SELECT -k, c, p, st FROM base WHERE k % 83 = 0),
+        |d AS (SELECT COALESCE(o.k, n.k) AS o_orderkey,
+        | CASE WHEN o.k IS NULL THEN 'added'
+        |      WHEN n.k IS NULL THEN 'removed'
+        |      WHEN o.c IS DISTINCT FROM n.c OR o.p IS DISTINCT FROM n.p
+        |           OR o.st IS DISTINCT FROM n.st THEN 'changed'
+        |      ELSE 'unchanged' END AS change
+        | FROM base o FULL JOIN newv n ON o.k = n.k)
+        |SELECT o_orderkey, change FROM d WHERE change <> 'unchanged'
+        | ORDER BY o_orderkey, change""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val base = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        val newSnap = base.filter(col("o_orderkey") % 97 =!= 0)
+          .withColumn("o_totalprice",
+            col("o_totalprice") + when(col("o_orderkey") % 89 === 0, 1.0).otherwise(0.0))
+          .unionByName(base.filter(col("o_orderkey") % 83 === 0)
+            .withColumn("o_orderkey", -col("o_orderkey")))
+        graft.ops.Diff.snapshotDiff(base, newSnap, Seq("o_orderkey"))
+          .orderBy("o_orderkey", "change")
+      }
+    }.withBench { (s, d) =>
+      // production: value columns collapse to one xxhash64 before the
+      // full-outer join — wide rows shuffle 8 payload bytes (parity with
+      // the exact form pinned in DiffSpec)
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val newSnap = base.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          col("o_totalprice") + when(col("o_orderkey") % 89 === 0, 1.0).otherwise(0.0))
+        .unionByName(base.filter(col("o_orderkey") % 83 === 0)
+          .withColumn("o_orderkey", -col("o_orderkey")))
+      graft.ops.Diff.snapshotDiffHashed(base, newSnap, Seq("o_orderkey"))
+    },
+
     sql("a13_rollup",
       "A13: ROLLUP grouping sets (per-flag-and-status, per-flag, grand total)",
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS total_lines,
