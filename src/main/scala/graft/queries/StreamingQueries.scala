@@ -44,6 +44,22 @@ object StreamingQueries {
           .orderBy("user_id", "session_start")
     },
 
+    sql("st5_enriched_segments",
+      "Streaming: stream-static enrichment — events ⋈ broadcast customer-segment dim, then 1h windowed counts per segment (batch = stream)",
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        | c_mktsegment AS segment, COUNT(*) AS n_events, ROUND(AVG(value), 4) AS avg_value
+        | FROM events JOIN customer ON user_id = c_custkey
+        | WHERE user_id IS NOT NULL
+        | GROUP BY 1, 2 ORDER BY window_start, segment""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        EventStreams.enrichedSegmentCounts(
+          Tables.events(s, d),
+          Tables.customer(s, d)
+            .select(org.apache.spark.sql.functions.col("c_custkey").as("user_id"),
+              org.apache.spark.sql.functions.col("c_mktsegment").as("segment")))
+          .orderBy("window_start", "segment")
+    },
+
     sql("st4_sliding_window",
       "Streaming: sliding 1h windows hopping every 15min (4 overlapping windows per event; batch = stream)",
       """WITH e AS (SELECT event_type, value, time_bucket(INTERVAL '15 minutes', ts) AS tb

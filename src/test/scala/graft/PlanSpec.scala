@@ -77,6 +77,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum") && p.contains("partial_count"))
   }
 
+  test("round-6 operators keep scale-safe join shapes (no cartesian/nested-loop fallbacks)") {
+    // incremental dedup: every join is bucket- or key-equality — a
+    // CartesianProduct would mean candidate generation went all-pairs
+    val dd6 = plan(specs("dd6_incremental_neardup").run(spark, TestSpark.sfDir))
+    assert(!dd6.contains("CartesianProduct"), "dd6 planned an all-pairs join")
+    // snapshot diff: one full-outer SortMergeJoin on the key, never a
+    // nested loop (which a non-equi or missing-key condition would force)
+    val u7 = plan(specs("u7_snapshot_diff").run(spark, TestSpark.sfDir))
+    assert(u7.contains("FullOuter") || u7.contains("full_outer"), s"u7 lost the full-outer: $u7")
+    assert(!u7.contains("BroadcastNestedLoopJoin") && !u7.contains("CartesianProduct"))
+    // stream-static enrichment: the dim joins broadcast so the stream
+    // side never shuffles for the join
+    val st5 = plan(specs("st5_enriched_segments").run(spark, TestSpark.sfDir))
+    assert(st5.contains("BroadcastHashJoin"), s"st5 dim join not broadcast: $st5")
+    // weighted/exact-n samples: top-n, not a full global sort
+    assert(plan(specs("o9_weighted_sample").run(spark, TestSpark.sfDir))
+      .contains("TakeOrderedAndProject"))
+    assert(plan(specs("o3b_exact_n_sample").run(spark, TestSpark.sfDir))
+      .contains("TakeOrderedAndProject"))
+  }
+
   test("every registered query has distinct name; oracle queries keep deterministic output") {
     val names = SparkEntry.specs.map(_.name)
     assert(names.distinct.size == names.size)

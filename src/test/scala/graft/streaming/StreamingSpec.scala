@@ -99,6 +99,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.forall(b => latest((b.getString(0), b.getString(1))).contains(b)))
   }
 
+  test("stream-static enrichment: streaming equals batch") {
+    val dim = Tables.customer(spark, TestSpark.sfDir)
+      .select(org.apache.spark.sql.functions.col("c_custkey").as("user_id"),
+        org.apache.spark.sql.functions.col("c_mktsegment").as("segment"))
+    val batch = EventStreams
+      .enrichedSegmentCounts(Tables.events(spark, TestSpark.sfDir), dim)
+      .collect().toSet
+    runToCompletion(EventStreams.enrichedSegmentCounts(streamEvents, dim), "stream_enriched")
+    val streamed = spark.table("stream_enriched").collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("stream-stream click->purchase join: streaming equals batch") {
     // Two independent readStream sources joined on key + event-time range.
     // Inner stream-stream joins emit matches eagerly (the watermark bounds
