@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Eval-set decontamination — the train/test hygiene pass every LLM
+  * training pipeline runs before packaging shards: flag (or drop) training
+  * documents that share long word n-grams with a benchmark/eval set, so
+  * measured eval performance isn't memorization of leaked test items
+  * (the GPT-3 appendix-C / PaLM / Llama decontamination procedure).
+  *
+  * Scale shape: the eval set is benchmark-sized (thousands of docs, MBs) —
+  * its shingle set is exploded and BROADCAST; the 100 TB train side is
+  * scanned once, shingled map-side, and hash-joined against the broadcast
+  * with zero shuffle of train data. The per-doc aggregation shuffles only
+  * (doc_id, shingle-hit) pairs — the contaminated sliver, not the corpus.
+  * k defaults higher than near-dup shingling (5 here, 8–13 in production)
+  * because decontamination wants high-precision exact overlap, not
+  * fuzzy similarity.
+  */
+object Decontam {
+
+  /** Per-train-doc contamination report: how many distinct eval docs and
+    * distinct k-gram shingles it shares with the eval set. Only
+    * contaminated docs appear (inner join); survivors = anti-join on the
+    * result. Strings are joined for oracle parity; [[contaminationHashed]]
+    * is the 8-byte production form. */
+  def contamination(train: DataFrame, evalSet: DataFrame, k: Int = 5): DataFrame = {
+    val trainSh = Dedup.shingleDF(train, k = k)
+    val evalSh = Dedup.shingleDF(evalSet, k = k)
+      .withColumnRenamed("doc_id", "eval_id")
+    trainSh
+      .join(broadcast(evalSh), Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("eval_id")).as("n_eval_docs"),
+        countDistinct(col("shingle")).as("n_shared_shingles"))
+  }
+
+  /** Production form: shingles collapse to xxhash64 before the broadcast
+    * join, so the hash table holds 8-byte keys instead of k-word strings
+    * and the probe never materializes shingle text. A collision can only
+    * ADD a spurious shared-shingle (2⁻⁶⁴ per pair) — decontamination is
+    * deliberately recall-biased, so that failure mode is the safe one. */
+  def contaminationHashed(train: DataFrame, evalSet: DataFrame, k: Int = 5): DataFrame = {
+    val trainSh = Dedup.hashedShingleDF(train, k = k)
+    val evalSh = Dedup.hashedShingleDF(evalSet, k = k)
+      .withColumnRenamed("doc_id", "eval_id")
+    trainSh
+      .join(broadcast(evalSh), Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("eval_id")).as("n_eval_docs"),
+        countDistinct(col("shingle")).as("n_shared_shingles"))
+  }
+
+  /** The clean corpus: train docs with NO k-gram overlap with the eval
+    * set — broadcast anti-join against the contaminated id set. */
+  def decontaminated(train: DataFrame, evalSet: DataFrame, k: Int = 5): DataFrame =
+    train.join(
+      broadcast(contaminationHashed(train, evalSet, k).select("doc_id")),
+      Seq("doc_id"), "left_anti")
+}

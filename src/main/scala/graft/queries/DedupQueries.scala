@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.QuerySpec
 import graft.QuerySpec.{rowsOnly, sql}
 import graft.model.Tables
-import graft.ops.Dedup
+import graft.ops.{Decontam, Dedup}
 
 /** Dedup operators over the `documents` table (north-star components —
   * SURVEY.md §7.6). The corpus plants ~25 near-duplicate pairs per 500
@@ -33,6 +33,18 @@ object DedupQueries {
   /** dd2/dd3 ground truth: the pair set itself, deterministically ordered. */
   private val jaccardOracle =
     s"WITH $jaccardCtes SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2"
+
+  /** DuckDB k-word shingle list over `string_split(text,' ')` — the same
+    * totality rule as [[Dedup.shinglesFromTokens]] (docs shorter than k
+    * contribute their whole text). Generalizes the k=3 form inside
+    * [[jaccardCtes]] to the longer grams decontamination uses. */
+  private def shingleListSql(k: Int): String = {
+    val ws = "string_split(text,' ')"
+    val gram = (0 until k).map(j => s"$ws[i+$j]").mkString(" || ' ' || ")
+    s"""CASE WHEN len($ws) >= $k
+       | THEN list_distinct(list_transform(range(1, len($ws) - ${k - 2}), i -> $gram))
+       | ELSE [text] END""".stripMargin.replace("\n", "")
+  }
 
   val all: Seq[QuerySpec] = Seq(
 
@@ -132,6 +144,34 @@ object DedupQueries {
         Dedup.incrementalNearDup(batch, corpus, Dedup.lshBandIndex(corpus))
           .orderBy("id1", "id2")
       }
+    },
+
+    sql("dd7_decontaminate",
+      "Dedup+: eval-set decontamination — train docs sharing >= 1 distinct 5-gram with the held-out eval slice (doc_id % 20 == 7), broadcast eval shingles, zero train shuffle until the hit sliver",
+      s"""WITH tsh AS (SELECT doc_id, UNNEST(${shingleListSql(5)}) AS shingle
+         |            FROM documents WHERE doc_id % 20 <> 7),
+         |esh AS (SELECT doc_id AS eval_id, UNNEST(${shingleListSql(5)}) AS shingle
+         |        FROM documents WHERE doc_id % 20 = 7)
+         |SELECT t.doc_id,
+         |       COUNT(DISTINCT e.eval_id) AS n_eval_docs,
+         |       COUNT(DISTINCT t.shingle) AS n_shared_shingles
+         | FROM tsh t JOIN esh e ON t.shingle = e.shingle
+         | GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Decontam.contamination(
+          docs.filter(col("doc_id") % 20 =!= 7),
+          docs.filter(col("doc_id") % 20 === 7), k = 5)
+          .orderBy("doc_id")
+      }
+    }.withBench { (s, d) =>
+      // production: 8-byte hashed shingles in the broadcast hash table
+      // (recall-biased: a collision can only add a flagged doc) — parity
+      // vs the string form pinned in DecontamSpec
+      val docs = Tables.documents(s, d)
+      Decontam.contaminationHashed(
+        docs.filter(col("doc_id") % 20 =!= 7),
+        docs.filter(col("doc_id") % 20 === 7), k = 5)
     },
 
     rowsOnly("dd4_simhash_neardup",

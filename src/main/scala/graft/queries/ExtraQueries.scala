@@ -116,6 +116,101 @@ object ExtraQueries {
       graft.ops.Diff.snapshotDiffHashed(base, newSnap, Seq("o_orderkey"))
     },
 
+    sql("u8_cdc_apply",
+      "U8: MERGE/upsert — apply a CDC changelog (upsert/delete, out-of-order seq, latest-per-key wins) to a keyed snapshot in one anti-join + union; the idempotent incremental-load primitive",
+      // changelog (from deterministic key classes): keys %10==3 get a
+      // superseded seq-1 status 'X' then a winning seq-2 status 'U';
+      // keys %10==7 are deleted at seq 1; negated keys %100==1 are inserts.
+      // Expected = base minus deletions, %10==3 at status 'U', plus inserts.
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM (
+        | SELECT o_orderkey, o_custkey,
+        |        CASE WHEN o_orderkey % 10 = 3 THEN 'U' ELSE o_orderstatus END AS o_orderstatus
+        |   FROM orders WHERE o_orderkey % 10 <> 7
+        | UNION ALL
+        | SELECT -o_orderkey, o_custkey, 'I' FROM orders WHERE o_orderkey % 100 = 1)
+        | ORDER BY o_orderkey""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val base = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderstatus")
+        val changes =
+          base.filter(col("o_orderkey") % 10 === 3)
+            .withColumn("o_orderstatus", lit("X"))
+            .withColumn("op", lit("upsert")).withColumn("seq", lit(1L))
+          .unionByName(base.filter(col("o_orderkey") % 10 === 3)
+            .withColumn("o_orderstatus", lit("U"))
+            .withColumn("op", lit("upsert")).withColumn("seq", lit(2L)))
+          .unionByName(base.filter(col("o_orderkey") % 10 === 7)
+            .withColumn("op", lit("delete")).withColumn("seq", lit(1L)))
+          .unionByName(base.filter(col("o_orderkey") % 100 === 1)
+            .withColumn("o_orderkey", -col("o_orderkey"))
+            .withColumn("o_orderstatus", lit("I"))
+            .withColumn("op", lit("upsert")).withColumn("seq", lit(1L)))
+        graft.ops.Merge.applyChangeLog(base, changes, Seq("o_orderkey"))
+          .orderBy("o_orderkey")
+      }
+    },
+
+    sql("u9_incremental_agg",
+      "U9: incremental aggregation maintenance — merge per-key algebraic states (count/decimal-sum/min/max) from a prior slice and a new batch; bit-identical to full recompute, new data only is scanned",
+      s"""SELECT l_returnflag, l_linestatus, COUNT(l_quantity) AS cnt,
+         | ${ssum("l_quantity")} AS sum_v,
+         | ${ssum("l_quantity")} / COUNT(l_quantity) AS avg_v,
+         | MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v
+         | FROM lineitem GROUP BY 1, 2
+         | ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // the engine path NEVER aggregates the full table in one pass: the
+        // "history" and "today's batch" slices are aggregated separately
+        // (disjoint on l_orderkey % 5) and their states merged — the
+        // incremental pattern where history states come from yesterday's
+        // checkpoint instead of a rescan
+        val keys = Seq("l_returnflag", "l_linestatus")
+        val li = Tables.lineitem(s, d)
+        val history = graft.ops.Merge.partialStats(
+          li.filter(col("l_orderkey") % 5 =!= 0), keys, "l_quantity")
+        val batch = graft.ops.Merge.partialStats(
+          li.filter(col("l_orderkey") % 5 === 0), keys, "l_quantity")
+        graft.ops.Merge.finalizeStats(
+          graft.ops.Merge.mergeStats(Seq(history, batch), keys), keys)
+          .orderBy("l_returnflag", "l_linestatus")
+      }
+    },
+
+    sql("o10_domain_mixture",
+      "O10: training-mixture composer — per-source quotas (curated src0-src4 get 15 docs, crawl-tier sources 5), deterministic hash-order row_number; the doc-level mixture step before shard packaging",
+      """SELECT doc_id, source, rn FROM (
+        | SELECT doc_id, source,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS rn
+        | FROM documents)
+        | WHERE rn <= CASE WHEN CAST(SUBSTR(source, 4) AS INT) < 5 THEN 15 ELSE 5 END
+        | ORDER BY source, rn, doc_id""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // quota is a per-row expression, so one window pass serves every
+        // source; md5 order makes the draw reproducible across runs,
+        // engines, and partitionings (the o8 discipline)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(md5(col("doc_id").cast("string")))
+        val quota = when(substring(col("source"), 4, 10).cast("int") < 5, 15)
+          .otherwise(5)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= quota)
+          .orderBy("source", "rn", "doc_id")
+      }
+    }.withBench { (s, d) =>
+      // production: xxhash64 draw (8-byte, Spark-native) — md5 is the
+      // oracle-portable form only
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(xxhash64(col("doc_id")))
+      val quota = when(substring(col("source"), 4, 10).cast("int") < 5, 15)
+        .otherwise(5)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= quota)
+    },
+
     sql("a13_rollup",
       "A13: ROLLUP grouping sets (per-flag-and-status, per-flag, grand total)",
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS total_lines,

@@ -150,6 +150,38 @@ object StatsQueries {
             Det.davg(col("l_extendedprice")).as("avg_above"))
           .orderBy("l_returnflag")
       }
+    },
+
+    sql("a20_histogram",
+      "A20: equi-width histogram (16 bins over the global [min,max] of l_extendedprice) — the data-profiling primitive; bounds broadcast, bins one hash agg",
+      // bin arithmetic is the SAME double expression shape in both engines
+      // ((x-lo)/((hi-lo)/16)), so IEEE gives bit-identical bins; the top
+      // edge (x == hi) clamps into the last bin
+      s"""WITH b AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem)
+         |SELECT LEAST(CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 16.0)) AS BIGINT), 15) AS bin,
+         |       ROUND(MIN(lo + LEAST(CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 16.0)) AS BIGINT), 15) * ((hi - lo) / 16.0)), 4) AS bin_lo,
+         |       COUNT(*) AS n_items,
+         |       ${Det.Sql.dsum("l_extendedprice")} AS sum_price
+         | FROM lineitem, b
+         | GROUP BY 1 ORDER BY bin""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // bounds are a 1-row broadcast (o6 discipline — no driver
+        // round-trip); binning + the rollup is one map-side expression
+        // feeding one partial+final hash agg on ≤16 keys
+        val li = Tables.lineitem(s, d)
+        val bounds = li.agg(
+          min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+        val width = (col("hi") - col("lo")) / 16.0
+        val bin = least(floor((col("l_extendedprice") - col("lo")) / width), lit(15L))
+        li.crossJoin(broadcast(bounds))
+          .select(bin.as("bin"), col("lo"), col("hi"), col("l_extendedprice"))
+          .groupBy("bin")
+          .agg(
+            round(min(col("lo") + col("bin") * ((col("hi") - col("lo")) / 16.0)), 4).as("bin_lo"),
+            count(lit(1)).as("n_items"),
+            Det.dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("bin")
+      }
     }
   )
 }

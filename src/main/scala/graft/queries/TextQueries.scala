@@ -61,6 +61,41 @@ object TextQueries {
           .orderBy("doc_id")
     },
 
+    sql("t11_repetition",
+      "Text: Gopher-style repetition signals — duplicate-token fraction + most-frequent-bigram mass per doc (boilerplate/spam filter inputs; Rae et al. '21 §A1.2 shape)",
+      // dup_frac is map-side per doc; the bigram mass needs the real
+      // frequency mode, so bigrams explode once and aggregate twice
+      // ((doc,bigram) counts, then per-doc max/total) — two hash aggs on
+      // doc-sized groups, no windows, no driver state
+      """WITH b AS (SELECT doc_id,
+        |  1.0 - len(list_distinct(string_split(text,' '))) * 1.0 / len(string_split(text,' ')) AS dup_frac,
+        |  UNNEST(CASE WHEN len(string_split(text,' ')) >= 2
+        |    THEN list_transform(range(1, len(string_split(text,' '))),
+        |         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])
+        |    ELSE [text] END) AS bg
+        |  FROM documents),
+        |c AS (SELECT doc_id, bg, COUNT(*) AS n, MAX(dup_frac) AS dup_frac
+        |      FROM b GROUP BY doc_id, bg)
+        |SELECT doc_id, ROUND(MAX(dup_frac), 4) AS dup_token_frac,
+        |       ROUND(MAX(n) * 1.0 / SUM(n), 4) AS top_bigram_frac
+        | FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("__ws"))
+          .select(col("doc_id"),
+            (lit(1.0) - size(array_distinct(col("__ws"))).cast("double") / size(col("__ws")))
+              .as("dup_frac"),
+            explode(TextOps.positionalShinglesFromTokens(col("text"), col("__ws"), 2)).as("bg"))
+        base.groupBy("doc_id", "bg")
+          .agg(count(lit(1)).as("n"), max("dup_frac").as("dup_frac"))
+          .groupBy("doc_id")
+          .agg(
+            round(max("dup_frac"), 4).as("dup_token_frac"),
+            round(max("n") * lit(1.0) / sum("n"), 4).as("top_bigram_frac"))
+          .orderBy("doc_id")
+      }
+    },
+
     sql("t2_lang_stats",
       "Text: per-language corpus stats (A1-shaped agg on a text-derived surface)",
       """SELECT lang, COUNT(*) AS n_docs,

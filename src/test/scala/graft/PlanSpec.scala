@@ -96,6 +96,20 @@ class PlanSpec extends AnyFunSuite {
       .contains("TakeOrderedAndProject"))
     assert(plan(specs("o3b_exact_n_sample").run(spark, TestSpark.sfDir))
       .contains("TakeOrderedAndProject"))
+    // decontamination: the eval shingle set is the BROADCAST build side —
+    // the 100 TB train side must never shuffle for the join
+    val dd7 = plan(specs("dd7_decontaminate").production(spark, TestSpark.sfDir))
+    assert(dd7.contains("BroadcastHashJoin"), s"dd7 eval side not broadcast: $dd7")
+    assert(!dd7.contains("CartesianProduct"))
+    // histogram bounds: a 1-row broadcast, not a shuffle or driver collect
+    val a20 = plan(specs("a20_histogram").run(spark, TestSpark.sfDir))
+    assert(a20.contains("BroadcastNestedLoopJoin") || a20.contains("BroadcastHashJoin"),
+      s"a20 bounds not broadcast: $a20")
+    // CDC apply: anti-join on the key (broadcast or shuffled-hash), and the
+    // union reuses the target scan exactly once
+    val u8 = plan(specs("u8_cdc_apply").run(spark, TestSpark.sfDir))
+    assert(u8.contains("LeftAnti"), s"u8 lost the anti-join: $u8")
+    assert(!u8.contains("CartesianProduct") && !u8.contains("BroadcastNestedLoopJoin"))
   }
 
   test("every registered query has distinct name; oracle queries keep deterministic output") {

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class MergeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def target = Seq(
+    (1L, "a", 10.0),
+    (2L, "b", 20.0),
+    (3L, "c", 30.0)).toDF("k", "name", "v")
+
+  // k=2: two upserts, seq 2 wins; k=3: delete; k=4: insert
+  private def changes = Seq(
+    (2L, "b-stale", 21.0, "upsert", 1L),
+    (2L, "b-new", 22.0, "upsert", 2L),
+    (3L, "c", 30.0, "delete", 1L),
+    (4L, "d", 40.0, "upsert", 1L)).toDF("k", "name", "v", "op", "seq")
+
+  test("applyChangeLog: latest-seq upsert wins, deletes drop, inserts add, untouched pass through") {
+    val got = Merge.applyChangeLog(target, changes, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set(
+      (1L, "a", 10.0),       // untouched
+      (2L, "b-new", 22.0),   // seq-2 upsert superseded seq-1
+      (4L, "d", 40.0)))      // insert (k=3 deleted)
+  }
+
+  test("applyChangeLog is idempotent: re-applying the same changelog is a no-op") {
+    val once = Merge.applyChangeLog(target, changes, Seq("k"))
+    val twice = Merge.applyChangeLog(once, changes, Seq("k"))
+    assert(twice.collect().map(_.toSeq).toSet == once.collect().map(_.toSeq).toSet)
+  }
+
+  test("applyChangeLog: a delete superseded by a later upsert keeps the row") {
+    val ch = Seq(
+      (1L, "a2", 11.0, "delete", 1L),
+      (1L, "a2", 11.0, "upsert", 2L)).toDF("k", "name", "v", "op", "seq")
+    val got = Merge.applyChangeLog(target, ch, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.contains((1L, "a2")) && got.size == 3)
+  }
+
+  test("applyChangeLog rejects a changelog missing target columns") {
+    val bad = Seq((1L, "upsert", 1L)).toDF("k", "op", "seq")
+    intercept[IllegalArgumentException](Merge.applyChangeLog(target, bad, Seq("k")))
+  }
+
+  test("mergeStats over disjoint slices is bit-identical to a full recompute") {
+    val li = graft.model.Tables.lineitem(spark, TestSpark.sfDir)
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val slices = Seq(
+      li.filter(col("l_orderkey") % 3 === 0),
+      li.filter(col("l_orderkey") % 3 === 1),
+      li.filter(col("l_orderkey") % 3 === 2))
+      .map(Merge.partialStats(_, keys, "l_quantity"))
+    val merged = Merge.finalizeStats(Merge.mergeStats(slices, keys), keys)
+      .orderBy(keys.map(col): _*)
+    val direct = Merge.finalizeStats(
+      Merge.partialStats(li, keys, "l_quantity"), keys)
+      .orderBy(keys.map(col): _*)
+    assert(merged.collect().map(_.toSeq).toSeq == direct.collect().map(_.toSeq).toSeq)
+  }
+
+  test("merging a slice with no rows for some key still folds min/max/count correctly") {
+    val a = Seq(("x", 1.0), ("x", 3.0)).toDF("g", "v")
+    val b = Seq(("y", 5.0)).toDF("g", "v")
+    val merged = Merge.finalizeStats(
+      Merge.mergeStats(Seq(
+        Merge.partialStats(a, Seq("g"), "v"),
+        Merge.partialStats(b, Seq("g"), "v")), Seq("g")), Seq("g"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(4), r.getDouble(5))).toMap
+    assert(merged("x") == ((2L, 4.0, 1.0, 3.0)))
+    assert(merged("y") == ((1L, 5.0, 5.0, 5.0)))
+  }
+}
