@@ -89,6 +89,34 @@ object LlmPipelineQueries {
             sum("n_tokens").as("total_tokens"))
           .orderBy("shard")
       }
+    },
+
+    sql("llm3_pack_shards",
+      "LLM pipeline: token-BUDGET shard packing — global prefix sum of token counts in doc_id order cut into 2000-token shards; engine runs the distributed scan (range partitions + broadcast offsets), never a single-partition window",
+      // the oracle can afford the naive single-partition window; the
+      // engine path must produce the identical global cumsum from the
+      // two-phase distributed scan (Packing.prefixSum)
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |  COALESCE(SUM(toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM t)
+        |SELECT CAST(prior // 2000 AS BIGINT) AS shard_id,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(toks) AS BIGINT) AS total_tokens,
+        |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        | FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), graft.ops.TextOps.tokenCount(col("text")).as("toks"))
+        graft.ops.Packing.packByBudget(toks, "doc_id", "toks", budget = 2000L)
+          .groupBy("shard_id")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("toks").as("total_tokens"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+          .orderBy("shard_id")
+      }
     }
   )
 }

@@ -152,6 +152,35 @@ object StatsQueries {
       }
     },
 
+    sql("p9_anomalous_partitions",
+      "P9: anomalous-partition detection — months whose average order price drifts > 8% from the exact global baseline (the bad-ingest-day detector); both averages exact-decimal so the flag comparison is engine-stable",
+      s"""WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS mon, COUNT(*) AS n_orders,
+         |  ${Det.Sql.davg("o_totalprice")} AS avg_price FROM orders GROUP BY 1),
+         |g AS (SELECT ${Det.Sql.davg("o_totalprice")} AS gavg FROM orders)
+         |SELECT mon, n_orders, ROUND(avg_price, 2) AS avg_price,
+         |       ROUND((avg_price - gavg) / gavg, 4) AS pct_dev
+         | FROM m, g WHERE ABS((avg_price - gavg) / gavg) > 0.08
+         | ORDER BY mon""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // per-month partial+final agg + a 1-row broadcast baseline — the
+        // whole check is two scans (or one, if the caller caches); at
+        // 100 TB the month would be a partition column and the scan prunes
+        val o = Tables.orders(s, d)
+        val monthly = o
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+          .agg(count(lit(1)).as("n_orders"),
+            Det.davg(col("o_totalprice")).as("avg_price"))
+        val global = o.agg(Det.davg(col("o_totalprice")).as("gavg"))
+        monthly.crossJoin(broadcast(global))
+          .withColumn("pct_dev", (col("avg_price") - col("gavg")) / col("gavg"))
+          .filter(abs(col("pct_dev")) > 0.08)
+          .select(col("mon"), col("n_orders"),
+            round(col("avg_price"), 2).as("avg_price"),
+            round(col("pct_dev"), 4).as("pct_dev"))
+          .orderBy("mon")
+      }
+    },
+
     sql("a20_histogram",
       "A20: equi-width histogram (16 bins over the global [min,max] of l_extendedprice) — the data-profiling primitive; bounds broadcast, bins one hash agg",
       // bin arithmetic is the SAME double expression shape in both engines

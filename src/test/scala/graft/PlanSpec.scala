@@ -110,6 +110,14 @@ class PlanSpec extends AnyFunSuite {
     val u8 = plan(specs("u8_cdc_apply").run(spark, TestSpark.sfDir))
     assert(u8.contains("LeftAnti"), s"u8 lost the anti-join: $u8")
     assert(!u8.contains("CartesianProduct") && !u8.contains("BroadcastNestedLoopJoin"))
+    // token-budget packing: the corpus-sized window must be PARTITIONED
+    // (by the frozen range bucket __pid) and the offsets must come back
+    // broadcast — a naive global-order window would show neither. The
+    // rangepartitioning exchange itself runs inside the eager
+    // localCheckpoint, so the final plan reads the frozen RDD.
+    val llm3 = plan(specs("llm3_pack_shards").run(spark, TestSpark.sfDir))
+    assert(llm3.contains("__pid") && llm3.contains("BroadcastHashJoin"),
+      s"llm3 lost the distributed prefix-sum shape: $llm3")
   }
 
   test("every registered query has distinct name; oracle queries keep deterministic output") {
