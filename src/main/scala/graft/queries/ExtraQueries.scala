@@ -211,6 +211,96 @@ object ExtraQueries {
         .filter(col("rn") <= quota)
     },
 
+    sql("d4_feature_scaling",
+      "D4: feature scaling — z-score and min-max normalization of price against broadcast global stats; sigma derives from exact-decimal Σx/Σx² so the 60k per-row outputs are bit-identical across engines (a rounded STDDEV_SAMP would coin-flip ~1e-11-wide rounding boundaries)",
+      // price is 2dp so price² is exactly 4dp — the same lossless
+      // double→decimal cast Det.dsum relies on for 2dp×2dp revenue
+      // products; every downstream double op has the identical shape in
+      // both engines, so z_score and minmax match bitwise before rounding
+      s"""WITH g AS (SELECT ${Det.Sql.davg("l_extendedprice")} AS mu,
+         |  CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sumsq,
+         |  COUNT(*) AS n,
+         |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem)
+         |SELECT l_orderkey, l_linenumber,
+         |       ROUND((l_extendedprice - mu) / SQRT((sumsq - mu * mu * n) / (n - 1)), 4) AS z_score,
+         |       ROUND((l_extendedprice - lo) / (hi - lo), 6) AS minmax
+         | FROM lineitem, g
+         | ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // stats are a 1-row broadcast; normalization is pure map-side math
+        val li = Tables.lineitem(s, d)
+        val p = col("l_extendedprice")
+        val stats = li.agg(
+          Det.davg(p).as("mu"),
+          sum((p * p).cast(org.apache.spark.sql.types.DecimalType(38, 4)))
+            .cast("double").as("sumsq"),
+          count(lit(1)).as("n"),
+          min(p).as("lo"), max(p).as("hi"))
+        li.crossJoin(broadcast(stats))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round((p - col("mu")) /
+              sqrt((col("sumsq") - col("mu") * col("mu") * col("n")) / (col("n") - 1)), 4)
+              .as("z_score"),
+            round((p - col("lo")) / (col("hi") - col("lo")), 6).as("minmax"))
+          .orderBy("l_orderkey", "l_linenumber")
+      }
+    },
+
+    sql("d5_onehot",
+      "D5: one-hot encoding — categorical flag/status to 0/1 indicator columns (explicit category list, map-side, no discovery scan; the categorical-feature step)",
+      """SELECT l_orderkey, l_linenumber,
+        | CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS flag_a,
+        | CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS flag_n,
+        | CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS flag_r,
+        | CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END AS status_f
+        | FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // explicit category values (like a17's PIVOT) — a distinct-scan to
+        // discover them would be an extra pass and a nondeterministic
+        // column order; real pipelines pin the vocabulary anyway
+        def ind(c: String, v: String) = when(col(c) === v, 1).otherwise(0)
+        Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          ind("l_returnflag", "A").as("flag_a"),
+          ind("l_returnflag", "N").as("flag_n"),
+          ind("l_returnflag", "R").as("flag_r"),
+          ind("l_linestatus", "F").as("status_f"))
+          .orderBy("l_orderkey", "l_linenumber")
+      }
+    },
+
+    sql("o11_train_val_test",
+      "O11: deterministic train/val/test split — hex-prefix of md5(doc_id) against lexicographic cut points (~90/5/5); reproducible across runs, engines, partitionings; per-split-per-source counts",
+      // 'e6' = 230/256 ≈ 89.8%, 'f3' = 243/256 ≈ 94.9% — the split is a
+      // pure function of the id, so docs never migrate between splits as
+      // the corpus grows (the property %-of-count splits lack)
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       source, COUNT(*) AS n_docs
+        | FROM documents GROUP BY 1, 2 ORDER BY split, source""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val hex = substring(md5(col("doc_id").cast("string")), 1, 2)
+        Tables.documents(s, d)
+          .select(
+            when(hex < "e6", "train").when(hex < "f3", "val").otherwise("test").as("split"),
+            col("source"))
+          .groupBy("split", "source")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("split", "source")
+      }
+    }.withBench { (s, d) =>
+      // production: same split rule on xxhash64 buckets (8-byte, no hex
+      // strings); md5-hex is the oracle-portable form
+      val bucket = pmod(xxhash64(col("doc_id")), lit(256L))
+      Tables.documents(s, d)
+        .select(
+          when(bucket < 230, "train").when(bucket < 243, "val").otherwise("test").as("split"),
+          col("source"))
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"))
+    },
+
     sql("a13_rollup",
       "A13: ROLLUP grouping sets (per-flag-and-status, per-flag, grand total)",
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS total_lines,

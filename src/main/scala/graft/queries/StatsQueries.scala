@@ -152,6 +152,45 @@ object StatsQueries {
       }
     },
 
+    sql("a21_equidepth_histogram",
+      "A21: equi-depth histogram (8 equal-count buckets of l_extendedprice) — NTILE over a TOTAL order for the oracle; production bins map-side against broadcast approx-percentile boundaries (no global window)",
+      // the ORDER BY must be total (price ties broken by key) or NTILE's
+      // assignment of tied rows is partition-order-dependent
+      """SELECT bucket, COUNT(*) AS n_items,
+        | MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+        | FROM (SELECT l_extendedprice,
+        |   CAST(NTILE(8) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS bucket
+        |   FROM lineitem)
+        | GROUP BY bucket ORDER BY bucket""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        Tables.lineitem(s, d)
+          .select(col("l_extendedprice"), ntile(8).over(w).cast("long").as("bucket"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_items"),
+            min("l_extendedprice").as("min_price"),
+            max("l_extendedprice").as("max_price"))
+          .orderBy("bucket")
+      }
+    }.withBench { (s, d) =>
+      // production: exact equal counts need a global sort, which is the
+      // wrong envelope at 100 TB — bin against broadcast one-pass
+      // percentile-sketch boundaries instead (approximately equal depths,
+      // fully map-side: bucket = #boundaries <= x)
+      val li = Tables.lineitem(s, d)
+      val bnds = li.agg(percentile_approx(col("l_extendedprice"),
+        array((1 to 7).map(i => lit(i / 8.0)): _*), lit(10000)).as("bnds"))
+      li.crossJoin(broadcast(bnds))
+        .select(col("l_extendedprice"),
+          (size(filter(col("bnds"), b => b <= col("l_extendedprice"))) + 1)
+            .cast("long").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_items"),
+          min("l_extendedprice").as("min_price"),
+          max("l_extendedprice").as("max_price"))
+    },
+
     sql("p9_anomalous_partitions",
       "P9: anomalous-partition detection — months whose average order price drifts > 8% from the exact global baseline (the bad-ingest-day detector); both averages exact-decimal so the flag comparison is engine-stable",
       s"""WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS mon, COUNT(*) AS n_orders,

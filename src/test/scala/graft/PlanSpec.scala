@@ -120,6 +120,38 @@ class PlanSpec extends AnyFunSuite {
       s"llm3 lost the distributed prefix-sum shape: $llm3")
   }
 
+  test("runtime bloom-filter pruning engages for selective-dim shuffle joins") {
+    // When a dim side carries a selective filter and the fact side is too
+    // big to broadcast, Spark can inject a bloom filter built from the dim
+    // keys into the fact scan (runtime row-level filtering) — the 100 TB
+    // shuffle-join shape where most fact rows die before the exchange.
+    // Thresholds are lowered so the smoke corpus qualifies.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> scala.util.Try(conf.get(k)).toOption)
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle join
+      import org.apache.spark.sql.functions._
+      val li = graft.model.Tables.lineitem(spark, TestSpark.sfDir)
+      val supp = graft.model.Tables.supplier(spark, TestSpark.sfDir)
+        .filter(col("s_acctbal") > 9000) // selective dim predicate
+      val joined = li.join(supp, li("l_suppkey") === supp("s_suppkey"))
+        .groupBy("l_suppkey").agg(sum("l_quantity"))
+      assert(plan(joined).toLowerCase.contains("might_contain"),
+        s"no bloom runtime filter injected: ${plan(joined)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("every registered query has distinct name; oracle queries keep deterministic output") {
     val names = SparkEntry.specs.map(_.name)
     assert(names.distinct.size == names.size)
