@@ -96,6 +96,32 @@ object TextQueries {
       }
     },
 
+    sql("t12_unigram_logprob",
+      "Text: unigram LM self-scoring — per-doc mean log p(w) under the corpus's own unigram distribution (the KenLM-perplexity quality signal reduced to corpus stats); vocab is dim-scale so the freq table broadcasts",
+      // at 100 TB the vocab join stays broadcast-able by keeping only
+      // above-threshold tokens + an OOV floor (t8's heavy-hitter/HLL
+      // machinery); on this corpus the full vocab is 31 words
+      """WITH tok AS (SELECT doc_id, UNNEST(string_split(text,' ')) AS w FROM documents),
+        |f AS (SELECT w, COUNT(*) AS freq FROM tok GROUP BY w),
+        |tot AS (SELECT COUNT(*) AS total FROM tok)
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |       ROUND(AVG(LN(f.freq * 1.0 / tot.total)), 4) AS avg_logprob
+        | FROM tok t JOIN f ON t.w = f.w CROSS JOIN tot
+        | GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        val freqs = tok.groupBy("w").agg(count(lit(1)).as("freq"))
+        val total = tok.agg(count(lit(1)).as("total"))
+        tok.join(broadcast(freqs), Seq("w"))
+          .crossJoin(broadcast(total))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            round(avg(log(col("freq") * lit(1.0) / col("total"))), 4).as("avg_logprob"))
+          .orderBy("doc_id")
+      }
+    },
+
     sql("t2_lang_stats",
       "Text: per-language corpus stats (A1-shaped agg on a text-derived surface)",
       """SELECT lang, COUNT(*) AS n_docs,

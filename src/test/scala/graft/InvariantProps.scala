@@ -127,4 +127,35 @@ object InvariantProps extends Properties("graft") {
       val grouped = df.groupBy("k").count().agg(sum("count")).as[Long].collect()(0)
       grouped == ks.length.toLong
     }
+
+  property("distributed prefix sum equals the sequential scan on random data") =
+    forAll(Gen.listOfN(25, Gen.chooseNum(0L, 50L)), Gen.chooseNum(2, 7)) { (vs, parts) =>
+      val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val got = graft.ops.Packing.prefixSum(rows.toDF("k", "v"), "k", "v", parts)
+        .select("k", "__prior")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expect = rows.sortBy(_._1).map(_._2).scanLeft(0L)(_ + _)
+      rows.indices.forall(i => got(i.toLong) == expect(i))
+    }
+
+  property("applyChangeLog equals the in-memory MERGE semantics on random changelogs") =
+    forAll(
+      Gen.listOfN(10, Gen.zip(Gen.chooseNum(0L, 6L), Gen.chooseNum(0, 99))),
+      Gen.listOfN(10, Gen.zip(Gen.zip(Gen.chooseNum(0L, 8L), Gen.chooseNum(0, 99)),
+        Gen.zip(Gen.oneOf("upsert", "delete"), Gen.chooseNum(1L, 5L))))) { (tgt, chs) =>
+      val target = tgt.groupBy(_._1).view.mapValues(_.head._2).toSeq
+        .map { case (k, v) => (k, v) } // unique keys
+      val changes = chs.zipWithIndex.map { case (((k, v), (op, seq)), i) =>
+        // make (key, seq) unique per the contract: spread seq by index
+        (k, v, op, seq * 100L + i)
+      }
+      val got = graft.ops.Merge.applyChangeLog(
+        target.toDF("k", "v"), changes.toDF("k", "v", "op", "seq"), Seq("k"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val latest = changes.groupBy(_._1).view.mapValues(_.maxBy(_._4)).toMap
+      val expect = (target.map(t => t._1 -> t._2).toMap ++
+        latest.collect { case (k, (_, v, "upsert", _)) => k -> v })
+        .removedAll(latest.collect { case (k, (_, _, "delete", _)) => k })
+      got == expect
+    }
 }
