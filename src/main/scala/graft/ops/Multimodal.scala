@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column plumbing — north-star component.
@@ -37,6 +37,39 @@ object Multimodal {
       col("doc_id").as("media_id"),
       element_at(lit(Array("image", "audio", "video")), (col("doc_id") % 3).cast("int") + 1).as("kind"),
       col("text").cast("binary").as("payload"))
+
+  /** Fixed-size chunk fingerprints of a binary payload: md5 per
+    * `chunkBytes` block (last block ragged), dedup'd within the payload.
+    * The substrate for chunk-level binary dedup — finding repeated byte
+    * runs across a media corpus (shared intros, copied segments,
+    * re-encodes of the same master) without any codec. Totality: an empty
+    * payload contributes one hash of the empty slice. */
+  def chunkHashes(payload: Column, chunkBytes: Int = 64): Column = {
+    val nChunks = ceil(octet_length(payload) / lit(chunkBytes.toDouble)).cast("int")
+    when(octet_length(payload) > 0,
+      array_distinct(transform(sequence(lit(0), nChunks - 1),
+        i => md5(payload.substr(i * chunkBytes + 1, lit(chunkBytes))))))
+      .otherwise(array(md5(payload)))
+  }
+
+  /** Media pairs sharing at least `minShared` distinct chunk hashes — the
+    * dd3 shared-bucket join shape on binary chunks instead of word
+    * shingles. `maxDf` caps hot chunks (all-zero blocks, shared codec
+    * headers) exactly like the shingle df-cap, bounding bucket fan-out at
+    * corpus scale. */
+  def sharedChunkPairs(media: DataFrame, minShared: Long = 2,
+                       chunkBytes: Int = 64, maxDf: Option[Long] = None): DataFrame = {
+    val chRaw = media.select(col("media_id").as("doc_id"),
+      explode(chunkHashes(col("payload"), chunkBytes)).as("shingle"))
+    val ch = maxDf.map(Dedup.capDocumentFrequency(chRaw, _)).getOrElse(chRaw)
+    ch.as("a")
+      .join(ch.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 
   /** Batch decode via mapPartitions (the mapInPandas analog). A real
     * implementation opens the codec ONCE per partition and decodes each

@@ -244,6 +244,23 @@ object ExtraQueries {
             round((p - col("lo")) / (col("hi") - col("lo")), 6).as("minmax"))
           .orderBy("l_orderkey", "l_linenumber")
       }
+    }.withBench { (s, d) =>
+      // production: same map-side normalization, no oracle-only total sort
+      // (a feature pass feeds the next stage, not a report)
+      val li = Tables.lineitem(s, d)
+      val p = col("l_extendedprice")
+      val stats = li.agg(
+        Det.davg(p).as("mu"),
+        sum((p * p).cast(org.apache.spark.sql.types.DecimalType(38, 4)))
+          .cast("double").as("sumsq"),
+        count(lit(1)).as("n"),
+        min(p).as("lo"), max(p).as("hi"))
+      li.crossJoin(broadcast(stats))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round((p - col("mu")) /
+            sqrt((col("sumsq") - col("mu") * col("mu") * col("n")) / (col("n") - 1)), 4)
+            .as("z_score"),
+          round((p - col("lo")) / (col("hi") - col("lo")), 6).as("minmax"))
     },
 
     sql("d5_onehot",

@@ -51,6 +51,31 @@ object MultimodalQueries {
           Multimodal.mediaWithHeaders(Tables.documents(s, d)))
           .toDF()
           .orderBy("media_id")
+    },
+
+    sql("mm3_chunk_dedup",
+      "Multimodal: chunk-level BINARY dedup — md5 per 64-byte payload block, media pairs sharing >= 2 distinct chunks (repeated byte runs across the corpus, no codec needed)",
+      // the oracle slices the text (pure-ASCII corpus, so char offsets ==
+      // byte offsets) where the engine slices the binary payload — same
+      // bytes, same md5s, independently derived
+      """WITH ch AS (SELECT doc_id AS media_id,
+        |  UNNEST(list_distinct(list_transform(range(0, CAST(ceil(length(text) / 64.0) AS INT)),
+        |    i -> md5(substring(text, i*64+1, 64))))) AS chunk
+        |  FROM documents)
+        |SELECT a.media_id AS id1, b.media_id AS id2, COUNT(*) AS n_shared
+        | FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.media_id < b.media_id
+        | GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        | ORDER BY id1, id2""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Multimodal.sharedChunkPairs(
+          Multimodal.mediaFromDocuments(Tables.documents(s, d)), minShared = 2)
+          .orderBy("id1", "id2")
+    }.withBench { (s, d) =>
+      // production: hot-chunk df-cap on (all-zero blocks / shared headers
+      // would otherwise fan the bucket join out quadratically)
+      Multimodal.sharedChunkPairs(
+        Multimodal.mediaFromDocuments(Tables.documents(s, d)),
+        minShared = 2, maxDf = Some(graft.ops.Dedup.DefaultMaxDf))
     }
   )
 }

@@ -97,4 +97,27 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), new String(r.getAs[Array[Byte]](2), "UTF-8")))
     assert(m.toSet == Set((0L, "image", "hello"), (1L, "audio", "wo"), (2L, "video", "rld")))
   }
+
+  test("sharedChunkPairs finds planted shared 64-byte blocks, not unrelated payloads") {
+    // payloads 10 and 11 share their first two 64-byte blocks exactly;
+    // 12 is disjoint; 13 shares only ONE block with 10 (below minShared)
+    val block = "a" * 64
+    val block2 = "b" * 64
+    val media = Seq(
+      (10L, block + block2 + "tail-one"),
+      (11L, block + block2 + "different-tail"),
+      (12L, "c" * 150),
+      (13L, block + "x" * 64))
+      .toDF("doc_id", "text")
+      .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+        col("text").cast("binary").as("payload"))
+    val got = Multimodal.sharedChunkPairs(media, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((10L, 11L, 2L)))
+    // df-cap parity: no hot chunks here, so the capped plan agrees
+    val capped = Multimodal.sharedChunkPairs(media, minShared = 2,
+      maxDf = Some(graft.ops.Dedup.DefaultMaxDf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped == got)
+  }
 }
