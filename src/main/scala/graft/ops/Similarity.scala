@@ -37,6 +37,26 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Per-vector symmetric int8 quantization: scale = max|xᵢ|/127,
+    * qᵢ = round(xᵢ/scale) ∈ [-127,127] stored as `array<tinyint>` — 4× less
+    * storage/shuffle than float32, the standard embedding compression at
+    * corpus scale. Adds `q8` + `q8_scale`; a zero vector quantizes to all
+    * zeros (scale 0). Cosine is scale-invariant, so [[cosineInt8]] needs
+    * no dequantization — recall vs the float path is pinned in
+    * SimilaritySpec. */
+  def quantizeInt8(df: DataFrame, embCol: String = "embedding"): DataFrame =
+    df.withColumn("__s",
+        array_max(transform(col(embCol), e => abs(e.cast("double")))) / lit(127.0))
+      .withColumn("q8", transform(col(embCol), e =>
+        when(col("__s") > 0, round(e.cast("double") / col("__s"), 0))
+          .otherwise(lit(0.0)).cast("tinyint")))
+      .withColumnRenamed("__s", "q8_scale")
+
+  /** Cosine over int8-quantized vectors (ints widened to double in the
+    * same fused aggregate shape as [[cosine]]). */
+  def cosineInt8(qa: Column, qb: Column): Column =
+    cosine(qa, qb)
+
   /** Brute-force cosine top-k against one query vector (the exact
     * baseline ANN is measured against). `query` is a 1-row DF with column
     * `qe`; broadcast so scoring is map-side over the base table. */

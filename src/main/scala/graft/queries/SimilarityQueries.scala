@@ -79,6 +79,21 @@ object SimilarityQueries {
       }
     },
 
+    rowsOnly("ss7_int8_topk",
+      "Similarity: brute-force cosine top-10 over INT8-quantized embeddings (4x less storage/shuffle; cosine is scale-invariant so no dequantization); recall + error bound vs the float path pinned in ScalaTest") {
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val base = Similarity.quantizeInt8(emb.filter(col("vec_id") =!= 0))
+        val q = Similarity.quantizeInt8(emb.filter(col("vec_id") === 0))
+          .select(col("q8").as("qq8"))
+        base.crossJoin(broadcast(q))
+          .select(col("vec_id"), col("label"),
+            round(Similarity.cosineInt8(col("q8"), col("qq8")), 6).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
+      }
+    },
+
     rowsOnly("ss3_ann_lsh_topk",
       "Similarity: SRP-LSH multi-probe ANN top-10 — the 100TB path; recall vs ss1 pinned in ScalaTest") {
       (s, d) =>

@@ -83,6 +83,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(indexed == ivf)
   }
 
+  test("int8 quantization: bounded range, small cosine error, recall@10 >= 0.9 vs float") {
+    val emb = graft.model.Tables.embeddings(spark, graft.TestSpark.sfDir)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val q8all = Similarity.quantizeInt8(emb)
+    // every quantized component is within the int8 symmetric range
+    val outOfRange = q8all
+      .select(explode(col("q8")).as("c")).filter(col("c") > 127 || col("c") < -127)
+    assert(outOfRange.count() == 0)
+    // per-vector cosine between quantized and original stays near 1
+    // (quantization error bound: relative step is 1/127 per component)
+    val selfCos = q8all
+      .select(Similarity.cosine(
+        transform(col("q8"), x => x.cast("double") * col("q8_scale")),
+        col("embedding")).as("c"))
+      .agg(min("c")).collect()(0).getDouble(0)
+    assert(selfCos > 0.999, s"dequantized self-cosine dropped to $selfCos")
+    // end-to-end: int8 top-10 recalls >= 9 of the exact float top-10
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val exact = Similarity.cosineTopK(corpus, qv, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val base = Similarity.quantizeInt8(corpus)
+    val qq = Similarity.quantizeInt8(emb.filter(col("vec_id") === 0))
+      .select(col("q8").as("qq8"))
+    val got = base.crossJoin(broadcast(qq))
+      .select(col("vec_id"),
+        round(Similarity.cosineInt8(col("q8"), col("qq8")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect got).size / 10.0
+    assert(recall >= 0.9, s"int8 recall@10 was $recall (exact=$exact int8=$got)")
+  }
+
   test("cosineNearDupPairs: exact duplicates found, threshold respected") {
     val withDup = base.union(Seq((5L, Array(1f, 0f, 0f), 0)).toDF("vec_id", "embedding", "label"))
     val pairs = Similarity.cosineNearDupPairs(withDup, thr = 0.999)
