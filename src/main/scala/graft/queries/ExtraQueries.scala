@@ -263,6 +263,51 @@ object ExtraQueries {
           round((p - col("lo")) / (col("hi") - col("lo")), 6).as("minmax"))
     },
 
+    sql("d6_winsorize",
+      "D6: winsorization — clip price to [p05, p95] against broadcast exact percentiles (outlier-robust feature prep; production swaps in the one-pass sketch)",
+      """WITH b AS (SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+        |                 quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem)
+        |SELECT COUNT(CASE WHEN l_extendedprice < lo THEN 1 END) AS n_clipped_lo,
+        |       COUNT(CASE WHEN l_extendedprice > hi THEN 1 END) AS n_clipped_hi,
+        |       ROUND(AVG(LEAST(GREATEST(l_extendedprice, lo), hi)), 2) AS avg_winsorized,
+        |       ROUND(MIN(LEAST(GREATEST(l_extendedprice, lo), hi)), 4) AS min_winsorized,
+        |       ROUND(MAX(LEAST(GREATEST(l_extendedprice, lo), hi)), 4) AS max_winsorized
+        | FROM lineitem, b""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // exact percentile bounds as a 1-row broadcast (p2's oracle-mode
+        // discipline); the clip is codegen'd least/greatest map-side
+        val li = Tables.lineitem(s, d)
+        val b = li.agg(
+          expr("percentile(l_extendedprice, 0.05)").as("lo"),
+          expr("percentile(l_extendedprice, 0.95)").as("hi"))
+        val p = col("l_extendedprice")
+        val wz = least(greatest(p, col("lo")), col("hi"))
+        li.crossJoin(broadcast(b))
+          .agg(
+            count(when(p < col("lo"), 1)).as("n_clipped_lo"),
+            count(when(p > col("hi"), 1)).as("n_clipped_hi"),
+            round(avg(wz), 2).as("avg_winsorized"),
+            round(min(wz), 4).as("min_winsorized"),
+            round(max(wz), 4).as("max_winsorized"))
+      }
+    }.withBench { (s, d) =>
+      // production: one-pass approx_percentile sketch bounds — no exact
+      // Percentile buffering at corpus scale (P2's production rationale)
+      val li = Tables.lineitem(s, d)
+      val b = li.agg(
+        percentile_approx(col("l_extendedprice"), lit(0.05), lit(10000)).as("lo"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("hi"))
+      val p = col("l_extendedprice")
+      val wz = least(greatest(p, col("lo")), col("hi"))
+      li.crossJoin(broadcast(b))
+        .agg(
+          count(when(p < col("lo"), 1)).as("n_clipped_lo"),
+          count(when(p > col("hi"), 1)).as("n_clipped_hi"),
+          round(avg(wz), 2).as("avg_winsorized"),
+          round(min(wz), 4).as("min_winsorized"),
+          round(max(wz), 4).as("max_winsorized"))
+    },
+
     sql("d5_onehot",
       "D5: one-hot encoding — categorical flag/status to 0/1 indicator columns (explicit category list, map-side, no discovery scan; the categorical-feature step)",
       """SELECT l_orderkey, l_linenumber,
