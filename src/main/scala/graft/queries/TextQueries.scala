@@ -94,6 +94,24 @@ object TextQueries {
             round(max("n") * lit(1.0) / sum("n"), 4).as("top_bigram_frac"))
           .orderBy("doc_id")
       }
+    }.withBench { (s, d) =>
+      // production: the (doc_id, bigram) shuffle carries an 8-byte
+      // xxhash64 instead of the bigram string (dd1's shuffle-width
+      // discipline; a 2⁻⁶⁴ collision could only merge two bigram counts),
+      // and the oracle-only sort is dropped
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("__ws"))
+        .select(col("doc_id"),
+          (lit(1.0) - size(array_distinct(col("__ws"))).cast("double") / size(col("__ws")))
+            .as("dup_frac"),
+          explode(TextOps.positionalShinglesFromTokens(col("text"), col("__ws"), 2)).as("__bg"))
+        .select(col("doc_id"), col("dup_frac"), xxhash64(col("__bg")).as("bg"))
+      base.groupBy("doc_id", "bg")
+        .agg(count(lit(1)).as("n"), max("dup_frac").as("dup_frac"))
+        .groupBy("doc_id")
+        .agg(
+          round(max("dup_frac"), 4).as("dup_token_frac"),
+          round(max("n") * lit(1.0) / sum("n"), 4).as("top_bigram_frac"))
     },
 
     sql("t12_unigram_logprob",
