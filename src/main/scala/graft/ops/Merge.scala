@@ -51,6 +51,30 @@ object Merge {
     untouched.unionByName(upserts)
   }
 
+  /** Out-of-order-safe CDC state merge — the streaming-ingest form of
+    * [[applyChangeLog]]. The persisted state keeps `opCol` and `seqCol`
+    * per key (DELETE TOMBSTONES INCLUDED), so merging a micro-batch is
+    * latest-seq-wins over `state ∪ batch` regardless of arrival order: a
+    * stale upsert arriving after a newer delete loses to the tombstone —
+    * semantics incremental apply-and-drop cannot provide (Hudi's
+    * precombine-field pattern). One window shuffle over state+batch keys.
+    * [[currentSnapshot]] projects the live table out of the state. */
+  def mergeChangeState(state: DataFrame, batch: DataFrame, keys: Seq[String],
+                       opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc, col(opCol))
+    state.unionByName(batch)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** The live table a CDC state represents: tombstones filtered out,
+    * bookkeeping columns dropped. */
+  def currentSnapshot(state: DataFrame, opCol: String = "op",
+                      seqCol: String = "seq"): DataFrame =
+    state.filter(col(opCol) === "upsert").drop(opCol, seqCol)
+
   /** Algebraic per-key aggregate state: count / exact-decimal sum / min /
     * max of `valueCol`. States over disjoint slices merge losslessly with
     * [[mergeStats]] — the substrate for incremental aggregation

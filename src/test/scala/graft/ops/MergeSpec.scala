@@ -44,6 +44,29 @@ class MergeSpec extends AnyFunSuite {
     assert(got.contains((1L, "a2")) && got.size == 3)
   }
 
+  test("mergeChangeState is arrival-order independent; tombstones beat stale upserts") {
+    val state0 = target.withColumn("op", lit("upsert")).withColumn("seq", lit(0L))
+    // k=1: delete at seq 3 then a STALE upsert at seq 2 arrives later;
+    // k=2: upserts out of order; k=5: insert
+    val b1 = Seq((1L, "a", 10.0, "delete", 3L), (2L, "b2", 22.0, "upsert", 2L))
+      .toDF("k", "name", "v", "op", "seq")
+    val b2 = Seq((1L, "a-stale", 11.0, "upsert", 2L), (2L, "b1", 21.0, "upsert", 1L),
+      (5L, "e", 50.0, "upsert", 1L)).toDF("k", "name", "v", "op", "seq")
+    def snap(batches: Seq[org.apache.spark.sql.DataFrame]) =
+      Merge.currentSnapshot(batches.foldLeft(state0)(
+        (st, b) => Merge.mergeChangeState(st, b, Seq("k"))))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val fwd = snap(Seq(b1, b2))
+    val rev = snap(Seq(b2, b1))
+    val expect = Set((2L, "b2", 22.0), (3L, "c", 30.0), (5L, "e", 50.0)) // k=1 stays deleted
+    assert(fwd == expect, s"forward order: $fwd")
+    assert(rev == expect, s"reverse order: $rev")
+    // and matches the one-shot applyChangeLog over the full changelog
+    val oneShot = Merge.applyChangeLog(target, b1.unionByName(b2), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(oneShot == expect)
+  }
+
   test("applyChangeLog rejects a changelog missing target columns") {
     val bad = Seq((1L, "upsert", 1L)).toDF("k", "op", "seq")
     intercept[IllegalArgumentException](Merge.applyChangeLog(target, bad, Seq("k")))

@@ -99,6 +99,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.forall(b => latest((b.getString(0), b.getString(1))).contains(b)))
   }
 
+  test("streaming CDC apply: replayed changelog stream converges to the batch MERGE result") {
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, TestSpark.sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus").limit(2000)
+    // changelog: status flip on %10==3 (seq 2 supersedes a seq-1 stale),
+    // delete %10==7, insert negated %100==1 — the u8 classes
+    val changes =
+      orders.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderstatus", lit("X"))
+        .withColumn("op", lit("upsert")).withColumn("seq", lit(1L))
+      .unionByName(orders.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("op", lit("upsert")).withColumn("seq", lit(2L)))
+      .unionByName(orders.filter(col("o_orderkey") % 10 === 7)
+        .withColumn("op", lit("delete")).withColumn("seq", lit(1L)))
+      .unionByName(orders.filter(col("o_orderkey") % 100 === 1)
+        .withColumn("o_orderkey", -col("o_orderkey"))
+        .withColumn("o_orderstatus", lit("I"))
+        .withColumn("op", lit("upsert")).withColumn("seq", lit(1L)))
+    val changesDir = Files.createTempDirectory("graft-cdc-stream").toString
+    changes.repartition(5).write.mode("overwrite").parquet(changesDir) // ~5 micro-batches
+    val stateDir = Files.createTempDirectory("graft-cdc-state").toString
+    orders.withColumn("op", lit("upsert")).withColumn("seq", lit(0L))
+      .write.mode("overwrite").parquet(stateDir)
+    // micro-batches arrive in FILE order, which is arbitrary relative to
+    // seq — mergeChangeState's tombstoned latest-seq-wins state absorbs
+    // them in any order (the test's partitioning scatters seqs randomly)
+    val q = spark.readStream.schema(changes.schema)
+      .option("maxFilesPerTrigger", "1").parquet(changesDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val merged = graft.ops.Merge.mergeChangeState(
+          spark.read.parquet(stateDir), batch, Seq("o_orderkey"))
+          .localCheckpoint() // materialize before overwriting the dir we read
+        merged.write.mode("overwrite").parquet(stateDir)
+      }
+      .outputMode("update")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = graft.ops.Merge.currentSnapshot(spark.read.parquet(stateDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batchResult = graft.ops.Merge.applyChangeLog(orders, changes, Seq("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed == batchResult && batchResult.nonEmpty)
+  }
+
   test("stream-static enrichment: streaming equals batch") {
     val dim = Tables.customer(spark, TestSpark.sfDir)
       .select(org.apache.spark.sql.functions.col("c_custkey").as("user_id"),
