@@ -138,6 +138,29 @@ object InvariantProps extends Properties("graft") {
       rows.indices.forall(i => got(i.toLong) == expect(i))
     }
 
+  property("contamination equals the brute-force shingle-set intersection") =
+    forAll(
+      Gen.listOfN(6, Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d"))),
+      Gen.listOfN(2, Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d")))) { (trainToks, evalToks) =>
+      val k = 3
+      def shingles(ts: List[String]): Set[String] =
+        if (ts.length >= k) ts.sliding(k).map(_.mkString(" ")).toSet
+        else Set(ts.mkString(" "))
+      val train = trainToks.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      val ev = evalToks.zipWithIndex.map { case (ts, i) => (100L + i, ts.mkString(" ")) }
+      val got = graft.ops.Decontam.contamination(
+        train.toDF("doc_id", "text"), ev.toDF("doc_id", "text"), k = k)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val evSh = ev.map { case (id, t) => id -> shingles(t.split(" ").toList) }
+      train.forall { case (id, t) =>
+        val sh = shingles(t.split(" ").toList)
+        val hitDocs = evSh.filter(e => (sh & e._2).nonEmpty)
+        val sharedShingles = sh & evSh.flatMap(_._2).toSet
+        if (hitDocs.isEmpty) !got.contains(id)
+        else got.get(id).contains((hitDocs.size.toLong, sharedShingles.size.toLong))
+      }
+    }
+
   property("applyChangeLog equals the in-memory MERGE semantics on random changelogs") =
     forAll(
       Gen.listOfN(10, Gen.zip(Gen.chooseNum(0L, 6L), Gen.chooseNum(0, 99))),
