@@ -20,15 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Decontam {
 
-  /** Per-train-doc contamination report: how many distinct eval docs and
-    * distinct k-gram shingles it shares with the eval set. Only
-    * contaminated docs appear (inner join); survivors = anti-join on the
-    * result. Strings are joined for oracle parity; [[contaminationHashed]]
-    * is the 8-byte production form. */
-  def contamination(train: DataFrame, evalSet: DataFrame, k: Int = 5): DataFrame = {
-    val trainSh = Dedup.shingleDF(train, k = k)
-    val evalSh = Dedup.shingleDF(evalSet, k = k)
-      .withColumnRenamed("doc_id", "eval_id")
+  /** One contamination plan, parameterized by the shingle builder so the
+    * string (oracle) and hashed (production) forms cannot drift apart —
+    * DecontamSpec pins their parity. */
+  private def contaminationFrom(shingle: DataFrame => DataFrame)(
+      train: DataFrame, evalSet: DataFrame): DataFrame = {
+    val trainSh = shingle(train)
+    val evalSh = shingle(evalSet).withColumnRenamed("doc_id", "eval_id")
     trainSh
       .join(broadcast(evalSh), Seq("shingle"))
       .groupBy("doc_id")
@@ -37,22 +35,21 @@ object Decontam {
         countDistinct(col("shingle")).as("n_shared_shingles"))
   }
 
+  /** Per-train-doc contamination report: how many distinct eval docs and
+    * distinct k-gram shingles it shares with the eval set. Only
+    * contaminated docs appear (inner join); survivors = anti-join on the
+    * result. Strings are joined for oracle parity; [[contaminationHashed]]
+    * is the 8-byte production form. */
+  def contamination(train: DataFrame, evalSet: DataFrame, k: Int = 5): DataFrame =
+    contaminationFrom(Dedup.shingleDF(_, k = k))(train, evalSet)
+
   /** Production form: shingles collapse to xxhash64 before the broadcast
     * join, so the hash table holds 8-byte keys instead of k-word strings
     * and the probe never materializes shingle text. A collision can only
     * ADD a spurious shared-shingle (2⁻⁶⁴ per pair) — decontamination is
     * deliberately recall-biased, so that failure mode is the safe one. */
-  def contaminationHashed(train: DataFrame, evalSet: DataFrame, k: Int = 5): DataFrame = {
-    val trainSh = Dedup.hashedShingleDF(train, k = k)
-    val evalSh = Dedup.hashedShingleDF(evalSet, k = k)
-      .withColumnRenamed("doc_id", "eval_id")
-    trainSh
-      .join(broadcast(evalSh), Seq("shingle"))
-      .groupBy("doc_id")
-      .agg(
-        countDistinct(col("eval_id")).as("n_eval_docs"),
-        countDistinct(col("shingle")).as("n_shared_shingles"))
-  }
+  def contaminationHashed(train: DataFrame, evalSet: DataFrame, k: Int = 5): DataFrame =
+    contaminationFrom(Dedup.hashedShingleDF(_, k = k))(train, evalSet)
 
   /** The clean corpus: train docs with NO k-gram overlap with the eval
     * set — broadcast anti-join against the contaminated id set. */

@@ -42,14 +42,16 @@ object Multimodal {
     * `chunkBytes` block (last block ragged), dedup'd within the payload.
     * The substrate for chunk-level binary dedup — finding repeated byte
     * runs across a media corpus (shared intros, copied segments,
-    * re-encodes of the same master) without any codec. Totality: an empty
-    * payload contributes one hash of the empty slice. */
+    * re-encodes of the same master) without any codec. Empty and NULL
+    * payloads contribute NO chunks (they have no bytes to share) —
+    * matching the mm3 oracle's `range(0, ceil(len/64))`, which is empty
+    * for len = 0 and NULL for NULL. */
   def chunkHashes(payload: Column, chunkBytes: Int = 64): Column = {
     val nChunks = ceil(octet_length(payload) / lit(chunkBytes.toDouble)).cast("int")
     when(octet_length(payload) > 0,
       array_distinct(transform(sequence(lit(0), nChunks - 1),
         i => md5(payload.substr(i * chunkBytes + 1, lit(chunkBytes))))))
-      .otherwise(array(md5(payload)))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Media pairs sharing at least `minShared` distinct chunk hashes — the

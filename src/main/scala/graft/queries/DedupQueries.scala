@@ -37,8 +37,9 @@ object DedupQueries {
   /** DuckDB k-word shingle list over `string_split(text,' ')` — the same
     * totality rule as [[Dedup.shinglesFromTokens]] (docs shorter than k
     * contribute their whole text). Generalizes the k=3 form inside
-    * [[jaccardCtes]] to the longer grams decontamination uses. */
-  private def shingleListSql(k: Int): String = {
+    * [[jaccardCtes]] to the longer grams decontamination uses; shared
+    * with the llm4 oracle so the shingle SQL lives in one place. */
+  private[queries] def shingleListSql(k: Int): String = {
     val ws = "string_split(text,' ')"
     val gram = (0 until k).map(j => s"$ws[i+$j]").mkString(" || ' ' || ")
     s"""CASE WHEN len($ws) >= $k

@@ -14,6 +14,27 @@ object ExtraQueries {
 
   import Det.Sql.{dsum => ssum}
 
+  /** d4's shared plan (oracle adds only the total sort): z-score + min-max
+    * against broadcast global stats, sigma from exact-decimal Σx/Σx² so
+    * per-row outputs are engine-bit-identical. */
+  private def featureScaling(s: org.apache.spark.sql.SparkSession,
+                             d: String): org.apache.spark.sql.DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val p = col("l_extendedprice")
+    val stats = li.agg(
+      Det.davg(p).as("mu"),
+      sum((p * p).cast(org.apache.spark.sql.types.DecimalType(38, 4)))
+        .cast("double").as("sumsq"),
+      count(lit(1)).as("n"),
+      min(p).as("lo"), max(p).as("hi"))
+    li.crossJoin(broadcast(stats))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round((p - col("mu")) /
+          sqrt((col("sumsq") - col("mu") * col("mu") * col("n")) / (col("n") - 1)), 4)
+          .as("z_score"),
+        round((p - col("lo")) / (col("hi") - col("lo")), 6).as("minmax"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     sql("u1_union_all",
@@ -226,41 +247,12 @@ object ExtraQueries {
          |       ROUND((l_extendedprice - lo) / (hi - lo), 6) AS minmax
          | FROM lineitem, g
          | ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", "")) {
-      (s, d) => {
-        // stats are a 1-row broadcast; normalization is pure map-side math
-        val li = Tables.lineitem(s, d)
-        val p = col("l_extendedprice")
-        val stats = li.agg(
-          Det.davg(p).as("mu"),
-          sum((p * p).cast(org.apache.spark.sql.types.DecimalType(38, 4)))
-            .cast("double").as("sumsq"),
-          count(lit(1)).as("n"),
-          min(p).as("lo"), max(p).as("hi"))
-        li.crossJoin(broadcast(stats))
-          .select(col("l_orderkey"), col("l_linenumber"),
-            round((p - col("mu")) /
-              sqrt((col("sumsq") - col("mu") * col("mu") * col("n")) / (col("n") - 1)), 4)
-              .as("z_score"),
-            round((p - col("lo")) / (col("hi") - col("lo")), 6).as("minmax"))
-          .orderBy("l_orderkey", "l_linenumber")
-      }
-    }.withBench { (s, d) =>
-      // production: same map-side normalization, no oracle-only total sort
-      // (a feature pass feeds the next stage, not a report)
-      val li = Tables.lineitem(s, d)
-      val p = col("l_extendedprice")
-      val stats = li.agg(
-        Det.davg(p).as("mu"),
-        sum((p * p).cast(org.apache.spark.sql.types.DecimalType(38, 4)))
-          .cast("double").as("sumsq"),
-        count(lit(1)).as("n"),
-        min(p).as("lo"), max(p).as("hi"))
-      li.crossJoin(broadcast(stats))
-        .select(col("l_orderkey"), col("l_linenumber"),
-          round((p - col("mu")) /
-            sqrt((col("sumsq") - col("mu") * col("mu") * col("n")) / (col("n") - 1)), 4)
-            .as("z_score"),
-          round((p - col("lo")) / (col("hi") - col("lo")), 6).as("minmax"))
+      // one core plan for both variants (they differ only by the
+      // oracle-only sort — a feature pass feeds the next stage, not a
+      // report): stats are a 1-row broadcast, normalization is map-side
+      (s, d) => featureScaling(s, d).orderBy("l_orderkey", "l_linenumber")
+    }.withBench {
+      (s, d) => featureScaling(s, d)
     },
 
     sql("d6_winsorize",

@@ -13,6 +13,40 @@ import graft.pipeline.DocPipeline
   */
 object LlmPipelineQueries {
 
+  /** llm4's engine pipeline, shared by the oracle and production variants
+    * so they cannot drift (they differ only in the contamination probe
+    * and the oracle-only sort). `train` is consumed twice (shingling and
+    * the survivor anti-join), so it is localCheckpoint-materialized once —
+    * the multi-consumer discipline from the dedup substrates. */
+  private def shardBuild(s: org.apache.spark.sql.SparkSession, d: String,
+                         hashedProbe: Boolean): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(s, d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("text").orderBy("doc_id")
+    val train = docs
+      .withColumn("quality", graft.ops.TextOps.qualityScore(col("text"),
+        graft.ops.TextOps.corpusStopwords))
+      .filter(col("quality") >= 60.0)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .filter(col("doc_id") % 20 =!= 7)
+      .localCheckpoint()
+    val evalSet = docs.filter(col("doc_id") % 20 === 7)
+    val contaminated =
+      if (hashedProbe) graft.ops.Decontam.contaminationHashed(train, evalSet, k = 5)
+      else graft.ops.Decontam.contamination(train, evalSet, k = 5)
+    val clean = train.join(broadcast(contaminated.select("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val toks = clean.select(col("doc_id"), col("quality"),
+      graft.ops.TextOps.tokenCount(col("text")).as("toks"))
+    graft.ops.Packing.packByBudget(toks, "doc_id", "toks", budget = 2000L)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("toks").as("total_tokens"),
+        round(avg("quality"), 4).as("avg_quality"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     sql("llm1_clean_corpus",
@@ -93,82 +127,30 @@ object LlmPipelineQueries {
 
     sql("llm4_shard_build",
       "LLM pipeline capstone #2: quality filter -> exact dedup -> eval-set DECONTAMINATION -> token-budget PACKING, end-to-end to per-shard stats — the round-6 ops composed into the corpus build they exist for",
-      """WITH scored AS (SELECT doc_id, text,
-        |  ROUND(100.0 * (1.0 - len(list_filter(string_split(text,' '), w -> w IN ('a','the','row','data','value','table'))) * 1.0 / len(string_split(text,' ')))
-        |    * LEAST(1.0, len(string_split(text,' ')) / 50.0), 2) AS quality FROM documents),
-        |qualified AS (SELECT * FROM scored WHERE quality >= 60.0),
-        |deduped AS (SELECT * FROM qualified q
-        |            WHERE doc_id = (SELECT MIN(doc_id) FROM qualified q2 WHERE q2.text = q.text)),
-        |train AS (SELECT * FROM deduped WHERE doc_id % 20 <> 7),
-        |esh AS (SELECT UNNEST(CASE WHEN len(string_split(text,' ')) >= 5
-        |  THEN list_distinct(list_transform(range(1, len(string_split(text,' ')) - 3),
-        |       i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3] || ' ' || string_split(text,' ')[i+4]))
-        |  ELSE [text] END) AS shingle FROM documents WHERE doc_id % 20 = 7),
-        |tsh AS (SELECT doc_id, UNNEST(CASE WHEN len(string_split(text,' ')) >= 5
-        |  THEN list_distinct(list_transform(range(1, len(string_split(text,' ')) - 3),
-        |       i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3] || ' ' || string_split(text,' ')[i+4]))
-        |  ELSE [text] END) AS shingle FROM train),
-        |clean AS (SELECT * FROM train WHERE doc_id NOT IN (
-        |  SELECT DISTINCT t.doc_id FROM tsh t WHERE t.shingle IN (SELECT shingle FROM esh))),
-        |t AS (SELECT doc_id, quality, CAST(len(string_split(text,' ')) AS BIGINT) AS toks FROM clean),
-        |c AS (SELECT doc_id, quality, toks,
-        |  COALESCE(SUM(toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior FROM t)
-        |SELECT CAST(prior // 2000 AS BIGINT) AS shard_id, COUNT(*) AS n_docs,
-        |       CAST(SUM(toks) AS BIGINT) AS total_tokens,
-        |       ROUND(AVG(quality), 4) AS avg_quality
-        | FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin.replace("\n", "")) {
-      (s, d) => {
-        import org.apache.spark.sql.functions._
-        val docs = Tables.documents(s, d)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("text").orderBy("doc_id")
-        val deduped = docs
-          .withColumn("quality", graft.ops.TextOps.qualityScore(col("text"),
-            graft.ops.TextOps.corpusStopwords))
-          .filter(col("quality") >= 60.0)
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-        val train = deduped.filter(col("doc_id") % 20 =!= 7)
-        val evalSet = docs.filter(col("doc_id") % 20 === 7)
-        val clean = train.join(
-          broadcast(graft.ops.Decontam.contamination(train, evalSet, k = 5)
-            .select("doc_id")),
-          Seq("doc_id"), "left_anti")
-        val toks = clean.select(col("doc_id"), col("quality"),
-          graft.ops.TextOps.tokenCount(col("text")).as("toks"))
-        graft.ops.Packing.packByBudget(toks, "doc_id", "toks", budget = 2000L)
-          .groupBy("shard_id")
-          .agg(count(lit(1)).as("n_docs"),
-            sum("toks").as("total_tokens"),
-            round(avg("quality"), 4).as("avg_quality"))
-          .orderBy("shard_id")
-      }
-    }.withBench { (s, d) =>
+      s"""WITH scored AS (SELECT doc_id, text,
+         |  ROUND(100.0 * (1.0 - len(list_filter(string_split(text,' '), w -> w IN ('a','the','row','data','value','table'))) * 1.0 / len(string_split(text,' ')))
+         |    * LEAST(1.0, len(string_split(text,' ')) / 50.0), 2) AS quality FROM documents),
+         |qualified AS (SELECT * FROM scored WHERE quality >= 60.0),
+         |deduped AS (SELECT * FROM qualified q
+         |            WHERE doc_id = (SELECT MIN(doc_id) FROM qualified q2 WHERE q2.text = q.text)),
+         |train AS (SELECT * FROM deduped WHERE doc_id % 20 <> 7),
+         |esh AS (SELECT UNNEST(${DedupQueries.shingleListSql(5)}) AS shingle
+         |        FROM documents WHERE doc_id % 20 = 7),
+         |tsh AS (SELECT doc_id, UNNEST(${DedupQueries.shingleListSql(5)}) AS shingle FROM train),
+         |clean AS (SELECT * FROM train WHERE doc_id NOT IN (
+         |  SELECT DISTINCT t.doc_id FROM tsh t WHERE t.shingle IN (SELECT shingle FROM esh))),
+         |t AS (SELECT doc_id, quality, CAST(len(string_split(text,' ')) AS BIGINT) AS toks FROM clean),
+         |c AS (SELECT doc_id, quality, toks,
+         |  COALESCE(SUM(toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior FROM t)
+         |SELECT CAST(prior // 2000 AS BIGINT) AS shard_id, COUNT(*) AS n_docs,
+         |       CAST(SUM(toks) AS BIGINT) AS total_tokens,
+         |       ROUND(AVG(quality), 4) AS avg_quality
+         | FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin.replace("\n", "")) {
+      (s, d) => shardBuild(s, d, hashedProbe = false).orderBy("shard_id")
+    }.withBench {
       // production: hashed decontamination probe (8-byte broadcast keys)
       // and no oracle-only sort; stages otherwise identical
-      import org.apache.spark.sql.functions._
-      val docs = Tables.documents(s, d)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("text").orderBy("doc_id")
-      val deduped = docs
-        .withColumn("quality", graft.ops.TextOps.qualityScore(col("text"),
-          graft.ops.TextOps.corpusStopwords))
-        .filter(col("quality") >= 60.0)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
-      val train = deduped.filter(col("doc_id") % 20 =!= 7)
-      val evalSet = docs.filter(col("doc_id") % 20 === 7)
-      val clean = train.join(
-        broadcast(graft.ops.Decontam.contaminationHashed(train, evalSet, k = 5)
-          .select("doc_id")),
-        Seq("doc_id"), "left_anti")
-      val toks = clean.select(col("doc_id"), col("quality"),
-        graft.ops.TextOps.tokenCount(col("text")).as("toks"))
-      graft.ops.Packing.packByBudget(toks, "doc_id", "toks", budget = 2000L)
-        .groupBy("shard_id")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("toks").as("total_tokens"),
-          round(avg("quality"), 4).as("avg_quality"))
+      (s, d) => shardBuild(s, d, hashedProbe = true)
     },
 
     sql("llm3_pack_shards",

@@ -224,10 +224,15 @@ object StatsQueries {
       "A20: equi-width histogram (16 bins over the global [min,max] of l_extendedprice) — the data-profiling primitive; bounds broadcast, bins one hash agg",
       // bin arithmetic is the SAME double expression shape in both engines
       // ((x-lo)/((hi-lo)/16)), so IEEE gives bit-identical bins; the top
-      // edge (x == hi) clamps into the last bin
+      // edge (x == hi) clamps into the last bin. bin_lo MUST round at 6dp:
+      // edges are (2dp money)/16 = exact 6-decimal values (1/16 = .0625,
+      // /16 is a binary-exact divide), so 6dp recovers the exact edge in
+      // both engines — while 4dp sits ON the …25/…50/…75 half-boundaries
+      // where DuckDB (binary-double round) and Spark (HALF_UP on the
+      // shortest decimal repr) legitimately disagree (seen at sf0.001)
       s"""WITH b AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem)
          |SELECT LEAST(CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 16.0)) AS BIGINT), 15) AS bin,
-         |       ROUND(MIN(lo + LEAST(CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 16.0)) AS BIGINT), 15) * ((hi - lo) / 16.0)), 4) AS bin_lo,
+         |       ROUND(MIN(lo + LEAST(CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 16.0)) AS BIGINT), 15) * ((hi - lo) / 16.0)), 6) AS bin_lo,
          |       COUNT(*) AS n_items,
          |       ${Det.Sql.dsum("l_extendedprice")} AS sum_price
          | FROM lineitem, b
@@ -245,7 +250,7 @@ object StatsQueries {
           .select(bin.as("bin"), col("lo"), col("hi"), col("l_extendedprice"))
           .groupBy("bin")
           .agg(
-            round(min(col("lo") + col("bin") * ((col("hi") - col("lo")) / 16.0)), 4).as("bin_lo"),
+            round(min(col("lo") + col("bin") * ((col("hi") - col("lo")) / 16.0)), 6).as("bin_lo"),
             count(lit(1)).as("n_items"),
             Det.dsum(col("l_extendedprice")).as("sum_price"))
           .orderBy("bin")
