@@ -138,6 +138,23 @@ object InvariantProps extends Properties("graft") {
       rows.indices.forall(i => got(i.toLong) == expect(i))
     }
 
+  property("chunkHashes equals the per-block md5 reference (order, dedup, empty)") =
+    forAll(Gen.listOfN(3, Gen.chooseNum(0, 150).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString)))) { texts =>
+      val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("media_id", "text")
+        .select(col("media_id"), col("text").cast("binary").as("payload"))
+        .select(col("media_id"), graft.ops.Multimodal.chunkHashes(col("payload")).as("ch"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      def md5hex(b: Array[Byte]): String =
+        java.security.MessageDigest.getInstance("MD5").digest(b)
+          .map("%02x".format(_)).mkString
+      texts.zipWithIndex.forall { case (t, i) =>
+        val expect = t.getBytes("UTF-8").grouped(64).map(md5hex).toSeq.distinct
+        got(i.toLong) == expect
+      }
+    }
+
   property("contamination equals the brute-force shingle-set intersection") =
     forAll(
       Gen.listOfN(6, Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d"))),

@@ -152,6 +152,42 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    // The 100 TB skew story is two-layered: explicit salting (ops/Skew,
+    // SkewSpec) for aggregations and known-hot keys, and AQE's runtime
+    // skew-join splitting for the rest. Pin the second layer actually
+    // engages: a 200k-row hot key forced through a sort-merge join must
+    // come out of adaptive execution with the skew flag set.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> scala.util.Try(conf.get(k)).toOption)
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val left = spark.range(200000).select(lit(1L).as("k"), col("id").as("v"))
+        .unionByName(spark.range(2, 1000).select(col("id").as("k"), col("id").as("v")))
+      val right = spark.range(1, 1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, "k")
+      // execute joined's OWN QueryExecution (count() would plan a separate
+      // aggregate query and leave this one un-finalized)
+      joined.queryExecution.executedPlan.execute().count()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the skewed partition: $finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("every registered query has distinct name; oracle queries keep deterministic output") {
     val names = SparkEntry.specs.map(_.name)
     assert(names.distinct.size == names.size)
