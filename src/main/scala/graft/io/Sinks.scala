@@ -151,6 +151,27 @@ object Sinks {
     (if (singleFile) df.coalesce(1) else df)
       .write.mode(mode).option("header", "true").csv(path)
 
+  /** S3+: JSON-lines sink — the interchange format LLM corpus tooling
+    * speaks (one JSON document per line, splittable when compressed with
+    * a block codec). `compression` forwards a codec name (gzip, zstd,
+    * none); distributed writer, same contract as [[parquet]]. */
+  def jsonl(df: DataFrame, path: String,
+            compression: Option[String] = None,
+            mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode)
+    compression.fold(w)(c => w.option("compression", c)).json(path)
+  }
+
+  /** S2+: ORC sink — the other columnar format Spark ships natively.
+    * Same predicate-pushdown/column-pruning story as parquet; useful when
+    * downstream consumers are ORC-native (Hive/Trino estates). */
+  def orc(df: DataFrame, path: String,
+          partitionBy: Seq[String] = Nil,
+          mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   /** S4: JDBC append sink (reference: postgres_manager.py:95-152 does a
     * driver-side chunked pandas insert; this pushes batched inserts from
     * EXECUTORS — batchsize mirrors the reference's 1000-row chunks).

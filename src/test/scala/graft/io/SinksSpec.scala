@@ -12,6 +12,29 @@ class SinksSpec extends AnyFunSuite {
     new java.io.File(dir).listFiles.toSeq
       .filter(f => f.getName.endsWith(".parquet") && f.isFile)
 
+  test("jsonl sink round-trips data and schema; gzip-compressed variant reads back identically") {
+    val df = Tables.nation(spark, TestSpark.sfDir)
+    val plain = Files.createTempDirectory("graft-jsonl").toString
+    Sinks.jsonl(df, plain)
+    val back = spark.read.schema(df.schema).json(plain)
+    assert(back.collect().toSet == df.collect().toSet)
+    val gz = Files.createTempDirectory("graft-jsonl-gz").toString
+    Sinks.jsonl(df, gz, compression = Some("gzip"))
+    assert(new java.io.File(gz).listFiles.exists(_.getName.endsWith(".json.gz")))
+    assert(spark.read.schema(df.schema).json(gz).collect().toSet == df.collect().toSet)
+  }
+
+  test("orc sink round-trips data; partitionBy lays out prunable directories") {
+    val df = Tables.orders(spark, TestSpark.sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+    val dir = Files.createTempDirectory("graft-orc").toString
+    Sinks.orc(df, dir, partitionBy = Seq("o_orderstatus"))
+    val back = spark.read.orc(dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+    assert(back.collect().toSet == df.collect().toSet)
+    assert(new java.io.File(dir).listFiles.exists(_.getName.startsWith("o_orderstatus=")))
+  }
+
   test("parquetSized splits output near the target file size, tiny target => many files") {
     val df = Tables.lineitem(spark, TestSpark.sfDir)
     val dir = Files.createTempDirectory("graft-sized-small").toString
