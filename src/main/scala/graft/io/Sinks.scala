@@ -9,15 +9,21 @@ import org.apache.spark.sql.DataFrame
   */
 object Sinks {
 
+  /** Shared columnar-writer plumbing (mode + optional partitionBy) —
+    * parquet and orc differ only in the terminal format call. */
+  private def columnar(df: DataFrame, partitionBy: Seq[String], mode: String)(
+      finish: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] => Unit): Unit = {
+    val w = df.write.mode(mode)
+    finish(if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+  }
+
   /** S2/S7: parquet sink (any Hadoop-compatible path: local, hdfs://,
     * s3a://). `partitionBy` enables partition pruning for downstream
     * readers — the 100 TB default for date/month-keyed outputs. */
   def parquet(df: DataFrame, path: String,
               partitionBy: Seq[String] = Nil,
-              mode: String = "overwrite"): Unit = {
-    val w = df.write.mode(mode)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
-  }
+              mode: String = "overwrite"): Unit =
+    columnar(df, partitionBy, mode)(_.parquet(path))
 
   /** Parquet sink with output-file sizing: repartitions so each written
     * file lands near `targetBytes` (in-memory plan-statistics estimate;
@@ -167,10 +173,8 @@ object Sinks {
     * downstream consumers are ORC-native (Hive/Trino estates). */
   def orc(df: DataFrame, path: String,
           partitionBy: Seq[String] = Nil,
-          mode: String = "overwrite"): Unit = {
-    val w = df.write.mode(mode)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
-  }
+          mode: String = "overwrite"): Unit =
+    columnar(df, partitionBy, mode)(_.orc(path))
 
   /** S4: JDBC append sink (reference: postgres_manager.py:95-152 does a
     * driver-side chunked pandas insert; this pushes batched inserts from

@@ -139,8 +139,13 @@ object InvariantProps extends Properties("graft") {
     }
 
   property("chunkHashes equals the per-block md5 reference (order, dedup, empty)") =
-    forAll(Gen.listOfN(3, Gen.chooseNum(0, 150).flatMap(n =>
-      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString)))) { texts =>
+    forAll(Gen.listOfN(3, Gen.oneOf(
+      // random text (never collides) AND repeated aligned blocks (forces
+      // the dedup path — random alphanumerics alone would leave
+      // array_distinct untested)
+      Gen.chooseNum(0, 150).flatMap(n => Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString)),
+      Gen.chooseNum(2, 4).map(k => "x" * 64 * k),
+      Gen.chooseNum(1, 3).map(k => ("ab" * 32) * k + "tail")))) { texts =>
       val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("media_id", "text")
         .select(col("media_id"), col("text").cast("binary").as("payload"))

@@ -14,6 +14,21 @@ class PlanSpec extends AnyFunSuite {
 
   private def plan(df: DataFrame): String = df.queryExecution.sparkPlan.toString
 
+  /** Set session confs for the body, restoring prior values (or unsetting
+    * keys that had none) afterwards — shared by the conf-dependent
+    * optimizer-behavior tests. */
+  private def withConfs(confs: Map[String, String])(body: => Unit): Unit = {
+    val conf = spark.conf
+    val saved = confs.keys.toSeq.map(k => k -> scala.util.Try(conf.get(k)).toOption)
+    try {
+      confs.foreach { case (k, v) => conf.set(k, v) }
+      body
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("dimension joins are broadcast-hash (no fact shuffle for dims)") {
     val p = plan(specs("j5_broadcast_dim").run(spark, TestSpark.sfDir))
     assert(p.contains("BroadcastHashJoin"))
@@ -126,18 +141,11 @@ class PlanSpec extends AnyFunSuite {
     // keys into the fact scan (runtime row-level filtering) — the 100 TB
     // shuffle-join shape where most fact rows die before the exchange.
     // Thresholds are lowered so the smoke corpus qualifies.
-    val conf = spark.conf
-    val keys = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled",
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-      "spark.sql.autoBroadcastJoinThreshold")
-    val saved = keys.map(k => k -> scala.util.Try(conf.get(k)).toOption)
-    try {
-      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
-      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle join
+    withConfs(Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")) { // force the shuffle join
       import org.apache.spark.sql.functions._
       val li = graft.model.Tables.lineitem(spark, TestSpark.sfDir)
       val supp = graft.model.Tables.supplier(spark, TestSpark.sfDir)
@@ -146,9 +154,6 @@ class PlanSpec extends AnyFunSuite {
         .groupBy("l_suppkey").agg(sum("l_quantity"))
       assert(plan(joined).toLowerCase.contains("might_contain"),
         s"no bloom runtime filter injected: ${plan(joined)}")
-    } finally saved.foreach {
-      case (k, Some(v)) => conf.set(k, v)
-      case (k, None)    => conf.unset(k)
     }
   }
 
@@ -158,19 +163,11 @@ class PlanSpec extends AnyFunSuite {
     // skew-join splitting for the rest. Pin the second layer actually
     // engages: a 200k-row hot key forced through a sort-merge join must
     // come out of adaptive execution with the skew flag set.
-    val conf = spark.conf
-    val keys = Seq(
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-      "spark.sql.autoBroadcastJoinThreshold")
-    val saved = keys.map(k => k -> scala.util.Try(conf.get(k)).toOption)
-    try {
-      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
-      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
-      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      import spark.implicits._
+    withConfs(Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")) {
       import org.apache.spark.sql.functions._
       val left = spark.range(200000).select(lit(1L).as("k"), col("id").as("v"))
         .unionByName(spark.range(2, 1000).select(col("id").as("k"), col("id").as("v")))
@@ -182,9 +179,6 @@ class PlanSpec extends AnyFunSuite {
       val finalPlan = joined.queryExecution.executedPlan.toString
       assert(finalPlan.contains("skew=true"),
         s"AQE did not split the skewed partition: $finalPlan")
-    } finally saved.foreach {
-      case (k, Some(v)) => conf.set(k, v)
-      case (k, None)    => conf.unset(k)
     }
   }
 
