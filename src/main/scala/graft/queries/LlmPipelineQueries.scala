@@ -13,6 +13,13 @@ import graft.pipeline.DocPipeline
   */
 object LlmPipelineQueries {
 
+  /** DuckDB mirror of [[graft.ops.TextOps.qualityScore]] with the corpus
+    * stopword set — ONE definition for every llm-family oracle (llm1,
+    * llm2, llm4, llm5 all score documents identically). */
+  private[queries] val qualitySql: String =
+    """ROUND(100.0 * (1.0 - len(list_filter(string_split(text,' '), w -> w IN ('a','the','row','data','value','table'))) * 1.0 / len(string_split(text,' ')))
+      |    * LEAST(1.0, len(string_split(text,' ')) / 50.0), 2)""".stripMargin.replace("\n", "")
+
   /** llm4's engine pipeline, shared by the oracle and production variants
     * so they cannot drift (they differ only in the contamination probe
     * and the oracle-only sort). `train` is consumed twice (shingling and
@@ -51,9 +58,8 @@ object LlmPipelineQueries {
 
     sql("llm1_clean_corpus",
       "LLM pipeline capstone: quality-filter → exact-dedup → near-dup clustering, end-to-end",
-      """WITH RECURSIVE scored AS (SELECT doc_id, text, lang, source,
-        |  ROUND(100.0 * (1.0 - len(list_filter(string_split(text,' '), w -> w IN ('a','the','row','data','value','table'))) * 1.0 / len(string_split(text,' ')))
-        |    * LEAST(1.0, len(string_split(text,' ')) / 50.0), 2) AS quality FROM documents),
+      s"""WITH RECURSIVE scored AS (SELECT doc_id, text, lang, source,
+        |  $qualitySql AS quality FROM documents),
         |qualified AS (SELECT * FROM scored WHERE quality >= 60.0),
         |deduped AS (SELECT * FROM qualified q
         |            WHERE doc_id = (SELECT MIN(doc_id) FROM qualified q2 WHERE q2.text = q.text)),
@@ -98,10 +104,9 @@ object LlmPipelineQueries {
       // sort, no single-partition window — and with a dense key it gives
       // the same near-equal shard sizes. The whole query is one
       // partial+final hash agg.
-      """WITH scored AS (SELECT doc_id, doc_id % 16 AS shard,
+      s"""WITH scored AS (SELECT doc_id, doc_id % 16 AS shard,
         |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
-        |  ROUND(100.0 * (1.0 - len(list_filter(string_split(text,' '), w -> w IN ('a','the','row','data','value','table'))) * 1.0 / len(string_split(text,' ')))
-        |    * LEAST(1.0, len(string_split(text,' ')) / 50.0), 2) AS quality FROM documents)
+        |  $qualitySql AS quality FROM documents)
         |SELECT shard, COUNT(*) AS n_docs,
         | ROUND(AVG(quality), 4) AS avg_quality,
         | ROUND(MIN(quality), 2) AS min_quality,
@@ -128,8 +133,7 @@ object LlmPipelineQueries {
     sql("llm4_shard_build",
       "LLM pipeline capstone #2: quality filter -> exact dedup -> eval-set DECONTAMINATION -> token-budget PACKING, end-to-end to per-shard stats — the round-6 ops composed into the corpus build they exist for",
       s"""WITH scored AS (SELECT doc_id, text,
-         |  ROUND(100.0 * (1.0 - len(list_filter(string_split(text,' '), w -> w IN ('a','the','row','data','value','table'))) * 1.0 / len(string_split(text,' ')))
-         |    * LEAST(1.0, len(string_split(text,' ')) / 50.0), 2) AS quality FROM documents),
+         |  $qualitySql AS quality FROM documents),
          |qualified AS (SELECT * FROM scored WHERE quality >= 60.0),
          |deduped AS (SELECT * FROM qualified q
          |            WHERE doc_id = (SELECT MIN(doc_id) FROM qualified q2 WHERE q2.text = q.text)),
@@ -151,6 +155,40 @@ object LlmPipelineQueries {
       // production: hashed decontamination probe (8-byte broadcast keys)
       // and no oracle-only sort; stages otherwise identical
       (s, d) => shardBuild(s, d, hashedProbe = true)
+    },
+
+    sql("llm5_curriculum_pack",
+      "LLM pipeline: CURRICULUM-ordered token-budget packing — shards follow descending quality (cleanest data first), via the distributed prefix sum over a computed composite order (score DESC, id); no global sort ever materializes",
+      s"""WITH t AS (SELECT doc_id, $qualitySql AS quality,
+         |  CAST(len(string_split(text,' ')) AS BIGINT) AS toks FROM documents),
+         |c AS (SELECT doc_id, quality, toks,
+         |  COALESCE(SUM(toks) OVER (ORDER BY quality DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior FROM t)
+         |SELECT CAST(prior // 2000 AS BIGINT) AS shard_id, COUNT(*) AS n_docs,
+         |       CAST(SUM(toks) AS BIGINT) AS total_tokens,
+         |       ROUND(AVG(quality), 4) AS avg_quality,
+         |       ROUND(MIN(quality), 2) AS min_quality, ROUND(MAX(quality), 2) AS max_quality
+         | FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        // quality DESC expressed as an ascending composite (-quality,
+        // doc_id) — the range partitioner and the within-partition window
+        // share the same ascending order
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"),
+            graft.ops.TextOps.qualityScore(col("text"),
+              graft.ops.TextOps.corpusStopwords).as("quality"),
+            graft.ops.TextOps.tokenCount(col("text")).as("toks"))
+          .withColumn("negq", -col("quality"))
+        graft.ops.Packing.packByBudget(t, Seq("negq", "doc_id"), "toks",
+            budget = 2000L, partitions = 0)
+          .groupBy("shard_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("toks").as("total_tokens"),
+            round(avg("quality"), 4).as("avg_quality"),
+            round(min("quality"), 2).as("min_quality"),
+            round(max("quality"), 2).as("max_quality"))
+          .orderBy("shard_id")
+      }
     },
 
     sql("llm3_pack_shards",
