@@ -56,4 +56,26 @@ class PackingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Packing.packByBudget(docsToks, "doc_id", "toks", budget = 0L))
   }
+
+  test("composite-key packing yields a quality-monotone curriculum across shards") {
+    val docs = graft.model.Tables.documents(spark, graft.TestSpark.sfDir)
+      .select(col("doc_id"),
+        TextOps.qualityScore(col("text"), TextOps.corpusStopwords).as("quality"),
+        TextOps.tokenCount(col("text")).as("toks"))
+      .withColumn("negq", -col("quality"))
+    val shards = Packing.packByBudget(docs, Seq("negq", "doc_id"), "toks",
+        budget = 2000L, partitions = 0)
+      .groupBy("shard_id")
+      .agg(min("quality").as("minq"), max("quality").as("maxq"))
+      .orderBy("shard_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(shards.length > 1)
+    // descending-quality order ⇒ shard i's min quality >= shard i+1's max
+    shards.sliding(2).foreach {
+      case Array((_, minPrev, _), (sid, _, maxNext)) =>
+        assert(minPrev >= maxNext,
+          s"curriculum broken at shard $sid: prev min $minPrev < next max $maxNext")
+      case _ => ()
+    }
+  }
 }
