@@ -57,4 +57,19 @@ object Decontam {
     train.join(
       broadcast(contaminationHashed(train, evalSet, k).select("doc_id")),
       Seq("doc_id"), "left_anti")
+
+  /** Stream-safe flag form: just the contaminated doc ids. The count
+    * aggregates in [[contamination]] need `countDistinct` (unsupported
+    * over streams); this shape is explode → broadcast-join → per-doc
+    * dropDuplicates — legal in a Structured Streaming append query, so an
+    * INGEST stream can flag leaked docs on arrival against the same
+    * broadcast eval index (batch == stream pinned in StreamingSpec). */
+  def contaminatedIds(train: DataFrame, evalSet: DataFrame, k: Int = 5): DataFrame = {
+    val evalSh = Dedup.hashedShingleDF(evalSet, k = k)
+      .select("shingle").distinct()
+    Dedup.hashedShingleDF(train, k = k)
+      .join(broadcast(evalSh), Seq("shingle"))
+      .select("doc_id")
+      .dropDuplicates("doc_id")
+  }
 }

@@ -175,6 +175,14 @@ object DedupQueries {
         docs.filter(col("doc_id") % 20 === 7), k = 5)
     },
 
+    rowsOnly("g1_pagerank",
+      "Graph: PageRank over the near-dup pair graph — a cluster's top-ranked member is its most-copied version, the canonical-survivor choice beyond min-id (iterative double arithmetic => no oracle; invariants in GraphSpec)") {
+      (s, d) =>
+        graft.ops.Graph.pageRank(Dedup.minhashNearDup(Tables.documents(s, d)), iters = 10)
+          .orderBy(col("rank").desc, col("id"))
+          .limit(20)
+    },
+
     rowsOnly("dd4_simhash_neardup",
       "Dedup: 64-bit SimHash signatures, 4×16-bit band join, hamming ≤ 3 (ScalaTest-pinned)") {
       (s, d) =>

@@ -99,6 +99,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.forall(b => latest((b.getString(0), b.getString(1))).contains(b)))
   }
 
+  test("streaming decontamination: flagged ids on a doc stream equal the batch report") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val train = docs.filter(col("doc_id") % 20 =!= 7)
+    val evalSet = docs.filter(col("doc_id") % 20 === 7)
+    val batchIds = graft.ops.Decontam.contaminatedIds(train, evalSet)
+      .collect().map(_.getLong(0)).toSet
+    // contamination(...)'s countDistinct aggregation can't stream; the id
+    // flag form must agree with it on WHICH docs are flagged
+    val fullReport = graft.ops.Decontam.contamination(train, evalSet)
+      .collect().map(_.getLong(0)).toSet
+    assert(batchIds == fullReport && batchIds.nonEmpty)
+    val trainDir = Files.createTempDirectory("graft-decontam-stream").toString
+    train.repartition(4).write.mode("overwrite").parquet(trainDir)
+    val trainStream = spark.readStream.schema(train.schema)
+      .option("maxFilesPerTrigger", "1").parquet(trainDir)
+    val q = graft.ops.Decontam.contaminatedIds(trainStream, evalSet)
+      .writeStream.format("memory").queryName("stream_decontam")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("stream_decontam")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batchIds)
+  }
+
   test("streaming CDC apply: replayed changelog stream converges to the batch MERGE result") {
     import org.apache.spark.sql.functions._
     val orders = Tables.orders(spark, TestSpark.sfDir)
