@@ -355,6 +355,34 @@ object ExtraQueries {
         .agg(count(lit(1)).as("n_docs"))
     },
 
+    sql("f11_string_funcs",
+      "F11: string-function breadth — lpad/rpad/translate/reverse/repeat/ascii/left/right over part names (map-side, codegen'd)",
+      """SELECT p_partkey,
+        | lpad(p_name, 40, '*') AS padded,
+        | rpad(p_brand, 12, '.') AS brand_pad,
+        | translate(p_name, 'ae', '43') AS leeted,
+        | reverse(p_name) AS reversed,
+        | repeat(p_type, 2) AS doubled,
+        | CAST(ascii(p_name) AS INT) AS first_code,
+        | left(p_name, 5) AS head5,
+        | right(p_name, 5) AS tail5
+        | FROM part ORDER BY p_partkey""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.part(s, d).select(
+          col("p_partkey"),
+          lpad(col("p_name"), 40, "*").as("padded"),
+          rpad(col("p_brand"), 12, ".").as("brand_pad"),
+          translate(col("p_name"), "ae", "43").as("leeted"),
+          reverse(col("p_name")).as("reversed"),
+          repeat(col("p_type"), 2).as("doubled"),
+          ascii(col("p_name")).as("first_code"),
+          // SQL LEFT/RIGHT (not substring arithmetic): RIGHT's short-string
+          // behavior matches DuckDB's (whole string when len < n)
+          expr("left(p_name, 5)").as("head5"),
+          expr("right(p_name, 5)").as("tail5"))
+          .orderBy("p_partkey")
+    },
+
     sql("a13_rollup",
       "A13: ROLLUP grouping sets (per-flag-and-status, per-flag, grand total)",
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS total_lines,
