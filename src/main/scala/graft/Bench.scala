@@ -2,7 +2,9 @@ package graft
 
 /** Benchmark main — runs every registered query (PRODUCTION plan, see
   * [[QuerySpec.production]]) against SPARK_GRAFT_SF_DIR and prints ONE JSON
-  * line for the driver.
+  * line for the driver; the same complete JSON is also written to
+  * SPARK_GRAFT_BENCH_OUT (default /root/repo/BENCH_full.json) so per-query
+  * medians survive stdout tail-truncation.
   *
   * Each query is forced through the `noop` sink so the full plan executes
   * and materializes every output column (a bare `count()` would let Catalyst
@@ -84,7 +86,17 @@ object Bench {
     // "value" is emitted LAST: consumers that keep only the final N chars of
     // the run log (tail truncation) still see the headline total; JSON key
     // order is irrelevant to a real parser.
-    println(f"""{"metric":"total","unit":"sec","iterations":$Iterations,"queries":$qs,"failed":$failed,"sf":"$sfDir","value":$total%.3f}""")
+    val json = f"""{"metric":"total","unit":"sec","iterations":$Iterations,"queries":$qs,"failed":$failed,"sf":"$sfDir","value":$total%.3f}"""
+    println(json)
+    // The stdout line above is tail-truncatable by log-capture harnesses
+    // (round 6 lost every median alphabetically before f8 that way) — also
+    // write the COMPLETE JSON to a file so per-query medians always survive.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

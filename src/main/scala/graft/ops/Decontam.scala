@@ -52,10 +52,20 @@ object Decontam {
     contaminationFrom(Dedup.hashedShingleDF(_, k = k))(train, evalSet)
 
   /** The clean corpus: train docs with NO k-gram overlap with the eval
-    * set — broadcast anti-join against the contaminated id set. */
+    * set — broadcast anti-join against the contaminated id set.
+    *
+    * Scan shape: `train` is consumed TWICE — once by the shingle probe
+    * inside [[contaminationHashed]] and once as the anti-join's left side.
+    * The contaminated id set (a sliver) is localCheckpoint'd so the probe
+    * job runs exactly once no matter how often the result is consumed,
+    * but the second train scan is inherent to emit survivors. Callers
+    * whose train frame is DERIVED (not a raw parquet scan) should pass a
+    * pre-checkpointed frame so the upstream work isn't recomputed —
+    * exactly llm4 shardBuild's localCheckpoint discipline. */
   def decontaminated(train: DataFrame, evalSet: DataFrame, k: Int = 5): DataFrame =
     train.join(
-      broadcast(contaminationHashed(train, evalSet, k).select("doc_id")),
+      broadcast(
+        contaminationHashed(train, evalSet, k).select("doc_id").localCheckpoint()),
       Seq("doc_id"), "left_anti")
 
   /** Stream-safe flag form: just the contaminated doc ids. The count

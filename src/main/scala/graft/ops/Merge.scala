@@ -16,8 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
+  /** Distributed guard: any op value outside {upsert, delete} (a typo'd
+    * 'update', a NULL) fails the job loudly instead of silently acting as
+    * a delete — the anti-join removes every keyed row and the upsert
+    * filter would then drop the malformed one. Map-side `when` check,
+    * zero extra shuffles; `raise_error` carries the offending value. */
+  private def validatedOp(opCol: String): org.apache.spark.sql.Column =
+    when(col(opCol).isin("upsert", "delete"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit(s"malformed CDC batch: '$opCol' must be 'upsert' or 'delete', got "),
+        coalesce(col(opCol).cast("string"), lit("NULL")))))
+
   /** Apply a CDC changelog to a keyed snapshot. `changes` carries the
-    * target's columns plus `opCol` ∈ {"upsert","delete"} and a
+    * target's columns plus `opCol` ∈ {"upsert","delete"} (ENFORCED — see
+    * [[validatedOp]]) and a
     * monotonically increasing `seqCol`; when one key appears multiple
     * times the HIGHEST seq wins (the Delta/Hudi/Iceberg MERGE contract
     * for out-of-order CDC batches).
@@ -42,6 +54,7 @@ object Merge {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(seqCol).desc, col(opCol))
     val latest = changes
+      .withColumn(opCol, validatedOp(opCol))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
@@ -63,7 +76,7 @@ object Merge {
                        opCol: String = "op", seqCol: String = "seq"): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(seqCol).desc, col(opCol))
-    state.unionByName(batch)
+    state.unionByName(batch.withColumn(opCol, validatedOp(opCol)))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")

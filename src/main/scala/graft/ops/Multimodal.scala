@@ -14,19 +14,14 @@ import org.apache.spark.sql.functions._
   * so a real decoder would amortize model/codec initialization across the
   * partition and never touch the driver.
   *
-  * DECODE IS STUBBED: this container has no image/audio codecs, so
-  * [[DecodedFeatures]] are a deterministic fake derived from the payload
-  * bytes (length, mean byte, hash-derived fake dimensions). The Spark-side
-  * plumbing — schema, encoders, partition batching, signature — is real
-  * and tested; swapping in a JNI/codec call changes only the marked lines.
+  * Decode depth: [[parseFeatures]] does REAL byte-level container parsing
+  * (PNG/WAV/AVI magic + header structs); only pixel/sample decode — which
+  * needs codecs this container lacks — is out of scope. Swapping a JNI/
+  * codec call into the same mapPartitions seam changes only the parser.
   */
 object Multimodal {
 
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
-
-  final case class DecodedFeatures(
-      media_id: Long, kind: String, n_bytes: Long,
-      mean_byte: Double, width: Int, height: Int)
 
   /** Derive a deterministic media table from the `documents` corpus:
     * payload = utf-8 bytes of the text (an opaque stand-in), kind cycles
@@ -42,10 +37,12 @@ object Multimodal {
     * `chunkBytes` block (last block ragged), dedup'd within the payload.
     * The substrate for chunk-level binary dedup — finding repeated byte
     * runs across a media corpus (shared intros, copied segments,
-    * re-encodes of the same master) without any codec. Empty and NULL
-    * payloads contribute NO chunks (they have no bytes to share) —
+    * re-encodes of the same master) without any codec. Empty AND NULL
+    * payloads both return an EMPTY ARRAY (a null payload fails the
+    * `octet_length > 0` predicate and takes the `otherwise` branch) —
+    * either way they contribute no chunks after the downstream explode,
     * matching the mm3 oracle's `range(0, ceil(len/64))`, which is empty
-    * for len = 0 and NULL for NULL. */
+    * for len = 0 and NULL (also explode-dropped) for NULL. */
   def chunkHashes(payload: Column, chunkBytes: Int = 64): Column = {
     val nChunks = ceil(octet_length(payload) / lit(chunkBytes.toDouble)).cast("int")
     when(octet_length(payload) > 0,
@@ -71,24 +68,6 @@ object Multimodal {
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-  }
-
-  /** Batch decode via mapPartitions (the mapInPandas analog). A real
-    * implementation opens the codec ONCE per partition and decodes each
-    * payload; the stub computes deterministic byte statistics instead. */
-  def decodeFeatures(media: Dataset[MediaRow]): Dataset[DecodedFeatures] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions { rows =>
-      // >>> real pipeline: initialize decoder/codec here, once per partition
-      rows.map { m =>
-        // >>> real pipeline: decoder.decode(m.payload) — STUBBED:
-        val n = m.payload.length.toLong
-        val mean = if (n == 0) 0.0 else m.payload.map(b => (b & 0xFF).toLong).sum.toDouble / n
-        val h = scala.util.hashing.MurmurHash3.bytesHash(m.payload, 42)
-        DecodedFeatures(m.media_id, m.kind, n, mean,
-          width = 64 + math.abs(h % 1024), height = 64 + math.abs((h >> 10) % 1024))
-      }
-    }
   }
 
   /** Header-parsed media features: everything below `kind_sniffed` comes

@@ -18,7 +18,11 @@ import graft.ops.{Dedup, TextOps}
   * variant); near-dup candidates come from MinHash banding (never
   * all-pairs); verified pairs are resolved to clusters by
   * [[Dedup.connectedComponents]] (the edge list is tiny relative to the
-  * corpus) and the drop set is a broadcast anti-join. Survivor rules
+  * corpus) and the drop set is an anti-join with NO static broadcast
+  * hint: at web-corpus dup rates the drop set is 10-30% OF THE CORPUS —
+  * billions of ids at 100 TB, far past broadcastable — so the join
+  * strategy is left to AQE, which broadcasts when the runtime size
+  * actually fits and shuffles otherwise. Survivor rules
   * are deterministic: min doc_id per duplicate text, min doc_id per
   * near-dup cluster. */
 object DocPipeline {
@@ -58,7 +62,7 @@ object DocPipeline {
     val pairs = Dedup.minhashNearDup(deduped, thr = nearDupThr, maxDf = maxDf)
     val drops = Dedup.connectedComponents(pairs, ccMaxIters)
       .filter(col("cluster") =!= col("doc_id")).select("doc_id")
-    deduped.join(broadcast(drops), Seq("doc_id"), "left_anti")
+    deduped.join(drops, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("source"),
         TextOps.tokenCount(col("text")).as("n_tokens"), col("quality"))
   }

@@ -72,6 +72,27 @@ class MergeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Merge.applyChangeLog(target, bad, Seq("k")))
   }
 
+  test("malformed op values fail loudly instead of silently deleting") {
+    // a typo'd 'update' used to act as a delete: the key left the target
+    // via the anti-join and the upsert filter then dropped the row
+    val typo = Seq((2L, "b-typo", 23.0, "update", 5L))
+      .toDF("k", "name", "v", "op", "seq")
+    val ex = intercept[Exception](
+      Merge.applyChangeLog(target, typo, Seq("k")).collect())
+    assert(ex.getMessage.contains("update") || ex.getCause != null,
+      s"expected the offending op in the error, got: ${ex.getMessage}")
+    val exNull = intercept[Exception] {
+      val nullOp = Seq((2L, "b", 23.0, null.asInstanceOf[String], 5L))
+        .toDF("k", "name", "v", "op", "seq")
+      Merge.applyChangeLog(target, nullOp, Seq("k")).collect()
+    }
+    assert(exNull != null)
+    // the streaming-state form guards its batch the same way
+    val state0 = target.withColumn("op", lit("upsert")).withColumn("seq", lit(0L))
+    intercept[Exception](
+      Merge.mergeChangeState(state0, typo, Seq("k")).collect())
+  }
+
   test("mergeStats over disjoint slices is bit-identical to a full recompute") {
     val li = graft.model.Tables.lineitem(spark, TestSpark.sfDir)
     val keys = Seq("l_returnflag", "l_linestatus")

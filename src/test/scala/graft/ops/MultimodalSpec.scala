@@ -13,18 +13,6 @@ class MultimodalSpec extends AnyFunSuite {
     (1L, "audio", Array[Byte](0, 127, -128, -1)),
     (2L, "video", ("x" * 5000).getBytes("UTF-8"))).toDF("media_id", "kind", "payload")
 
-  test("decodeFeatures: deterministic stub stats over partition batches") {
-    val got = Multimodal.decodeFeatures(Multimodal.asMedia(media.repartition(3)))
-      .collect().map(f => f.media_id -> f).toMap
-    assert(got(0L).n_bytes == 4 && got(0L).mean_byte == ('a' + 'b' + 'c' + 'd').toDouble / 4)
-    assert(got(1L).mean_byte == (0 + 127 + 128 + 255).toDouble / 4) // unsigned bytes
-    assert(got.values.forall(f => f.width >= 64 && f.height >= 64))
-    // determinism across runs (hash-derived fake dims are seeded)
-    val again = Multimodal.decodeFeatures(Multimodal.asMedia(media)).collect()
-      .map(f => f.media_id -> f).toMap
-    assert(got == again)
-  }
-
   test("payloadStats aggregates opaque binaries without decoding") {
     val stats = Multimodal.payloadStats(media).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap

@@ -42,6 +42,23 @@ class DocPipelineSpec extends AnyFunSuite {
     assert(capped == 2L, s"expected the df-cap to suppress the boilerplate pair, kept $capped")
   }
 
+  test("cleanCorpus: the drop-set anti-join carries NO static broadcast hint") {
+    // the drop set is 10-30% of the corpus at web dup rates — a forced
+    // broadcast() OOMs the driver at exactly the scale the pipeline is
+    // for. The strategy must be left to AQE (runtime-sized decision).
+    // Only the ROOT of the anti-join's right side matters: hints deeper
+    // inside (minhashNearDup's candidate-sliver semi-join) are sized by
+    // construction and stay.
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, ResolvedHint}
+    val docs = graft.model.Tables.documents(spark, TestSpark.sfDir)
+    val plan = DocPipeline.cleanCorpus(docs).queryExecution.analyzed
+    val anti = plan.collectFirst { case j: Join if j.joinType == LeftAnti => j }
+    assert(anti.nonEmpty, "expected the drop-set anti-join in the plan")
+    assert(!anti.get.right.isInstanceOf[ResolvedHint],
+      s"drop side is statically hinted: ${anti.get.right.nodeName}")
+  }
+
   test("cleanCorpus is idempotent: re-cleaning the survivors drops nothing") {
     val docs = graft.model.Tables.documents(spark, TestSpark.sfDir)
     val once = DocPipeline.cleanCorpus(docs)
