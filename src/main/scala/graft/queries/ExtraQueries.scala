@@ -14,9 +14,14 @@ object ExtraQueries {
 
   import Det.Sql.{dsum => ssum}
 
-  /** d4's shared plan (oracle adds only the total sort): z-score + min-max
-    * against broadcast global stats, sigma from exact-decimal Σx/Σx² so
-    * per-row outputs are engine-bit-identical. */
+  /** d4 PRODUCTION plan: plain-double z-score + min-max against broadcast
+    * global stats — a feature pass feeds the next stage, so nothing is
+    * rounded and nothing is sorted. The ORACLE variant below restructures
+    * the outputs into exact decimals instead; round 6 proved per-row
+    * `round(double)` is NOT engine-portable (Spark's Round goes through
+    * BigDecimal — shortest-decimal repr, HALF_UP, and NO signed zero —
+    * while DuckDB rounds the binary value, so 60k per-row roundings
+    * guarantee a representation flip somewhere). */
   private def featureScaling(s: org.apache.spark.sql.SparkSession,
                              d: String): org.apache.spark.sql.DataFrame = {
     val li = Tables.lineitem(s, d)
@@ -29,10 +34,10 @@ object ExtraQueries {
       min(p).as("lo"), max(p).as("hi"))
     li.crossJoin(broadcast(stats))
       .select(col("l_orderkey"), col("l_linenumber"),
-        round((p - col("mu")) /
-          sqrt((col("sumsq") - col("mu") * col("mu") * col("n")) / (col("n") - 1)), 4)
+        ((p - col("mu")) /
+          sqrt((col("sumsq") - col("mu") * col("mu") * col("n")) / (col("n") - 1)))
           .as("z_score"),
-        round((p - col("lo")) / (col("hi") - col("lo")), 6).as("minmax"))
+        ((p - col("lo")) / (col("hi") - col("lo"))).as("minmax"))
   }
 
   val all: Seq[QuerySpec] = Seq(
@@ -233,25 +238,52 @@ object ExtraQueries {
     },
 
     sql("d4_feature_scaling",
-      "D4: feature scaling — z-score and min-max normalization of price against broadcast global stats; sigma derives from exact-decimal Σx/Σx² so the 60k per-row outputs are bit-identical across engines (a rounded STDDEV_SAMP would coin-flip ~1e-11-wide rounding boundaries)",
-      // price is 2dp so price² is exactly 4dp — the same lossless
-      // double→decimal cast Det.dsum relies on for 2dp×2dp revenue
-      // products; every downstream double op has the identical shape in
-      // both engines, so z_score and minmax match bitwise before rounding
-      s"""WITH g AS (SELECT ${Det.Sql.davg("l_extendedprice")} AS mu,
-         |  CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sumsq,
-         |  COUNT(*) AS n,
-         |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem)
-         |SELECT l_orderkey, l_linenumber,
-         |       ROUND((l_extendedprice - mu) / SQRT((sumsq - mu * mu * n) / (n - 1)), 4) AS z_score,
-         |       ROUND((l_extendedprice - lo) / (hi - lo), 6) AS minmax
-         | FROM lineitem, g
-         | ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", "")) {
-      // one core plan for both variants (they differ only by the
-      // oracle-only sort — a feature pass feeds the next stage, not a
-      // report): stats are a 1-row broadcast, normalization is map-side
-      (s, d) => featureScaling(s, d).orderBy("l_orderkey", "l_linenumber")
+      "D4: feature scaling, exact-decimal oracle form — per-row normalization state as EXACT decimals (z numerator ×n, min-max numerator) plus single-value globals (sigma, range_w, n_rows); z = z_num_xn/(n_rows*sigma), minmax = minmax_num/range_w. Round 6's per-row round(double) form hash-failed: Spark Round (BigDecimal: shortest-decimal repr, HALF_UP, no signed zero) diverges from DuckDB's binary-value round, and 60k per-row roundings make a flip certain. Decimal arithmetic is exact in both engines and decimal→double conversion is correctly rounded in both, so every per-row value here is bit-identical by construction",
+      // price is 2dp money: CAST(double AS DECIMAL(12,2)) is the lossless
+      // Det.dsum discipline. n·p (25,2) − Σx (24,2) and p − lo (13,2) stay
+      // within decimal-exact range in both engines; the only per-row
+      // doubles are casts OF exact decimals (correctly rounded, identical
+      // bits, never -0.0 since decimal zero is unsigned). sigma is a
+      // single global value built from bit-identical inputs via IEEE
+      // ops (sub/mul/div/sqrt are correctly rounded in both engines).
+      """WITH g AS (SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(24,2)) AS sum_dec,
+        |  CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sumsq,
+        |  COUNT(*) AS n,
+        |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |       CAST(CAST(n AS DECIMAL(12,0)) * CAST(l_extendedprice AS DECIMAL(12,2)) - sum_dec AS DOUBLE) AS z_num_xn,
+        |       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) - CAST(lo AS DECIMAL(12,2)) AS DOUBLE) AS minmax_num,
+        |       SQRT((sumsq - (CAST(sum_dec AS DOUBLE) / n) * (CAST(sum_dec AS DOUBLE) / n) * n) / (n - 1)) AS sigma,
+        |       CAST(CAST(hi AS DECIMAL(12,2)) - CAST(lo AS DECIMAL(12,2)) AS DOUBLE) AS range_w,
+        |       n AS n_rows
+        | FROM lineitem, g
+        | ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val li = Tables.lineitem(s, d)
+        val p = col("l_extendedprice")
+        val pd = p.cast(DecimalType(12, 2))
+        val stats = li.agg(
+          sum(pd).cast(DecimalType(24, 2)).as("sum_dec"),
+          sum((p * p).cast(DecimalType(38, 4))).cast("double").as("sumsq"),
+          count(lit(1)).as("n"),
+          min(p).as("lo"), max(p).as("hi"))
+        val mu = col("sum_dec").cast("double") / col("n")
+        val loD = col("lo").cast(DecimalType(12, 2))
+        li.crossJoin(broadcast(stats))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("n").cast(DecimalType(12, 0)) * pd - col("sum_dec"))
+              .cast("double").as("z_num_xn"),
+            (pd - loD).cast("double").as("minmax_num"),
+            sqrt((col("sumsq") - mu * mu * col("n")) / (col("n") - 1)).as("sigma"),
+            (col("hi").cast(DecimalType(12, 2)) - loD).cast("double").as("range_w"),
+            col("n").as("n_rows"))
+          .orderBy("l_orderkey", "l_linenumber")
+      }
     }.withBench {
+      // production keeps the user-facing plain-double z/minmax (nothing
+      // rounded, nothing sorted — the pass feeds the next pipeline stage)
       (s, d) => featureScaling(s, d)
     },
 
