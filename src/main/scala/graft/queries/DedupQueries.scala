@@ -34,6 +34,33 @@ object DedupQueries {
   private val jaccardOracle =
     s"WITH $jaccardCtes SELECT id1, id2, jaccard FROM pairs ORDER BY id1, id2"
 
+  /** g1 ground truth: 10 fixed-point PageRank iterations over the exact
+    * pair graph, unrolled as a CTE chain (fixed depth — no recursive-CTE
+    * aggregation semantics to depend on). Mirrors
+    * [[graft.ops.Graph.pageRankFixedPoint]] exactly: BIGINT picorank
+    * units, truncating division (`//` floors, DIV truncates — identical
+    * on the all-positive values here), teleport 0.15e12 per node. */
+  private val pageRankOracle: String = {
+    val one = 1000000000000L
+    val teleport = 150000000000L
+    val iterCtes = (1 to 10).map { i =>
+      s"""r$i AS (SELECT n.src AS id,
+         | CAST($teleport + (COALESCE(f.inflow, 0) * 85) // 100 AS BIGINT) AS rank
+         | FROM deg n LEFT JOIN (
+         |   SELECT e.dst AS id, CAST(SUM(r.rank // d.deg) AS BIGINT) AS inflow
+         |   FROM edges e JOIN r${i - 1} r ON e.src = r.id JOIN deg d ON e.src = d.src
+         |   GROUP BY e.dst) f ON n.src = f.id)""".stripMargin.replace("\n", "")
+    }.mkString(",")
+    s"""WITH $jaccardCtes,
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+       |          UNION ALL SELECT id2, id1 FROM pairs),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT src AS id, CAST($one AS BIGINT) AS rank FROM deg),
+       |$iterCtes
+       |SELECT id, rank AS rank_fp FROM r10
+       | ORDER BY rank_fp DESC, id LIMIT 20""".stripMargin.replace("\n", "")
+  }
+
   /** DuckDB k-word shingle list over `string_split(text,' ')` — the same
     * totality rule as [[Dedup.shinglesFromTokens]] (docs shorter than k
     * contribute their whole text). Generalizes the k=3 form inside
@@ -175,12 +202,23 @@ object DedupQueries {
         docs.filter(col("doc_id") % 20 === 7), k = 5)
     },
 
-    rowsOnly("g1_pagerank",
-      "Graph: PageRank over the near-dup pair graph — a cluster's top-ranked member is its most-copied version, the canonical-survivor choice beyond min-id (iterative double arithmetic => no oracle; invariants in GraphSpec)") {
+    sql("g1_pagerank",
+      "Graph: PageRank over the near-dup pair graph — a cluster's top-ranked member is its most-copied version, the canonical-survivor choice beyond min-id. Oracle form is BIGINT fixed-point (rank_fp = rank × 1e12, truncating division) so every iteration is exact integer arithmetic in both engines; the DuckDB mirror unrolls the 10 damped-inflow iterations as a fixed CTE chain",
+      pageRankOracle) {
       (s, d) =>
-        graft.ops.Graph.pageRank(Dedup.minhashNearDup(Tables.documents(s, d)), iters = 10)
-          .orderBy(col("rank").desc, col("id"))
+        graft.ops.Graph.pageRankFixedPoint(
+          Dedup.minhashNearDup(Tables.documents(s, d)), iters = 10)
+          .select(col("id"), col("rank").as("rank_fp"))
+          .orderBy(col("rank_fp").desc, col("id"))
           .limit(20)
+    }.withBench { (s, d) =>
+      // production: plain double arithmetic (no fixed-point bound on node
+      // count) over the df-capped pair graph — the 100 TB plan
+      graft.ops.Graph.pageRank(
+        Dedup.minhashNearDup(Tables.documents(s, d), maxDf = Some(Dedup.DefaultMaxDf)),
+        iters = 10)
+        .orderBy(col("rank").desc, col("id"))
+        .limit(20)
     },
 
     rowsOnly("dd4_simhash_neardup",

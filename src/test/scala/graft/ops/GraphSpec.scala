@@ -39,6 +39,24 @@ class GraphSpec extends AnyFunSuite {
     a.foreach { case (k, v) => assert(math.abs(v - b(k)) < 1e-9) }
   }
 
+  test("fixed-point ranks track the double ranks within truncation dust") {
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (2L, 3L), (5L, 6L))
+    val fp = Graph.pageRankFixedPoint(pairs.toDF("id1", "id2"), iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dbl = ranksOf(pairs, iters = 10)
+    assert(fp.keySet == dbl.keySet)
+    // each DIV truncation loses < 1 picorank per edge per round; 10 rounds
+    // of damped accumulation stay well under 1e-9 of a unit rank
+    fp.foreach { case (k, v) =>
+      assert(math.abs(v / 1e12 - dbl(k)) < 1e-9, s"node $k: fp=$v dbl=${dbl(k)}")
+    }
+    // deterministic and partitioning-independent: BIT-equal, not approximate
+    val again = Graph.pageRankFixedPoint(
+      pairs.toDF("id1", "id2").repartition(7), iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == fp)
+  }
+
   test("near-dup graph: every cluster's top-ranked member is in that cluster's pair set") {
     val pairs = Dedup.minhashNearDup(
       graft.model.Tables.documents(spark, TestSpark.sfDir))
