@@ -194,6 +194,38 @@ object Dedup {
     exactJaccardPairs(shCand, thr)
   }
 
+  /** Persisted shingle document-frequency table: (shingle, df) — the
+    * df-cap companion a 100 TB pipeline stores NEXT TO its
+    * [[lshBandIndex]]. An index capped against its OWN substrate and a
+    * batch capped against ITS OWN substrate silently disagree on which
+    * shingles are hot (a shingle can cross the cap between builds); both
+    * must cap against the SAME persisted table, maintained incrementally
+    * with [[mergeShingleDf]] as batches land. Same epoch's table on both
+    * sides ⇒ identical cap decisions ⇒ the incremental == joint parity
+    * argument holds bit-for-bit (pinned in DedupSpec). */
+  def shingleDfTable(sh: DataFrame): DataFrame =
+    sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+
+  /** Incremental df-table maintenance: merge tables of DISJOINT doc
+    * slices (counts add). One union + one hash agg over table rows —
+    * vocabulary cardinality, not corpus cardinality. Bit-identical to
+    * recomputing [[shingleDfTable]] over the union of the slices. */
+  def mergeShingleDf(tables: Seq[DataFrame]): DataFrame = {
+    require(tables.nonEmpty, "mergeShingleDf needs at least one df table")
+    tables.reduce(_.unionByName(_))
+      .groupBy("shingle").agg(sum("df").as("df"))
+  }
+
+  /** [[capDocumentFrequency]] against an EXTERNAL persisted df table
+    * instead of the substrate's own counts — the form every incremental
+    * consumer must use (see [[shingleDfTable]]). Join strategy left to
+    * the planner, same rationale as [[capDocumentFrequency]]. */
+  def capWithDfTable(sh: DataFrame, dfTable: DataFrame, maxDf: Long): DataFrame = {
+    val hot = dfTable.filter(col("df") > maxDf).select("shingle")
+    sh.join(hot, Seq("shingle"), "left_anti")
+      .select(sh.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Persisted LSH band index of a corpus: (doc_id, band, bh). The
     * artifact a 100 TB pipeline stores NEXT TO the archive so daily
     * increments never re-shingle it — the index is ~bands rows of 20
@@ -208,6 +240,16 @@ object Dedup {
     val capped = maxDf.fold(sh)(m => capDocumentFrequency(sh, m))
     lshBands(minhashSignatures(capped, numPerm), bands, rows)
   }
+
+  /** [[lshBandIndex]] capped against a persisted [[shingleDfTable]] —
+    * the production index-build form: the SAME table later caps each
+    * incoming batch ([[incrementalNearDupCapped]]), so index and batch
+    * never disagree on which shingles are hot. */
+  def lshBandIndexCapped(docs: DataFrame, dfTable: DataFrame, maxDf: Long,
+                         k: Int = 3, numPerm: Int = 64,
+                         bands: Int = 16, rows: Int = 4): DataFrame =
+    lshBands(minhashSignatures(
+      capWithDfTable(shingleDF(docs, k = k), dfTable, maxDf), numPerm), bands, rows)
 
   /** Incremental near-dup: a NEW batch against a corpus via its persisted
     * [[lshBandIndex]] — the daily-increment shape at 100 TB, where
@@ -230,17 +272,43 @@ object Dedup {
     * so joint vs incremental banding yields identical candidates —
     * pinned in DedupSpec). Caller contract: batch doc_ids are disjoint
     * from corpus doc_ids, and `index` was built with the same
-    * k/numPerm/bands/rows. At production scale the df-cap composes by
-    * maintaining the shingle-df table incrementally and capping both the
-    * index build and the batch with it (same cap ⇒ same parity argument
-    * as DedupSpec's cap-on bit-parity). */
+    * k/numPerm/bands/rows. At production scale the df-cap composes via
+    * the persisted [[shingleDfTable]]: build the index with
+    * [[lshBandIndexCapped]], maintain the table with [[mergeShingleDf]],
+    * and run batches through [[incrementalNearDupCapped]] — same table ⇒
+    * same cap decisions ⇒ this same parity argument (pinned in
+    * DedupSpec's capped bit-parity case). */
   def incrementalNearDup(newDocs: DataFrame, corpus: DataFrame, index: DataFrame,
                          k: Int = 3, numPerm: Int = 64,
                          bands: Int = 16, rows: Int = 4,
-                         thr: Double = 0.8): DataFrame = {
+                         thr: Double = 0.8): DataFrame =
+    incrementalNearDupWithCap(newDocs, corpus, index, identity,
+      k, numPerm, bands, rows, thr)
+
+  /** [[incrementalNearDup]] with every shingle substrate (batch AND the
+    * candidate slice of the archive) capped against the SAME persisted
+    * [[shingleDfTable]] the index was built with. The capped batch
+    * substrate is materialized once — capping inserts a shuffle-bearing
+    * anti-join into each recompute (the minhashNearDupFromShingles
+    * tradeoff). */
+  def incrementalNearDupCapped(newDocs: DataFrame, corpus: DataFrame,
+                               index: DataFrame, dfTable: DataFrame, maxDf: Long,
+                               k: Int = 3, numPerm: Int = 64,
+                               bands: Int = 16, rows: Int = 4,
+                               thr: Double = 0.8): DataFrame =
+    incrementalNearDupWithCap(newDocs, corpus, index,
+      sh => capWithDfTable(sh, dfTable, maxDf).localCheckpoint(),
+      k, numPerm, bands, rows, thr)
+
+  private def incrementalNearDupWithCap(newDocs: DataFrame, corpus: DataFrame,
+                                        index: DataFrame,
+                                        cap: DataFrame => DataFrame,
+                                        k: Int, numPerm: Int,
+                                        bands: Int, rows: Int,
+                                        thr: Double): DataFrame = {
     // batch substrate feeds signatures AND verify — same lazy-recompute
     // tradeoff as minhashNearDupFromShingles' uncapped path
-    val newSh = shingleDF(newDocs, k = k)
+    val newSh = cap(shingleDF(newDocs, k = k))
     val newBands = lshBands(minhashSignatures(newSh, numPerm), bands, rows)
     // cross candidates: batch bands probe the index buckets
     val cross = newBands.as("x").join(index.as("y"),
@@ -258,7 +326,7 @@ object Dedup {
     // candidate-sized)
     val candIds = cand.select(col("id1").as("doc_id"))
       .union(cand.select(col("id2").as("doc_id"))).distinct()
-    val corpusCandSh = shingleDF(corpus.join(candIds, Seq("doc_id"), "left_semi"), k = k)
+    val corpusCandSh = cap(shingleDF(corpus.join(candIds, Seq("doc_id"), "left_semi"), k = k))
     val newShCand = newSh.join(candIds, Seq("doc_id"), "left_semi")
     val pairs = exactJaccardPairs(corpusCandSh.union(newShCand), thr)
     // keep pairs that involve a new doc; marker joins (not two semi-join

@@ -141,6 +141,50 @@ class DedupSpec extends AnyFunSuite {
     assert(inc == full)
   }
 
+  test("capped incremental == capped joint run when both cap with the SAME df table") {
+    // Boilerplate block shared by 10, 11 (corpus) and 100 (batch): its
+    // shingles have df = 3 > cap 2, so capping drops them. (12, 101) is a
+    // genuine exact copy whose shingles (df = 2 ≤ cap) survive. Uncapped,
+    // boilerplate alone makes (10,100)/(11,100) near-dups; capped, only
+    // the real copy pair remains — so the cap provably bites here.
+    val boiler = (1 to 57).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      (10L, s"$boiler u1 u2 u3"),
+      (11L, s"$boiler v1 v2 v3"),
+      (12L, "m n o p q r s t u v")).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, s"$boiler w1 w2 w3"),
+      (101L, "m n o p q r s t u v")).toDF("doc_id", "text")
+    val cap = 2L
+
+    // df-table maintenance parity: merged slice tables == joint recompute
+    val dfCorpus = Dedup.shingleDfTable(Dedup.shingleDF(corpus))
+    val dfBatch = Dedup.shingleDfTable(Dedup.shingleDF(batch))
+    val merged = Dedup.mergeShingleDf(Seq(dfCorpus, dfBatch))
+    val joint = Dedup.shingleDfTable(Dedup.shingleDF(corpus.union(batch)))
+    assert(merged.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      joint.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+
+    // cap parity: index and batch capped against the SAME merged table ==
+    // joint run capped at the same df (its self-computed df IS the merged
+    // table, corpus and batch being disjoint), restricted to batch pairs
+    val index = Dedup.lshBandIndexCapped(corpus, merged, cap)
+    val incCapped = Dedup.incrementalNearDupCapped(batch, corpus, index, merged, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batchIds = Set(100L, 101L)
+    val jointCapped = Dedup.minhashNearDup(corpus.union(batch), maxDf = Some(cap))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => batchIds(p._1) || batchIds(p._2)).toSet
+    assert(incCapped == jointCapped, s"inc=$incCapped joint=$jointCapped")
+    assert(incCapped == Set((12L, 101L, 1.0)))
+
+    // and the cap genuinely changed the outcome: uncapped keeps the
+    // boilerplate-driven pairs
+    val incUncapped = Dedup.incrementalNearDup(batch, corpus, Dedup.lshBandIndex(corpus))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incUncapped.exists(p => p._1 == 10L && p._2 == 100L))
+  }
+
   test("minhashNearDup rejects numPerm below bands*rows") {
     intercept[IllegalArgumentException] {
       Dedup.minhashNearDup(docs, numPerm = 32, bands = 16, rows = 4)
