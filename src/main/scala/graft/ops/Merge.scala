@@ -124,4 +124,94 @@ object Merge {
         (col("sum_dec").cast("double") / col("cnt")).as("avg_v"),
         col("min_v"),
         col("max_v")): _*)
+
+  // ───── mergeable QUANTILE state (the non-algebraic gap in partialStats) ─────
+  //
+  // count/sum/min/max merge trivially; percentiles don't — yet "p95 doc
+  // length, updated nightly" is the first dashboard a growing corpus asks
+  // for. The state here is a per-key VALUE HISTOGRAM (key, v, cnt): it
+  // merges losslessly (counts add), finalizes to the EXACT interpolated
+  // quantile (quantile_cont / Spark `percentile` semantics), and its size
+  // is key-cardinality × value-cardinality — independent of row count.
+  // Exact histograms are the oracle-able path for bounded-cardinality
+  // values (quantities, token counts, scores); for unbounded doubles the
+  // production sketch is [[binnedQuantileState]] (fixed bin width ⇒ state
+  // bounded by value range / width, finalize error ≤ one bin width —
+  // pinned in MergeSpec). Both states share [[mergeQuantileStates]] /
+  // [[finalizeQuantiles]].
+
+  /** Per-key value-histogram quantile state over `valueCol` (nulls
+    * excluded, matching SQL quantile aggregates). One partial+final hash
+    * agg over the slice — map-side combinable, the same incremental
+    * shape as [[partialStats]]. */
+  def partialQuantileState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(keys.map(col) :+ col(valueCol).cast("double").as("v"): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Binned (sketch) variant for unbounded-cardinality values: v is
+    * quantized to its bin midpoint, bounding state size by
+    * range/`binWidth` and finalize error by `binWidth` (interpolation
+    * between midpoints never leaves the bracketing bins). */
+  def binnedQuantileState(df: DataFrame, keys: Seq[String], valueCol: String,
+                          binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(keys.map(col) :+
+        ((floor(col(valueCol).cast("double") / binWidth) * binWidth)
+          + binWidth / 2).as("v"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge quantile states of DISJOINT row slices: histogram counts add.
+    * One union + hash agg over state rows. Bit-identical to computing
+    * [[partialQuantileState]] over the union of the slices (pinned in
+    * MergeSpec). */
+  def mergeQuantileStates(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeQuantileStates needs at least one state frame")
+    states.reduce(_.unionByName(_))
+      .groupBy(keys.map(col) :+ col("v"): _*)
+      .agg(sum("cnt").as("cnt"))
+  }
+
+  /** Exact interpolated quantiles from a (merged) state — long output
+    * (keys…, p, q). Semantics = SQL `quantile_cont` / Spark `percentile`:
+    * continuous rank rk = p·(n−1), q = v⌊rk⌋ + (rk−⌊rk⌋)·(v⌈rk⌉ − v⌊rk⌋),
+    * rounded to `scale` dp ([[Det]] cross-engine discipline).
+    *
+    * Scale shape: ONE window shuffle keyed by the group key over STATE
+    * rows (histogram cardinality, not data cardinality), then a hash agg
+    * — the cumulative-count bracket search never sorts raw data and never
+    * buffers values in an agg buffer (the OOM mode of exact `percentile`
+    * at 100 TB). */
+  def finalizeQuantiles(state: DataFrame, keys: Seq[String], ps: Seq[Double],
+                        scale: Int = 4): DataFrame = {
+    require(ps.nonEmpty, "finalizeQuantiles needs at least one percentile")
+    require(ps.forall(p => p >= 0 && p <= 1), s"percentiles must be in [0,1]: $ps")
+    val k = keys.map(col)
+    val wOrd = Window.partitionBy(k: _*).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(k: _*)
+    // a histogram row covers zero-based ranks [prev, cum)
+    val hist = state
+      .select(k :+ col("v").cast("double").as("v") :+ col("cnt").cast("long").as("cnt"): _*)
+      .withColumn("cum", sum("cnt").over(wOrd))
+      .withColumn("n", sum("cnt").over(wAll))
+      .withColumn("prev", col("cum") - col("cnt"))
+    val exploded = hist
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .withColumn("rk", col("p") * (col("n") - 1).cast("double"))
+      .withColumn("lo", floor(col("rk")))
+      .withColumn("hi", ceil(col("rk")))
+    val coversLo = col("prev") <= col("lo") && col("lo") < col("cum")
+    val coversHi = col("prev") <= col("hi") && col("hi") < col("cum")
+    exploded.filter(coversLo || coversHi)
+      .groupBy(k :+ col("p"): _*)
+      .agg(
+        max(when(coversLo, col("v"))).as("v_lo"),
+        max(when(coversHi, col("v"))).as("v_hi"),
+        min(col("rk") - col("lo")).as("frac")) // rk, lo constant per group
+      .select(k ++ Seq(col("p"),
+        round(col("v_lo") + col("frac") * (col("v_hi") - col("v_lo")), scale).as("q")): _*)
+  }
 }

@@ -202,6 +202,52 @@ object ExtraQueries {
       }
     },
 
+    sql("u10_incremental_quantiles",
+      "U10: mergeable quantile state — per-slice value-histogram states merged across slices, exact interpolated finalize (quantile_cont semantics); the 'p95 updated nightly' dashboard without rescanning history. Oracle compares against a direct full-data quantile; production swaps the exact histogram for the fixed-bin-width sketch",
+      """SELECT l_returnflag, l_linestatus,
+        | ROUND(quantile_cont(l_quantity, 0.25), 4) AS q25,
+        | ROUND(quantile_cont(l_quantity, 0.50), 4) AS q50,
+        | ROUND(quantile_cont(l_quantity, 0.75), 4) AS q75,
+        | ROUND(quantile_cont(l_quantity, 0.95), 4) AS q95
+        | FROM lineitem GROUP BY 1, 2
+        | ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // history/batch slices (disjoint on l_orderkey % 5, as in u9) are
+        // histogrammed separately and their states merged — at scale the
+        // history state comes from yesterday's parquet, not a rescan
+        val keys = Seq("l_returnflag", "l_linestatus")
+        val li = Tables.lineitem(s, d)
+        val history = graft.ops.Merge.partialQuantileState(
+          li.filter(col("l_orderkey") % 5 =!= 0), keys, "l_quantity")
+        val batch = graft.ops.Merge.partialQuantileState(
+          li.filter(col("l_orderkey") % 5 === 0), keys, "l_quantity")
+        val q = graft.ops.Merge.finalizeQuantiles(
+          graft.ops.Merge.mergeQuantileStates(Seq(history, batch), keys),
+          keys, Seq(0.25, 0.50, 0.75, 0.95))
+        // long → wide on the exact p literals inserted above
+        q.groupBy(keys.map(col): _*)
+          .agg(
+            max(when(col("p") === 0.25, col("q"))).as("q25"),
+            max(when(col("p") === 0.50, col("q"))).as("q50"),
+            max(when(col("p") === 0.75, col("q"))).as("q75"),
+            max(when(col("p") === 0.95, col("q"))).as("q95"))
+          .orderBy("l_returnflag", "l_linestatus")
+      }
+    }.withBench { (s, d) =>
+      // production: fixed-bin-width sketch state (state size bounded by
+      // range/width regardless of value cardinality; finalize error ≤ one
+      // bin width — MergeSpec pins the bound), no oracle sort
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val li = Tables.lineitem(s, d)
+      val history = graft.ops.Merge.binnedQuantileState(
+        li.filter(col("l_orderkey") % 5 =!= 0), keys, "l_quantity", binWidth = 1.0)
+      val batch = graft.ops.Merge.binnedQuantileState(
+        li.filter(col("l_orderkey") % 5 === 0), keys, "l_quantity", binWidth = 1.0)
+      graft.ops.Merge.finalizeQuantiles(
+        graft.ops.Merge.mergeQuantileStates(Seq(history, batch), keys),
+        keys, Seq(0.25, 0.50, 0.75, 0.95))
+    },
+
     sql("o10_domain_mixture",
       "O10: training-mixture composer — per-source quotas (curated src0-src4 get 15 docs, crawl-tier sources 5), deterministic hash-order row_number; the doc-level mixture step before shard packaging",
       """SELECT doc_id, source, rn FROM (

@@ -109,6 +109,80 @@ class MergeSpec extends AnyFunSuite {
     assert(merged.collect().map(_.toSeq).toSeq == direct.collect().map(_.toSeq).toSeq)
   }
 
+  test("quantile state merged over disjoint slices is bit-identical to a direct full-data state") {
+    val li = graft.model.Tables.lineitem(spark, TestSpark.sfDir)
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    val slices = Seq(
+      li.filter(col("l_orderkey") % 3 === 0),
+      li.filter(col("l_orderkey") % 3 === 1),
+      li.filter(col("l_orderkey") % 3 === 2))
+      .map(Merge.partialQuantileState(_, keys, "l_quantity"))
+    val merged = Merge.finalizeQuantiles(
+      Merge.mergeQuantileStates(slices, keys), keys, ps)
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("p"))
+    val direct = Merge.finalizeQuantiles(
+      Merge.partialQuantileState(li, keys, "l_quantity"), keys, ps)
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("p"))
+    assert(merged.collect().map(_.toSeq).toSeq == direct.collect().map(_.toSeq).toSeq)
+  }
+
+  test("finalizeQuantiles matches Spark's exact percentile (interpolation semantics pinned)") {
+    val li = graft.model.Tables.lineitem(spark, TestSpark.sfDir)
+    val keys = Seq("l_returnflag")
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val got = Merge.finalizeQuantiles(
+      Merge.partialQuantileState(li, keys, "l_extendedprice"), keys, ps, scale = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val want = li.groupBy("l_returnflag")
+      .agg(expr(s"percentile(l_extendedprice, array(${ps.mkString(",")}))").as("qs"))
+      .collect().flatMap { r =>
+        val vs = r.getSeq[Double](1)
+        ps.zipWithIndex.map { case (p, i) =>
+          (r.getString(0), p) -> BigDecimal(vs(i)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      }.toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, v) =>
+      assert(got(k) == v, s"quantile mismatch at $k: got ${got(k)}, want $v")
+    }
+  }
+
+  test("binned sketch state: merged finalize within one bin width of the exact quantile") {
+    val li = graft.model.Tables.lineitem(spark, TestSpark.sfDir)
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    val binWidth = 1.0
+    val slices = Seq(
+      li.filter(col("l_orderkey") % 2 === 0),
+      li.filter(col("l_orderkey") % 2 === 1))
+    val approx = Merge.finalizeQuantiles(
+      Merge.mergeQuantileStates(
+        slices.map(Merge.binnedQuantileState(_, keys, "l_extendedprice", binWidth)), keys),
+      keys, ps, scale = 6)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)) -> r.getDouble(3)).toMap
+    val exact = Merge.finalizeQuantiles(
+      Merge.partialQuantileState(li, keys, "l_extendedprice"), keys, ps, scale = 6)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)) -> r.getDouble(3)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, v) =>
+      assert(math.abs(approx(k) - v) <= binWidth,
+        s"sketch error at $k exceeds bin width: approx ${approx(k)}, exact $v")
+    }
+  }
+
+  test("quantile state: single-value keys, n=1 groups, and nulls finalize correctly") {
+    val df = Seq(
+      (Some(5.0), "one"),                      // n=1 → every quantile is the value
+      (Some(1.0), "two"), (Some(3.0), "two"),  // p=0.5 → interpolated 2.0
+      (None: Option[Double], "two"),           // null excluded from the state
+      (Some(7.0), "const"), (Some(7.0), "const")).toDF("v", "g")
+    val got = Merge.finalizeQuantiles(
+      Merge.partialQuantileState(df, Seq("g"), "v"), Seq("g"), Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got == Map("one" -> 5.0, "two" -> 2.0, "const" -> 7.0))
+  }
+
   test("merging a slice with no rows for some key still folds min/max/count correctly") {
     val a = Seq(("x", 1.0), ("x", 3.0)).toDF("g", "v")
     val b = Seq(("y", 5.0)).toDF("g", "v")
