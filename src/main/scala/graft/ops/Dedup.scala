@@ -201,8 +201,14 @@ object Dedup {
     * shingles are hot (a shingle can cross the cap between builds); both
     * must cap against the SAME persisted table, maintained incrementally
     * with [[mergeShingleDf]] as batches land. Same epoch's table on both
-    * sides ⇒ identical cap decisions ⇒ the incremental == joint parity
-    * argument holds bit-for-bit (pinned in DedupSpec). */
+    * sides ⇒ identical cap decisions ⇒ self-consistent output. Parity
+    * with a JOINT recompute (minhashNearDup over corpus ∪ batch, which
+    * caps against the union's self-computed df) additionally requires
+    * the shared table to EQUAL the union's own df table — i.e. the
+    * batch's df contribution is merged in before capping (the DedupSpec
+    * arrangement). A stale-epoch table still gives consistent cap
+    * decisions, but a shingle crossing the cap in the unmerged batch
+    * yields a different (still valid) pair set. */
   def shingleDfTable(sh: DataFrame): DataFrame =
     sh.groupBy("shingle").agg(count(lit(1)).as("df"))
 

@@ -185,6 +185,51 @@ class DedupSpec extends AnyFunSuite {
     assert(incUncapped.exists(p => p._1 == 10L && p._2 == 100L))
   }
 
+  test("persisted artifacts round-trip: index + shingle-df table served from parquet == in-memory, bit for bit") {
+    // The 100 TB contract: lshBandIndex and shingleDfTable live NEXT TO
+    // the archive as parquet, and every increment caps/probes against the
+    // READ-BACK frames — so schemas and types must survive the round-trip
+    // and the served run must equal the in-memory run exactly. Same
+    // corpus/batch as the capped-parity case so the cap provably bites.
+    val boiler = (1 to 57).map(i => s"b$i").mkString(" ")
+    val corpus = Seq(
+      (10L, s"$boiler u1 u2 u3"),
+      (11L, s"$boiler v1 v2 v3"),
+      (12L, "m n o p q r s t u v")).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, s"$boiler w1 w2 w3"),
+      (101L, "m n o p q r s t u v")).toDF("doc_id", "text")
+    val cap = 2L
+    val merged = Dedup.mergeShingleDf(Seq(
+      Dedup.shingleDfTable(Dedup.shingleDF(corpus)),
+      Dedup.shingleDfTable(Dedup.shingleDF(batch))))
+    val index = Dedup.lshBandIndexCapped(corpus, merged, cap)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-artifacts").toString
+    graft.io.Sinks.parquet(merged, s"$dir/shingle_df")
+    graft.io.Sinks.parquet(index, s"$dir/lsh_index")
+    val mergedBack = spark.read.parquet(s"$dir/shingle_df")
+    val indexBack = spark.read.parquet(s"$dir/lsh_index")
+
+    // column names and types survive parquet (nullability legitimately
+    // widens on read-back, so compare name→type, not full StructFields)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema.fields.map(f => f.name -> f.dataType).toSeq
+    assert(shape(mergedBack) == shape(merged))
+    assert(shape(indexBack) == shape(index))
+    // the index parquet is the deterministic artifact: same rows exactly
+    assert(indexBack.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet ==
+      index.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
+
+    def run(idx: org.apache.spark.sql.DataFrame, tbl: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalNearDupCapped(batch, corpus, idx, tbl, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inMemory = run(index, merged)
+    val served = run(indexBack, mergedBack)
+    assert(served == inMemory && inMemory == Set((12L, 101L, 1.0)),
+      s"served=$served inMemory=$inMemory")
+  }
+
   test("minhashNearDup rejects numPerm below bands*rows") {
     intercept[IllegalArgumentException] {
       Dedup.minhashNearDup(docs, numPerm = 32, bands = 16, rows = 4)
