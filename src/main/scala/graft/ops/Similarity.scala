@@ -145,6 +145,22 @@ object Similarity {
     cents
   }
 
+  /** Persist trained IVF centroids as a parquet MODEL ARTIFACT — at
+    * corpus scale the quantizer is trained once and served to every
+    * query/ingest job from storage, never retrained per run (training
+    * re-scans the corpus ×iters; the artifact is K rows). Pairs with
+    * [[loadIvfCentroids]]; served-from-artifact == trained-in-memory
+    * parity is pinned in SimilaritySpec. */
+  def saveIvfCentroids(centroids: DataFrame, path: String): Unit =
+    graft.io.Sinks.parquet(centroids.select(col("cid"), col("cvec")), path)
+
+  /** Read an IVF centroid artifact back for serving ([[ivfAssign]] /
+    * [[ivfTopK]] / [[ivfTopKIndexed]]). The model is K rows — Spark
+    * broadcasts it at every use site, so serving from parquet adds one
+    * K-row scan per query, nothing more. */
+  def loadIvfCentroids(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(col("cid"), col("cvec"))
+
   /** IVF assignment: each vector joins its nearest centroid. Scoring is
     * map-side against the broadcast centroid table (n×K scores, no
     * shuffle); the argmax is one row_number window on vec_id. */

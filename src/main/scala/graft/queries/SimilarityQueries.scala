@@ -25,10 +25,13 @@ object SimilarityQueries {
     Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding").as("qe"))
 
-  /** Trained IVF centroids per corpus dir (see ss5 — build once, probe
-    * many; keyed by dir so every scale factor trains its own model). */
-  private val centroidCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  /** Path of the PERSISTED IVF centroid artifact per corpus dir (see ss5
+    * — train once, write to parquet, serve every query from the
+    * read-back table; keyed by dir so every scale factor trains its own
+    * model). Caching the path, not a DataFrame: what serving reads is
+    * the storage artifact, exactly as a deployment would. */
+  private val centroidModelPath =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   val all: Seq[QuerySpec] = Seq(
 
@@ -105,21 +108,25 @@ object SimilarityQueries {
     },
 
     rowsOnly("ss5_ivf_topk",
-      "Similarity: IVF ANN — Lloyd-trained broadcast centroids (built once per corpus, memoized), nprobe nearest clusters scored (recall@10 vs ss1 pinned in ScalaTest)") {
+      "Similarity: IVF ANN — Lloyd-trained centroids persisted once per corpus as a parquet model artifact, every query served from the read-back K-row table (recall@10 vs ss1 pinned in ScalaTest)") {
       (s, d) => {
         // k=8/nprobe=6 clears recall@10 >= 0.9 on this corpus — which has
         // near-zero cluster structure, so recall tracks the scanned
         // fraction; see SimilaritySpec for the swept curve.
-        // The trained model is memoized per corpus dir: an IVF index is
-        // built once and amortized over every query (the
-        // build-once/query-many deployment shape), so repeated runs — and
-        // the bench median — time the PROBE, not 4 Lloyd iterations.
-        // trainIvfCentroids materializes via localCheckpoint, so the
-        // cached frame is a handful of concrete rows, not a live lineage.
+        // Deployment shape: the quantizer is TRAINED ONCE per corpus,
+        // WRITTEN to parquet, and every query (and the bench median)
+        // serves ivfAssign+probe from the READ-BACK artifact — per-query
+        // work is the probe, never 4 corpus-scanning Lloyd iterations,
+        // and the model round-trips storage like any other table.
         val base = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
-        val cents = centroidCache.getOrElseUpdate(d,
-          Similarity.trainIvfCentroids(base, k = 8))
-        Similarity.ivfTopK(base, cents, queryVec(s, d), k = 10, nprobe = 6)
+        val path = centroidModelPath.getOrElseUpdate(d, {
+          val p = java.nio.file.Files
+            .createTempDirectory("graft-ivf-model").resolve("centroids").toString
+          Similarity.saveIvfCentroids(Similarity.trainIvfCentroids(base, k = 8), p)
+          p
+        })
+        Similarity.ivfTopK(base, Similarity.loadIvfCentroids(s, path),
+          queryVec(s, d), k = 10, nprobe = 6)
       }
     },
 

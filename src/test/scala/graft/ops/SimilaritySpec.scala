@@ -81,6 +81,20 @@ class SimilaritySpec extends AnyFunSuite {
       .ivfTopKIndexed(corpus, Similarity.ivfAssign(corpus, cents), cents, q, k = 10, nprobe = 6)
       .collect().map(_.getLong(0)).toSet
     assert(indexed == ivf)
+
+    // model artifact: centroids written to parquet and served from the
+    // read-back table answer identically to the in-memory model (so
+    // served recall == trained-in-query recall by construction), and the
+    // model survives the round-trip value-exact
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-artifact")
+      .resolve("centroids").toString
+    Similarity.saveIvfCentroids(cents, path)
+    val served = Similarity.loadIvfCentroids(spark, path)
+    assert(served.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSet ==
+      cents.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toSet)
+    val servedTop = Similarity.ivfTopK(corpus, served, q, k = 10, nprobe = 6)
+      .collect().map(_.getLong(0)).toSet
+    assert(servedTop == ivf, s"served-from-artifact top-k $servedTop != in-memory $ivf")
   }
 
   test("int8 quantization: bounded range, small cosine error, recall@10 >= 0.9 vs float") {
