@@ -18,10 +18,27 @@ package graft
   *
   * A query that throws is reported with value -1 and listed under "failed"
   * so the driver can distinguish a broken query from a slow one.
+  *
+  * CONTENTION SENTINEL: the JSON carries `"calibration": [[s,m,e], …]` —
+  * one inner array per pass, each timing the SAME fixed-size in-memory
+  * aggregation ([[calibrationJob]]) at the start, middle, and end of that
+  * pass. The sentinel does constant work, so its spread IS the machine's
+  * noise floor during the run: idle runs measure ~uniform values; a
+  * co-tenant burst shows up as an inflated probe in the affected pass.
+  * This makes phantom per-query inflation (round 7 saw an 11× swing on
+  * a13 that re-measured 1.65 s idle) diagnosable from the artifact alone
+  * — a heavy query median is only trustworthy relative to the sentinel
+  * values of the passes it was measured in.
   */
 object Bench {
 
   val Iterations = 3
+
+  /** Fixed-size CPU-bound probe: hash+sum over an in-memory range, no
+    * I/O, no shuffle variance — same work every invocation. ~0.1–0.3 s
+    * idle at local[32]; long enough to sample contention, short enough
+    * to not distort the pass. */
+  private val CalibrationRows = 100000000L
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -54,6 +71,22 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
+    def calibrationJob(): Unit = {
+      import org.apache.spark.sql.functions.{col, expr, xxhash64}
+      // bit_xor, not sum: summing 1e8 64-bit hashes overflows Long and
+      // Spark 4 runs ANSI arithmetic (loud failure)
+      spark.range(0L, CalibrationRows, 1L, 32)
+        .select(xxhash64(col("id")).as("h"))
+        .agg(expr("bit_xor(h)"))
+        .write.mode("overwrite").format("noop").save()
+    }
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      calibrationJob()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrationJob() // codegen warm-up; first timed probe must not pay it
+
     // INTERLEAVED passes: run the FULL query list Iterations times and take
     // each query's median ACROSS passes. Back-to-back per-query iterations
     // put all 3 samples of one query inside the same co-tenant contention
@@ -65,10 +98,20 @@ object Bench {
     // query just multiplies the cost of the failure).
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
     val broken = scala.collection.mutable.Set.empty[String]
-    for (_ <- 1 to Iterations; spec <- ordered if !broken(spec.name)) {
-      val (t, ok) = runOnce(spec)
-      if (ok) times(spec.name) = t :: times.getOrElse(spec.name, Nil)
-      else broken += spec.name
+    val calibrations = scala.collection.mutable.ListBuffer.empty[Seq[Double]]
+    for (_ <- 1 to Iterations) {
+      val probes = scala.collection.mutable.ListBuffer.empty[Double]
+      probes += calibrate()
+      for ((spec, idx) <- ordered.zipWithIndex) {
+        if (idx == ordered.size / 2) probes += calibrate()
+        if (!broken(spec.name)) {
+          val (t, ok) = runOnce(spec)
+          if (ok) times(spec.name) = t :: times.getOrElse(spec.name, Nil)
+          else broken += spec.name
+        }
+      }
+      probes += calibrate()
+      calibrations += probes.toSeq
     }
     val results = ordered.map { spec =>
       if (broken(spec.name)) (spec.name, (-1.0, false))
@@ -86,12 +129,17 @@ object Bench {
     // "value" is emitted LAST: consumers that keep only the final N chars of
     // the run log (tail truncation) still see the headline total; JSON key
     // order is irrelevant to a real parser.
-    val json = f"""{"metric":"total","unit":"sec","iterations":$Iterations,"queries":$qs,"failed":$failed,"sf":"$sfDir","value":$total%.3f}"""
+    val calib = calibrations
+      .map(_.map(t => f"$t%.3f").mkString("[", ",", "]")).mkString("[", ",", "]")
+    val json = f"""{"metric":"total","unit":"sec","iterations":$Iterations,"queries":$qs,"failed":$failed,"calibration":$calib,"sf":"$sfDir","value":$total%.3f}"""
     println(json)
     // The stdout line above is tail-truncatable by log-capture harnesses
     // (round 6 lost every median alphabetically before f8 that way) — also
     // write the COMPLETE JSON to a file so per-query medians always survive.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_full.json")
+    // Default path is RELATIVE to the working dir (override with
+    // SPARK_GRAFT_BENCH_OUT) so running from another checkout writes next
+    // to that checkout, not into a hardcoded absolute location.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes("UTF-8"))
     catch { case e: Throwable =>
