@@ -225,4 +225,86 @@ class PlanSpec extends AnyFunSuite {
     val t8 = plan(specs("t8_token_freq").production(spark, TestSpark.sfDir))
     assert(t8.contains("approx_count_distinct"))
   }
+
+  /** Non-comment source lines of every file under src/main/scala/graft,
+    * as (relative-path, line) pairs — substrate for the source audits. */
+  private def mainSourceLines: Seq[(String, String)] = {
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val files = java.nio.file.Files.walk(root).iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val buf = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    files.forEachRemaining { p =>
+      if (p.toString.endsWith(".scala")) {
+        val rel = root.relativize(p).toString
+        scala.io.Source.fromFile(p.toFile, "UTF-8").getLines().foreach { line =>
+          val t = line.trim
+          if (!t.startsWith("//") && !t.startsWith("*") && !t.startsWith("/*")) buf += rel -> t
+        }
+      }
+    }
+    buf.toList
+  }
+
+  test("driver-scalar audit: the only DataFrame driver actions in src/main are the sanctioned 1-row scalars") {
+    // The C3 claim (no collect funnels) as an executable allowlist. Every
+    // sanctioned site is a ONE-ROW AGGREGATE scalar (never row data):
+    //   ops/Cleaning.scala        IQR bounds — 1-row quantile agg .head()
+    //   ops/Quality.scala         dup count + metrics row — 1-row aggs (×2)
+    //   queries/DedupQueries.scala dd6 batch split point — 1-row max() agg
+    //     .head (same class as the IQR/quality scalars)
+    // Scala-collection .head/.take on arrays/strings don't match these
+    // patterns; a new DataFrame action anywhere else fails this test.
+    val actionPattern = """\.collect\(\)|\.head\(\)|\.head\.|\.first\(\)|\.toLocalIterator|collectAsList|toPandas""".r
+    val allowed = Map(
+      "ops/Cleaning.scala" -> 1,
+      "ops/Quality.scala" -> 2,
+      "queries/DedupQueries.scala" -> 1)
+    val found = mainSourceLines
+      .filter { case (_, line) => actionPattern.findFirstIn(line).isDefined }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    assert(found == allowed,
+      s"driver-action sites changed — justify and re-allowlist:\nfound:   $found\nallowed: $allowed")
+  }
+
+  test("broadcast-hint audit: every broadcast() site is an enumerated sliver-sized frame") {
+    // llm1's corpus-fraction drop-set broadcast (removed in round 7) is
+    // the failure mode this guards: a broadcast() hint on anything that
+    // GROWS WITH THE CORPUS caps scalability at driver memory. Every
+    // allowed site below broadcasts a frame bounded by a constant or a
+    // dimension, never by corpus size:
+    //   ops/Similarity.scala (5)        query vector / query bucket (1 row),
+    //                                   centroid model (K rows), probed cids (nprobe)
+    //   ops/Decontam.scala (3)          eval-set shingles ×2 (eval ≪ train),
+    //                                   contaminated-id sliver
+    //   ops/Dedup.scala (2)             candidate-doc id slivers (semi-join probes)
+    //   ops/RangeJoin.scala (1)         interval dimension
+    //   ops/Packing.scala (1)           per-range-partition offsets (#partitions rows)
+    //   streaming/EventStreams.scala (1) user dimension (stream-static enrich)
+    //   queries/JoinQueries.scala (3)   nation/region/part dims
+    //   queries/ExtraQueries.scala (4)  1-row global-stats frames
+    //   queries/StatsQueries.scala (4)  1-row thresholds/bounds/global stats
+    //   queries/SimilarityQueries.scala (3) query vectors (1 row)
+    //   queries/TextQueries.scala (5)   vocab-capped df/freq tables, 1-row totals
+    //   queries/LlmPipelineQueries.scala (1) llm4 eval-driven contaminated-id
+    //                                   sliver (eval-sized — sanctioned, unlike
+    //                                   llm1's removed corpus-fraction hint)
+    // A new hint (or a removed one) fails this test until re-justified here.
+    val allowed = Map(
+      "ops/Similarity.scala" -> 5,
+      "ops/Decontam.scala" -> 3,
+      "ops/Dedup.scala" -> 2,
+      "ops/RangeJoin.scala" -> 1,
+      "ops/Packing.scala" -> 1,
+      "streaming/EventStreams.scala" -> 1,
+      "queries/JoinQueries.scala" -> 3,
+      "queries/ExtraQueries.scala" -> 4,
+      "queries/StatsQueries.scala" -> 4,
+      "queries/SimilarityQueries.scala" -> 3,
+      "queries/TextQueries.scala" -> 5,
+      "queries/LlmPipelineQueries.scala" -> 1)
+    val found = mainSourceLines
+      .filter { case (_, line) => line.contains("broadcast(") }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    assert(found == allowed,
+      s"broadcast() sites changed — justify and re-allowlist:\nfound:   $found\nallowed: $allowed")
+  }
 }
