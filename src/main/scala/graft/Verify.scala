@@ -36,7 +36,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A subset run (allowlist set) writes its oracle map to a DISTINCT
+    // name: overwriting oracle_sql.json with a filtered map while stale
+    // full-run parquet outputs remain in outDir would make a later
+    // comparison silently skip every query outside the subset.
+    val oracleName = if (only.isDefined) "oracle_sql.partial.json" else "oracle_sql.json"
+    Files.writeString(Paths.get(s"$outDir/$oracleName"), json)
     spark.stop()
   }
 }

@@ -56,16 +56,19 @@ object Decontam {
     *
     * Scan shape: `train` is consumed TWICE — once by the shingle probe
     * inside [[contaminationHashed]] and once as the anti-join's left side.
-    * The contaminated id set (a sliver) is localCheckpoint'd so the probe
-    * job runs exactly once no matter how often the result is consumed,
-    * but the second train scan is inherent to emit survivors. Callers
-    * whose train frame is DERIVED (not a raw parquet scan) should pass a
-    * pre-checkpointed frame so the upstream work isn't recomputed —
-    * exactly llm4 shardBuild's localCheckpoint discipline. */
+    * The contaminated id set (a sliver) is localCheckpoint'd LAZILY
+    * (eager = false): constructing this plan stays free — no Spark job
+    * until the caller executes — and on first execution the probe job
+    * runs exactly once and its sliver is pinned for every subsequent
+    * consumer. The second train scan is inherent to emit survivors.
+    * Callers whose train frame is DERIVED (not a raw parquet scan)
+    * should pass a pre-checkpointed frame so the upstream work isn't
+    * recomputed — exactly llm4 shardBuild's localCheckpoint discipline. */
   def decontaminated(train: DataFrame, evalSet: DataFrame, k: Int = 5): DataFrame =
     train.join(
       broadcast(
-        contaminationHashed(train, evalSet, k).select("doc_id").localCheckpoint()),
+        contaminationHashed(train, evalSet, k).select("doc_id")
+          .localCheckpoint(eager = false)),
       Seq("doc_id"), "left_anti")
 
   /** Stream-safe flag form: just the contaminated doc ids. The count

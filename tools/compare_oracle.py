@@ -39,7 +39,14 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    # A subset Verify run (SPARK_GRAFT_VERIFY_ONLY) writes its filtered map
+    # as oracle_sql.partial.json so it can never clobber a full-run map;
+    # prefer the partial map when it is the newer artifact in this dir.
+    full, partial = Path(out_dir, "oracle_sql.json"), Path(out_dir, "oracle_sql.partial.json")
+    if partial.exists() and (not full.exists() or partial.stat().st_mtime >= full.stat().st_mtime):
+        oracle = json.loads(partial.read_text())
+    else:
+        oracle = json.loads(full.read_text())
     results = {}
     for name, sql in sorted(oracle.items()):
         res_dir = Path(out_dir, name)
