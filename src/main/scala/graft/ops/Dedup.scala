@@ -457,6 +457,51 @@ object Dedup {
     (labels, i)
   }
 
+  /** Incremental connected-components maintenance: fold a NEW batch's
+    * pair edges into a PERSISTED label table ([[connectedComponents]]
+    * output — doc_id → component-min cluster) without recomputing CC
+    * over the full pair graph — the cluster-resolution step of the
+    * incremental-dedup story ([[incrementalNearDup]] emits the pairs;
+    * this maintains the clusters).
+    *
+    * Contraction argument: every existing component is connected, so
+    * replacing each new edge's endpoints by their current cluster
+    * representative (identity for docs not yet in the table) preserves
+    * the component structure of old ∪ new. CC therefore only runs on the
+    * CONTRACTED graph — one node per touched component or new doc,
+    * |newPairs| edges — and its output relabels whole components by
+    * representative. Output == [[connectedComponents]] over the full
+    * grown pair set, bit for bit, and the update composes across
+    * successive batches (both pinned in DedupSpec).
+    *
+    * Scale shape: two key-equality joins of the batch-sized pair set
+    * against the label table (AQE broadcasts the pair sliver), CC on a
+    * batch-sized graph, then ONE scan of the label table joined against
+    * the relabel sliver. Work ∝ batch + one label-table pass — never the
+    * historical pair graph. */
+  def updateClusters(labels: DataFrame, newPairs: DataFrame,
+                     maxIters: Int = 64): DataFrame = {
+    val contracted = newPairs
+      .join(labels.select(col("doc_id").as("id1"), col("cluster").as("__r1")),
+        Seq("id1"), "left")
+      .join(labels.select(col("doc_id").as("id2"), col("cluster").as("__r2")),
+        Seq("id2"), "left")
+      .select(coalesce(col("__r1"), col("id1")).as("id1"),
+        coalesce(col("__r2"), col("id2")).as("id2"))
+    // delta: new cluster per (representative | new doc) in the contracted
+    // graph — a batch-sized CC, localCheckpoint'd inside CC already
+    val delta = connectedComponents(contracted, maxIters)
+    // relabel every member of a moved component via its representative
+    val moved = delta.select(col("doc_id").as("cluster"), col("cluster").as("__newc"))
+    val updated = labels.join(moved, Seq("cluster"), "left")
+      .select(col("doc_id"), coalesce(col("__newc"), col("cluster")).as("cluster"))
+    // docs the delta graph introduced (new docs, or previously isolated
+    // ones first clustered by this batch) — reps themselves are already
+    // in the table (a component min is one of its members)
+    val introduced = delta.join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+    updated.unionByName(introduced)
+  }
+
   /** Large-star: for each node u, attach every STRICTLY LARGER neighbor
     * to min(Γ(u) ∪ {u}). Components are preserved; tall trees flatten
     * geometrically. Input/output: canonical (hi, lo) edge sets. */

@@ -74,6 +74,24 @@ object DedupQueries {
        | ELSE [text] END""".stripMargin.replace("\n", "")
   }
 
+  /** dd5/dd8 shared ground truth: exact-Jaccard CC clusters via a
+    * recursive label-propagation CTE. */
+  private val clusterOracle =
+    s"""WITH RECURSIVE $jaccardCtes,
+       |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+       |          UNION ALL SELECT id2, id1 FROM pairs),
+       |cc AS (SELECT DISTINCT a AS doc_id, a AS label FROM edges
+       |       UNION
+       |       SELECT e.b AS doc_id, cc.label FROM cc JOIN edges e ON cc.doc_id = e.a)
+       |SELECT doc_id, MIN(label) AS cluster FROM cc
+       | GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", "")
+
+  /** dd6/dd8 batch split point: top 20% of doc_ids are "today's batch".
+    * Sanctioned driver scalar (1-row max() agg — PlanSpec's allowlist),
+    * same class as the IQR/quality scalars; not a data collect. */
+  private def batchSplit(docs: org.apache.spark.sql.DataFrame): Long =
+    docs.agg(max("doc_id")).head.getLong(0) * 4 / 5
+
   val all: Seq[QuerySpec] = Seq(
 
     sql("dd1_exact_dedup",
@@ -134,14 +152,7 @@ object DedupQueries {
 
     sql("dd5_dedup_clusters",
       "Dedup: near-dup pairs resolved to clusters (connected components, min-id representative)",
-      s"""WITH RECURSIVE $jaccardCtes,
-         |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
-         |          UNION ALL SELECT id2, id1 FROM pairs),
-         |cc AS (SELECT DISTINCT a AS doc_id, a AS label FROM edges
-         |       UNION
-         |       SELECT e.b AS doc_id, cc.label FROM cc JOIN edges e ON cc.doc_id = e.a)
-         |SELECT doc_id, MIN(label) AS cluster FROM cc
-         | GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", "")) {
+      clusterOracle) {
       // the transitive closure a real dedup keeps ONE survivor per
       // cluster with — greedy per-pair dropping over-keeps whenever two
       // docs are linked only through a common neighbor
@@ -164,13 +175,28 @@ object DedupQueries {
          | ORDER BY id1, id2""".stripMargin.replace("\n", "")) {
       (s, d) => {
         val docs = Tables.documents(s, d)
-        // sanctioned driver scalar (split point), same class as the
-        // quantile/quality scalars — not a data collect
-        val split = docs.agg(max("doc_id")).head.getLong(0) * 4 / 5
+        val split = batchSplit(docs)
         val corpus = docs.filter(col("doc_id") < split)
         val batch = docs.filter(col("doc_id") >= split)
         Dedup.incrementalNearDup(batch, corpus, Dedup.lshBandIndex(corpus))
           .orderBy("id1", "id2")
+      }
+    },
+
+    sql("dd8_incremental_clusters",
+      "Dedup: INCREMENTAL cluster maintenance — corpus labels updated with the new batch's pairs via representative contraction (updateClusters), never re-running CC over the historical pair graph; output == full-recompute clusters (dd5's oracle)",
+      clusterOracle) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val split = batchSplit(docs)
+        val corpus = docs.filter(col("doc_id") < split)
+        val batch = docs.filter(col("doc_id") >= split)
+        // yesterday's state: corpus-internal pairs resolved to labels;
+        // today's work: batch pairs from the persisted index, folded in
+        val labels = Dedup.connectedComponents(Dedup.minhashNearDup(corpus))
+        val newPairs = Dedup.incrementalNearDup(batch, corpus, Dedup.lshBandIndex(corpus))
+          .select("id1", "id2")
+        Dedup.updateClusters(labels, newPairs).orderBy("doc_id")
       }
     },
 

@@ -114,6 +114,39 @@ class DedupSpec extends AnyFunSuite {
     assert(rounds <= bound, s"took $rounds rounds, expected ≤ $bound")
   }
 
+  test("updateClusters: incremental label maintenance == full CC recompute, and composes across batches") {
+    // existing graph: {1,2,3} (chain), {8,9}, {50,51}, {60,61}
+    val pairs0 = Seq((1L, 2L), (2L, 3L), (8L, 9L), (50L, 51L), (60L, 61L))
+      .toDF("id1", "id2")
+    val labels0 = Dedup.connectedComponents(pairs0)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    // batch A: bridge {1,2,3}↔{8,9} via (3,8); a redundant in-cluster
+    // edge (9,8); a brand-new pair (100,101); new doc 200 joins cluster 1
+    val batchA = Seq((3L, 8L), (9L, 8L), (100L, 101L), (200L, 2L)).toDF("id1", "id2")
+    val afterA = Dedup.updateClusters(labels0, batchA)
+    assert(toMap(afterA) == toMap(
+      Dedup.connectedComponents(pairs0.unionByName(batchA))))
+
+    // batch B: new doc 300 merges {50,51} and {60,61} transitively —
+    // the common-neighbor shape greedy per-pair maintenance gets wrong
+    val batchB = Seq((300L, 50L), (300L, 60L)).toDF("id1", "id2")
+    val afterB = Dedup.updateClusters(afterA, batchB)
+    val full = toMap(Dedup.connectedComponents(
+      pairs0.unionByName(batchA).unionByName(batchB)))
+    assert(toMap(afterB) == full, s"composed incremental != full: ${toMap(afterB)} vs $full")
+    // hand-check the merged components
+    assert(full == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 1L, 9L -> 1L, 200L -> 1L,
+      100L -> 100L, 101L -> 100L,
+      50L -> 50L, 51L -> 50L, 60L -> 50L, 61L -> 50L, 300L -> 50L))
+
+    // one-shot over A∪B equals the two-step composition
+    val oneShot = Dedup.updateClusters(labels0, batchA.unionByName(batchB))
+    assert(toMap(oneShot) == full)
+  }
+
   test("incrementalNearDup == full run restricted to batch-involving pairs; corpus-internal pairs excluded") {
     // corpus: internal near-dup pair (10,11) that must NOT appear in the
     // increment's output; 12 unrelated. batch: 100 near-dups corpus doc 10
