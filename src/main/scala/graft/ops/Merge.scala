@@ -214,4 +214,153 @@ object Merge {
       .select(k ++ Seq(col("p"),
         round(col("v_lo") + col("frac") * (col("v_hi") - col("v_lo")), scale).as("q")): _*)
   }
+
+  // ───── mergeable DISTINCT-COUNT state ─────
+  //
+  // COUNT(DISTINCT x) is the other non-algebraic dashboard staple
+  // (unique parts per region, unique sources per shard). The exact state
+  // is the per-key distinct value SET itself — distinct-cardinality
+  // sized, not row-count sized, and it merges losslessly (set union).
+  // For unbounded-cardinality values the production sketch is the
+  // datasketches HLL pair below: fixed ~kilobyte state per key, lossless
+  // register-max merge.
+
+  /** Exact distinct state over `valueCol` (nulls excluded, matching
+    * COUNT(DISTINCT)): one distinct shuffle over the slice, state size =
+    * slice's distinct (keys, v) cardinality. */
+  def partialDistinctState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(keys.map(col) :+ col(valueCol).as("v"): _*)
+      .distinct()
+
+  /** Merge distinct states (set union). Slices need NOT be disjoint —
+    * distinct absorbs overlap, unlike the counting states above. */
+  def mergeDistinctStates(states: Seq[DataFrame]): DataFrame = {
+    require(states.nonEmpty, "mergeDistinctStates needs at least one state frame")
+    states.reduce(_.unionByName(_)).distinct()
+  }
+
+  /** Exact COUNT(DISTINCT) per key from a (merged) state. */
+  def finalizeDistinct(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.groupBy(keys.map(col): _*).agg(count(col("v")).as("distinct_cnt"))
+
+  /** HLL sketch state (production path for unbounded-cardinality
+    * values): one binary sketch per key, size 2^lgK registers regardless
+    * of slice size. Built on Spark's datasketches `hll_sketch_agg`. */
+  def hllDistinctState(df: DataFrame, keys: Seq[String], valueCol: String,
+                       lgK: Int = 12): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("hll"))
+
+  /** Merge HLL states: per-register max — lossless, so a merged sketch
+    * estimates identically to a sketch built over the union (pinned in
+    * MergeSpec). Slices need not be disjoint. */
+  def mergeHllDistinctStates(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeHllDistinctStates needs at least one state frame")
+    states.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col("hll")).as("hll"))
+  }
+
+  /** Distinct-count estimate per key from a (merged) HLL state. */
+  def finalizeHllDistinct(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.select(keys.map(col) :+
+      hll_sketch_estimate(col("hll")).as("distinct_est"): _*)
+
+  // ───── mergeable MOMENT state (variance / skewness / kurtosis) ─────
+  //
+  // Higher moments merge through raw power sums: n, Σv, Σv², Σv³, Σv⁴.
+  // For INTEGRAL-valued columns (counts, quantities, token lengths —
+  // |v| ≤ 55,000 so v⁴ fits a long) the sums are carried in
+  // DECIMAL(38,0), making the merged state BIT-IDENTICAL to a full
+  // recompute and the state itself cross-engine exact; the derived
+  // moments are then pure IEEE double arithmetic from exactly-
+  // representable inputs (SURVEY §7.5(f) rule 2). Non-integral columns:
+  // pre-scale to integers (cents, basis points) — the Det discipline.
+
+  /** Per-key power-sum state of integral `valueCol` (nulls excluded).
+    * One partial+final hash agg; map-side combinable. Caller contract:
+    * values integral with |v| ≤ 55,000 (v⁴ must fit a long). */
+  def partialMomentState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    val v = col("__v")
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("__v", col(valueCol).cast("long"))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(v).as("n"),
+        sum(v.cast("decimal(38,0)")).as("s1"),
+        sum((v * v).cast("decimal(38,0)")).as("s2"),
+        sum((v * v * v).cast("decimal(38,0)")).as("s3"),
+        sum((v * v * v * v).cast("decimal(38,0)")).as("s4"))
+  }
+
+  /** Merge moment states of DISJOINT slices: all five sums add. */
+  def mergeMomentStates(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeMomentStates needs at least one state frame")
+    states.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(sum("n").as("n"), sum("s1").as("s1"), sum("s2").as("s2"),
+        sum("s3").as("s3"), sum("s4").as("s4"))
+  }
+
+  /** Mean / population variance / skewness / excess kurtosis from a
+    * (merged) state. Exact integer sums are cast to double (exactly
+    * representable below 2^53) and combined with a FIXED operation
+    * shape — the DuckDB oracle spells out the identical shape, so the
+    * unrounded mean is bit-identical and the rounded moments are
+    * aggregate-level (§7.5(f): a handful of O(1) values, not per-row). */
+  def finalizeMoments(state: DataFrame, keys: Seq[String], scale: Int = 6): DataFrame = {
+    val nd = col("n").cast("double")
+    val mu = col("s1").cast("double") / nd
+    val r2 = col("s2").cast("double") / nd
+    val r3 = col("s3").cast("double") / nd
+    val r4 = col("s4").cast("double") / nd
+    val m2 = r2 - mu * mu
+    val m3 = r3 - lit(3) * mu * r2 + lit(2) * mu * mu * mu
+    val m4 = r4 - lit(4) * mu * r3 + lit(6) * mu * mu * r2 - lit(3) * mu * mu * mu * mu
+    state.select(keys.map(col) ++ Seq(
+      col("n"),
+      mu.as("mean_v"),
+      round(m2, scale).as("var_pop"),
+      round(m3 / pow(m2, 1.5), scale).as("skew_v"),
+      round(m4 / (m2 * m2) - 3, scale).as("kurt_v")): _*)
+  }
+
+  // ───── mergeable TOP-K (heavy-hitter) state ─────
+  //
+  // "Most frequent tokens per source, updated nightly" — the frequency
+  // table (keys, v, cnt) IS the mergeable state (counts add, same shape
+  // as the quantile histogram but over arbitrary value types), and top-k
+  // is a finalize-time window over STATE rows. For vocabularies too big
+  // to keep exactly, cap the per-slice state to its own top-M (M ≫ k)
+  // before persisting — the standard SpaceSaving-style trade, kept
+  // explicit here rather than silent.
+
+  /** Per-key value-frequency state over `valueCol` (nulls excluded).
+    * One partial+final hash agg over the slice. */
+  def partialFreqState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(keys.map(col) :+ col(valueCol).as("v"): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge frequency states of DISJOINT row slices: counts add.
+    * Bit-identical to [[partialFreqState]] over the union. */
+  def mergeFreqStates(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeFreqStates needs at least one state frame")
+    states.reduce(_.unionByName(_))
+      .groupBy(keys.map(col) :+ col("v"): _*)
+      .agg(sum("cnt").as("cnt"))
+  }
+
+  /** Top-k values per key from a (merged) state — deterministic ties
+    * (cnt DESC, v ASC). One window shuffle over STATE rows. */
+  def finalizeTopK(state: DataFrame, keys: Seq[String], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("cnt").desc, col("v").asc)
+    state.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .withColumn("rn", col("rn").cast("long"))
+  }
 }

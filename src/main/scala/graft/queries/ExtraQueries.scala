@@ -248,6 +248,95 @@ object ExtraQueries {
         keys, Seq(0.25, 0.50, 0.75, 0.95))
     },
 
+    sql("u11_incremental_distinct",
+      "U11: mergeable distinct-count state — per-slice distinct value sets merged by set union (overlap-safe, unlike the counting states), exact COUNT(DISTINCT) finalize; production swaps in the HLL sketch state (fixed-size registers, lossless max-merge) benched below",
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_cnt
+        | FROM lineitem GROUP BY 1
+        | ORDER BY l_returnflag""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // history/batch slices are disjoint on ROWS (l_orderkey % 5) but
+        // OVERLAP heavily on partkey values — exactly what set-union
+        // merge absorbs and a count-merge would double-count
+        val keys = Seq("l_returnflag")
+        val li = Tables.lineitem(s, d)
+        val history = graft.ops.Merge.partialDistinctState(
+          li.filter(col("l_orderkey") % 5 =!= 0), keys, "l_partkey")
+        val batch = graft.ops.Merge.partialDistinctState(
+          li.filter(col("l_orderkey") % 5 === 0), keys, "l_partkey")
+        graft.ops.Merge.finalizeDistinct(
+          graft.ops.Merge.mergeDistinctStates(Seq(history, batch)), keys)
+          .orderBy("l_returnflag")
+      }
+    }.withBench { (s, d) =>
+      // production: HLL sketch states (2^12 registers per key regardless
+      // of cardinality); merged estimate == direct-sketch estimate and
+      // ≤2% off exact — pinned in MergeSpec
+      val keys = Seq("l_returnflag")
+      val li = Tables.lineitem(s, d)
+      val history = graft.ops.Merge.hllDistinctState(
+        li.filter(col("l_orderkey") % 5 =!= 0), keys, "l_partkey")
+      val batch = graft.ops.Merge.hllDistinctState(
+        li.filter(col("l_orderkey") % 5 === 0), keys, "l_partkey")
+      graft.ops.Merge.finalizeHllDistinct(
+        graft.ops.Merge.mergeHllDistinctStates(Seq(history, batch), keys), keys)
+    },
+
+    sql("u12_incremental_moments",
+      "U12: mergeable moment state — per-slice integer power sums (n, Σv..Σv⁴ in DECIMAL(38,0), bit-exact cross-engine) merged by addition; mean/variance/skewness/kurtosis derived at finalize through a fixed IEEE shape the oracle mirrors term by term (§7.5(f) rules 1+2)",
+      """WITH b AS (SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS v
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |st AS (SELECT l_returnflag, l_linestatus, COUNT(v) AS n,
+        |  SUM(v) AS s1, SUM(v*v) AS s2, SUM(v*v*v) AS s3, SUM(v*v*v*v) AS s4
+        |  FROM b GROUP BY 1, 2),
+        |m AS (SELECT l_returnflag, l_linestatus, n,
+        |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |  CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+        |  CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+        |  CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+        |  FROM st)
+        |SELECT l_returnflag, l_linestatus, n, mu AS mean_v,
+        | ROUND(r2 - mu*mu, 6) AS var_pop,
+        | ROUND((r3 - 3*mu*r2 + 2*mu*mu*mu) / POWER(r2 - mu*mu, 1.5), 6) AS skew_v,
+        | ROUND((r4 - 4*mu*r3 + 6*mu*mu*r2 - 3*mu*mu*mu*mu)
+        |   / ((r2 - mu*mu) * (r2 - mu*mu)) - 3, 6) AS kurt_v
+        | FROM m ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val keys = Seq("l_returnflag", "l_linestatus")
+        val li = Tables.lineitem(s, d)
+        val history = graft.ops.Merge.partialMomentState(
+          li.filter(col("l_orderkey") % 5 =!= 0), keys, "l_quantity")
+        val batch = graft.ops.Merge.partialMomentState(
+          li.filter(col("l_orderkey") % 5 === 0), keys, "l_quantity")
+        graft.ops.Merge.finalizeMoments(
+          graft.ops.Merge.mergeMomentStates(Seq(history, batch), keys), keys)
+          .orderBy("l_returnflag", "l_linestatus")
+      }
+    },
+
+    sql("u13_incremental_topk",
+      "U13: mergeable top-k heavy-hitter state — per-slice (key, value, cnt) frequency tables merged by count addition, top-5 tokens per source at finalize via one window over STATE rows; the nightly 'most frequent tokens per source' dashboard without rescanning history",
+      """WITH tok AS (SELECT source, UNNEST(string_split(text, ' ')) AS v FROM documents),
+        |c AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2),
+        |r AS (SELECT source, v, cnt,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, v ASC) AS BIGINT) AS rn
+        |  FROM c)
+        |SELECT source, v, cnt, rn FROM r WHERE rn <= 5
+        | ORDER BY source, rn""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(graft.ops.TextOps.tokens(col("text"))).as("tok"))
+        val history = graft.ops.Merge.partialFreqState(
+          toks.filter(col("doc_id") % 5 =!= 0), Seq("source"), "tok")
+        val batch = graft.ops.Merge.partialFreqState(
+          toks.filter(col("doc_id") % 5 === 0), Seq("source"), "tok")
+        graft.ops.Merge.finalizeTopK(
+          graft.ops.Merge.mergeFreqStates(Seq(history, batch), Seq("source")),
+          Seq("source"), 5)
+          .orderBy("source", "rn")
+      }
+    },
+
     sql("o10_domain_mixture",
       "O10: training-mixture composer — per-source quotas (curated src0-src4 get 15 docs, crawl-tier sources 5), deterministic hash-order row_number; the doc-level mixture step before shard packaging",
       """SELECT doc_id, source, rn FROM (

@@ -1,0 +1,144 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.io.Sinks
+import graft.ops.Merge
+
+/** Streaming ingest wired to incremental AGGREGATION maintenance: a
+  * foreachBatch sink that folds every arriving micro-batch into the full
+  * mergeable-state family of [[Merge]] — algebraic count/sum/min/max,
+  * value-histogram quantiles, distinct sets, integer power-sum moments,
+  * and value frequencies — persisted epoch by epoch as parquet. The
+  * "p95 doc length + unique sources + top tokens, updated nightly"
+  * dashboard, maintained without ever rescanning history (the batch
+  * sibling of [[StreamingDedup]]; reference has no streaming at all).
+  *
+  * State layout under `stateDir` (all parquet, written with [[Sinks]]):
+  * one `family/epoch=N/` snapshot per state family per epoch. Snapshots
+  * are STATE-sized (key × value-cardinality for histograms, key count
+  * for the rest), never data-sized, so a snapshot per epoch stays cheap
+  * at any corpus scale.
+  *
+  * Epoch discipline (same as [[StreamingDedup]]): epoch N+1's snapshot
+  * = merge(read-back epoch-N snapshot, batch partial) — merges always
+  * serve from storage, so restart after any fully-written epoch resumes
+  * exactly, and the ONLY driver scalar is the epoch counter recovered
+  * from the directory listing. Batches must be row-disjoint (the
+  * counting-state contract); the distinct state is additionally safe
+  * under value overlap by construction.
+  */
+object StreamingStats {
+
+  /** Column roles, fixed for the lifetime of a state directory.
+    * `valueCol` feeds stats/quantile/moment states (moment contract:
+    * integral values, |v| ≤ 55,000 — see [[Merge.partialMomentState]]);
+    * `distinctCol` the distinct state; `freqCol` the frequency state. */
+  final case class Config(stateDir: String, keys: Seq[String],
+                          valueCol: String, distinctCol: String, freqCol: String)
+
+  /** The five state families, in write order. */
+  val Families: Seq[String] = Seq("stats", "quantile", "distinct", "moment", "freq")
+
+  private def snapDir(cfg: Config, family: String, epoch: Long) =
+    s"${cfg.stateDir}/$family/epoch=$epoch"
+
+  /** Highest epoch with a written stats snapshot; -1 before init. The
+    * stats family is written LAST in [[processBatch]], so its presence
+    * marks the whole epoch complete (a crash mid-epoch leaves the
+    * previous epoch authoritative and the next run overwrites the
+    * partial one). */
+  def latestEpoch(cfg: Config): Long = {
+    val base = new java.io.File(s"${cfg.stateDir}/stats")
+    Option(base.listFiles()).toSeq.flatten
+      .flatMap(f => f.getName match {
+        case s if s.startsWith("epoch=") => Some(s.stripPrefix("epoch=").toLong)
+        case _ => None
+      })
+      .foldLeft(-1L)(math.max)
+  }
+
+  private def partials(df: DataFrame, cfg: Config): Seq[(String, DataFrame)] = Seq(
+    "quantile" -> Merge.partialQuantileState(df, cfg.keys, cfg.valueCol),
+    "distinct" -> Merge.partialDistinctState(df, cfg.keys, cfg.distinctCol),
+    "moment"   -> Merge.partialMomentState(df, cfg.keys, cfg.valueCol),
+    "freq"     -> Merge.partialFreqState(df, cfg.keys, cfg.freqCol),
+    // stats last — it is the epoch-completeness marker (see latestEpoch)
+    "stats"    -> Merge.partialStats(df, cfg.keys, cfg.valueCol))
+
+  private def mergeFamily(family: String, states: Seq[DataFrame],
+                          keys: Seq[String]): DataFrame = family match {
+    case "stats"    => Merge.mergeStats(states, keys)
+    case "quantile" => Merge.mergeQuantileStates(states, keys)
+    case "distinct" => Merge.mergeDistinctStates(states)
+    case "moment"   => Merge.mergeMomentStates(states, keys)
+    case "freq"     => Merge.mergeFreqStates(states, keys)
+  }
+
+  /** Initialize state at epoch 0 from an (optionally empty) starting
+    * archive — the snapshots land exactly as a batch job over the
+    * archive would have left them. */
+  def init(spark: SparkSession, cfg: Config, archive: DataFrame): Unit = {
+    require(latestEpoch(cfg) < 0, s"state at ${cfg.stateDir} already initialized")
+    // repartition(1): snapshots are state-sized; one file each, and an
+    // EMPTY archive still writes a schema-bearing part file
+    val src = archive.localCheckpoint()
+    partials(src, cfg).foreach { case (family, st) =>
+      Sinks.parquet(st.repartition(1), snapDir(cfg, family, 0))
+    }
+  }
+
+  /** The foreachBatch body — also the batch-mode loop body (StreamStatsSpec
+    * pins "stream replay == calling this once per batch"). Each family:
+    * merge(epoch-N read-back, batch partial) → epoch N+1 snapshot. */
+  def processBatch(spark: SparkSession, cfg: Config, batch: DataFrame): Unit = {
+    val epoch = latestEpoch(cfg)
+    require(epoch >= 0, s"state at ${cfg.stateDir} not initialized — call init() first")
+    // snapshot the micro-batch once; it feeds five partials
+    val src = batch.localCheckpoint()
+    partials(src, cfg).foreach { case (family, part) =>
+      val prev = spark.read.parquet(snapDir(cfg, family, epoch))
+      Sinks.parquet(
+        mergeFamily(family, Seq(prev, part), cfg.keys).repartition(1),
+        snapDir(cfg, family, epoch + 1))
+    }
+  }
+
+  /** Attach the sink to a stream carrying the configured columns. */
+  def attach(stream: DataFrame, cfg: Config): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch.sparkSession, cfg, batch)
+      }
+
+  /** Latest snapshot of one state family, read back from storage. */
+  def state(spark: SparkSession, cfg: Config, family: String): DataFrame = {
+    require(Families.contains(family), s"unknown state family '$family'")
+    val epoch = latestEpoch(cfg)
+    require(epoch >= 0, s"state at ${cfg.stateDir} not initialized")
+    spark.read.parquet(snapDir(cfg, family, epoch))
+  }
+
+  /** The dashboard: per-key count/sum/avg/min/max + distinct count +
+    * variance/skew/kurtosis + wide quantile columns (q50, q95, …),
+    * finalized from the latest snapshots. State-sized work throughout. */
+  def dashboard(spark: SparkSession, cfg: Config,
+                ps: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
+    val k = cfg.keys
+    val stats = Merge.finalizeStats(state(spark, cfg, "stats"), k)
+    val dist = Merge.finalizeDistinct(state(spark, cfg, "distinct"), k)
+    val mom = Merge.finalizeMoments(state(spark, cfg, "moment"), k)
+      .drop("n", "mean_v") // cnt/avg_v already on the stats side
+    val qLong = Merge.finalizeQuantiles(state(spark, cfg, "quantile"), k, ps)
+    val qAggs = ps.map(p =>
+      max(when(col("p") === p, col("q"))).as(s"q${math.round(p * 100)}"))
+    val qWide = qLong.groupBy(k.map(col): _*).agg(qAggs.head, qAggs.tail: _*)
+    stats.join(dist, k).join(mom, k).join(qWide, k)
+  }
+
+  /** Top-k frequent values per key from the latest frequency snapshot. */
+  def topValues(spark: SparkSession, cfg: Config, k: Int): DataFrame =
+    Merge.finalizeTopK(state(spark, cfg, "freq"), cfg.keys, k)
+}

@@ -183,6 +183,112 @@ class MergeSpec extends AnyFunSuite {
     assert(got == Map("one" -> 5.0, "two" -> 2.0, "const" -> 7.0))
   }
 
+  test("distinct state merged over OVERLAPPING slices equals direct COUNT(DISTINCT)") {
+    val li = graft.model.Tables.lineitem(spark, TestSpark.sfDir)
+    val keys = Seq("l_returnflag")
+    // row-disjoint slices that share most partkey VALUES — a count-merge
+    // would double-count; set-union merge must not
+    val slices = Seq(
+      li.filter(col("l_orderkey") % 2 === 0),
+      li.filter(col("l_orderkey") % 2 === 1))
+      .map(Merge.partialDistinctState(_, keys, "l_partkey"))
+    val merged = Merge.finalizeDistinct(Merge.mergeDistinctStates(slices), keys)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == direct)
+    // idempotence under re-merge of the SAME state (at-least-once safety)
+    val remerged = Merge.finalizeDistinct(
+      Merge.mergeDistinctStates(slices ++ slices.take(1)), keys)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(remerged == direct)
+  }
+
+  test("HLL distinct state: merged estimate == direct-sketch estimate, ≤2% off exact") {
+    val li = graft.model.Tables.lineitem(spark, TestSpark.sfDir)
+    val keys = Seq("l_returnflag")
+    val slices = Seq(
+      li.filter(col("l_orderkey") % 2 === 0),
+      li.filter(col("l_orderkey") % 2 === 1))
+      .map(Merge.hllDistinctState(_, keys, "l_partkey"))
+    val merged = Merge.finalizeHllDistinct(
+      Merge.mergeHllDistinctStates(slices, keys), keys)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val directSketch = Merge.finalizeHllDistinct(
+      Merge.hllDistinctState(li, keys, "l_partkey"), keys)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // register-max merge is lossless: merged sketch == one-shot sketch
+    assert(merged == directSketch, s"merged $merged != direct-sketch $directSketch")
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(merged(k) - e).toDouble / e <= 0.02,
+        s"HLL estimate at $k off by >2%: est ${merged(k)}, exact $e")
+    }
+  }
+
+  test("moment state: slice-merge is bit-identical to a direct full-data state") {
+    val li = graft.model.Tables.lineitem(spark, TestSpark.sfDir)
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val slices = Seq(
+      li.filter(col("l_orderkey") % 3 === 0),
+      li.filter(col("l_orderkey") % 3 === 1),
+      li.filter(col("l_orderkey") % 3 === 2))
+      .map(Merge.partialMomentState(_, keys, "l_quantity"))
+    val merged = Merge.mergeMomentStates(slices, keys)
+      .orderBy(keys.map(col): _*)
+    val direct = Merge.partialMomentState(li, keys, "l_quantity")
+      .orderBy(keys.map(col): _*)
+    assert(merged.collect().map(_.toSeq).toSeq == direct.collect().map(_.toSeq).toSeq)
+  }
+
+  test("finalizeMoments matches Spark's var_pop/skewness/kurtosis builtins") {
+    val li = graft.model.Tables.lineitem(spark, TestSpark.sfDir)
+    val keys = Seq("l_returnflag")
+    val got = Merge.finalizeMoments(
+      Merge.partialMomentState(li, keys, "l_quantity"), keys)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val want = li.groupBy("l_returnflag").agg(
+      avg(col("l_quantity")).as("m"),
+      var_pop(col("l_quantity")).as("v"),
+      skewness(col("l_quantity")).as("s"),
+      kurtosis(col("l_quantity")).as("k"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, (m, v, sk, ku)) =>
+      val (gm, gv, gs, gk) = got(k)
+      assert(math.abs(gm - m) < 1e-9, s"mean at $k: $gm vs $m")
+      assert(math.abs(gv - v) < 1e-5, s"var at $k: $gv vs $v")
+      assert(math.abs(gs - sk) < 1e-5, s"skew at $k: $gs vs $sk")
+      assert(math.abs(gk - ku) < 1e-5, s"kurt at $k: $gk vs $ku")
+    }
+  }
+
+  test("freq state merges across slices and finalizeTopK breaks ties deterministically") {
+    val df = Seq(
+      ("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), // tie at cnt=2 → a before b
+      ("g", "c"), ("g", "d"), ("g", "d"), ("g", "d"), // d cnt=3
+      ("h", "x")).toDF("grp", "w")
+    val slices = Seq(
+      df.filter(col("w") =!= "a"), df.filter(col("w") === "a"))
+      .map(Merge.partialFreqState(_, Seq("grp"), "w"))
+    val merged = Merge.finalizeTopK(
+      Merge.mergeFreqStates(slices, Seq("grp")), Seq("grp"), 3)
+      .collect().map(r => (r.getString(0), r.getLong(3)) -> (r.getString(1), r.getLong(2))).toMap
+    assert(merged == Map(
+      ("g", 1L) -> ("d", 3L), ("g", 2L) -> ("a", 2L), ("g", 3L) -> ("b", 2L),
+      ("h", 1L) -> ("x", 1L)))
+    // merged state == direct state (bit-parity on the frequency table)
+    val direct = Merge.partialFreqState(df, Seq("grp"), "w")
+      .orderBy("grp", "v")
+    val mergedState = Merge.mergeFreqStates(slices, Seq("grp")).orderBy("grp", "v")
+    assert(mergedState.collect().map(_.toSeq).toSeq == direct.collect().map(_.toSeq).toSeq)
+  }
+
   test("merging a slice with no rows for some key still folds min/max/count correctly") {
     val a = Seq(("x", 1.0), ("x", 3.0)).toDF("g", "v")
     val b = Seq(("y", 5.0)).toDF("g", "v")

@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.model.Tables
+import graft.ops.Merge
+
+/** Streaming ingest wired to incremental aggregation maintenance:
+  * foreachBatch folds each micro-batch into all five mergeable states
+  * ([[StreamingStats]]); replaying a corpus as a stream must leave
+  * bit-identical state to the batch loop, and the final dashboard must
+  * equal a from-scratch recompute over everything seen. */
+class StreamStatsSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def cfg(dir: String) = StreamingStats.Config(
+    dir, keys = Seq("l_returnflag"),
+    valueCol = "l_quantity", distinctCol = "l_partkey", freqCol = "l_linestatus")
+
+  // deterministic slice of the smallest corpus (no limit(): its row pick
+  // can differ between evaluations and the test re-derives `li` per use)
+  private def li = Tables.lineitem(spark, TestSpark.sfDir)
+    .select("l_returnflag", "l_linestatus", "l_quantity", "l_partkey", "l_orderkey")
+    .filter(col("l_orderkey") % 2 === 0)
+
+  private def stateSnapshot(c: StreamingStats.Config): Map[String, Set[Seq[Any]]] =
+    StreamingStats.Families.map(f =>
+      f -> StreamingStats.state(spark, c, f).collect().map(_.toSeq: Seq[Any]).toSet).toMap
+
+  test("batch loop maintains all five states == from-scratch recompute; dashboard finalizes") {
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-stats").toString
+    val archive = li.filter(col("l_orderkey") % 3 === 0)
+    val b1 = li.filter(col("l_orderkey") % 3 === 1)
+    val b2 = li.filter(col("l_orderkey") % 3 === 2)
+
+    val c = cfg(s"$root/state")
+    StreamingStats.init(spark, c, archive)
+    StreamingStats.processBatch(spark, c, b1)
+    StreamingStats.processBatch(spark, c, b2)
+    assert(StreamingStats.latestEpoch(c) == 2L)
+
+    // every family's final state == the partial computed over ALL data
+    val all = li
+    val direct: Map[String, DataFrame] = Map(
+      "stats" -> Merge.partialStats(all, c.keys, c.valueCol),
+      "quantile" -> Merge.partialQuantileState(all, c.keys, c.valueCol),
+      "distinct" -> Merge.partialDistinctState(all, c.keys, c.distinctCol),
+      "moment" -> Merge.partialMomentState(all, c.keys, c.valueCol),
+      "freq" -> Merge.partialFreqState(all, c.keys, c.freqCol))
+    val got = stateSnapshot(c)
+    direct.foreach { case (family, df) =>
+      assert(got(family) == df.collect().map(_.toSeq: Seq[Any]).toSet,
+        s"family '$family' diverged from a from-scratch recompute")
+    }
+
+    // dashboard: one row per key, quantiles wide, moments+distinct joined
+    val dash = StreamingStats.dashboard(spark, c, ps = Seq(0.5, 0.95))
+    val rows = dash.collect()
+    assert(rows.length == all.select("l_returnflag").distinct().count())
+    val cols = dash.columns.toSet
+    assert(Set("cnt", "avg_v", "distinct_cnt", "var_pop", "skew_v",
+      "kurt_v", "q50", "q95").subsetOf(cols), s"dashboard columns: $cols")
+    // spot-check one key against direct full-data values
+    val k0 = rows.head.getString(0)
+    val want = all.filter(col("l_returnflag") === k0)
+      .agg(count("l_quantity").cast("long").as("cnt"),
+        countDistinct("l_partkey").as("d"),
+        expr("percentile(l_quantity, 0.5)").as("q50"))
+      .collect()(0)
+    val r0 = rows.head
+    assert(r0.getLong(r0.fieldIndex("cnt")) == want.getLong(0))
+    assert(r0.getLong(r0.fieldIndex("distinct_cnt")) == want.getLong(1))
+    assert(math.abs(r0.getDouble(r0.fieldIndex("q50")) - want.getDouble(2)) <= 1e-4)
+
+    // top-k reads the freq state
+    val top = StreamingStats.topValues(spark, c, 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val wantTop = all.groupBy("l_returnflag", "l_linestatus").count()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")
+          .orderBy(col("count").desc, col("l_linestatus"))))
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(top == wantTop)
+  }
+
+  test("stream replay == batch loop: bit-identical state epoch by epoch") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-stats2").toString
+    val archive = Seq(("A", "O", 5.0, 10L, 1L), ("B", "F", 3.0, 11L, 2L))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity", "l_partkey", "l_orderkey")
+    val b1 = Seq(("A", "F", 7.0, 10L, 3L), ("A", "O", 2.0, 12L, 4L))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity", "l_partkey", "l_orderkey")
+    val b2 = Seq(("B", "F", 9.0, 11L, 5L), ("C", "O", 1.0, 13L, 6L))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity", "l_partkey", "l_orderkey")
+
+    val batchCfg = cfg(s"$root/state_batch")
+    StreamingStats.init(spark, batchCfg, archive)
+    StreamingStats.processBatch(spark, batchCfg, b1)
+    StreamingStats.processBatch(spark, batchCfg, b2)
+
+    // replay b1, b2 as a file stream, one file per micro-batch
+    val src = new java.io.File(s"$root/src"); src.mkdirs()
+    Seq(b1 -> "b1", b2 -> "b2").foreach { case (df, name) =>
+      val tmp = s"$root/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src, s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(if (name == "b1") 1000000L else 2000000L)
+    }
+    val streamCfg = cfg(s"$root/state_stream")
+    StreamingStats.init(spark, streamCfg, archive)
+    val q = StreamingStats.attach(
+      spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString),
+      streamCfg).start()
+    try q.processAllAvailable() finally q.stop()
+
+    assert(StreamingStats.latestEpoch(streamCfg) == 2L)
+    assert(stateSnapshot(streamCfg) == stateSnapshot(batchCfg))
+  }
+
+  test("init refuses double-init; processBatch refuses uninitialized state") {
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-stats3").toString
+    val c = cfg(s"$root/state")
+    intercept[IllegalArgumentException](StreamingStats.processBatch(spark, c, li))
+    StreamingStats.init(spark, c, li.limit(10))
+    intercept[IllegalArgumentException](StreamingStats.init(spark, c, li.limit(10)))
+  }
+}
