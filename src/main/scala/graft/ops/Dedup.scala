@@ -421,15 +421,22 @@ object Dedup {
   def connectedComponentsWithRounds(pairs: DataFrame,
                                     maxIters: Int = 64): (DataFrame, Int) = {
     require(maxIters > 0, s"maxIters must be positive, got $maxIters")
+    // Materialize the pair pipeline ONCE: both `edges` and `nodes` (and
+    // through `nodes`, every re-evaluation of the returned label frame —
+    // updateClusters joins it four times) otherwise re-run the upstream
+    // candidate-generation pipeline per subtree. The pair set is a
+    // sliver, and this function already materializes eagerly per round,
+    // so the checkpoint changes cost shape, not laziness class.
+    val p = pairs.localCheckpoint()
     // canonical undirected edges: (hi, lo) with hi > lo, deduped
-    var edges = pairs
+    var edges = p
       .select(greatest(col("id1"), col("id2")).as("hi"),
         least(col("id1"), col("id2")).as("lo"))
       .filter(col("hi") =!= col("lo"))
       .distinct()
       .localCheckpoint()
-    val nodes = pairs.select(col("id1").as("doc_id"))
-      .union(pairs.select(col("id2").as("doc_id"))).distinct()
+    val nodes = p.select(col("id1").as("doc_id"))
+      .union(p.select(col("id2").as("doc_id"))).distinct()
     var converged = edges.isEmpty
     var i = 0
     while (!converged && i < maxIters) {
