@@ -3,7 +3,7 @@ package graft
 /** Benchmark main — runs every registered query (PRODUCTION plan, see
   * [[QuerySpec.production]]) against SPARK_GRAFT_SF_DIR and prints ONE JSON
   * line for the driver; the same complete JSON is also written to
-  * SPARK_GRAFT_BENCH_OUT (default /root/repo/BENCH_full.json) so per-query
+  * SPARK_GRAFT_BENCH_OUT (default BENCH_full.json in the working dir) so per-query
   * medians survive stdout tail-truncation.
   *
   * Each query is forced through the `noop` sink so the full plan executes

@@ -353,6 +353,27 @@ object Merge {
       .agg(sum("cnt").as("cnt"))
   }
 
+  /** Cap a frequency state to its own per-key top-`m` rows (cnt DESC,
+    * v ASC ties) — the explicit SpaceSaving-style trade for vocabularies
+    * too large to persist exactly. One window over STATE rows.
+    *
+    * Error contract (pinned in MergeSpec): capping never OVER-counts —
+    * a capped-merge count is ≤ the true count, and equals it whenever
+    * the value survived the cap in every slice that saw it. Merging
+    * capped slices under-counts a value by at most Σ over slices of
+    * that slice's m-th-largest count θ_s, so any value with true total
+    * count > Σ θ_s is guaranteed PRESENT in the merged capped state —
+    * size m ≫ k so finalize-time top-k ranks from counts well above
+    * that bound. */
+  def capFreqState(state: DataFrame, keys: Seq[String], m: Int): DataFrame = {
+    require(m > 0, s"cap m must be positive, got $m")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("cnt").desc, col("v").asc)
+    state.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= m)
+      .drop("__rn")
+  }
+
   /** Top-k values per key from a (merged) state — deterministic ties
     * (cnt DESC, v ASC). One window shuffle over STATE rows. */
   def finalizeTopK(state: DataFrame, keys: Seq[String], k: Int): DataFrame = {

@@ -75,4 +75,45 @@ object Packing {
   def packByBudget(df: DataFrame, orderCol: String, valueCol: String,
                    budget: Long, partitions: Int = 0): DataFrame =
     packByBudget(df, Seq(orderCol), valueCol, budget, partitions)
+
+  /** Context-length chunking — the step BEFORE packing: split each
+    * document into overlapping token windows of `size` tokens starting
+    * every `stride` tokens (stride = size ⇒ disjoint; stride < size ⇒
+    * overlap of size−stride, the usual pre-training shape so no span is
+    * seen only across a chunk boundary). Output: one row per chunk with
+    * `chunk_id` (0-based within the doc), `chunk_text`, `chunk_tokens`
+    * (= `size` except the doc's tail). Start offsets are 0, stride, …,
+    * ceil((n−size)/stride)·stride — the standard chunk count
+    * max(1, ceil((n−size)/stride)+1): every token lands in ≥1 chunk, a
+    * doc with ≤ `size` tokens yields exactly one chunk, and no start is
+    * emitted whose window the previous chunk already fully covers.
+    *
+    * Scale shape: pure map-side narrow work — `sequence` + `explode` +
+    * `slice` inside whole-stage codegen, zero shuffles, zero UDFs; the
+    * explode fan-out is ~n_tokens/stride rows per doc, each carrying only
+    * its own window's text. Composes with [[packByBudget]] on
+    * (doc_id, chunk_id) for shard assignment of the chunked corpus. */
+  def chunkByTokens(docs: DataFrame, size: Int, stride: Int,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(size > 0, s"chunk size must be positive, got $size")
+    require(stride > 0 && stride <= size,
+      s"stride must be in [1, size=$size], got $stride")
+    docs
+      .withColumn("__toks", split(col(textCol), " "))
+      .withColumn("__last",
+        (greatest(floor((size_(col("__toks")) - size + stride - 1)
+          .cast("double") / stride), lit(0.0)).cast("int") * stride).cast("int"))
+      .select(col(idCol),
+        col("__toks"),
+        explode(sequence(lit(0), col("__last"), lit(stride))).as("__start"))
+      .select(col(idCol),
+        (col("__start") / stride).cast("long").as("chunk_id"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(size)), " ").as("chunk_text"),
+        least(lit(size), size_(col("__toks")) - col("__start"))
+          .cast("long").as("chunk_tokens"))
+  }
+
+  private def size_(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.size(c)
 }

@@ -217,6 +217,24 @@ object LlmPipelineQueries {
             min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
           .orderBy("shard_id")
       }
+    },
+
+    sql("llm6_chunk_windows",
+      "LLM pipeline: context-length chunking — each doc split into overlapping 40-token windows starting every 32 tokens (8-token overlap so no span exists only across a boundary); pure map-side sequence+explode+slice, zero shuffles, the step before shard packing",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |  UNNEST(generate_series(0, GREATEST((len(toks) - 40 + 31) // 32, 0) * 32, 32)) AS start
+        |  FROM t)
+        |SELECT doc_id, CAST(start // 32 AS BIGINT) AS chunk_id,
+        |  array_to_string(list_slice(toks, start + 1, start + 40), ' ') AS chunk_text,
+        |  CAST(LEAST(40, len(toks) - start) AS BIGINT) AS chunk_tokens
+        | FROM s ORDER BY doc_id, chunk_id""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        graft.ops.Packing.chunkByTokens(Tables.documents(s, d), size = 40, stride = 32)
+          .orderBy("doc_id", "chunk_id")
+    }.withBench { (s, d) =>
+      // production: same narrow plan minus the oracle-only total sort
+      graft.ops.Packing.chunkByTokens(Tables.documents(s, d), size = 40, stride = 32)
     }
   )
 }

@@ -289,6 +289,40 @@ class MergeSpec extends AnyFunSuite {
     assert(mergedState.collect().map(_.toSeq).toSeq == direct.collect().map(_.toSeq).toSeq)
   }
 
+  test("capFreqState: never over-counts, Σθ under-count bound, heavy hitters survive a capped merge") {
+    // two slices with a large "vocabulary" tail and a few heavy hitters
+    val mk = (rows: Seq[(String, Int)]) => rows.flatMap { case (v, n) =>
+      Seq.fill(n)(("g", v)) }.toDF("grp", "w")
+    val s1 = mk(Seq("hot1" -> 50, "hot2" -> 40, "warm" -> 6) ++
+      (1 to 20).map(i => s"tail$i" -> 2))
+    val s2 = mk(Seq("hot1" -> 30, "hot3" -> 45, "warm" -> 5) ++
+      (21 to 40).map(i => s"tail$i" -> 2))
+    val m = 5
+    val capped = Merge.mergeFreqStates(
+      Seq(s1, s2).map(df =>
+        Merge.capFreqState(Merge.partialFreqState(df, Seq("grp"), "w"), Seq("grp"), m)),
+      Seq("grp"))
+    val cappedCnt = capped.collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val trueCnt = Merge.partialFreqState(s1.unionByName(s2), Seq("grp"), "w")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    // never over-counts
+    cappedCnt.foreach { case (v, c) =>
+      assert(c <= trueCnt(v), s"capped count for $v over-counts: $c > ${trueCnt(v)}")
+    }
+    // θ_s = each slice's m-th largest count (2 and 2 here) ⇒ any value
+    // with true count > 4 must be present with its exact count
+    val theta = 4L
+    trueCnt.filter(_._2 > theta).foreach { case (v, c) =>
+      assert(cappedCnt.get(v).contains(c),
+        s"heavy hitter $v (true $c > Σθ=$theta) missing or wrong in capped merge: ${cappedCnt.get(v)}")
+    }
+    // finalize-time top-3 from the capped merge == exact top-3
+    val gotTop = Merge.finalizeTopK(capped, Seq("grp"), 3)
+      .collect().map(r => (r.getLong(3), r.getString(1))).sorted.toSeq
+    assert(gotTop == Seq((1L, "hot1"), (2L, "hot3"), (3L, "hot2")))
+    intercept[IllegalArgumentException](Merge.capFreqState(capped, Seq("grp"), 0))
+  }
+
   test("merging a slice with no rows for some key still folds min/max/count correctly") {
     val a = Seq(("x", 1.0), ("x", 3.0)).toDF("g", "v")
     val b = Seq(("y", 5.0)).toDF("g", "v")

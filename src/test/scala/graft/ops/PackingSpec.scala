@@ -78,4 +78,49 @@ class PackingSpec extends AnyFunSuite {
       case _ => ()
     }
   }
+
+  test("chunkByTokens: full coverage, stride overlap, tail length, short-doc totality") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks, size 4 stride 3
+      (2L, "a b"),                                    // shorter than size → 1 chunk
+      (3L, "x y z w"),                                // exactly size → 1 chunk
+      (4L, "a b c d e")                               // short tail chunk
+    ).toDF("doc_id", "text")
+    val out = Packing.chunkByTokens(docs, size = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: ceil((10-4)/3)+1 = 3 chunks — the last start (6) reaches the
+    // end, so no redundant 9-start tail is emitted
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(d1.map(_._3).toSeq == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(d1.map(_._4).toSeq == Seq(4L, 4L, 4L))
+    // consecutive chunks overlap by size - stride = 1 token
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, "a b", 2L)))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0L, "x y z w", 4L)))
+    assert(out.filter(_._1 == 4L).toSeq ==
+      Seq((4L, 0L, "a b c d", 4L), (4L, 1L, "d e", 2L)))
+    // coverage: concatenating each chunk's first `stride` tokens (all of
+    // the last chunk) in chunk order reconstructs every doc exactly
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.groupBy(_._1).foreach { case (id, chunks) =>
+      val ordered = chunks.sortBy(_._2)
+      val rebuilt = ordered.zipWithIndex.flatMap { case ((_, _, txt, _), i) =>
+        val toks = txt.split(" ")
+        if (i == ordered.length - 1) toks else toks.take(3)
+      }.mkString(" ")
+      assert(rebuilt == texts(id), s"doc $id not covered: $rebuilt")
+    }
+    // zero-shuffle claim: the plan has no Exchange
+    val plan = Packing.chunkByTokens(docs, size = 4, stride = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking plan shuffles:\n$plan")
+  }
+
+  test("chunkByTokens rejects bad size/stride") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Packing.chunkByTokens(docs, 0, 1))
+    intercept[IllegalArgumentException](Packing.chunkByTokens(docs, 4, 0))
+    intercept[IllegalArgumentException](Packing.chunkByTokens(docs, 4, 5))
+  }
 }
