@@ -235,6 +235,26 @@ object LlmPipelineQueries {
     }.withBench { (s, d) =>
       // production: same narrow plan minus the oracle-only total sort
       graft.ops.Packing.chunkByTokens(Tables.documents(s, d), size = 40, stride = 32)
+    },
+
+    sql("llm7_temperature_mixture",
+      "LLM pipeline: temperature-scaled source mixture — sample source s ∝ n_s^0.5 (the standard low-resource upsampling rule), 200-doc budget, ≥1 doc floor per source; per-source weights floor(sqrt(n)·1e6) so quota arithmetic is pure 64-bit integer (engine-reproducible), md5 hash-order draw",
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT source, n, CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w FROM c),
+        |q AS (SELECT source, CAST(GREATEST((200 * w) // CAST((SELECT SUM(w) FROM w) AS BIGINT), 1) AS BIGINT) AS quota FROM w),
+        |r AS (SELECT doc_id, source,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.source, r.rn, q.quota FROM r JOIN q USING (source)
+        | WHERE rn <= quota ORDER BY source, rn, doc_id""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        graft.ops.Mixture.temperatureMixture(Tables.documents(s, d), budget = 200L)
+          .orderBy("source", "rn", "doc_id")
+    }.withBench { (s, d) =>
+      // production: xxhash64 draw (8-byte shuffle keys), no oracle sort
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      graft.ops.Mixture.temperatureMixture(Tables.documents(s, d), budget = 200L,
+        hashOrder = Some(xxhash64(col("doc_id"))))
     }
   )
 }

@@ -278,6 +278,7 @@ class PlanSpec extends AnyFunSuite {
     //   ops/Dedup.scala (2)             candidate-doc id slivers (semi-join probes)
     //   ops/RangeJoin.scala (1)         interval dimension
     //   ops/Packing.scala (1)           per-range-partition offsets (#partitions rows)
+    //   ops/Mixture.scala (2)           1-row weight total; per-source quota dim
     //   streaming/EventStreams.scala (1) user dimension (stream-static enrich)
     //   queries/JoinQueries.scala (3)   nation/region/part dims
     //   queries/ExtraQueries.scala (4)  1-row global-stats frames
@@ -294,6 +295,7 @@ class PlanSpec extends AnyFunSuite {
       "ops/Dedup.scala" -> 2,
       "ops/RangeJoin.scala" -> 1,
       "ops/Packing.scala" -> 1,
+      "ops/Mixture.scala" -> 2,
       "streaming/EventStreams.scala" -> 1,
       "queries/JoinQueries.scala" -> 3,
       "queries/ExtraQueries.scala" -> 4,
