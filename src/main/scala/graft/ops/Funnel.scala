@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis — the MATCH_RECOGNIZE-shaped "did the user do
+  * A, then B after A, then C after B" query engines ship natively and
+  * Spark does not. Composed from per-stage min-timestamp contractions:
+  * stage k's reach time for a user is the EARLIEST stage-k event strictly
+  * after the user's stage-(k−1) reach time (optionally within `maxGap`
+  * seconds of it). Greedy-earliest is the standard funnel semantics: if
+  * any event sequence completes the funnel, the earliest-per-stage chain
+  * does too when unconstrained; with a gap it is the usual product
+  * definition (each step clocked from the previous reach).
+  *
+  * Scale shape: one pass per stage over the type-filtered event sliver,
+  * joined to the USER-cardinality reach table (AQE picks the strategy;
+  * the reach side is dimension-like, never event-scale), then a user-key
+  * groupBy — all passes co-keyed on the user column, no self-join of the
+  * full event table against itself and no per-user event buffering
+  * (collect_list funnels die on hot users at 100 TB).
+  */
+object Funnel {
+
+  /** Per-user reach times: `userCol`, `t0`..`t(k-1)` (TIMESTAMP, null
+    * from the first stage the user never reached — non-null columns form
+    * a prefix). `maxGapSeconds`: stage k must land within this many
+    * seconds of the stage-(k−1) reach time. */
+  def funnelTimes(events: DataFrame, stages: Seq[String],
+                  userCol: String = "user_id", typeCol: String = "event_type",
+                  tsCol: String = "ts",
+                  maxGapSeconds: Option[Long] = None): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct == stages, s"funnel stages must be distinct, got $stages")
+    maxGapSeconds.foreach(g => require(g > 0, s"maxGapSeconds must be positive, got $g"))
+    var acc = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"))
+    for (i <- 1 until stages.length) {
+      val prev = col(s"t${i - 1}")
+      val gate = maxGapSeconds
+        .map(g => col(tsCol) <= prev + expr(s"INTERVAL $g SECOND"))
+        .getOrElse(lit(true))
+      val reach = events.filter(col(typeCol) === stages(i))
+        .select(col(userCol), col(tsCol))
+        .join(acc.select(col(userCol), prev), Seq(userCol))
+        .filter(col(tsCol) > prev && gate)
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"t$i"))
+      acc = acc.join(reach, Seq(userCol), "left")
+    }
+    acc
+  }
+
+  /** The conversion report: one row per stage with `stage_idx`, `stage`,
+    * `users_reached` (monotone non-increasing by construction). Integer
+    * output only — ratios are derivable and floats would be the only
+    * nondeterminism in an otherwise exact pipeline. */
+  def funnelCounts(events: DataFrame, stages: Seq[String],
+                   userCol: String = "user_id", typeCol: String = "event_type",
+                   tsCol: String = "ts",
+                   maxGapSeconds: Option[Long] = None): DataFrame = {
+    val times = funnelTimes(events, stages, userCol, typeCol, tsCol, maxGapSeconds)
+    val aggs = stages.indices.map(i =>
+      sum(when(col(s"t$i").isNotNull, 1L).otherwise(0L)).as(s"__n$i"))
+    times.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(stages.zipWithIndex.map { case (st, i) =>
+        struct(lit(i.toLong).as("stage_idx"), lit(st).as("stage"),
+          coalesce(col(s"__n$i"), lit(0L)).as("users_reached"))
+      }: _*)).as("__s"))
+      .select(col("__s.stage_idx"), col("__s.stage"), col("__s.users_reached"))
+  }
+}

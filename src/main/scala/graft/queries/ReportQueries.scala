@@ -28,6 +28,26 @@ object ReportQueries {
         | FROM events WHERE user_id IS NOT NULL
         | GROUP BY hour(ts) ORDER BY hour_of_day""".stripMargin.replace("\n", "")) {
       (s, d) => graft.pipeline.Reports.hourlyDemand(s, d)
+    },
+
+    sql("ep4_funnel",
+      "EP4: ordered-funnel conversion — users whose earliest view precedes a later click precedes a later purchase (the MATCH_RECOGNIZE-shaped query composed from per-stage min-ts contractions; reach tables are user-dim sized, never event-scale self-joins)",
+      """WITH v AS (SELECT user_id, MIN(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t1 FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+        |         CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS users_reached
+        |  UNION ALL SELECT 1, 'click', (SELECT COUNT(*) FROM c)
+        |  UNION ALL SELECT 2, 'purchase', (SELECT COUNT(*) FROM p))
+        | ORDER BY stage_idx""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        graft.ops.Funnel.funnelCounts(graft.model.Tables.events(s, d),
+          Seq("view", "click", "purchase"))
+          .orderBy("stage_idx")
     }
   )
 }
