@@ -48,6 +48,21 @@ object ReportQueries {
         graft.ops.Funnel.funnelCounts(graft.model.Tables.events(s, d),
           Seq("view", "click", "purchase"))
           .orderBy("stage_idx")
+    },
+
+    sql("ep5_cohort_retention",
+      "EP5: weekly cohort retention — users bucketed by ISO-Monday week of first activity, distinct active users per (cohort, week offset); user-dim intermediates, exact integer week arithmetic",
+      """WITH f AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cw
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w FROM events),
+        |r AS (SELECT f.cw, CAST((a.w - f.cw) // 7 AS BIGINT) AS week_offset, a.user_id
+        |  FROM a JOIN f USING (user_id))
+        |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, week_offset,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        | FROM r GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        graft.ops.Retention.weeklyCohorts(graft.model.Tables.events(s, d))
+          .orderBy("cohort_week", "week_offset")
     }
   )
 }
