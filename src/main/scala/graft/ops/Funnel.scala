@@ -50,6 +50,24 @@ object Funnel {
     acc
   }
 
+  /** Event-transition matrix: counts of consecutive (from_type → to_type)
+    * steps per user in event order (`tsCol`, `tieCol` total order — the
+    * tie column makes the lag deterministic when timestamps collide).
+    * The Markov-chain view of user journeys; row-normalizing `n` gives
+    * P(next | current). One user-partitioned window + one hash agg; the
+    * window shuffle carries only (user, ts, tie, type). */
+  def transitions(events: DataFrame, userCol: String = "user_id",
+                  typeCol: String = "event_type", tsCol: String = "ts",
+                  tieCol: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    events.select(col(userCol), col(tsCol), col(tieCol), col(typeCol))
+      .withColumn("__from", lag(col(typeCol), 1).over(w))
+      .filter(col("__from").isNotNull)
+      .groupBy(col("__from").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** The conversion report: one row per stage with `stage_idx`, `stage`,
     * `users_reached` (monotone non-increasing by construction). Integer
     * output only — ratios are derivable and floats would be the only

@@ -63,6 +63,19 @@ object ReportQueries {
       (s, d) =>
         graft.ops.Retention.weeklyCohorts(graft.model.Tables.events(s, d))
           .orderBy("cohort_week", "week_offset")
+    },
+
+    sql("ep6_event_transitions",
+      "EP6: event-transition matrix — counts of consecutive (from → to) event-type steps per user in (ts, event_id) order; the Markov-chain view of user journeys, one user-partitioned window + one hash agg",
+      """WITH s AS (SELECT user_id, event_type,
+        |  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        |  FROM events)
+        |SELECT from_type, event_type AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+        | FROM s WHERE from_type IS NOT NULL
+        | GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        graft.ops.Funnel.transitions(graft.model.Tables.events(s, d))
+          .orderBy("from_type", "to_type")
     }
   )
 }

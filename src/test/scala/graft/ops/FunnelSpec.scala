@@ -53,6 +53,21 @@ class FunnelSpec extends AnyFunSuite {
     assert(rows == Seq(("view", 4L), ("click", 3L), ("purchase", 0L)))
   }
 
+  test("transitions: consecutive steps per user, tie-broken deterministically, no cross-user pairs") {
+    val log = Seq(
+      (1L, 10L, "view", ts(0)), (1L, 11L, "click", ts(1)), (1L, 12L, "view", ts(2)),
+      // same-timestamp events for u2: event_id order decides (view then click)
+      (2L, 20L, "view", ts(5)), (2L, 21L, "click", ts(5)),
+      (3L, 30L, "view", ts(9)) // single event → no transition
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = Funnel.transitions(log)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("view", "click") -> 2L, // u1 and u2
+      ("click", "view") -> 1L  // u1 only — u3's view never pairs with u2's click
+    ))
+  }
+
   test("guards and empty input") {
     intercept[IllegalArgumentException](Funnel.funnelTimes(log, Seq()))
     intercept[IllegalArgumentException](Funnel.funnelTimes(log, Seq("a", "a")))
