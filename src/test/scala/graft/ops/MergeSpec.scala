@@ -229,6 +229,25 @@ class MergeSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL state round-trips through parquet: served-from-storage merge == in-memory merge") {
+    val li = graft.model.Tables.lineitem(spark, TestSpark.sfDir)
+    val keys = Seq("l_returnflag")
+    val history = Merge.hllDistinctState(
+      li.filter(col("l_orderkey") % 2 === 0), keys, "l_partkey")
+    val batch = Merge.hllDistinctState(
+      li.filter(col("l_orderkey") % 2 === 1), keys, "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll").toString + "/state"
+    graft.io.Sinks.parquet(history, dir)
+    val served = Merge.finalizeHllDistinct(
+      Merge.mergeHllDistinctStates(Seq(spark.read.parquet(dir), batch), keys), keys)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val inMem = Merge.finalizeHllDistinct(
+      Merge.mergeHllDistinctStates(Seq(history, batch), keys), keys)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(served == inMem,
+      s"sketch binary did not survive parquet: served $served != in-memory $inMem")
+  }
+
   test("moment state: slice-merge is bit-identical to a direct full-data state") {
     val li = graft.model.Tables.lineitem(spark, TestSpark.sfDir)
     val keys = Seq("l_returnflag", "l_linestatus")
