@@ -252,6 +252,48 @@ object DedupQueries {
       (s, d) =>
         Dedup.simhashNearDup(Dedup.simhash(Tables.documents(s, d)))
           .orderBy("id1", "id2")
+    },
+
+    sql("dd9_source_overlap",
+      "Dedup: cross-source overlap matrix — for every source pair, how many doc pairs share a 16-token prefix (the dataset-contamination audit: which feeds are re-crawling each other; prefix-key dedup is the RefinedWeb-style cheap first pass)",
+      // the self-join is keyed on the shared prefix, so only docs whose
+      // prefix occurs ≥2× ever pair — the same sliver shape as dd1's
+      // duplicate groups
+      """WITH p AS (SELECT doc_id, source,
+        |  array_to_string((string_split(text,' '))[1:16], ' ') AS pre FROM documents),
+        |j AS (SELECT LEAST(a.source, b.source) AS source_a,
+        |             GREATEST(a.source, b.source) AS source_b, a.pre AS pre
+        |      FROM p a JOIN p b ON a.pre = b.pre AND a.doc_id < b.doc_id)
+        |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(COUNT(DISTINCT pre) AS BIGINT) AS n_prefixes
+        | FROM j GROUP BY source_a, source_b
+        | ORDER BY source_a, source_b""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // pre-filter to prefixes with frequency ≥ 2 BEFORE self-joining:
+        // the frequency agg is one shuffle on the prefix key, and the
+        // surviving candidate sliver (dup groups only) is what self-joins
+        // — the full corpus never meets itself. Group sizes are dup-
+        // cluster-bounded, so the join output is Σ C(group,2), not n².
+        // At 100 TB the prefix key is xxhash64'd to an 8-byte shuffle key
+        // (dd1's width discipline); the oracle keeps the string for
+        // exactness.
+        val docs = Tables.documents(s, d).select(
+          col("doc_id"), col("source"),
+          array_join(slice(split(col("text"), " "), 1, 16), " ").as("pre"))
+        val shared = docs.groupBy("pre").count()
+          .filter(col("count") > 1).select("pre")
+        val cand = docs.join(shared, "pre")
+        cand.as("a").join(cand.as("b"),
+            col("a.pre") === col("b.pre") && col("a.doc_id") < col("b.doc_id"))
+          .select(
+            least(col("a.source"), col("b.source")).as("source_a"),
+            greatest(col("a.source"), col("b.source")).as("source_b"),
+            col("a.pre").as("pre"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("pre")).as("n_prefixes"))
+          .orderBy("source_a", "source_b")
+      }
     }
   )
 }

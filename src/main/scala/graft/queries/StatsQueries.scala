@@ -255,6 +255,50 @@ object StatsQueries {
             Det.dsum(col("l_extendedprice")).as("sum_price"))
           .orderBy("bin")
       }
+    },
+
+    sql("a22_drift_tv",
+      "A22: distribution-drift detection — per-bin parts-per-million shares of o_totalprice for two priority slices and their total-variation gap (the train/serve drift monitor, all BIGINT fixed-point so the oracle matches bit-for-bit)",
+      // One scan → one ≤10-key hash agg; totals come from a window over
+      // the 10-row agg output (never a second scan). Shares are integer
+      // ppm via truncating division — the g1 fixed-point discipline
+      // (DuckDB `//` floors, Spark DIV truncates; identical on the
+      // nonnegative values here), so no double rounding anywhere.
+      // TV distance = SUM(dppm)/2 is one more fold the caller does on
+      // 10 rows; the per-bin decomposition IS the dashboard view.
+      """WITH b AS (SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bin,
+        |  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS isa
+        | FROM orders),
+        |c AS (SELECT bin, SUM(isa) AS n_a, SUM(1 - isa) AS n_b FROM b GROUP BY bin),
+        |t AS (SELECT bin, n_a, n_b, SUM(n_a) OVER () AS tot_a, SUM(n_b) OVER () AS tot_b FROM c)
+        |SELECT bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        | CAST((n_a * 1000000) // tot_a AS BIGINT) AS ppm_a,
+        | CAST((n_b * 1000000) // tot_b AS BIGINT) AS ppm_b,
+        | CAST(ABS((n_a * 1000000) // tot_a - (n_b * 1000000) // tot_b) AS BIGINT) AS dppm
+        | FROM t ORDER BY bin""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val binned = Tables.orders(s, d).select(
+          floor(col("o_totalprice") / 50000.0).cast("long").as("bin"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("isa"))
+        val counts = binned.groupBy("bin").agg(
+          sum(col("isa")).as("n_a"),
+          sum(lit(1L) - col("isa")).as("n_b"))
+        // whole-frame window on the post-agg sliver (≤10 rows): the
+        // single-partition shuffle moves bin counts, not orders
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.partitionBy(lit(1))
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        counts
+          .withColumn("tot_a", sum("n_a").over(w))
+          .withColumn("tot_b", sum("n_b").over(w))
+          .select(col("bin"), col("n_a"), col("n_b"),
+            expr("n_a * 1000000L div tot_a").as("ppm_a"),
+            expr("n_b * 1000000L div tot_b").as("ppm_b"),
+            abs(expr("n_a * 1000000L div tot_a") - expr("n_b * 1000000L div tot_b"))
+              .as("dppm"))
+          .orderBy("bin")
+      }
     }
   )
 }

@@ -393,6 +393,51 @@ object TextQueries {
           .groupBy("predicted_lang", "lang")
           .agg(count(lit(1)).as("n_docs"))
           .orderBy("predicted_lang", "lang")
+    },
+
+    sql("t13_pii_redaction",
+      "Text: PII detection + redaction — per-doc email/IPv4/SSN match counts and the redacted text (regexp-only compliance pass; the corpus has no organic PII, so both engines plant the same deterministic doc_id-keyed PII before scanning)",
+      // the augmentation CASEs make counts vary 0/1 per class per doc —
+      // a constant-1 count would pass without exercising the patterns.
+      // Pattern literals are shared verbatim with ops/Pii (the Java/RE2
+      // common dialect); DuckDB needs the explicit 'g' flag where Spark's
+      // regexp_replace is global by default.
+      s"""WITH aug AS (SELECT doc_id,
+         | text || CASE WHEN doc_id % 3 <> 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         |      || CASE WHEN doc_id % 2 = 0 THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR) || '.3.7' ELSE '' END
+         |      || CASE WHEN doc_id % 5 = 0 THEN ' ssn 537-28-' || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END AS t
+         | FROM documents)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(t, '${graft.ops.Pii.emailPattern}')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(t, '${graft.ops.Pii.ipv4Pattern}')) AS BIGINT) AS n_ips,
+         | CAST(len(regexp_extract_all(t, '${graft.ops.Pii.ssnPattern}')) AS BIGINT) AS n_ssns,
+         | regexp_replace(regexp_replace(regexp_replace(t,
+         |   '${graft.ops.Pii.emailPattern}', '<EMAIL>', 'g'),
+         |   '${graft.ops.Pii.ssnPattern}', '<SSN>', 'g'),
+         |   '${graft.ops.Pii.ipv4Pattern}', '<IP>', 'g') AS redacted
+         | FROM aug ORDER BY doc_id""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        import graft.ops.Pii
+        val aug = concat(
+          col("text"),
+          when(col("doc_id") % 3 =!= 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" host 10."), (col("doc_id") % 200).cast("string"), lit(".3.7")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" ssn 537-28-"), (lit(1000) + col("doc_id") % 9000).cast("string")))
+            .otherwise(lit("")))
+        Tables.documents(s, d)
+          .select(col("doc_id"), aug.as("t"))
+          .select(col("doc_id"),
+            Pii.countMatches(col("t"), Pii.emailPattern).as("n_emails"),
+            Pii.countMatches(col("t"), Pii.ipv4Pattern).as("n_ips"),
+            Pii.countMatches(col("t"), Pii.ssnPattern).as("n_ssns"),
+            Pii.redact(col("t")).as("redacted"))
+          .orderBy("doc_id")
+      }
     }
   )
 }
