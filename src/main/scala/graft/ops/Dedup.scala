@@ -127,14 +127,17 @@ object Dedup {
 
   /** Candidate pairs = docs colliding in ≥1 band. Bucket-equality
     * self-join on (band, band_hash) — never all-pairs. */
-  def lshCandidates(sig: DataFrame, bands: Int = 16, rows: Int = 4): DataFrame = {
-    val banded = lshBands(sig, bands, rows)
+  def lshCandidates(sig: DataFrame, bands: Int = 16, rows: Int = 4): DataFrame =
+    candidatesFromBands(lshBands(sig, bands, rows))
+
+  /** The [[lshCandidates]] self-join over an already-banded frame
+    * ((doc_id, band, bh) — [[lshBands]] output / [[lshBandIndex]]). */
+  def candidatesFromBands(banded: DataFrame): DataFrame =
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
       .distinct()
-  }
 
   /** Exact shingle-Jaccard for every doc pair sharing ≥1 shingle, kept at
     * `minJaccard`+. The join key is the shingle (bucket join). Output:
@@ -187,10 +190,24 @@ object Dedup {
     // into every recompute, so the capped substrate is materialized once
     // (localCheckpoint) and all consumers read the snapshot.
     val capped = maxDf.fold(sh)(m => capDocumentFrequency(sh, m).localCheckpoint())
-    val cand = lshCandidates(minhashSignatures(capped, numPerm), bands, rows)
+    minhashNearDupFromBands(capped,
+      lshBands(minhashSignatures(capped, numPerm), bands, rows), thr)
+  }
+
+  /** [[minhashNearDupFromShingles]] with candidate generation from a
+    * PREBUILT banded frame ([[lshBands]] output — typically a reused
+    * [[lshBandIndex]]): when one query needs a corpus's internal pair
+    * set AND its band index (dd8's yesterday-state shape), the wide
+    * 64-hash signature aggregation — the dominant cost of the pipeline —
+    * runs once for both consumers instead of once each. Caller contract:
+    * `banded` was built from this same `sh` substrate (same cap
+    * decisions), or candidates and verification silently disagree. */
+  def minhashNearDupFromBands(sh: DataFrame, banded: DataFrame,
+                              thr: Double = 0.8): DataFrame = {
+    val cand = candidatesFromBands(banded)
     val candDocs = cand.select(col("id1").as("doc_id"))
       .union(cand.select(col("id2").as("doc_id"))).distinct()
-    val shCand = capped.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val shCand = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
     exactJaccardPairs(shCand, thr)
   }
 

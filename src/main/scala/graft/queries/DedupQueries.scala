@@ -192,9 +192,15 @@ object DedupQueries {
         val corpus = docs.filter(col("doc_id") < split)
         val batch = docs.filter(col("doc_id") >= split)
         // yesterday's state: corpus-internal pairs resolved to labels;
-        // today's work: batch pairs from the persisted index, folded in
-        val labels = Dedup.connectedComponents(Dedup.minhashNearDup(corpus))
-        val newPairs = Dedup.incrementalNearDup(batch, corpus, Dedup.lshBandIndex(corpus))
+        // today's work: batch pairs from the persisted index, folded in.
+        // The band index is built ONCE (localCheckpoint — it is the
+        // ~16-rows/doc artifact a real deployment reads from parquet) and
+        // feeds BOTH yesterday's pair set and today's batch probe, so the
+        // corpus-wide 64-hash signature agg runs once, not twice.
+        val index = Dedup.lshBandIndex(corpus).localCheckpoint()
+        val labels = Dedup.connectedComponents(
+          Dedup.minhashNearDupFromBands(Dedup.shingleDF(corpus), index))
+        val newPairs = Dedup.incrementalNearDup(batch, corpus, index)
           .select("id1", "id2")
         Dedup.updateClusters(labels, newPairs).orderBy("doc_id")
       }
