@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-file min/max statistics manifest + data-skipping scan — the
+  * lakehouse table-format idea (Delta/Iceberg manifests) re-expressed
+  * with plain parquet: after a clustered write
+  * ([[graft.io.Sinks.parquetRangeClustered]] / [[Layout.zOrderWrite]]
+  * make per-file ranges tight), a manifest of one stats row per file
+  * lets any interval query list only the files whose [min,max] envelope
+  * intersects the predicate — the scan cost becomes proportional to the
+  * SELECTED slice, not the table.
+  *
+  * Scale shape at 100 TB:
+  *  - building the manifest is ONE distributed aggregation grouped by
+  *    `input_file_name()` — no driver involvement beyond the write;
+  *  - the manifest itself is metadata-scale: ~800k rows for 100 TB of
+  *    128 MB files, a few MB of parquet;
+  *  - the pruned scan collects only the SURVIVING FILE LIST to the
+  *    driver — the same driver-resident structure Spark's own
+  *    InMemoryFileIndex (and every Delta/Iceberg planner) already
+  *    maintains for any scan; row data never moves to the driver;
+  *  - parquet footer min/max pruning still applies WITHIN each
+  *    surviving file, so this composes with (not replaces) row-group
+  *    skipping.
+  */
+object Manifest {
+
+  /** Manifest location convention: next to the data, like the
+    * shingle-df table sits next to the LSH index. */
+  def manifestPath(dataPath: String): String = dataPath + ".__manifest"
+
+  /** One stats row per physical file of `path`: (file, n_rows,
+    * <c>_min, <c>_max for each tracked column). Nulls are ignored by
+    * min/max — an all-null file keeps null stats and is conservatively
+    * NEVER pruned by [[prunedScan]] (null-safe comparisons there). */
+  def buildManifest(spark: SparkSession, path: String,
+                    cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "buildManifest needs at least one column")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Build and persist the manifest at [[manifestPath]]. One file: the
+    * manifest is metadata-scale regardless of data scale. */
+  def writeManifest(spark: SparkSession, dataPath: String,
+                    cols: Seq[String]): Unit =
+    buildManifest(spark, dataPath, cols)
+      .coalesce(1).write.mode("overwrite").parquet(manifestPath(dataPath))
+
+  /** Closed-interval scan over `dataPath` reading ONLY files whose
+    * manifest envelope intersects every `(column, lo, hi)` range; the
+    * row-level predicate is re-applied (the manifest prunes, it does
+    * not filter). Null file stats fail no interval check, so files
+    * without signal are read, never wrongly skipped. Equals the full
+    * scan + filter bit-for-bit (pinned in ManifestSpec). */
+  def prunedScan(spark: SparkSession, dataPath: String,
+                 ranges: Seq[(String, Double, Double)],
+                 manifest: Option[DataFrame] = None): DataFrame = {
+    require(ranges.nonEmpty, "prunedScan needs at least one range")
+    val m = manifest.getOrElse(spark.read.parquet(manifestPath(dataPath)))
+    val keep = ranges.foldLeft(m) { case (acc, (c, lo, hi)) =>
+      // keep when the envelope intersects [lo,hi] OR stats are null
+      acc.filter(
+        col(s"${c}_min").isNull || col(s"${c}_max").isNull ||
+          (col(s"${c}_max").cast("double") >= lo &&
+            col(s"${c}_min").cast("double") <= hi))
+    }
+    // driver file LIST — metadata-scale (one string per surviving file),
+    // the exact structure Spark's FileIndex holds for every scan; this
+    // is planning, not a data funnel (registered in PlanSpec's audit)
+    val files = keep.select("file").collect().map(_.getString(0)).toIndexedSeq
+    val pred = ranges
+      .map { case (c, lo, hi) => col(c).cast("double").between(lo, hi) }
+      .reduce(_ && _)
+    if (files.isEmpty)
+      // schema-preserving empty frame: the envelope excluded every file
+      spark.read.parquet(dataPath).filter(lit(false))
+    else spark.read.parquet(files: _*).filter(pred)
+  }
+}

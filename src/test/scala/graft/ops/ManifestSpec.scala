@@ -1,0 +1,67 @@
+package graft.ops
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class ManifestSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def grid = (for (x <- 0 until 64; y <- 0 until 64)
+    yield (x.toLong * 64 + y, x, y)).toDF("id", "x", "y").repartition(8)
+
+  private def clusteredDir(): String = {
+    val dir = Files.createTempDirectory("graft-manifest").toString + "/t"
+    graft.io.Sinks.parquetRangeClustered(grid, dir, Seq("x"), partitions = 16)
+    Manifest.writeManifest(spark, dir, Seq("x", "y"))
+    dir
+  }
+
+  test("manifest: one row per file, row counts and global min/max honest") {
+    val dir = clusteredDir()
+    val m = spark.read.parquet(Manifest.manifestPath(dir))
+    val nFiles = spark.read.parquet(dir).inputFiles.length
+    assert(m.count() == nFiles)
+    assert(m.agg(sum("n_rows")).head().getLong(0) == 4096L)
+    val r = m.agg(min("x_min"), max("x_max"), min("y_min"), max("y_max")).head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) == ((0, 63, 0, 63)))
+  }
+
+  test("prunedScan: reads a strict subset of files on a clustered key, result == full scan + filter") {
+    val dir = clusteredDir()
+    val pruned = Manifest.prunedScan(spark, dir, Seq(("x", 10.0, 13.0)))
+    val full = spark.read.parquet(dir)
+      .filter(col("x").cast("double").between(10.0, 13.0))
+    assert(pruned.inputFiles.length < spark.read.parquet(dir).inputFiles.length,
+      "clustered-key slice should skip files")
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.orderBy("id").collect().map(_.toSeq).toSeq
+    assert(key(pruned) == key(full))
+  }
+
+  test("prunedScan: unclustered-column range cannot prune but stays correct; empty envelope yields empty frame with schema") {
+    val dir = clusteredDir()
+    // y is unclustered under the x-range layout: every file spans ~all
+    // of y, so no file is skipped — correctness must not depend on the
+    // layout matching the predicate
+    val pruned = Manifest.prunedScan(spark, dir, Seq(("y", 5.0, 6.0)))
+    assert(pruned.count() == 64L * 2)
+    // an out-of-domain envelope prunes everything
+    val empty = Manifest.prunedScan(spark, dir, Seq(("x", 1000.0, 2000.0)))
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("id", "x", "y"))
+  }
+
+  test("prunedScan composes with Z-order: a 2-D box prunes under zOrderWrite") {
+    val dir = Files.createTempDirectory("graft-manifest-z").toString + "/t"
+    Layout.zOrderWrite(grid, dir, Seq("x", "y"), partitions = 16, bits = 3)
+    Manifest.writeManifest(spark, dir, Seq("x", "y"))
+    val box = Seq(("x", 0.0, 15.0), ("y", 0.0, 15.0))
+    val pruned = Manifest.prunedScan(spark, dir, box)
+    assert(pruned.inputFiles.length < spark.read.parquet(dir).inputFiles.length,
+      "z-order box query should skip curve segments")
+    assert(pruned.count() == 16L * 16)
+  }
+}
