@@ -247,6 +247,9 @@ object Sinks {
         s"aborting with the original intact (tmp left at $tmp)")
     fs.delete(p, true)
     require(fs.rename(tmp, p), s"compactParquet: rename $tmp -> $p failed")
+    // a persisted stats manifest references the files just deleted —
+    // rebuild it over the compacted layout (no-op when none exists)
+    graft.ops.Manifest.refreshIfPresent(spark, path)
     CompactionReport(filesBefore, parquetFiles(p), rows, bytes)
   }
 }

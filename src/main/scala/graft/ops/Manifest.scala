@@ -52,6 +52,23 @@ object Manifest {
     buildManifest(spark, dataPath, cols)
       .coalesce(1).write.mode("overwrite").parquet(manifestPath(dataPath))
 
+  /** Rebuild an existing manifest after the underlying files changed
+    * (compaction, re-clustering): the tracked columns are recovered
+    * from the persisted manifest's own schema (`<c>_min` stat columns),
+    * so callers that rewrite data need no column bookkeeping. No-op
+    * when no manifest exists. [[graft.io.Sinks.compactParquet]] calls
+    * this after its swap — a stale manifest referencing deleted files
+    * would otherwise fail every [[prunedScan]]. */
+  def refreshIfPresent(spark: SparkSession, dataPath: String): Unit = {
+    val mp = new org.apache.hadoop.fs.Path(manifestPath(dataPath))
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(mp)) {
+      val cols = spark.read.parquet(mp.toString).columns.toSeq
+        .filter(_.endsWith("_min")).map(_.stripSuffix("_min"))
+      writeManifest(spark, dataPath, cols)
+    }
+  }
+
   /** Closed-interval scan over `dataPath` reading ONLY files whose
     * manifest envelope intersects every `(column, lo, hi)` range; the
     * row-level predicate is re-applied (the manifest prunes, it does

@@ -54,6 +54,19 @@ class ManifestSpec extends AnyFunSuite {
     assert(empty.columns.toSeq == Seq("id", "x", "y"))
   }
 
+  test("compaction refreshes a persisted manifest: prunedScan stays correct over the rewritten files") {
+    val dir = clusteredDir()
+    val before = Manifest.prunedScan(spark, dir, Seq(("x", 10.0, 13.0)))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    graft.io.Sinks.compactParquet(spark, dir, targetBytes = 1L * 1024 * 1024 * 1024)
+    // the stale manifest would reference deleted files; the refreshed one
+    // must list only live files and return the same rows
+    val after = Manifest.prunedScan(spark, dir, Seq(("x", 10.0, 13.0)))
+    assert(after.orderBy("id").collect().map(_.toSeq).toSeq == before)
+    val m = spark.read.parquet(Manifest.manifestPath(dir))
+    assert(m.count() == spark.read.parquet(dir).inputFiles.length)
+  }
+
   test("prunedScan composes with Z-order: a 2-D box prunes under zOrderWrite") {
     val dir = Files.createTempDirectory("graft-manifest-z").toString + "/t"
     Layout.zOrderWrite(grid, dir, Seq("x", "y"), partitions = 16, bits = 3)
