@@ -467,6 +467,62 @@ object ExtraQueries {
           round(max(wz), 4).as("max_winsorized"))
     },
 
+    sql("d7_mad_outliers",
+      "D7: robust outlier detection — per-group median + MAD and modified-z outlier counts (0.6745·|x−med|/MAD > 3.5, Iglewicz–Hoaglin); the robust complement to d6: a single extreme value moves a mean/stddev fence arbitrarily far but cannot drag the median/MAD fence at all",
+      // the threshold comparison runs on UNROUNDED doubles built through
+      // the identical IEEE shape on both sides (§7.5(f) rule 2); only the
+      // per-group stat columns round, and at 4dp aggregate scale
+      """WITH med AS (SELECT l_returnflag AS rf, quantile_cont(l_extendedprice, 0.5) AS med
+        |            FROM lineitem GROUP BY 1),
+        |dev AS (SELECT m.rf, ABS(l.l_extendedprice - m.med) AS adev, m.med AS med
+        |        FROM lineitem l JOIN med m ON l.l_returnflag = m.rf),
+        |mad AS (SELECT rf, quantile_cont(adev, 0.5) AS mad, MAX(med) AS med FROM dev GROUP BY rf)
+        |SELECT d.rf AS l_returnflag, ROUND(m.med, 4) AS median_price, ROUND(m.mad, 4) AS mad_price,
+        | COUNT(CASE WHEN 0.6745 * d.adev / m.mad > 3.5 THEN 1 END) AS n_outliers,
+        | COUNT(*) AS n_rows
+        | FROM dev d JOIN mad m ON d.rf = m.rf
+        | GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // two exact-percentile passes (median, then MAD over deviations),
+        // each landing as a ≤3-row broadcast the next scan joins against —
+        // the d6/p2 oracle-mode discipline, group-keyed instead of global
+        val li = Tables.lineitem(s, d)
+        val med = li.groupBy(col("l_returnflag").as("rf"))
+          .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+        val dev = li.join(broadcast(med), col("l_returnflag") === col("rf"))
+          .select(col("rf"), abs(col("l_extendedprice") - col("med")).as("adev"), col("med"))
+        val mad = dev.groupBy("rf")
+          .agg(expr("percentile(adev, 0.5)").as("mad"), max("med").as("med"))
+        dev.drop("med").join(broadcast(mad), Seq("rf"))
+          .groupBy("rf")
+          .agg(
+            round(max("med"), 4).as("median_price"),
+            round(max("mad"), 4).as("mad_price"),
+            count(when(lit(0.6745) * col("adev") / col("mad") > 3.5, 1)).as("n_outliers"),
+            count(lit(1)).as("n_rows"))
+          .withColumnRenamed("rf", "l_returnflag")
+          .orderBy("l_returnflag")
+      }
+    }.withBench { (s, d) =>
+      // production: both percentile passes become one-pass mergeable
+      // sketches (a5's rationale — exact percentile buffers every value)
+      val li = Tables.lineitem(s, d)
+      val med = li.groupBy(col("l_returnflag").as("rf"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("med"))
+      val dev = li.join(broadcast(med), col("l_returnflag") === col("rf"))
+        .select(col("rf"), abs(col("l_extendedprice") - col("med")).as("adev"), col("med"))
+      val mad = dev.groupBy("rf")
+        .agg(percentile_approx(col("adev"), lit(0.5), lit(10000)).as("mad"), max("med").as("med"))
+      dev.drop("med").join(broadcast(mad), Seq("rf"))
+        .groupBy("rf")
+        .agg(
+          round(max("med"), 4).as("median_price"),
+          round(max("mad"), 4).as("mad_price"),
+          count(when(lit(0.6745) * col("adev") / col("mad") > 3.5, 1)).as("n_outliers"),
+          count(lit(1)).as("n_rows"))
+        .withColumnRenamed("rf", "l_returnflag")
+    },
+
     sql("d5_onehot",
       "D5: one-hot encoding — categorical flag/status to 0/1 indicator columns (explicit category list, map-side, no discovery scan; the categorical-feature step)",
       """SELECT l_orderkey, l_linenumber,

@@ -285,7 +285,10 @@ class PlanSpec extends AnyFunSuite {
     //   ops/Mixture.scala (2)           1-row weight total; per-source quota dim
     //   streaming/EventStreams.scala (1) user dimension (stream-static enrich)
     //   queries/JoinQueries.scala (3)   nation/region/part dims
-    //   queries/ExtraQueries.scala (4)  1-row global-stats frames
+    //   queries/ExtraQueries.scala (8)  1-row global-stats frames (4);
+    //                                   d7's per-group median/MAD stat
+    //                                   frames ×2 oracle + ×2 bench (≤3
+    //                                   rows — group-keyed p2 discipline)
     //   queries/StatsQueries.scala (4)  1-row thresholds/bounds/global stats
     //   queries/SimilarityQueries.scala (3) query vectors (1 row)
     //   queries/TextQueries.scala (5)   vocab-capped df/freq tables, 1-row totals
@@ -302,7 +305,7 @@ class PlanSpec extends AnyFunSuite {
       "ops/Mixture.scala" -> 2,
       "streaming/EventStreams.scala" -> 1,
       "queries/JoinQueries.scala" -> 3,
-      "queries/ExtraQueries.scala" -> 4,
+      "queries/ExtraQueries.scala" -> 8,
       "queries/StatsQueries.scala" -> 4,
       "queries/SimilarityQueries.scala" -> 3,
       "queries/TextQueries.scala" -> 5,
