@@ -1,6 +1,8 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StringType, StructType}
 
 /** JDBC sources — the reference's "run arbitrary SQL against the
   * warehouse, get a frame back" path (reference:
@@ -53,4 +55,64 @@ object Sources {
       .option("user", user)
       .option("password", password)
       .load()
+
+  /** Outcome of a quarantined ingest: row counts for both channels. */
+  final case class IngestReport(good: Long, quarantined: Long)
+
+  /** Schema-enforced JSON-lines ingest with corrupt-record QUARANTINE —
+    * the bulk-ingest contract at 100 TB: one malformed line in a billion
+    * must neither kill the job (FAILFAST) nor silently vanish
+    * (DROPMALFORMED); it lands in a reviewable side channel with its raw
+    * bytes intact. PERMISSIVE parsing captures each unparseable or
+    * type-mismatched line's raw text in a corrupt-record column; good
+    * rows and the quarantine sliver split from ONE parse of the input.
+    *
+    * Returns the good-row frame (exactly `schema`) after writing the
+    * raw rejected lines to `quarantinePath` as text. Rows that parse
+    * but carry nulls in fields the pipeline requires are NOT corrupt —
+    * that is the schema gate's job (ops/Quality P6), downstream.
+    *
+    * Spark contract note: querying the corrupt-record column straight
+    * off the raw-file plan is disallowed (UNSUPPORTED_FEATURE
+    * .QUERY_ONLY_CORRUPT_RECORD_COLUMN), and the documented `cache()`
+    * workaround does not survive the V1 write path — the write command
+    * plans its scan without cache substitution, resurrecting the raw
+    * corrupt-only scan. So the parsed frame is `localCheckpoint`ed
+    * (eager): ONE parse pass serves both channels, no raw-file relation
+    * survives into either, and the returned good frame reads the
+    * materialized snapshot instead of re-parsing. The snapshot lives in
+    * executor memory-and-disk until the frame is GC'd — the price of
+    * the split; callers wanting a stream-through good channel can
+    * simply re-read with DROPMALFORMED after reviewing the report. */
+  def jsonWithQuarantine(spark: SparkSession, path: String, schema: StructType,
+                         quarantinePath: String): (DataFrame, IngestReport) =
+    readWithQuarantine(schema, quarantinePath) { (s, corrupt) =>
+      spark.read.schema(s)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .json(path)
+    }
+
+  /** [[jsonWithQuarantine]] for headerless CSV (same channel contract). */
+  def csvWithQuarantine(spark: SparkSession, path: String, schema: StructType,
+                        quarantinePath: String): (DataFrame, IngestReport) =
+    readWithQuarantine(schema, quarantinePath) { (s, corrupt) =>
+      spark.read.schema(s)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .csv(path)
+    }
+
+  private def readWithQuarantine(schema: StructType, quarantinePath: String)(
+      read: (StructType, String) => DataFrame): (DataFrame, IngestReport) = {
+    val corrupt = "_corrupt_record"
+    require(!schema.fieldNames.contains(corrupt),
+      s"schema must not declare $corrupt — it is the quarantine channel")
+    val parsed = read(schema.add(corrupt, StringType), corrupt).localCheckpoint()
+    parsed.filter(col(corrupt).isNotNull).select(col(corrupt).as("raw"))
+      .write.mode("overwrite").text(quarantinePath)
+    val badN = parsed.sparkSession.read.text(quarantinePath).count()
+    val good = parsed.filter(col(corrupt).isNull).drop(corrupt)
+    (good, IngestReport(parsed.count() - badN, badN))
+  }
 }
