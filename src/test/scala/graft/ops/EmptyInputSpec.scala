@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Totality over the EMPTY corpus — the boundary every incremental /
+  * scheduled pipeline actually hits (a quiet ingest hour, a filter that
+  * drops everything, the first run ever). Each operator family must
+  * return an empty, correctly-shaped frame — never throw, never hang in
+  * an iteration loop, never divide by a zero total. */
+class EmptyInputSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def emptyDocs: DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+
+  private def emptyPairs: DataFrame =
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("id1", LongType), StructField("id2", LongType))))
+
+  test("dedup family: empty corpus yields empty pairs, clusters, and index without iteration") {
+    assert(Dedup.minhashNearDup(emptyDocs).count() == 0)
+    assert(Dedup.exactJaccardPairs(Dedup.shingleDF(emptyDocs), 0.8).count() == 0)
+    val labels = Dedup.connectedComponents(emptyPairs)
+    assert(labels.count() == 0)
+    assert(labels.columns.toSeq == Seq("doc_id", "cluster"))
+    assert(Dedup.lshBandIndex(emptyDocs).count() == 0)
+    assert(Dedup.shingleDfTable(Dedup.shingleDF(emptyDocs)).count() == 0)
+  }
+
+  test("incremental dedup: empty batch against a real index, and a real batch against an empty index") {
+    val docs = graft.model.Tables.documents(spark, TestSpark.sfDir).limit(50)
+    val index = Dedup.lshBandIndex(docs)
+    assert(Dedup.incrementalNearDup(emptyDocs, docs, index).count() == 0)
+    val some = docs.filter(col("doc_id") < 10)
+    // empty archive: only within-batch pairs can surface; must not throw
+    Dedup.incrementalNearDup(some, emptyDocs, Dedup.lshBandIndex(emptyDocs)).count()
+    assert(Dedup.updateClusters(Dedup.connectedComponents(emptyPairs), emptyPairs).count() == 0)
+  }
+
+  test("graph + decontam: empty pair graph and empty eval set are total") {
+    assert(Graph.pageRank(emptyPairs, iters = 3).count() == 0)
+    assert(Graph.pageRankFixedPoint(emptyPairs, iters = 3).count() == 0)
+    val train = graft.model.Tables.documents(spark, TestSpark.sfDir).limit(20)
+    assert(Decontam.contamination(train, emptyDocs, k = 5).count() == 0)
+    assert(Decontam.contamination(emptyDocs, train, k = 5).count() == 0)
+  }
+
+  test("mergeable states: empty slices merge with real slices as identities") {
+    val li = graft.model.Tables.lineitem(spark, TestSpark.sfDir)
+    val keys = Seq("l_returnflag")
+    val empty = li.filter(lit(false))
+    val full = Merge.partialStats(li, keys, "l_quantity")
+    val merged = Merge.mergeStats(Seq(full, Merge.partialStats(empty, keys, "l_quantity")), keys)
+    val a = Merge.finalizeStats(full, keys).orderBy(keys.head).collect().map(_.toSeq).toSeq
+    val b = Merge.finalizeStats(merged, keys).orderBy(keys.head).collect().map(_.toSeq).toSeq
+    assert(a == b, "empty slice must be the merge identity")
+    assert(Merge.finalizeQuantiles(
+      Merge.partialQuantileState(empty, keys, "l_quantity"), keys, Seq(0.5)).count() == 0)
+    assert(Merge.finalizeTopK(Merge.partialFreqState(empty, keys, "l_returnflag"), keys, 3).count() == 0)
+  }
+
+  test("packing + mixture: empty corpus packs to zero shards and mixes to zero rows") {
+    val emptyTok = emptyDocs.select(col("doc_id"), col("n_chars").as("n_tokens"))
+    assert(Packing.packByBudget(emptyTok, "doc_id", "n_tokens", 1000L).count() == 0)
+    assert(Mixture.temperatureMixture(emptyDocs, budget = 100).count() == 0)
+  }
+}
