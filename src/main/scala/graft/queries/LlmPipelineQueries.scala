@@ -255,6 +255,61 @@ object LlmPipelineQueries {
       import org.apache.spark.sql.functions.{col, xxhash64}
       graft.ops.Mixture.temperatureMixture(Tables.documents(s, d), budget = 200L,
         hashOrder = Some(xxhash64(col("doc_id"))))
+    },
+
+    sql("llm8_data_card",
+      "LLM pipeline: the corpus DATA CARD — one per-source summary frame (doc share in ppm, token mass, quality distribution, language spread, exact-dup exposure) — the release artifact published next to a training corpus",
+      // one text-keyed agg (dup exposure) + one source-keyed agg + a
+      // whole-frame window on the ≤5-row source sliver for the ppm
+      // shares (a22's integer-fixed-point discipline); quality reuses
+      // the single llm-family definition
+      s"""WITH tc AS (SELECT text, COUNT(*) AS n_copies FROM documents GROUP BY text),
+         |base AS (SELECT d.source, d.lang,
+         |   CAST(len(string_split(d.text,' ')) AS BIGINT) AS n_tokens,
+         |   ${qualitySql.replace("string_split(text", "string_split(d.text")} AS quality,
+         |   CASE WHEN tc.n_copies > 1 THEN 1 ELSE 0 END AS is_dup
+         | FROM documents d JOIN tc ON d.text = tc.text),
+         |agg AS (SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+         |   ROUND(AVG(quality), 4) AS avg_quality,
+         |   COUNT(CASE WHEN quality < 60 THEN 1 END) AS low_quality_docs,
+         |   COUNT(DISTINCT lang) AS n_langs,
+         |   CAST(SUM(is_dup) AS BIGINT) AS dup_text_docs
+         | FROM base GROUP BY source)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST((n_docs * 1000000) // SUM(n_docs) OVER () AS BIGINT) AS docs_ppm,
+         |  CAST(total_tokens AS BIGINT) AS total_tokens, avg_quality,
+         |  low_quality_docs, CAST(n_langs AS BIGINT) AS n_langs, dup_text_docs
+         | FROM agg ORDER BY source""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.documents(s, d)
+        // at 100 TB the dup-exposure join keys on xxhash64(text) (dd1's
+        // shuffle-width discipline); the oracle keeps the string
+        val tc = docs.groupBy("text").agg(count(lit(1)).as("n_copies"))
+        val base = docs.join(tc, "text").select(
+          col("source"), col("lang"),
+          graft.ops.TextOps.tokenCount(col("text")).as("n_tokens"),
+          graft.ops.TextOps.qualityScore(col("text"),
+            graft.ops.TextOps.corpusStopwords).as("quality"),
+          when(col("n_copies") > 1, 1L).otherwise(0L).as("is_dup"))
+        val agg = base.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          round(avg("quality"), 4).as("avg_quality"),
+          count(when(col("quality") < 60, 1)).as("low_quality_docs"),
+          countDistinct("lang").as("n_langs"),
+          sum("is_dup").as("dup_text_docs"))
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.partitionBy(lit(1))
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        agg
+          .withColumn("__tot", sum("n_docs").over(w))
+          .select(col("source"), col("n_docs"),
+            expr("n_docs * 1000000L div __tot").as("docs_ppm"),
+            col("total_tokens"), col("avg_quality"),
+            col("low_quality_docs"), col("n_langs"), col("dup_text_docs"))
+          .orderBy("source")
+      }
     }
   )
 }
