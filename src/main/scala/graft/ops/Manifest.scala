@@ -72,9 +72,15 @@ object Manifest {
   /** Closed-interval scan over `dataPath` reading ONLY files whose
     * manifest envelope intersects every `(column, lo, hi)` range; the
     * row-level predicate is re-applied (the manifest prunes, it does
-    * not filter). Null file stats fail no interval check, so files
-    * without signal are read, never wrongly skipped. Equals the full
-    * scan + filter bit-for-bit (pinned in ManifestSpec). */
+    * not filter). Two conservative rules make staleness safe in BOTH
+    * directions: null file stats fail no interval check (a file without
+    * signal is read, never wrongly skipped), and the surviving list is
+    * reconciled against the LIVE directory listing — files the manifest
+    * has never seen (appended since [[writeManifest]]) are always read,
+    * and manifest entries for files that no longer exist are dropped.
+    * So a stale manifest can only cost pruning power, never rows.
+    * Equals the full scan + filter bit-for-bit (pinned in ManifestSpec,
+    * including the append-after-manifest case). */
   def prunedScan(spark: SparkSession, dataPath: String,
                  ranges: Seq[(String, Double, Double)],
                  manifest: Option[DataFrame] = None): DataFrame = {
@@ -87,10 +93,26 @@ object Manifest {
           (col(s"${c}_max").cast("double") >= lo &&
             col(s"${c}_min").cast("double") <= hi))
     }
-    // driver file LIST — metadata-scale (one string per surviving file),
-    // the exact structure Spark's FileIndex holds for every scan; this
-    // is planning, not a data funnel (registered in PlanSpec's audit)
-    val files = keep.select("file").collect().map(_.getString(0)).toIndexedSeq
+    // driver file LISTS — metadata-scale (one string per file), the
+    // exact structure Spark's FileIndex holds for every scan; this is
+    // planning, not a data funnel (registered in PlanSpec's audit).
+    // Keys are scheme-stripped URI paths: input_file_name() yields
+    // file:///... while FS listings yield file:/... — same file.
+    def key(s: String): String = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val surviving = keep.select("file").collect().map(_.getString(0)).map(key).toSet
+    val known = m.select("file").collect().map(_.getString(0)).map(key).toSet
+    val p = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val live = {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ListBuffer.empty[String]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) buf += f.toString
+      }
+      buf.toList
+    }
+    val files = live.filter(f => surviving.contains(key(f)) || !known.contains(key(f)))
     val pred = ranges
       .map { case (c, lo, hi) => col(c).cast("double").between(lo, hi) }
       .reduce(_ && _)

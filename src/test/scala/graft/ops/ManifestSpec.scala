@@ -67,6 +67,22 @@ class ManifestSpec extends AnyFunSuite {
     assert(m.count() == spark.read.parquet(dir).inputFiles.length)
   }
 
+  test("files appended after the manifest are ALWAYS read: staleness costs pruning power, never rows") {
+    val dir = clusteredDir()
+    // append rows inside the query box without refreshing the manifest
+    Seq((90000L, 11, 200), (90001L, 12, 201)).toDF("id", "x", "y")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val pruned = Manifest.prunedScan(spark, dir, Seq(("x", 10.0, 13.0)))
+    val full = spark.read.parquet(dir)
+      .filter(col("x").cast("double").between(10.0, 13.0))
+    assert(pruned.orderBy("id").collect().map(_.toSeq).toSeq
+      == full.orderBy("id").collect().map(_.toSeq).toSeq)
+    assert(pruned.filter(col("id") >= 90000L).count() == 2,
+      "appended (manifest-unknown) rows must surface without a refresh")
+    // and the scan still prunes the files the manifest DOES know
+    assert(pruned.inputFiles.length < spark.read.parquet(dir).inputFiles.length)
+  }
+
   test("prunedScan composes with Z-order: a 2-D box prunes under zOrderWrite") {
     val dir = Files.createTempDirectory("graft-manifest-z").toString + "/t"
     Layout.zOrderWrite(grid, dir, Seq("x", "y"), partitions = 16, bits = 3)
