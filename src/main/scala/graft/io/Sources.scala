@@ -93,6 +93,29 @@ object Sources {
         .json(path)
     }
 
+  /** [[jsonWithQuarantine]] over an in-memory frame of raw JSON lines
+    * (single string column) instead of a path — the form a STREAMING
+    * ingest uses inside `foreachBatch`: each arriving micro-batch of
+    * raw text splits into parsed rows + quarantined lines with the same
+    * channel contract, and appends each channel to its landing dir
+    * (StreamingSpec pins replayed-stream == one-shot-batch parity). */
+  def jsonLinesWithQuarantine(lines: DataFrame, schema: StructType,
+                              quarantinePath: String): (DataFrame, IngestReport) = {
+    require(lines.schema.fields.length == 1 &&
+      lines.schema.fields.head.dataType == StringType,
+      s"expected a single string column of raw lines, got ${lines.schema.simpleString}")
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val ds = lines.select(col(lines.columns.head)).as[String]
+    readWithQuarantine(schema, quarantinePath, quarantineMode = "append") {
+      (s, corrupt) =>
+        spark.read.schema(s)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", corrupt)
+          .json(ds)
+    }
+  }
+
   /** [[jsonWithQuarantine]] for headerless CSV (same channel contract). */
   def csvWithQuarantine(spark: SparkSession, path: String, schema: StructType,
                         quarantinePath: String): (DataFrame, IngestReport) =
@@ -103,15 +126,20 @@ object Sources {
         .csv(path)
     }
 
-  private def readWithQuarantine(schema: StructType, quarantinePath: String)(
+  private def readWithQuarantine(schema: StructType, quarantinePath: String,
+                                 quarantineMode: String = "overwrite")(
       read: (StructType, String) => DataFrame): (DataFrame, IngestReport) = {
     val corrupt = "_corrupt_record"
     require(!schema.fieldNames.contains(corrupt),
       s"schema must not declare $corrupt — it is the quarantine channel")
     val parsed = read(schema.add(corrupt, StringType), corrupt).localCheckpoint()
-    parsed.filter(col(corrupt).isNotNull).select(col(corrupt).as("raw"))
-      .write.mode("overwrite").text(quarantinePath)
-    val badN = parsed.sparkSession.read.text(quarantinePath).count()
+    val bad = parsed.filter(col(corrupt).isNotNull)
+    bad.select(col(corrupt).as("raw"))
+      .write.mode(quarantineMode).text(quarantinePath)
+    // counts come from the checkpointed snapshot, not a quarantine
+    // read-back — in append mode (streaming micro-batches) the dir holds
+    // PRIOR batches' lines too, and the report is per-call
+    val badN = bad.count()
     val good = parsed.filter(col(corrupt).isNull).drop(corrupt)
     (good, IngestReport(parsed.count() - badN, badN))
   }

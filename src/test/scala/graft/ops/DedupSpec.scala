@@ -145,6 +145,16 @@ class DedupSpec extends AnyFunSuite {
     // one-shot over A∪B equals the two-step composition
     val oneShot = Dedup.updateClusters(labels0, batchA.unionByName(batchB))
     assert(toMap(oneShot) == full)
+
+    // the label table is the third persisted artifact (next to the LSH
+    // index + df table): a batch folded into the PARQUET-served table
+    // must equal the in-memory fold bit for bit — schema/types surviving
+    // storage is what makes the nightly label-maintenance job composable
+    val dir = java.nio.file.Files.createTempDirectory("graft-labels").toString + "/labels"
+    graft.io.Sinks.parquet(afterA, dir)
+    val served = Dedup.updateClusters(spark.read.parquet(dir), batchB)
+    assert(toMap(served) == full,
+      "label table did not survive parquet: served fold != in-memory fold")
   }
 
   test("incrementalNearDup == full run restricted to batch-involving pairs; corpus-internal pairs excluded") {

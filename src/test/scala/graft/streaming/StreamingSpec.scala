@@ -99,6 +99,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.forall(b => latest((b.getString(0), b.getString(1))).contains(b)))
   }
 
+  test("streaming quarantined ingest: replayed raw-line stream == one-shot batch split") {
+    // raw JSON lines, some malformed / type-broken, replayed 1 file per
+    // micro-batch; each batch splits via jsonLinesWithQuarantine and
+    // appends both channels — end state must equal the one-shot batch run
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val lines = (0 until 30).map {
+      case i if i % 7 == 3 => s"""{"id": "bad-$i", "name": "x"}"""
+      case i if i % 11 == 5 => s"{broken $i"
+      case i => s"""{"id": $i, "name": "n$i"}"""
+    }
+    val srcDir = Files.createTempDirectory("graft-qstream-src")
+    lines.grouped(10).zipWithIndex.foreach { case (chunk, i) =>
+      java.nio.file.Files.write(srcDir.resolve(s"part-$i.txt"),
+        chunk.mkString("\n").getBytes("UTF-8"))
+    }
+    val goodDir = Files.createTempDirectory("graft-qstream-good").toString + "/g"
+    val qDir = Files.createTempDirectory("graft-qstream-bad").toString + "/q"
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", "1").text(srcDir.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (good, _) = graft.io.Sources.jsonLinesWithQuarantine(batch, schema, qDir)
+        graft.io.Sinks.parquet(good, goodDir, mode = "append")
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // one-shot batch reference over the same raw file set
+    val (goodRef, report) = graft.io.Sources.jsonWithQuarantine(
+      spark, srcDir.toString, schema, Files.createTempDirectory("graft-qref").toString + "/q")
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.orderBy("id").collect().map(_.toSeq).toSeq
+    assert(key(spark.read.parquet(goodDir)) == key(goodRef))
+    assert(spark.read.text(qDir).count() == report.quarantined)
+    assert(report.quarantined > 0, "fixture must exercise the quarantine channel")
+  }
+
   test("streaming decontamination: flagged ids on a doc stream equal the batch report") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, TestSpark.sfDir)
