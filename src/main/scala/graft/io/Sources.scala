@@ -102,7 +102,7 @@ object Sources {
   def jsonLinesWithQuarantine(lines: DataFrame, schema: StructType,
                               quarantinePath: String): (DataFrame, IngestReport) = {
     require(lines.schema.fields.length == 1 &&
-      lines.schema.fields.head.dataType == StringType,
+      lines.schema.fields(0).dataType == StringType,
       s"expected a single string column of raw lines, got ${lines.schema.simpleString}")
     val spark = lines.sparkSession
     import spark.implicits._

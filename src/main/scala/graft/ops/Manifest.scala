@@ -52,6 +52,60 @@ object Manifest {
     buildManifest(spark, dataPath, cols)
       .coalesce(1).write.mode("overwrite").parquet(manifestPath(dataPath))
 
+  /** Incremental manifest maintenance: stat ONLY the files the persisted
+    * manifest has never seen (a just-appended batch), union with the
+    * still-live known rows, and rewrite — work ∝ new files, never the
+    * table (the df-table/label-table discipline applied to file stats).
+    * Entries for files that vanished (compaction without refresh,
+    * retention deletes) are dropped in the same pass. Equals a full
+    * [[writeManifest]] recompute row-for-row (pinned in ManifestSpec). */
+  def appendManifest(spark: SparkSession, dataPath: String,
+                     cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "appendManifest needs at least one column")
+    def key(s: String): String = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val old = spark.read.parquet(manifestPath(dataPath)).localCheckpoint()
+    val p = new org.apache.hadoop.fs.Path(dataPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val live = {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ListBuffer.empty[String]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) buf += f.toString
+      }
+      buf.toList
+    }
+    val known = old.select("file").collect().map(_.getString(0)).map(key).toSet
+    val fresh = live.filterNot(f => known.contains(key(f)))
+    // still-live known rows via a semi-join on the normalized path — an
+    // 800k-literal isin() expression would blow up codegen at real file
+    // counts; a join on the metadata-scale listing frame stays flat
+    import spark.implicits._
+    val liveDf = live.map(key).toDF("__live_key")
+    val kept = old.withColumn("__k", udfFreeKey(old("file")))
+      .join(liveDf, col("__k") === col("__live_key"), "left_semi")
+      .drop("__k")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+    val merged =
+      if (fresh.isEmpty) kept
+      else kept.unionByName(
+        spark.read.parquet(fresh: _*)
+          .groupBy(input_file_name().as("file"))
+          .agg(count(lit(1)).as("n_rows"), aggs: _*))
+    merged.coalesce(1).write.mode("overwrite").parquet(manifestPath(dataPath) + ".__tmp")
+    val mp = new org.apache.hadoop.fs.Path(manifestPath(dataPath))
+    fs.delete(mp, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(manifestPath(dataPath) + ".__tmp"), mp),
+      s"appendManifest: manifest swap rename failed for $mp")
+  }
+
+  /** Scheme-stripped URI path of a file column — `input_file_name()`
+    * yields `file:///...` while FS listings yield `file:/...`; both
+    * normalize to the bare path. Pure Catalyst (no UDF). */
+  private def udfFreeKey(fileCol: org.apache.spark.sql.Column) =
+    regexp_replace(fileCol, "^[a-zA-Z0-9]+:/+", "/")
+
   /** Rebuild an existing manifest after the underlying files changed
     * (compaction, re-clustering): the tracked columns are recovered
     * from the persisted manifest's own schema (`<c>_min` stat columns),

@@ -251,17 +251,17 @@ class PlanSpec extends AnyFunSuite {
     //   ops/Quality.scala         dup count + metrics row — 1-row aggs (×2)
     //   queries/DedupQueries.scala dd6 batch split point — 1-row max() agg
     //     .head (same class as the IQR/quality scalars)
-    //   ops/Manifest.scala        pruned-scan surviving + known FILE lists
-    //     (×2) — metadata scale (one string per file), the structure
-    //     Spark's own FileIndex holds on the driver for every scan;
-    //     planning, not row data
+    //   ops/Manifest.scala        pruned-scan surviving + known FILE lists,
+    //     appendManifest known-file list (×3) — metadata scale (one string
+    //     per file), the structure Spark's own FileIndex holds on the
+    //     driver for every scan; planning, not row data
     // Scala-collection .head/.take on arrays/strings don't match these
     // patterns; a new DataFrame action anywhere else fails this test.
     val actionPattern = """\.collect\(\)|\.head\(\)|\.head\.|\.first\(\)|\.toLocalIterator|collectAsList|toPandas""".r
     val allowed = Map(
       "ops/Cleaning.scala" -> 1,
       "ops/Quality.scala" -> 2,
-      "ops/Manifest.scala" -> 2,
+      "ops/Manifest.scala" -> 3,
       "queries/DedupQueries.scala" -> 1)
     val found = mainSourceLines
       .filter { case (_, line) => actionPattern.findFirstIn(line).isDefined }

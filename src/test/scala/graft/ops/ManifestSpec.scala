@@ -83,6 +83,23 @@ class ManifestSpec extends AnyFunSuite {
     assert(pruned.inputFiles.length < spark.read.parquet(dir).inputFiles.length)
   }
 
+  test("appendManifest stats only the new files and equals a full recompute") {
+    val dir = clusteredDir()
+    Seq((91000L, 20, 300), (91001L, 21, 301)).toDF("id", "x", "y")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Manifest.appendManifest(spark, dir, Seq("x", "y"))
+    val incr = spark.read.parquet(Manifest.manifestPath(dir))
+      .collect().map(_.toSeq).toSet
+    Manifest.writeManifest(spark, dir, Seq("x", "y"))
+    val full = spark.read.parquet(Manifest.manifestPath(dir))
+      .collect().map(_.toSeq).toSet
+    assert(incr == full, "incremental manifest != full recompute")
+    // and the appended rows are pruned-scannable immediately
+    val hit = Manifest.prunedScan(spark, dir, Seq(("y", 300.0, 301.0)))
+    assert(hit.count() == 2)
+    assert(hit.inputFiles.length == 1, "fresh stats should pin the new rows to their one file")
+  }
+
   test("prunedScan composes with Z-order: a 2-D box prunes under zOrderWrite") {
     val dir = Files.createTempDirectory("graft-manifest-z").toString + "/t"
     Layout.zOrderWrite(grid, dir, Seq("x", "y"), partitions = 16, bits = 3)
