@@ -300,6 +300,25 @@ object DedupQueries {
             countDistinct(col("pre")).as("n_prefixes"))
           .orderBy("source_a", "source_b")
       }
+    }.withBench { (s, d) =>
+      // production: the shuffle key is xxhash64(prefix) — 8 bytes instead
+      // of the 16-token string (dd1's width discipline; a 2⁻⁶⁴ collision
+      // could only merge two prefix groups) — and the oracle sort drops
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), col("source"),
+        xxhash64(array_join(slice(split(col("text"), " "), 1, 16), " ")).as("pre"))
+      val shared = docs.groupBy("pre").count()
+        .filter(col("count") > 1).select("pre")
+      val cand = docs.join(shared, "pre")
+      cand.as("a").join(cand.as("b"),
+          col("a.pre") === col("b.pre") && col("a.doc_id") < col("b.doc_id"))
+        .select(
+          least(col("a.source"), col("b.source")).as("source_a"),
+          greatest(col("a.source"), col("b.source")).as("source_b"),
+          col("a.pre").as("pre"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("pre")).as("n_prefixes"))
     }
   )
 }

@@ -310,6 +310,36 @@ object LlmPipelineQueries {
             col("low_quality_docs"), col("n_langs"), col("dup_text_docs"))
           .orderBy("source")
       }
+    }.withBench { (s, d) =>
+      // production: dup exposure joins on xxhash64(text) — 8-byte
+      // shuffle keys instead of full document texts (dd1's discipline);
+      // the oracle-only sort drops
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+        .withColumn("__th", xxhash64(col("text")))
+      val tc = docs.groupBy("__th").agg(count(lit(1)).as("n_copies"))
+      val base = docs.join(tc, "__th").select(
+        col("source"), col("lang"),
+        graft.ops.TextOps.tokenCount(col("text")).as("n_tokens"),
+        graft.ops.TextOps.qualityScore(col("text"),
+          graft.ops.TextOps.corpusStopwords).as("quality"),
+        when(col("n_copies") > 1, 1L).otherwise(0L).as("is_dup"))
+      val agg = base.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("quality"), 4).as("avg_quality"),
+        count(when(col("quality") < 60, 1)).as("low_quality_docs"),
+        countDistinct("lang").as("n_langs"),
+        sum("is_dup").as("dup_text_docs"))
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(lit(1))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+      agg
+        .withColumn("__tot", sum("n_docs").over(w))
+        .select(col("source"), col("n_docs"),
+          expr("n_docs * 1000000L div __tot").as("docs_ppm"),
+          col("total_tokens"), col("avg_quality"),
+          col("low_quality_docs"), col("n_langs"), col("dup_text_docs"))
     }
   )
 }
