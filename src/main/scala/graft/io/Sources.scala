@@ -126,6 +126,45 @@ object Sources {
         .csv(path)
     }
 
+  /** Schema-evolution-on-read: a long-lived table's parquet files span
+    * schema versions (columns added over time, ints widened to longs).
+    * Reads with `mergeSchema` and conforms the union to `expected`:
+    * columns a file generation lacks surface as typed nulls, columns the
+    * caller no longer wants are dropped, SAFE widenings
+    * (byte/short/int→long, int/long/float→double) cast silently, and any
+    * LOSSY mismatch (string→int, double→long, …) fails loudly instead of
+    * silently truncating — the failure mode schema drift actually causes
+    * at 100 TB is a quiet cast eating precision for months.
+    * Name resolution is exact-match (the engine's tables are
+    * machine-written; case drift would itself be a bug worth surfacing). */
+  def parquetEvolved(spark: SparkSession, path: String,
+                     expected: StructType): DataFrame = {
+    val raw = spark.read.option("mergeSchema", "true").parquet(path)
+    val rawTypes = raw.schema.fields.map(f => f.name -> f.dataType).toMap
+    val cols = expected.fields.map { f =>
+      rawTypes.get(f.name) match {
+        case None => org.apache.spark.sql.functions.lit(null)
+          .cast(f.dataType).as(f.name)
+        case Some(dt) if dt == f.dataType => col(f.name)
+        case Some(dt) if widens(dt, f.dataType) =>
+          col(f.name).cast(f.dataType).as(f.name)
+        case Some(dt) => throw new IllegalArgumentException(
+          s"parquetEvolved: column ${f.name} is $dt on disk but ${f.dataType} " +
+            "expected — not a safe widening; refusing to cast lossily")
+      }
+    }
+    raw.select(cols.toIndexedSeq: _*)
+  }
+
+  import org.apache.spark.sql.types._
+
+  /** Lossless numeric widenings (value-preserving for every input). */
+  private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType | ShortType | IntegerType, LongType) => true
+    case (ByteType | ShortType | IntegerType | FloatType, DoubleType) => true
+    case _ => false
+  }
+
   private def readWithQuarantine(schema: StructType, quarantinePath: String,
                                  quarantineMode: String = "overwrite")(
       read: (StructType, String) => DataFrame): (DataFrame, IngestReport) = {
