@@ -86,6 +86,22 @@ object DedupQueries {
        |SELECT doc_id, MIN(label) AS cluster FROM cc
        | GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", "")
 
+  /** dd10: cluster-SIZE histogram over the same CC ground truth — the
+    * "how much duplication do we have" dashboard number (n clusters of
+    * each size, plus member mass). */
+  private val clusterSizeOracle =
+    s"""WITH RECURSIVE $jaccardCtes,
+       |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+       |          UNION ALL SELECT id2, id1 FROM pairs),
+       |cc AS (SELECT DISTINCT a AS doc_id, a AS label FROM edges
+       |       UNION
+       |       SELECT e.b AS doc_id, cc.label FROM cc JOIN edges e ON cc.doc_id = e.a),
+       |labels AS (SELECT doc_id, MIN(label) AS cluster FROM cc GROUP BY doc_id),
+       |sizes AS (SELECT cluster, COUNT(*) AS cluster_size FROM labels GROUP BY cluster)
+       |SELECT cluster_size, COUNT(*) AS n_clusters,
+       |       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+       | FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin.replace("\n", "")
+
   /** dd6/dd8 batch split point: top 20% of doc_ids are "today's batch".
     * Sanctioned driver scalar (1-row max() agg — PlanSpec's allowlist),
     * same class as the IQR/quality scalars; not a data collect. */
@@ -251,6 +267,20 @@ object DedupQueries {
         iters = 10)
         .orderBy(col("rank").desc, col("id"))
         .limit(20)
+    },
+
+    sql("dd10_cluster_sizes",
+      "Dedup: cluster-size histogram over the near-dup CC clusters — the duplication dashboard (n clusters per size + member mass); two tiny hash aggs over the label sliver",
+      clusterSizeOracle) {
+      (s, d) =>
+        graft.ops.Dedup.connectedComponents(
+            Dedup.minhashNearDup(Tables.documents(s, d)))
+          .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+          .select(col("cluster_size"),
+            col("n_clusters"),
+            (col("cluster_size") * col("n_clusters")).as("n_docs"))
+          .orderBy("cluster_size")
     },
 
     rowsOnly("dd4_simhash_neardup",
