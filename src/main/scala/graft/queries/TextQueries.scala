@@ -438,6 +438,29 @@ object TextQueries {
             Pii.redact(col("t")).as("redacted"))
           .orderBy("doc_id")
       }
+    }.withBench { (s, d) =>
+      // production: the pass is pure map-side codegen — dropping the
+      // oracle-only total sort leaves ZERO exchanges (one scan, no
+      // shuffle, regardless of corpus size)
+      import graft.ops.Pii
+      val aug = concat(
+        col("text"),
+        when(col("doc_id") % 3 =!= 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" host 10."), (col("doc_id") % 200).cast("string"), lit(".3.7")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" ssn 537-28-"), (lit(1000) + col("doc_id") % 9000).cast("string")))
+          .otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), aug.as("t"))
+        .select(col("doc_id"),
+          Pii.countMatches(col("t"), Pii.emailPattern).as("n_emails"),
+          Pii.countMatches(col("t"), Pii.ipv4Pattern).as("n_ips"),
+          Pii.countMatches(col("t"), Pii.ssnPattern).as("n_ssns"),
+          Pii.redact(col("t")).as("redacted"))
     }
   )
 }
