@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.io.{Sinks, Versioned}
+import graft.ops.{Dedup, Manifest}
+
+/** The INCREMENTAL corpus-maintenance cycle, end to end — the composed
+  * form of the engine's daily-increment story: a new document batch
+  * arrives, and every persisted artifact updates with work proportional
+  * to the BATCH, never the archive.
+  *
+  * Persisted state under one root:
+  *  - `archive/`     the documents themselves (append-only parquet) with
+  *                   a [[graft.ops.Manifest]] stats manifest maintained
+  *                   incrementally (`appendManifest` — stats ∝ new files);
+  *  - `index/`       the LSH band index (append-only: a batch's bands
+  *                   land as new files — ~16 rows/doc of metadata; each
+  *                   file's rows were df-capped with the table epoch
+  *                   current at its build, see the epoch note below);
+  *  - `shingle_df/`  the shingle document-frequency table, EPOCHED via
+  *                   [[graft.io.Versioned]] (vocabulary-scale rewrite per
+  *                   batch — counts merge by addition);
+  *  - `labels/`      cluster labels, epoched via [[graft.io.Versioned]]
+  *                   (1 slim row per pair-involved doc; time travel =
+  *                   "what did dedup say last week", and
+  *                   [[graft.io.Versioned.diff]] shows cluster moves).
+  *
+  * Per [[ingest]] batch: shingle + sign the batch only; probe the
+  * persisted index for candidates; verify exact Jaccard on the batch +
+  * candidate-sliver of the archive; fold the new pairs into the label
+  * table by representative contraction ([[Dedup.updateClusters]] — CC
+  * runs on the contracted batch-sized graph); append the batch's bands
+  * to the index and its rows to the archive; merge its df contribution
+  * into the table.
+  *
+  * Epoch note (the [[Dedup.shingleDfTable]] contract): the batch caps
+  * against the table WITH its own contribution merged (the new epoch);
+  * already-persisted index files keep the cap decisions of their build
+  * epoch. When no shingle crosses `maxDf` between epochs the composed
+  * labels equal a joint [[Dedup.minhashNearDup]]+CC recompute over the
+  * grown corpus bit-for-bit (IncrementalIngestSpec pins this); when one
+  * does, the output stays self-consistent — the documented trade. */
+object IncrementalIngest {
+
+  final case class StatePaths(root: String) {
+    val archive: String = s"$root/archive"
+    val index: String = s"$root/index"
+    val shingleDf: String = s"$root/shingle_df"
+    val labels: String = s"$root/labels"
+  }
+
+  /** Bootstrap the state from an initial corpus. */
+  def init(spark: SparkSession, docs: DataFrame, root: String,
+           maxDf: Long = Dedup.DefaultMaxDf): StatePaths = {
+    val p = StatePaths(root)
+    val dfTable = Dedup.shingleDfTable(Dedup.shingleDF(docs)).localCheckpoint()
+    Versioned.write(dfTable, p.shingleDf)
+    Sinks.parquet(Dedup.lshBandIndexCapped(docs, dfTable, maxDf), p.index)
+    val pairs = Dedup.minhashNearDup(docs, maxDf = Some(maxDf))
+    Versioned.write(Dedup.connectedComponents(pairs.select("id1", "id2")), p.labels)
+    Sinks.parquet(docs, p.archive)
+    Manifest.writeManifest(spark, p.archive, Seq("doc_id"))
+    p
+  }
+
+  /** Outcome of one increment: the new pair count and label epoch. */
+  final case class IngestResult(newPairs: Long, labelVersion: Long)
+
+  /** Fold one arriving batch into the persisted state. Caller contract:
+    * batch doc_ids are disjoint from the archive's (the
+    * [[Dedup.incrementalNearDup]] contract). */
+  def ingest(spark: SparkSession, batch: DataFrame, root: String,
+             maxDf: Long = Dedup.DefaultMaxDf): IngestResult = {
+    val p = StatePaths(root)
+    val archive = spark.read.parquet(p.archive)
+    val index = spark.read.parquet(p.index)
+    val dfTable = Versioned.read(spark, p.shingleDf)
+    val labels = Versioned.read(spark, p.labels)
+    // new epoch FIRST: the batch's own df contribution merges in, so the
+    // batch caps against the table that already counts it
+    val merged = Dedup.mergeShingleDf(Seq(dfTable,
+      Dedup.shingleDfTable(Dedup.shingleDF(batch)))).localCheckpoint()
+    val pairs = Dedup
+      .incrementalNearDupCapped(batch, archive, index, merged, maxDf)
+      .select("id1", "id2").localCheckpoint()
+    val labelVersion = Versioned.write(
+      Dedup.updateClusters(labels, pairs), p.labels)
+    Versioned.write(merged, p.shingleDf)
+    // append-only artifacts: batch bands + batch docs land as new files
+    Sinks.parquet(Dedup.lshBandIndexCapped(batch, merged, maxDf),
+      p.index, mode = "append")
+    Sinks.parquet(batch, p.archive, mode = "append")
+    Manifest.appendManifest(spark, p.archive, Seq("doc_id"))
+    IngestResult(pairs.count(), labelVersion)
+  }
+}

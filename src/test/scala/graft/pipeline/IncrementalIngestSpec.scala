@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.io.Versioned
+import graft.ops.Dedup
+
+class IncrementalIngestSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("two increments over persisted state == joint recompute over the grown corpus; every artifact stays current") {
+    val docs = graft.model.Tables.documents(spark, TestSpark.sfDir)
+    val cut1 = 300L
+    val cut2 = 400L
+    val root = Files.createTempDirectory("graft-incr").toString + "/state"
+
+    val p = IncrementalIngest.init(spark, docs.filter(col("doc_id") < cut1), root)
+    val r1 = IncrementalIngest.ingest(spark,
+      docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2), root)
+    val r2 = IncrementalIngest.ingest(spark, docs.filter(col("doc_id") >= cut2), root)
+    assert(r1.labelVersion == 2L && r2.labelVersion == 3L)
+
+    def labelMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    // the composed incremental labels equal a from-scratch joint run
+    val joint = labelMap(Dedup.connectedComponents(
+      Dedup.minhashNearDup(docs).select("id1", "id2")))
+    val served = labelMap(Versioned.read(spark, p.labels))
+    assert(served == joint,
+      s"incremental state drifted from joint recompute (${served.size} vs ${joint.size} labels)")
+
+    // df table == the grown corpus's own table (counts merged exactly)
+    val dfServed = Versioned.read(spark, p.shingleDf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val dfJoint = Dedup.shingleDfTable(Dedup.shingleDF(docs))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(dfServed == dfJoint)
+
+    // archive holds everything; its manifest covers every live file
+    val archive = spark.read.parquet(p.archive)
+    assert(archive.count() == docs.count())
+    val manifest = spark.read.parquet(graft.ops.Manifest.manifestPath(p.archive))
+    assert(manifest.count() == archive.inputFiles.length)
+    assert(manifest.agg(sum("n_rows")).head().getLong(0) == docs.count())
+
+    // the index serves the NEXT batch too: probing with a known near-dup
+    // of an archived doc must surface the pair (index epoch composes)
+    val labelHistory = Versioned.versions(spark, p.labels)
+    assert(labelHistory == Seq(1L, 2L, 3L), "label table should keep its epochs")
+  }
+}
