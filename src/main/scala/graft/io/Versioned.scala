@@ -65,6 +65,19 @@ object Versioned {
     spark.read.parquet(s"$tablePath/v=$v")
   }
 
+  /** Retention GC: drop all but the newest `keep` versions. Returns the
+    * versions removed. Storage ∝ versions retained is the snapshot
+    * model's cost — this is the knob. Refuses keep < 1 (a table with no
+    * versions is not retention, it is deletion — be explicit). */
+  def retain(spark: SparkSession, tablePath: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, s"retain needs keep >= 1, got $keep")
+    val vs = versions(spark, tablePath)
+    val drop = vs.dropRight(keep)
+    val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
+    drop.foreach(v => fs.delete(new Path(tablePath, s"v=$v"), true))
+    drop
+  }
+
   /** added/removed/changed rows between two committed versions
     * ([[graft.ops.Diff.snapshotDiff]] semantics; `keys` identify rows). */
   def diff(spark: SparkSession, tablePath: String, from: Long, to: Long,

@@ -32,6 +32,18 @@ class VersionedSpec extends AnyFunSuite {
     assert(d == Map(2L -> "changed", 3L -> "added", 4L -> "removed"))
   }
 
+  test("retention drops only the oldest versions; numbering continues after GC") {
+    val dir = Files.createTempDirectory("graft-versioned4").toString + "/t"
+    (1 to 4).foreach(i => Versioned.write(Seq((i.toLong, s"v$i")).toDF("id", "v"), dir))
+    assert(Versioned.retain(spark, dir, keep = 2) == Seq(1L, 2L))
+    assert(Versioned.versions(spark, dir) == Seq(3L, 4L))
+    assert(Versioned.read(spark, dir).collect().map(_.getString(1)).toSeq == Seq("v4"))
+    intercept[IllegalArgumentException](Versioned.read(spark, dir, Some(1L)))
+    // next commit continues from the retained tail, never reuses numbers
+    assert(Versioned.write(Seq((9L, "v5")).toDF("id", "v"), dir) == 5L)
+    intercept[IllegalArgumentException](Versioned.retain(spark, dir, keep = 0))
+  }
+
   test("missing versions and empty tables fail loudly; aborted tmp never surfaces as a version") {
     val dir = Files.createTempDirectory("graft-versioned3").toString + "/t"
     intercept[IllegalArgumentException](Versioned.read(spark, dir))
