@@ -384,4 +384,61 @@ object Merge {
       .filter(col("rn") <= k)
       .withColumn("rn", col("rn").cast("long"))
   }
+
+  // ───── mergeable UNIFORM-SAMPLE state (bottom-k-by-hash / KMV sketch) ─────
+  //
+  // "Keep a fixed-k uniform sample of the growing corpus, updated per
+  // batch" — the bottom-k sketch: give every row a deterministic hash
+  // priority and keep the k smallest per key. The per-slice bottom-k IS
+  // the mergeable state, because bottom-k(A ∪ B) = bottom-k(bottom-k(A)
+  // ∪ bottom-k(B)) — so yesterday's persisted sample plus today's
+  // batch-sample merge to EXACTLY the sample a full rescan would pick
+  // (bit-parity pinned in MergeSpec). Slices must be row-disjoint, like
+  // the counting states: a row seen twice would occupy two sample slots.
+  // Priority must be injective per key — derive it from a row id via the
+  // helpers ([[samplePriorityPortable]] md5 for the cross-engine oracle,
+  // [[samplePriorityFast]] xxhash64 in production: 64-bit vs 128-bit
+  // text, ~4× cheaper, Spark-only).
+
+  /** Engine-portable sample priority: md5 over "-"-joined id columns
+    * (same text DuckDB's md5 produces, the o8 discipline). */
+  def samplePriorityPortable(idCols: Seq[String]): org.apache.spark.sql.Column =
+    md5(concat_ws("-", idCols.map(c => col(c).cast("string")): _*))
+
+  /** Production sample priority: xxhash64 over the id columns. */
+  def samplePriorityFast(idCols: Seq[String]): org.apache.spark.sql.Column =
+    xxhash64(idCols.map(col): _*)
+
+  /** Per-key bottom-`k`-by-priority sample state over a slice. One
+    * window shuffle keyed by the group over the SLICE (the only pass
+    * that ever reads data rows); the state is k rows per key. */
+  def partialSampleState(df: DataFrame, keys: Seq[String],
+                         priority: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    require(k > 0, s"sample size k must be positive, got $k")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__pri").asc)
+    df.withColumn("__pri", priority)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Merge sample states of row-disjoint slices: bottom-k over the
+    * union of STATE rows (k·|keys| rows per slice — never the data). */
+  def mergeSampleStates(states: Seq[DataFrame], keys: Seq[String], k: Int): DataFrame = {
+    require(states.nonEmpty, "mergeSampleStates needs at least one state frame")
+    require(k > 0, s"sample size k must be positive, got $k")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__pri").asc)
+    states.reduce(_.unionByName(_))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Surface a (merged) sample state as the sample itself, with a
+    * deterministic per-key rank (priority order) and bookkeeping
+    * dropped. */
+  def finalizeSample(state: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__pri").asc)
+    state.withColumn("rn", row_number().over(w).cast("long")).drop("__pri")
+  }
 }

@@ -337,6 +337,47 @@ object ExtraQueries {
       }
     },
 
+    sql("u14_incremental_sample",
+      "U14: mergeable uniform-sample state — per-slice bottom-k-by-hash (KMV) samples merged to exactly the sample a full rescan would draw (bottom-k(A∪B) == bottom-k of the slices' bottom-k's); the 'fixed 5-row audit sample per flag, updated per batch' primitive. md5 priority for the oracle, xxhash64 in production",
+      """SELECT l_returnflag, l_orderkey, l_linenumber, rn FROM (
+        | SELECT l_returnflag, l_orderkey, l_linenumber,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |   ORDER BY md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR))) AS BIGINT) AS rn
+        | FROM lineitem)
+        | WHERE rn <= 5 ORDER BY l_returnflag, rn""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // history/batch slices (disjoint on l_orderkey % 5, the u9
+        // discipline) are sampled separately and the STATES merged — at
+        // scale the history state is yesterday's 5-rows-per-key parquet,
+        // so maintaining the sample costs one window over the new batch
+        // plus a merge over k·|keys| state rows, never a rescan
+        val keys = Seq("l_returnflag")
+        val li = Tables.lineitem(s, d)
+          .select("l_returnflag", "l_orderkey", "l_linenumber")
+        val pri = graft.ops.Merge.samplePriorityPortable(
+          Seq("l_orderkey", "l_linenumber"))
+        val history = graft.ops.Merge.partialSampleState(
+          li.filter(col("l_orderkey") % 5 =!= 0), keys, pri, 5)
+        val batch = graft.ops.Merge.partialSampleState(
+          li.filter(col("l_orderkey") % 5 === 0), keys, pri, 5)
+        graft.ops.Merge.finalizeSample(
+          graft.ops.Merge.mergeSampleStates(Seq(history, batch), keys, 5), keys)
+          .orderBy("l_returnflag", "rn")
+      }
+    }.withBench { (s, d) =>
+      // production: xxhash64 priority (8-byte, Spark-native), no oracle sort
+      val keys = Seq("l_returnflag")
+      val li = Tables.lineitem(s, d)
+        .select("l_returnflag", "l_orderkey", "l_linenumber")
+      val pri = graft.ops.Merge.samplePriorityFast(Seq("l_orderkey", "l_linenumber"))
+      val history = graft.ops.Merge.partialSampleState(
+        li.filter(col("l_orderkey") % 5 =!= 0), keys, pri, 5)
+      val batch = graft.ops.Merge.partialSampleState(
+        li.filter(col("l_orderkey") % 5 === 0), keys, pri, 5)
+      graft.ops.Merge.finalizeSample(
+        graft.ops.Merge.mergeSampleStates(Seq(history, batch), keys, 5), keys)
+    },
+
     sql("o10_domain_mixture",
       "O10: training-mixture composer — per-source quotas (curated src0-src4 get 15 docs, crawl-tier sources 5), deterministic hash-order row_number; the doc-level mixture step before shard packaging",
       """SELECT doc_id, source, rn FROM (

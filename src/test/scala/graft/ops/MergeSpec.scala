@@ -353,4 +353,41 @@ class MergeSpec extends AnyFunSuite {
     assert(merged("x") == ((2L, 4.0, 1.0, 3.0)))
     assert(merged("y") == ((1L, 5.0, 5.0, 5.0)))
   }
+
+  test("sample state: merged slice samples are bit-identical to a full-rescan sample") {
+    val rows = (1L to 200L).map(i => (s"g${i % 3}", i)).toDF("g", "id")
+    val pri = Merge.samplePriorityFast(Seq("id"))
+    val k = 7
+    // three disjoint slices vs one full pass
+    val slices = Seq(
+      rows.filter($"id" % 3 === 0), rows.filter($"id" % 3 === 1),
+      rows.filter($"id" % 3 === 2))
+    val merged = Merge.mergeSampleStates(
+      slices.map(Merge.partialSampleState(_, Seq("g"), pri, k)), Seq("g"), k)
+    val direct = Merge.partialSampleState(rows, Seq("g"), pri, k)
+    assert(merged.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
+    // incremental re-merge (yesterday's merged state + an empty-ish new
+    // batch) is idempotent: the sample never drifts on replayed merges
+    val again = Merge.mergeSampleStates(Seq(merged, merged.limit(0)), Seq("g"), k)
+    assert(again.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
+  }
+
+  test("sample state: finalize ranks by priority, keys short of k keep all rows") {
+    val rows = (1L to 4L).map(i => ("only", i)).toDF("g", "id")
+    val got = Merge.finalizeSample(
+      Merge.partialSampleState(rows, Seq("g"), Merge.samplePriorityFast(Seq("id")), 10),
+      Seq("g"))
+    assert(got.count() == 4) // k > group size keeps the whole group
+    assert(got.columns.toSeq == Seq("g", "id", "rn"))
+    assert(got.select("rn").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // portable and fast priorities draw the SAME k rows only by luck —
+    // but each is internally deterministic across repeated runs
+    val p1 = Merge.partialSampleState(rows, Seq("g"),
+      Merge.samplePriorityPortable(Seq("id")), 2).collect().map(_.getLong(1)).toSet
+    val p2 = Merge.partialSampleState(rows, Seq("g"),
+      Merge.samplePriorityPortable(Seq("id")), 2).collect().map(_.getLong(1)).toSet
+    assert(p1 == p2)
+    intercept[IllegalArgumentException](Merge.partialSampleState(
+      rows, Seq("g"), org.apache.spark.sql.functions.lit(1), 0))
+  }
 }
