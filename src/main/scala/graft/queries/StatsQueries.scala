@@ -299,6 +299,98 @@ object StatsQueries {
               .as("dppm"))
           .orderBy("bin")
       }
+    },
+
+    sql("a23_drift_chisq",
+      "A23: chi-square drift decomposition — per-bin two-sample chi-square contributions ((n−E)²/E under the pooled expectation) for the a22 slices; the significance-testable drift monitor. Chi-square over PSI by design: every input is an exact integer count and +,−,×,/ are IEEE-correctly-rounded, so a FIXED operation shape is bit-identical across engines — PSI's ln() is not correctly rounded and can flip a rounded 6dp digit",
+      // One scan → one ≤10-key hash agg; totals via a window over the
+      // agg sliver (the a22 shape). The arithmetic shape is spelled
+      // identically on both sides: E_a = CAST(tot_a)·CAST(n_a+n_b)/
+      // CAST(tot_a+tot_b), contribution (n−E)²/E, rounded 6dp at the
+      // ~10-row aggregate level (§7.5(f)).
+      """WITH b AS (SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bin,
+        |  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS isa
+        | FROM orders),
+        |c AS (SELECT bin, SUM(isa) AS n_a, SUM(1 - isa) AS n_b FROM b GROUP BY bin),
+        |t AS (SELECT bin, n_a, n_b, SUM(n_a) OVER () AS tot_a, SUM(n_b) OVER () AS tot_b FROM c),
+        |e AS (SELECT bin, n_a, n_b,
+        |  CAST(tot_a AS DOUBLE) * CAST(n_a + n_b AS DOUBLE) / CAST(tot_a + tot_b AS DOUBLE) AS e_a,
+        |  CAST(tot_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE) / CAST(tot_a + tot_b AS DOUBLE) AS e_b
+        | FROM t)
+        |SELECT bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        | ROUND((CAST(n_a AS DOUBLE) - e_a) * (CAST(n_a AS DOUBLE) - e_a) / e_a
+        |     + (CAST(n_b AS DOUBLE) - e_b) * (CAST(n_b AS DOUBLE) - e_b) / e_b, 6) AS chi
+        | FROM e ORDER BY bin""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val binned = Tables.orders(s, d).select(
+          floor(col("o_totalprice") / 50000.0).cast("long").as("bin"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("isa"))
+        val counts = binned.groupBy("bin").agg(
+          sum(col("isa")).as("n_a"),
+          sum(lit(1L) - col("isa")).as("n_b"))
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.partitionBy(lit(1))
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        val t = counts
+          .withColumn("tot_a", sum("n_a").over(w))
+          .withColumn("tot_b", sum("n_b").over(w))
+        val pooled = (col("n_a") + col("n_b")).cast("double")
+        val totAll = (col("tot_a") + col("tot_b")).cast("double")
+        val eA = col("tot_a").cast("double") * pooled / totAll
+        val eB = col("tot_b").cast("double") * pooled / totAll
+        val dA = col("n_a").cast("double") - eA
+        val dB = col("n_b").cast("double") - eB
+        t.select(col("bin"), col("n_a"), col("n_b"),
+            round(dA * dA / eA + dB * dB / eB, 6).as("chi"))
+          .orderBy("bin")
+      }
+    },
+
+    sql("a24_drift_ks",
+      "A24: Kolmogorov–Smirnov drift decomposition — per-bin empirical-CDF gap between the a22 slices, CROSS-MULTIPLIED (|cum_a·tot_b − cum_b·tot_a|) so every value stays an exact BIGINT: the KS statistic is max(gap_num)/(tot_a·tot_b), and the max row is flagged without ever dividing. Completes the drift toolbox: TV (a22, share-space), chi-square (a23, significance), KS (CDF-space, binning-robust)",
+      // One scan → ≤10-key agg → TWO windows on the agg sliver (the
+      // cumulative sums and the global max), still never touching data
+      // rows twice. Products ≤ n² ≈ 2.3e8 at sf0.1 — far inside BIGINT;
+      // at 100 TB (n ≈ 1e12) the same query carries the cumulative
+      // counts in DECIMAL(38,0) — documented here, not needed at test SF.
+      """WITH b AS (SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bin,
+        |  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS isa
+        | FROM orders),
+        |c AS (SELECT bin, SUM(isa) AS n_a, SUM(1 - isa) AS n_b FROM b GROUP BY bin),
+        |t AS (SELECT bin, n_a, n_b,
+        |  SUM(n_a) OVER (ORDER BY bin) AS cum_a, SUM(n_b) OVER (ORDER BY bin) AS cum_b,
+        |  SUM(n_a) OVER () AS tot_a, SUM(n_b) OVER () AS tot_b FROM c),
+        |g AS (SELECT bin, cum_a, cum_b, ABS(cum_a * tot_b - cum_b * tot_a) AS gap_num FROM t)
+        |SELECT bin, CAST(cum_a AS BIGINT) AS cum_a, CAST(cum_b AS BIGINT) AS cum_b,
+        | CAST(gap_num AS BIGINT) AS gap_num,
+        | CAST(CASE WHEN gap_num = MAX(gap_num) OVER () THEN 1 ELSE 0 END AS BIGINT) AS is_ks
+        | FROM g ORDER BY bin""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val binned = Tables.orders(s, d).select(
+          floor(col("o_totalprice") / 50000.0).cast("long").as("bin"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("isa"))
+        val counts = binned.groupBy("bin").agg(
+          sum(col("isa")).as("n_a"),
+          sum(lit(1L) - col("isa")).as("n_b"))
+        val W = org.apache.spark.sql.expressions.Window
+        val wCum = W.partitionBy(lit(1)).orderBy("bin")
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        val wAll = W.partitionBy(lit(1))
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        val g = counts
+          .withColumn("cum_a", sum("n_a").over(wCum))
+          .withColumn("cum_b", sum("n_b").over(wCum))
+          .withColumn("tot_a", sum("n_a").over(wAll))
+          .withColumn("tot_b", sum("n_b").over(wAll))
+          .withColumn("gap_num",
+            abs(col("cum_a") * col("tot_b") - col("cum_b") * col("tot_a")))
+        g.select(col("bin"), col("cum_a"), col("cum_b"), col("gap_num"),
+            when(col("gap_num") === max("gap_num").over(wAll), 1L)
+              .otherwise(0L).as("is_ks"))
+          .orderBy("bin")
+      }
     }
   )
 }
