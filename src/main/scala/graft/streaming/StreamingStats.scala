@@ -11,7 +11,8 @@ import graft.ops.Merge
   * foreachBatch sink that folds every arriving micro-batch into the full
   * mergeable-state family of [[Merge]] — algebraic count/sum/min/max,
   * value-histogram quantiles, distinct sets, integer power-sum moments,
-  * and value frequencies — persisted epoch by epoch as parquet. The
+  * value frequencies, and (opt-in) a bottom-k-by-hash uniform audit
+  * sample — persisted epoch by epoch as parquet. The
   * "p95 doc length + unique sources + top tokens, updated nightly"
   * dashboard, maintained without ever rescanning history (the batch
   * sibling of [[StreamingDedup]]; reference has no streaming at all).
@@ -35,12 +36,22 @@ object StreamingStats {
   /** Column roles, fixed for the lifetime of a state directory.
     * `valueCol` feeds stats/quantile/moment states (moment contract:
     * integral values, |v| ≤ 55,000 — see [[Merge.partialMomentState]]);
-    * `distinctCol` the distinct state; `freqCol` the frequency state. */
+    * `distinctCol` the distinct state; `freqCol` the frequency state.
+    * `sampleIdCols` (optional) enables the uniform-sample family: a
+    * per-key bottom-`sampleK`-by-xxhash64 audit sample maintained with
+    * the same merge discipline ([[Merge.partialSampleState]] — the id
+    * columns must make the priority injective per key). */
   final case class Config(stateDir: String, keys: Seq[String],
-                          valueCol: String, distinctCol: String, freqCol: String)
+                          valueCol: String, distinctCol: String, freqCol: String,
+                          sampleIdCols: Seq[String] = Nil, sampleK: Int = 64)
 
-  /** The five state families, in write order. */
+  /** The five always-on state families. */
   val Families: Seq[String] = Seq("stats", "quantile", "distinct", "moment", "freq")
+
+  /** The families a given config maintains (+"sample" when id columns
+    * are configured). */
+  def families(cfg: Config): Seq[String] =
+    Families ++ (if (cfg.sampleIdCols.nonEmpty) Seq("sample") else Nil)
 
   private def snapDir(cfg: Config, family: String, epoch: Long) =
     s"${cfg.stateDir}/$family/epoch=$epoch"
@@ -60,7 +71,11 @@ object StreamingStats {
       .foldLeft(-1L)(math.max)
   }
 
-  private def partials(df: DataFrame, cfg: Config): Seq[(String, DataFrame)] = Seq(
+  private def partials(df: DataFrame, cfg: Config): Seq[(String, DataFrame)] =
+    (if (cfg.sampleIdCols.nonEmpty)
+      Seq("sample" -> Merge.partialSampleState(df, cfg.keys,
+        Merge.samplePriorityFast(cfg.sampleIdCols), cfg.sampleK))
+    else Nil) ++ Seq(
     "quantile" -> Merge.partialQuantileState(df, cfg.keys, cfg.valueCol),
     "distinct" -> Merge.partialDistinctState(df, cfg.keys, cfg.distinctCol),
     "moment"   -> Merge.partialMomentState(df, cfg.keys, cfg.valueCol),
@@ -68,13 +83,14 @@ object StreamingStats {
     // stats last — it is the epoch-completeness marker (see latestEpoch)
     "stats"    -> Merge.partialStats(df, cfg.keys, cfg.valueCol))
 
-  private def mergeFamily(family: String, states: Seq[DataFrame],
-                          keys: Seq[String]): DataFrame = family match {
-    case "stats"    => Merge.mergeStats(states, keys)
-    case "quantile" => Merge.mergeQuantileStates(states, keys)
+  private def mergeFamily(cfg: Config, family: String,
+                          states: Seq[DataFrame]): DataFrame = family match {
+    case "stats"    => Merge.mergeStats(states, cfg.keys)
+    case "quantile" => Merge.mergeQuantileStates(states, cfg.keys)
     case "distinct" => Merge.mergeDistinctStates(states)
-    case "moment"   => Merge.mergeMomentStates(states, keys)
-    case "freq"     => Merge.mergeFreqStates(states, keys)
+    case "moment"   => Merge.mergeMomentStates(states, cfg.keys)
+    case "freq"     => Merge.mergeFreqStates(states, cfg.keys)
+    case "sample"   => Merge.mergeSampleStates(states, cfg.keys, cfg.sampleK)
   }
 
   /** Initialize state at epoch 0 from an (optionally empty) starting
@@ -96,12 +112,12 @@ object StreamingStats {
   def processBatch(spark: SparkSession, cfg: Config, batch: DataFrame): Unit = {
     val epoch = latestEpoch(cfg)
     require(epoch >= 0, s"state at ${cfg.stateDir} not initialized — call init() first")
-    // snapshot the micro-batch once; it feeds five partials
+    // snapshot the micro-batch once; it feeds every family's partial
     val src = batch.localCheckpoint()
     partials(src, cfg).foreach { case (family, part) =>
       val prev = spark.read.parquet(snapDir(cfg, family, epoch))
       Sinks.parquet(
-        mergeFamily(family, Seq(prev, part), cfg.keys).repartition(1),
+        mergeFamily(cfg, family, Seq(prev, part)).repartition(1),
         snapDir(cfg, family, epoch + 1))
     }
   }
@@ -115,7 +131,8 @@ object StreamingStats {
 
   /** Latest snapshot of one state family, read back from storage. */
   def state(spark: SparkSession, cfg: Config, family: String): DataFrame = {
-    require(Families.contains(family), s"unknown state family '$family'")
+    require(families(cfg).contains(family),
+      s"unknown state family '$family' (configured: ${families(cfg).mkString(",")})")
     val epoch = latestEpoch(cfg)
     require(epoch >= 0, s"state at ${cfg.stateDir} not initialized")
     spark.read.parquet(snapDir(cfg, family, epoch))
@@ -141,4 +158,10 @@ object StreamingStats {
   /** Top-k frequent values per key from the latest frequency snapshot. */
   def topValues(spark: SparkSession, cfg: Config, k: Int): DataFrame =
     Merge.finalizeTopK(state(spark, cfg, "freq"), cfg.keys, k)
+
+  /** The maintained per-key audit sample (priority-ranked), from the
+    * latest sample snapshot — exactly the rows a bottom-k pass over
+    * everything ever ingested would draw. */
+  def auditSample(spark: SparkSession, cfg: Config): DataFrame =
+    Merge.finalizeSample(state(spark, cfg, "sample"), cfg.keys)
 }

@@ -8,28 +8,31 @@ import graft.model.Tables
 import graft.ops.Merge
 
 /** Streaming ingest wired to incremental aggregation maintenance:
-  * foreachBatch folds each micro-batch into all five mergeable states
-  * ([[StreamingStats]]); replaying a corpus as a stream must leave
-  * bit-identical state to the batch loop, and the final dashboard must
-  * equal a from-scratch recompute over everything seen. */
+  * foreachBatch folds each micro-batch into every mergeable state family
+  * ([[StreamingStats]], incl. the opt-in audit sample); replaying a
+  * corpus as a stream must leave bit-identical state to the batch loop,
+  * and the final dashboard must equal a from-scratch recompute over
+  * everything seen. */
 class StreamStatsSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
   private def cfg(dir: String) = StreamingStats.Config(
     dir, keys = Seq("l_returnflag"),
-    valueCol = "l_quantity", distinctCol = "l_partkey", freqCol = "l_linestatus")
+    valueCol = "l_quantity", distinctCol = "l_partkey", freqCol = "l_linestatus",
+    sampleIdCols = Seq("l_orderkey", "l_linenumber"), sampleK = 3)
 
   // deterministic slice of the smallest corpus (no limit(): its row pick
   // can differ between evaluations and the test re-derives `li` per use)
   private def li = Tables.lineitem(spark, TestSpark.sfDir)
-    .select("l_returnflag", "l_linestatus", "l_quantity", "l_partkey", "l_orderkey")
+    .select("l_returnflag", "l_linestatus", "l_quantity", "l_partkey",
+      "l_orderkey", "l_linenumber")
     .filter(col("l_orderkey") % 2 === 0)
 
   private def stateSnapshot(c: StreamingStats.Config): Map[String, Set[Seq[Any]]] =
-    StreamingStats.Families.map(f =>
+    StreamingStats.families(c).map(f =>
       f -> StreamingStats.state(spark, c, f).collect().map(_.toSeq: Seq[Any]).toSet).toMap
 
-  test("batch loop maintains all five states == from-scratch recompute; dashboard finalizes") {
+  test("batch loop maintains every state family == from-scratch recompute; dashboard finalizes") {
     val root = java.nio.file.Files.createTempDirectory("graft-stream-stats").toString
     val archive = li.filter(col("l_orderkey") % 3 === 0)
     val b1 = li.filter(col("l_orderkey") % 3 === 1)
@@ -48,7 +51,9 @@ class StreamStatsSpec extends AnyFunSuite {
       "quantile" -> Merge.partialQuantileState(all, c.keys, c.valueCol),
       "distinct" -> Merge.partialDistinctState(all, c.keys, c.distinctCol),
       "moment" -> Merge.partialMomentState(all, c.keys, c.valueCol),
-      "freq" -> Merge.partialFreqState(all, c.keys, c.freqCol))
+      "freq" -> Merge.partialFreqState(all, c.keys, c.freqCol),
+      "sample" -> Merge.partialSampleState(all, c.keys,
+        Merge.samplePriorityFast(c.sampleIdCols), c.sampleK))
     val got = stateSnapshot(c)
     direct.foreach { case (family, df) =>
       assert(got(family) == df.collect().map(_.toSeq: Seq[Any]).toSet,
@@ -84,17 +89,24 @@ class StreamStatsSpec extends AnyFunSuite {
       .filter(col("rn") === 1)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(top == wantTop)
+
+    // the audit sample serves the bottom-k draw over everything seen,
+    // ranked and capped at k per key
+    val samp = StreamingStats.auditSample(spark, c)
+    assert(samp.columns.contains("rn"))
+    assert(samp.groupBy("l_returnflag").count()
+      .collect().forall(_.getLong(1) <= c.sampleK))
   }
 
   test("stream replay == batch loop: bit-identical state epoch by epoch") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-stream-stats2").toString
-    val archive = Seq(("A", "O", 5.0, 10L, 1L), ("B", "F", 3.0, 11L, 2L))
-      .toDF("l_returnflag", "l_linestatus", "l_quantity", "l_partkey", "l_orderkey")
-    val b1 = Seq(("A", "F", 7.0, 10L, 3L), ("A", "O", 2.0, 12L, 4L))
-      .toDF("l_returnflag", "l_linestatus", "l_quantity", "l_partkey", "l_orderkey")
-    val b2 = Seq(("B", "F", 9.0, 11L, 5L), ("C", "O", 1.0, 13L, 6L))
-      .toDF("l_returnflag", "l_linestatus", "l_quantity", "l_partkey", "l_orderkey")
+    val archive = Seq(("A", "O", 5.0, 10L, 1L, 1), ("B", "F", 3.0, 11L, 2L, 1))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity", "l_partkey", "l_orderkey", "l_linenumber")
+    val b1 = Seq(("A", "F", 7.0, 10L, 3L, 1), ("A", "O", 2.0, 12L, 4L, 1))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity", "l_partkey", "l_orderkey", "l_linenumber")
+    val b2 = Seq(("B", "F", 9.0, 11L, 5L, 1), ("C", "O", 1.0, 13L, 6L, 1))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity", "l_partkey", "l_orderkey", "l_linenumber")
 
     val batchCfg = cfg(s"$root/state_batch")
     StreamingStats.init(spark, batchCfg, archive)
