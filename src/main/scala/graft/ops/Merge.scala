@@ -409,6 +409,26 @@ object Merge {
   def samplePriorityFast(idCols: Seq[String]): org.apache.spark.sql.Column =
     xxhash64(idCols.map(col): _*)
 
+  /** WEIGHTED sample priority (Efraimidis–Spirakis A-ES, keyed on the
+    * row id instead of an RNG so the state stays mergeable): u is
+    * derived deterministically from xxhash64 of the id columns mapped
+    * into (0,1], and the priority is −ln(u)/w — the exponential-race
+    * form of u^(1/w) (same order, no pow), so keeping the bottom-k by
+    * this priority draws a weight-proportional sample without
+    * replacement. Because the priority is a pure function of the row,
+    * the bottom-k(A∪B) law holds exactly as for the uniform state —
+    * yesterday's weighted sample + today's batch merge to the
+    * full-rescan draw (pinned in MergeSpec). Caller contract: weights
+    * strictly positive (filter w ≤ 0 rows first, the o9 discipline). */
+  def samplePriorityWeighted(idCols: Seq[String],
+                             weightCol: String): org.apache.spark.sql.Column = {
+    // xxhash64 ∈ [Long.Min, Long.Max] → u ∈ (0,1]: shift into [0,1)
+    // then take 1−x to exclude the −ln(0) pole
+    val u = lit(1.0) - (xxhash64(idCols.map(col): _*).cast("double")
+      / lit(2.0) / lit(Long.MaxValue.toDouble) + lit(0.5))
+    -log(u) / col(weightCol).cast("double")
+  }
+
   /** Per-key bottom-`k`-by-priority sample state over a slice. One
     * window shuffle keyed by the group over the SLICE (the only pass
     * that ever reads data rows); the state is k rows per key. */

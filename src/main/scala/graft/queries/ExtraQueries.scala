@@ -813,6 +813,26 @@ object ExtraQueries {
           .drop("__key")
     },
 
+    rowsOnly("o12_incremental_weighted_sample",
+      "O9+: MERGEABLE weight-proportional sample — A-ES race keys (−ln(u)/w) derived from xxhash64 of the row id instead of an RNG, so per-slice bottom-k states merge to exactly the full-rescan draw; maintains a quality-weighted eval set as the corpus grows without rescanning history. Engine hash ⇒ no oracle (SURVEY §7.4.6); the merge law and heavy-row survival are pinned in MergeSpec") {
+      (s, d) => {
+        val keys = Seq("l_returnflag")
+        val li = Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_orderkey"),
+            col("l_linenumber"), col("l_quantity"))
+          .filter(col("l_quantity") > 0) // A-ES w > 0 domain (o9 discipline)
+        val pri = graft.ops.Merge.samplePriorityWeighted(
+          Seq("l_orderkey", "l_linenumber"), "l_quantity")
+        val history = graft.ops.Merge.partialSampleState(
+          li.filter(col("l_orderkey") % 5 =!= 0), keys, pri, 100)
+        val batch = graft.ops.Merge.partialSampleState(
+          li.filter(col("l_orderkey") % 5 === 0), keys, pri, 100)
+        graft.ops.Merge.finalizeSample(
+          graft.ops.Merge.mergeSampleStates(Seq(history, batch), keys, 100), keys)
+          .orderBy("l_returnflag", "rn")
+      }
+    },
+
     sql("o4_head",
       "O4: bounded preview (LIMIT over a deterministic order)",
       """SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey LIMIT 5""") {

@@ -390,4 +390,19 @@ class MergeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Merge.partialSampleState(
       rows, Seq("g"), org.apache.spark.sql.functions.lit(1), 0))
   }
+
+  test("weighted sample state: A-ES race keys keep the merge law; heavy row survives") {
+    val rows = (1L to 90L).map(i => ("g", i, if (i == 42L) 1.0e9 else 1.0))
+      .toDF("g", "id", "w")
+    val pri = Merge.samplePriorityWeighted(Seq("id"), "w")
+    val k = 5
+    val slices = Seq(rows.filter($"id" % 2 === 0), rows.filter($"id" % 2 === 1))
+    val merged = Merge.mergeSampleStates(
+      slices.map(Merge.partialSampleState(_, Seq("g"), pri, k)), Seq("g"), k)
+    val direct = Merge.partialSampleState(rows, Seq("g"), pri, k)
+    assert(merged.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
+    // the 1e9-weight row's race key is ~1e9× smaller than any unit
+    // weight's — it must be in the drawn sample
+    assert(Merge.finalizeSample(merged, Seq("g")).filter($"id" === 42L).count() == 1)
+  }
 }
