@@ -283,6 +283,52 @@ object DedupQueries {
           .orderBy("cluster_size")
     },
 
+    sql("dd11_wasted_tokens",
+      "Dedup: per-source duplication cost — tokens locked up in non-survivor near-dups (docs whose CC cluster min-id is not them) vs the source's total; the 'what does dedup buy us' budget line that justifies the pipeline. Non-survivor sliver joined back to documents once; totals are one scan",
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+         |          UNION ALL SELECT id2, id1 FROM pairs),
+         |cc AS (SELECT DISTINCT a AS doc_id, a AS label FROM edges
+         |       UNION
+         |       SELECT e.b AS doc_id, cc.label FROM cc JOIN edges e ON cc.doc_id = e.a),
+         |labels AS (SELECT doc_id, MIN(label) AS cluster FROM cc GROUP BY doc_id),
+         |waste AS (SELECT d.source, COUNT(*) AS n_dup_docs,
+         |          SUM(len(string_split(d.text,' '))) AS wasted_tokens
+         |   FROM labels l JOIN documents d ON l.doc_id = d.doc_id
+         |   WHERE l.doc_id <> l.cluster GROUP BY d.source),
+         |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |        CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS total_tokens
+         |        FROM documents GROUP BY source)
+         |SELECT t.source, t.n_docs, t.total_tokens,
+         | CAST(COALESCE(w.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+         | CAST(COALESCE(w.wasted_tokens, 0) AS BIGINT) AS wasted_tokens
+         | FROM tot t LEFT JOIN waste w ON t.source = w.source
+         | ORDER BY t.source""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // non-survivors are a cluster-membership sliver; joining them
+        // back to documents is an AQE-sized join (sliver vs corpus —
+        // broadcast when small), and the per-source totals reuse one
+        // corpus scan. Token metering matches t1 (whitespace split).
+        val nonSurvivors = graft.ops.Dedup.connectedComponents(
+            Dedup.minhashNearDup(docs))
+          .filter(col("doc_id") =!= col("cluster"))
+          .select("doc_id")
+        val waste = docs.join(nonSurvivors, Seq("doc_id"))
+          .groupBy("source").agg(
+            count(lit(1)).as("n_dup_docs"),
+            sum(graft.ops.TextOps.tokenCount(col("text"))).as("wasted_tokens"))
+        docs.groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(graft.ops.TextOps.tokenCount(col("text"))).as("total_tokens"))
+          .join(waste, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("total_tokens"),
+            coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+            coalesce(col("wasted_tokens"), lit(0L)).as("wasted_tokens"))
+          .orderBy("source")
+      }
+    },
+
     rowsOnly("dd4_simhash_neardup",
       "Dedup: 64-bit SimHash signatures, 4×16-bit band join, hamming ≤ 3 (ScalaTest-pinned)") {
       (s, d) =>
