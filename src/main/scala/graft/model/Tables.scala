@@ -26,19 +26,39 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `ts` is parquet TIMESTAMP(NANOS); Spark reads it as long nanoseconds
-    * (spark.sql.legacy.parquet.nanosAsLong — see graft.engine.Sessions).
-    * Normalize to a proper TimestampType (microsecond truncation) so all
-    * downstream time ops are standard. */
-  def events(s: SparkSession, d: String): DataFrame = {
+  /** Event-time contract: `events.ts` is always `TimestampType` after
+    * loading, whatever the producer wrote. Real pipelines meet (at least)
+    * three encodings across producers, and `withWatermark` accepts only
+    * `TimestampType`, so the loader conforms all of them:
+    *  - parquet TIMESTAMP(NANOS) → Spark reads long nanoseconds
+    *    (spark.sql.legacy.parquet.nanosAsLong — see graft.engine.Sessions);
+    *    truncated to micros here.
+    *  - TIMESTAMP_MICROS(isAdjustedToUTC=false) → Spark reads
+    *    TIMESTAMP_NTZ; cast to TimestampType. The session TZ is pinned UTC
+    *    (Sessions), so the cast is instant-preserving — the wall-clock
+    *    value (and every oracle hash) is unchanged.
+    *  - TIMESTAMP_MICROS(isAdjustedToUTC=true) → already TimestampType;
+    *    passes through. */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTime(load(s, d, "events"), "ts")
+
+  /** Conform one event-time column to `TimestampType` regardless of source
+    * encoding (ns-long / NTZ / LTZ). Shared by the batch loader and the
+    * streaming ingest paths so every `withWatermark(col, …)` site works on
+    * any producer. No-op for columns already TimestampType. */
+  def normalizeEventTime(df: DataFrame, colName: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val raw = load(s, d, "events")
-    // integral `div`, NOT `/`: Divide casts to double, whose ulp at
-    // epoch-nanos magnitude (~1.7e18 > 2^53) is ~256 ns — a ±1 µs error
-    // that could flip second-boundary truncation vs the nanos-exact oracle
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    import org.apache.spark.sql.types._
+    df.schema(colName).dataType match {
+      // integral `div`, NOT `/`: Divide casts to double, whose ulp at
+      // epoch-nanos magnitude (~1.7e18 > 2^53) is ~256 ns — a ±1 µs error
+      // that could flip second-boundary truncation vs the nanos-exact oracle
+      case LongType =>
+        df.withColumn(colName, timestamp_micros(expr(s"`$colName` div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
