@@ -108,6 +108,42 @@ object DedupQueries {
   private def batchSplit(docs: org.apache.spark.sql.DataFrame): Long =
     docs.agg(max("doc_id")).head.getLong(0) * 4 / 5
 
+  /** dd6/dd6b ground truth: the full exact-Jaccard pair set restricted to
+    * pairs involving a batch doc (id1 < id2, so "involves the batch" ⇔ the
+    * larger id is past the split). */
+  private val incrementalPairOracle =
+    s"""WITH $jaccardCtes
+       |SELECT id1, id2, jaccard FROM pairs
+       | WHERE id2 >= (SELECT (MAX(doc_id) * 4) // 5 FROM documents)
+       | ORDER BY id1, id2""".stripMargin.replace("\n", "")
+
+  /** Yesterday's persisted dedup state for the amortized bench variants
+    * (dd6b/dd8b): the corpus band index and label table written ONCE per
+    * sfDir to a process-temp dir, then served from parquet read-back — the
+    * layout [[graft.pipeline.IncrementalIngest]] maintains in production.
+    * dd6/dd8 (kept) time the honest-but-pessimal path that REBUILDS this
+    * state in-query; the b-variants time what a deployment actually pays
+    * per batch once the state exists. Built lazily so Verify stays
+    * standalone-correct; [[graft.Bench]] triggers the build UNTIMED via
+    * [[QuerySpec.prepare]]. */
+  private object PersistedState {
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+    def ensure(s: org.apache.spark.sql.SparkSession, d: String): String =
+      cache.getOrElseUpdate(d, {
+        val docs = Tables.documents(s, d)
+        val split = batchSplit(docs)
+        val corpus = docs.filter(col("doc_id") < split)
+        val root = java.nio.file.Files.createTempDirectory("graft-ddstate").toString
+        // the index is built once and feeds BOTH artifacts (dd8's shape)
+        val index = Dedup.lshBandIndex(corpus).localCheckpoint()
+        index.write.mode("overwrite").parquet(s"$root/index")
+        Dedup.connectedComponents(
+            Dedup.minhashNearDupFromBands(Dedup.shingleDF(corpus), index))
+          .write.mode("overwrite").parquet(s"$root/labels")
+        root
+      })
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     sql("dd1_exact_dedup",
@@ -182,13 +218,7 @@ object DedupQueries {
 
     sql("dd6_incremental_neardup",
       "Dedup: INCREMENTAL near-dup — new batch (top 20% of doc_ids) vs corpus via persisted LSH band index; archive re-read only for candidate docs",
-      // ground truth: the full exact-Jaccard pair set restricted to pairs
-      // involving a batch doc (id1 < id2, so "involves the batch" ⇔ the
-      // larger id is past the split)
-      s"""WITH $jaccardCtes
-         |SELECT id1, id2, jaccard FROM pairs
-         | WHERE id2 >= (SELECT (MAX(doc_id) * 4) // 5 FROM documents)
-         | ORDER BY id1, id2""".stripMargin.replace("\n", "")) {
+      incrementalPairOracle) {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val split = batchSplit(docs)
@@ -198,6 +228,19 @@ object DedupQueries {
           .orderBy("id1", "id2")
       }
     },
+
+    sql("dd6b_incremental_neardup_served",
+      "Dedup: dd6's increment SERVED from persisted state — the band index read back from parquet (built untimed via QuerySpec.prepare in the bench), so the timed work is the amortized per-batch cost a deployment pays: batch shingle+sign, index-bucket probe, candidate-sliver verify. Same oracle as dd6",
+      incrementalPairOracle) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val split = batchSplit(docs)
+        val corpus = docs.filter(col("doc_id") < split)
+        val batch = docs.filter(col("doc_id") >= split)
+        val index = s.read.parquet(s"${PersistedState.ensure(s, d)}/index")
+        Dedup.incrementalNearDup(batch, corpus, index).orderBy("id1", "id2")
+      }
+    }.withPrepare((s, d) => { PersistedState.ensure(s, d); () }),
 
     sql("dd8_incremental_clusters",
       "Dedup: INCREMENTAL cluster maintenance — corpus labels updated with the new batch's pairs via representative contraction (updateClusters), never re-running CC over the historical pair graph; output == full-recompute clusters (dd5's oracle). Bench-honesty note (dd6's class): the in-query cost is dominated by building yesterday's persisted state (band index + label table) from scratch — exactly the work the operator amortizes in production, where both serve from parquet and the increment costs batch + one label-table pass",
@@ -221,6 +264,23 @@ object DedupQueries {
         Dedup.updateClusters(labels, newPairs).orderBy("doc_id")
       }
     },
+
+    sql("dd8b_incremental_clusters_served",
+      "Dedup: dd8's cluster maintenance SERVED from persisted state — label table AND band index read back from parquet (built untimed via QuerySpec.prepare), so the timed work is the amortized increment: batch probe + updateClusters (pair-sliver joins, batch-sized contracted CC, one label-table pass). Same oracle as dd8",
+      clusterOracle) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val split = batchSplit(docs)
+        val corpus = docs.filter(col("doc_id") < split)
+        val batch = docs.filter(col("doc_id") >= split)
+        val root = PersistedState.ensure(s, d)
+        val index = s.read.parquet(s"$root/index")
+        val labels = s.read.parquet(s"$root/labels")
+        val newPairs = Dedup.incrementalNearDup(batch, corpus, index)
+          .select("id1", "id2")
+        Dedup.updateClusters(labels, newPairs).orderBy("doc_id")
+      }
+    }.withPrepare((s, d) => { PersistedState.ensure(s, d); () }),
 
     sql("dd7_decontaminate",
       "Dedup+: eval-set decontamination — train docs sharing >= 1 distinct 5-gram with the held-out eval slice (doc_id % 20 == 7), broadcast eval shingles, zero train shuffle until the hit sliver",
