@@ -15,14 +15,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - writes stage to a dotted tmp dir and RENAME into `v=N` — readers
   *    can never observe a half-written version (dot-prefixed dirs are
   *    invisible to them), and a crash leaves only the tmp to sweep;
-  *  - snapshots are full copies by design: storage ∝ versions retained,
-  *    each read stays a plain one-dir scan with zero log replay —
-  *    retention is the caller dropping old `v=N` dirs, and incremental
-  *    states (U9–U13 / the CDC changelog) remain the engine's
-  *    delta-sized alternative when full copies are too dear. */
+  *  - [[write]] snapshots are full copies: storage ∝ versions retained,
+  *    each read stays a plain one-dir scan with zero log replay — right
+  *    for label/dim slivers, prohibitive for archive-scale frames;
+  *  - [[writeDelta]] is the delta mode for exactly that case: a version
+  *    is a U8 CDC changelog (rows + op/seq), storage ∝ CHANGES, and
+  *    reads resolve base + changelog chain through
+  *    [[graft.ops.Merge.applyChangeLog]] — the Delta-Lake
+  *    checkpoint+json-log shape on plain parquet. [[checkpoint]]
+  *    rematerializes a full snapshot so chains stay short and
+  *    [[retain]] can GC; retention never orphans a chain (it cuts only
+  *    at full-snapshot boundaries).
+  *
+  * A delta version dir carries a `_DELTA` marker file (underscore-files
+  * are invisible to parquet readers, like `_SUCCESS`) recording the
+  * key/op/seq columns it was committed with; the marker is staged inside
+  * the dotted tmp dir, so delta commits keep the same atomicity contract
+  * as full ones. */
 object Versioned {
 
   private val VersionRe = "^v=(\\d+)$".r
+  private val DeltaMarker = "_DELTA"
 
   /** All committed versions under `tablePath`, ascending. */
   def versions(spark: SparkSession, tablePath: String): Seq[Long] = {
@@ -38,14 +51,69 @@ object Versioned {
   def latestVersion(spark: SparkSession, tablePath: String): Option[Long] =
     versions(spark, tablePath).lastOption
 
-  /** Commit `df` as the next snapshot; returns its version number. */
-  def write(df: DataFrame, tablePath: String): Long = {
+  /** Commit `df` as the next FULL snapshot; returns its version number. */
+  def write(df: DataFrame, tablePath: String): Long =
+    commit(df, tablePath, marker = None)
+
+  /** Commit a U8 CDC changelog as the next version — the delta-sized
+    * alternative to [[write]] for frames where a full copy per version is
+    * prohibitive. `changes` carries the table's columns plus
+    * `opCol` ∈ {"upsert","delete"} and a per-key monotone `seqCol`
+    * ([[graft.ops.Merge.applyChangeLog]]'s exact contract, including
+    * latest-seq-wins within the batch). Requires an existing base
+    * snapshot (a delta against nothing is a full write — be explicit).
+    *
+    * Storage ∝ changes; read cost = base scan + one applyChangeLog fold
+    * per chained delta (each: one batch-sized window shuffle + one
+    * anti-join against the accumulating frame) — keep chains short with
+    * [[checkpoint]]. */
+  def writeDelta(changes: DataFrame, tablePath: String, keys: Seq[String],
+                 opCol: String = "op", seqCol: String = "seq"): Long = {
+    require(keys.nonEmpty, "writeDelta needs at least one key column")
+    val spark = changes.sparkSession
+    require(latestVersion(spark, tablePath).nonEmpty,
+      s"Versioned.writeDelta: no base snapshot under $tablePath — commit a full write() first")
+    val targetCols = read(spark, tablePath).columns.toIndexedSeq
+    require(keys.forall(targetCols.contains),
+      s"Versioned.writeDelta: keys ${keys.filterNot(targetCols.contains).mkString(",")} " +
+        s"not in table columns ${targetCols.mkString(",")}")
+    val missing = (targetCols :+ opCol :+ seqCol).filterNot(changes.columns.contains)
+    require(missing.isEmpty,
+      s"Versioned.writeDelta: changelog missing columns: ${missing.mkString(",")}")
+    commit(changes, tablePath,
+      marker = Some(s"keys=${keys.mkString(",")}\nop=$opCol\nseq=$seqCol\n"))
+  }
+
+  /** Is committed `version` a delta (changelog) rather than a full
+    * snapshot? */
+  def isDelta(spark: SparkSession, tablePath: String, version: Long): Boolean = {
+    val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
+    hasMarker(fs, new Path(tablePath, s"v=$version"))
+  }
+
+  private def hasMarker(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Boolean =
+    fs.exists(new Path(dir, DeltaMarker))
+
+  private def deltaMeta(fs: org.apache.hadoop.fs.FileSystem,
+                        dir: Path): (Seq[String], String, String) = {
+    val in = fs.open(new Path(dir, DeltaMarker))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val kv = text.linesIterator.filter(_.contains('='))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+    (kv("keys").split(",").toIndexedSeq, kv("op"), kv("seq"))
+  }
+
+  private def commit(df: DataFrame, tablePath: String, marker: Option[String]): Long = {
     val spark = df.sparkSession
     val next = latestVersion(spark, tablePath).fold(1L)(_ + 1)
     val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new Path(tablePath, s".v=$next.tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true) // stale tmp from an aborted commit
     df.write.parquet(tmp.toString)
+    marker.foreach { m =>
+      val out = fs.create(new Path(tmp, DeltaMarker), false)
+      try out.write(m.getBytes("UTF-8")) finally out.close()
+    }
     val dest = new Path(tablePath, s"v=$next")
     require(!fs.exists(dest),
       s"Versioned.write: $dest already exists — concurrent writer? refusing to clobber")
@@ -53,27 +121,65 @@ object Versioned {
     next
   }
 
-  /** Read a pinned version, or latest when `version` is None. */
+  /** Read a pinned version, or latest when `version` is None. A full
+    * snapshot is one dir scan; a delta version resolves as the nearest
+    * full snapshot at-or-below it plus its changelog chain folded in
+    * version order (each delta replays with the key/op/seq columns it
+    * was committed with). */
   def read(spark: SparkSession, tablePath: String,
            version: Option[Long] = None): DataFrame = {
-    val v = version.orElse(latestVersion(spark, tablePath)).getOrElse(
+    val vs = versions(spark, tablePath)
+    val v = version.orElse(vs.lastOption).getOrElse(
       throw new IllegalArgumentException(
         s"Versioned.read: no committed versions under $tablePath"))
-    require(versions(spark, tablePath).contains(v),
+    require(vs.contains(v),
       s"Versioned.read: version $v not present under $tablePath " +
-        s"(have: ${versions(spark, tablePath).mkString(", ")})")
-    spark.read.parquet(s"$tablePath/v=$v")
+        s"(have: ${vs.mkString(", ")})")
+    val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
+    val chain = vs.filter(_ <= v)
+    val base = chain.reverse.find(x => !hasMarker(fs, new Path(tablePath, s"v=$x")))
+      .getOrElse(throw new IllegalStateException(
+        s"Versioned.read: no full snapshot at or below v=$v under $tablePath — " +
+          "delta chain is orphaned (was its base deleted outside retain()?)"))
+    val baseDf = spark.read.parquet(s"$tablePath/v=$base")
+    chain.filter(_ > base).foldLeft(baseDf) { (acc, dv) =>
+      val dir = new Path(tablePath, s"v=$dv")
+      val (keys, opCol, seqCol) = deltaMeta(fs, dir)
+      graft.ops.Merge.applyChangeLog(acc, spark.read.parquet(dir.toString),
+        keys, opCol, seqCol)
+    }
   }
 
-  /** Retention GC: drop all but the newest `keep` versions. Returns the
-    * versions removed. Storage ∝ versions retained is the snapshot
-    * model's cost — this is the knob. Refuses keep < 1 (a table with no
-    * versions is not retention, it is deletion — be explicit). */
+  /** Rematerialize the latest resolved state as a FULL snapshot, ending
+    * the current delta chain — run periodically so reads stay one-scan
+    * and [[retain]] has a boundary to GC behind. No-op (returns the
+    * existing version) when latest is already full. */
+  def checkpoint(spark: SparkSession, tablePath: String): Long = {
+    val latest = latestVersion(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"Versioned.checkpoint: no committed versions under $tablePath"))
+    if (!isDelta(spark, tablePath, latest)) latest
+    else write(read(spark, tablePath), tablePath)
+  }
+
+  /** Retention GC: drop the oldest versions, keeping the newest `keep`.
+    * Returns the versions removed. Never orphans a delta chain: the cut
+    * happens at the newest FULL snapshot at-or-below the oldest kept
+    * version, so a table whose tail is all deltas may retain more than
+    * `keep` versions until a [[checkpoint]] lands. Refuses keep < 1 (a
+    * table with no versions is not retention, it is deletion — be
+    * explicit). */
   def retain(spark: SparkSession, tablePath: String, keep: Int): Seq[Long] = {
     require(keep >= 1, s"retain needs keep >= 1, got $keep")
     val vs = versions(spark, tablePath)
-    val drop = vs.dropRight(keep)
     val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
+    val drop = if (vs.isEmpty) Seq.empty[Long] else {
+      val oldestKept = vs.takeRight(keep).head
+      val cut = vs.filter(_ <= oldestKept).reverse
+        .find(x => !hasMarker(fs, new Path(tablePath, s"v=$x")))
+        .getOrElse(vs.head) // all-delta history: nothing safe to drop below
+      vs.filter(_ < cut)
+    }
     drop.foreach(v => fs.delete(new Path(tablePath, s"v=$v"), true))
     drop
   }

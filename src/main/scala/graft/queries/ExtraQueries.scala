@@ -761,15 +761,32 @@ object ExtraQueries {
         .filter(col("rn") <= 5)
     },
 
-    rowsOnly("o7_stratified_sample",
-      "O7: seeded STRATIFIED sampling — per-stratum fractions via sampleBy (class rebalancing for training sets); invariants pinned in SamplingSpec") {
-      (s, d) =>
-        // downsample the majority 'N' flag 10×, keep A/R at 2% — the
-        // standard rebalance shape; map-side Bernoulli per row, no shuffle
+    sql("o7_stratified_sample",
+      "O7: deterministic STRATIFIED sampling — per-stratum hash-threshold Bernoulli (class rebalancing for training sets): a row survives iff the first 3 hex chars of md5(natural key) fall under its stratum's threshold (N: 8/4096 ≈ 0.2%, A/R: 82/4096 ≈ 2%). Engine-portable (oracle-matches, unlike sampleBy's engine RNG), reproducible across runs/partitionings, map-side with no shuffle; fraction CI pinned in SamplingSpec",
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice FROM lineitem
+        | WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 3)
+        |  < CASE WHEN l_returnflag = 'N' THEN '008' ELSE '052' END
+        | ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // the o8 md5-priority discipline applied to Bernoulli: the first 3
+        // hex chars of md5(key) are uniform over 4096 values, so a string
+        // comparison against a 3-hex-digit threshold IS a per-stratum
+        // fraction — thresholds are exact in hex space ('008' = 8/4096,
+        // '052' = 82/4096), and the draw replays identically in any engine
+        val u = substring(md5(concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string"))), 1, 3)
         Tables.lineitem(s, d)
           .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
-          .stat.sampleBy("l_returnflag",
-            Map("N" -> 0.002, "A" -> 0.02, "R" -> 0.02), seed = 42L)
+          .filter(u < when(col("l_returnflag") === "N", lit("008")).otherwise(lit("052")))
+          .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+      }
+    }.withBench { (s, d) =>
+      // production: same draw from xxhash64 (codegen'd, no hex-string
+      // materialization); pmod keeps the bucket non-negative
+      val bucket = pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(4096L))
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+        .filter(bucket < when(col("l_returnflag") === "N", lit(8L)).otherwise(lit(82L)))
     },
 
     rowsOnly("o3_seeded_sample",
@@ -780,19 +797,31 @@ object ExtraQueries {
           .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     },
 
-    rowsOnly("o3b_exact_n_sample",
-      "O3: exact-n seeded random sample — rand(seed) order + LIMIT; engine-specific RNG excluded from oracle (SURVEY §7.4.6); size/determinism/subset pinned in SamplingSpec") {
+    sql("o3b_exact_n_sample",
+      "O3: exact-n deterministic sample — hash-priority order + LIMIT (md5 of the natural key as the uniform draw, o8 discipline). Engine-portable, so it oracle-matches where ORDER BY rand(seed) cannot; exact size/determinism/subset pinned in SamplingSpec",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+        | ORDER BY md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        | LIMIT 500""".stripMargin.replace("\n", "")) {
       (s, d) =>
-        // rand(seed) is deterministic per (seed, partition, row-position),
-        // so a repartition-stable input gives a stable sample; the key
-        // tie-break makes the order total even if two rows drew the same
-        // double. LIMIT over an order = TakeOrderedAndProject: per-partition
-        // top-n then a single merge of n-sized heaps — no full sort, no
-        // full shuffle, scale-safe for training-set-sized n.
+        // md5(key) replaces rand(seed) as the priority: uniform, total
+        // (key tie-break for the astronomically-unlikely collision), and
+        // identical in every engine — which upgrades this from rows-only
+        // to hash-matched. LIMIT over an order = TakeOrderedAndProject:
+        // per-partition top-n then a single merge of n-sized heaps — no
+        // full sort, no full shuffle, scale-safe for training-set-sized n.
         Tables.lineitem(s, d)
           .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-          .orderBy(rand(7L), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(md5(concat(col("l_orderkey").cast("string"), lit("-"),
+            col("l_linenumber").cast("string"))), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"))
           .limit(500)
+    }.withBench { (s, d) =>
+      // production: xxhash64 priority — codegen'd, no hex-string sort keys
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy(xxhash64(col("l_orderkey"), col("l_linenumber")),
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+        .limit(500)
     },
 
     rowsOnly("o9_weighted_sample",

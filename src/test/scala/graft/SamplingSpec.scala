@@ -69,7 +69,8 @@ class SamplingSpec extends AnyFunSuite {
     val byFlag = li.groupBy("l_returnflag").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val gotByFlag = a.groupBy(_.getAs[String]("l_returnflag")).view.mapValues(_.size).toMap
-    for ((flag, frac) <- Map("N" -> 0.002, "A" -> 0.02, "R" -> 0.02)) {
+    // hash-threshold fractions are exact in hex space: '008' = 8/4096, '052' = 82/4096
+    for ((flag, frac) <- Map("N" -> 8.0 / 4096, "A" -> 82.0 / 4096, "R" -> 82.0 / 4096)) {
       val expected = frac * byFlag(flag)
       val tol = 5 * math.sqrt(expected max 1.0)
       val got = gotByFlag.getOrElse(flag, 0).toDouble

@@ -44,6 +44,76 @@ class VersionedSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Versioned.retain(spark, dir, keep = 0))
   }
 
+  test("delta versions: changelog commits resolve against the base; time travel still pins") {
+    val dir = Files.createTempDirectory("graft-versioned5").toString + "/t"
+    Versioned.write(Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("id", "v"), dir)
+    // v2: change 2, delete 4, insert 3 — storage is the 3 changed rows,
+    // not a second copy of the table
+    val v2 = Versioned.writeDelta(Seq(
+      (2L, "B", "upsert", 1L), (4L, "d", "delete", 2L), (3L, "c", "upsert", 3L))
+      .toDF("id", "v", "op", "seq"), dir, keys = Seq("id"))
+    assert(v2 == 2L)
+    assert(Versioned.isDelta(spark, dir, 2L) && !Versioned.isDelta(spark, dir, 1L))
+    assert(Versioned.read(spark, dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq(1L -> "a", 2L -> "B", 3L -> "c"))
+    // the pinned base still reads exactly as written
+    assert(Versioned.read(spark, dir, Some(1L)).orderBy("id")
+      .collect().map(_.getString(1)).toSeq == Seq("a", "b", "d"))
+    // chained delta: later VERSION wins over an earlier one regardless of
+    // its seq (versions fold in order; seq only ranks within a batch)
+    Versioned.writeDelta(Seq((2L, "BB", "upsert", 1L))
+      .toDF("id", "v", "op", "seq"), dir, keys = Seq("id"))
+    assert(Versioned.read(spark, dir).filter($"id" === 2L)
+      .head().getString(1) == "BB")
+    // diff resolves through the chain transparently
+    val d = Versioned.diff(spark, dir, 1L, 3L, Seq("id"))
+      .select("id", "change").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(2L -> "changed", 3L -> "added", 4L -> "removed"))
+  }
+
+  test("checkpoint ends the chain; retention never orphans a delta's base") {
+    val dir = Files.createTempDirectory("graft-versioned6").toString + "/t"
+    Versioned.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    Versioned.writeDelta(Seq((2L, "B", "upsert", 1L)).toDF("id", "v", "op", "seq"),
+      dir, keys = Seq("id"))
+    Versioned.writeDelta(Seq((3L, "c", "upsert", 1L)).toDF("id", "v", "op", "seq"),
+      dir, keys = Seq("id"))
+    // tail is all deltas: retain(1) must keep the whole chain back to the
+    // base — dropping v1 or v2 would orphan v3
+    assert(Versioned.retain(spark, dir, keep = 1) == Seq.empty)
+    assert(Versioned.versions(spark, dir) == Seq(1L, 2L, 3L))
+    val resolved = Versioned.read(spark, dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(resolved == Seq(1L -> "a", 2L -> "B", 3L -> "c"))
+    // checkpoint rematerializes a full v4 == the resolved chain …
+    val v4 = Versioned.checkpoint(spark, dir)
+    assert(v4 == 4L && !Versioned.isDelta(spark, dir, 4L))
+    assert(Versioned.read(spark, dir, Some(4L)).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == resolved)
+    // … is a no-op when latest is already full …
+    assert(Versioned.checkpoint(spark, dir) == 4L)
+    // … and gives retention its boundary: now the old chain can go
+    assert(Versioned.retain(spark, dir, keep = 1) == Seq(1L, 2L, 3L))
+    assert(Versioned.versions(spark, dir) == Seq(4L))
+    assert(Versioned.read(spark, dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == resolved)
+  }
+
+  test("writeDelta guards: no base, malformed changelog, unknown keys all refuse") {
+    val dir = Files.createTempDirectory("graft-versioned7").toString + "/t"
+    val delta = Seq((1L, "a", "upsert", 1L)).toDF("id", "v", "op", "seq")
+    intercept[IllegalArgumentException](
+      Versioned.writeDelta(delta, dir, keys = Seq("id"))) // a delta against nothing
+    Versioned.write(Seq((1L, "a")).toDF("id", "v"), dir)
+    intercept[IllegalArgumentException](Versioned.writeDelta(
+      Seq((1L, "upsert", 1L)).toDF("id", "op", "seq"), dir, keys = Seq("id"))) // missing v
+    intercept[IllegalArgumentException](
+      Versioned.writeDelta(delta, dir, keys = Seq("nope")))
+    // nothing half-committed by the refusals
+    assert(Versioned.versions(spark, dir) == Seq(1L))
+  }
+
   test("missing versions and empty tables fail loudly; aborted tmp never surfaces as a version") {
     val dir = Files.createTempDirectory("graft-versioned3").toString + "/t"
     intercept[IllegalArgumentException](Versioned.read(spark, dir))

@@ -109,4 +109,76 @@ class StreamDedupSpec extends AnyFunSuite {
       .select("doc_id").distinct().as[Long].collect().toSet
     assert(indexed == Set(1L, 2L, 3L, 100L, 102L, 200L, 201L))
   }
+
+  test("watermarked ingest guard: redelivered and too-late docs never reach the dedup state") {
+    import spark.implicits._
+    // at-least-once sources redeliver; Admission.guard upstream of the
+    // foreachBatch ingest turns that into exactly-once state maintenance
+    // and drops docs that arrive too far behind the stream's event-time
+    // frontier. This is the NTZ-regression class pinned end to end: the
+    // guard only analyzes if the loaded ts is a true TimestampType
+    // (Tables.normalizeEventTime runs inside it). The straggler arrives
+    // one batch AFTER the frontier-setter completes: Spark's late filter
+    // uses the previous batch's watermark (SPARK-40925), so a frontier
+    // only rejects rows starting with the batch after it was planned in.
+    def ts(h: Int, m: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    val archive = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "z y x w v u t s r q")).toDF("doc_id", "text")
+    // b1: two fresh docs; frontier after b1 = 10:00 - 2h = 08:00
+    val b1 = Seq(
+      (100L, "m n o p q r s t u v", ts(8)),
+      (101L, "f g h i j k l m n o", ts(10))).toDF("doc_id", "text", "ts")
+    // b2: a redelivery of 100 with a shifted ts (inside the watermark →
+    // deduped by identity) and a fresh doc whose text near-dups archive
+    // doc 1 (must surface a pair)
+    val b2 = Seq(
+      (100L, "m n o p q r s t u v", ts(9, 30)),
+      (103L, "a b c d e f g h i j", ts(10, 30))).toDF("doc_id", "text", "ts")
+    // b3: a straggler behind the b1-frontier (07:30 < 08:00 → dropped)
+    // alongside a fresh in-time doc (kept — proves the drop is selective)
+    val b3 = Seq(
+      (102L, "too late to matter x", ts(7, 30)),
+      (104L, "completely novel words here now", ts(11))).toDF("doc_id", "text", "ts")
+
+    val root = Files.createTempDirectory("graft-stream-wmguard").toString
+    val src = new java.io.File(s"$root/src"); src.mkdirs()
+    Seq((b1, "b1", 1000000L), (b2, "b2", 2000000L), (b3, "b3", 3000000L)).foreach {
+      case (df, name, mtime) =>
+        val tmp = s"$root/tmp_$name"
+        df.coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(src, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(mtime)
+    }
+
+    val streamCfg = StreamingDedup.Config(s"$root/state_stream")
+    StreamingDedup.init(spark, streamCfg, archive)
+    val guarded = Admission.guard(
+      spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString),
+      tsCol = "ts", delay = "2 hours", idCols = Seq("doc_id"))
+    val q = StreamingDedup.attach(guarded, streamCfg).start()
+    try q.processAllAvailable() finally q.stop()
+
+    // batch reference: the same loop over what should have survived the
+    // guard — b1 intact, b2 minus the redelivery, b3 minus the straggler
+    val batchCfg = StreamingDedup.Config(s"$root/state_batch")
+    StreamingDedup.init(spark, batchCfg, archive)
+    StreamingDedup.processBatch(spark, batchCfg, b1.drop("ts"))
+    StreamingDedup.processBatch(spark, batchCfg, b2.filter(col("doc_id") === 103L).drop("ts"))
+    StreamingDedup.processBatch(spark, batchCfg, b3.filter(col("doc_id") === 104L).drop("ts"))
+    def pairSet(c: StreamingDedup.Config) = StreamingDedup.pairs(spark, c)
+      .select("id1", "id2", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairSet(streamCfg) == pairSet(batchCfg))
+    assert(pairSet(streamCfg) == Set((1L, 103L, 1.0)), s"got ${pairSet(streamCfg)}")
+    // state holds exactly the guarded survivors — no 100-redelivery, no 102
+    val corpus = spark.read.parquet(s"${streamCfg.stateDir}/corpus")
+      .select("doc_id").as[Long].collect().toSet
+    assert(corpus == Set(1L, 2L, 100L, 101L, 103L, 104L), s"corpus: $corpus")
+  }
 }

@@ -136,6 +136,82 @@ class StreamStatsSpec extends AnyFunSuite {
     assert(stateSnapshot(streamCfg) == stateSnapshot(batchCfg))
   }
 
+  test("watermarked ingest: redelivered and too-late rows are dropped before the state fold") {
+    import spark.implicits._
+    // the event-time guard upstream of the stats fold: at-least-once
+    // redeliveries (same orderkey/linenumber identity inside the
+    // watermark) are deduplicated and stragglers behind the event-time
+    // frontier dropped, BEFORE any state family counts them — counting
+    // states are not idempotent, so the guard is what makes replayed
+    // sources safe. Exercises withWatermark on a normalizeEventTime'd
+    // stream (the NTZ regression class) end to end. The straggler ships
+    // one batch after the frontier-setter: Spark's late filter uses the
+    // previous batch's watermark (SPARK-40925).
+    def ts(h: Int, m: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    val cols = Seq("l_returnflag", "l_linestatus", "l_quantity", "l_partkey",
+      "l_orderkey", "l_linenumber", "ts")
+    val archive = Seq(("A", "O", 5.0, 10L, 1L, 1, ts(7)))
+      .toDF(cols: _*)
+    // b1: two fresh rows; frontier after b1 = 10:00 - 2h = 08:00
+    val b1 = Seq(
+      ("A", "F", 7.0, 10L, 3L, 1, ts(8)),
+      ("B", "O", 2.0, 12L, 4L, 1, ts(10))).toDF(cols: _*)
+    // b2: a redelivery of (3,1) with a shifted ts (deduped by identity)
+    // and a fresh in-time row (kept)
+    val b2 = Seq(
+      ("A", "F", 7.0, 10L, 3L, 1, ts(9, 30)),
+      ("B", "F", 4.0, 13L, 6L, 1, ts(10, 30))).toDF(cols: _*)
+    // b3: a straggler behind the b1-frontier (07:30 < 08:00 → dropped)
+    // plus a fresh in-time row (kept — the drop is selective)
+    val b3 = Seq(
+      ("C", "F", 9.0, 11L, 5L, 1, ts(7, 30)),
+      ("A", "O", 3.0, 14L, 7L, 1, ts(11))).toDF(cols: _*)
+
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-statswm").toString
+    val src = new java.io.File(s"$root/src"); src.mkdirs()
+    Seq((b1, "b1", 1000000L), (b2, "b2", 2000000L), (b3, "b3", 3000000L)).foreach {
+      case (df, name, mtime) =>
+        val tmp = s"$root/tmp_$name"
+        df.coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(src, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(mtime)
+    }
+
+    val streamCfg = cfg(s"$root/state_stream")
+    StreamingStats.init(spark, streamCfg, archive)
+    val guarded = Admission.guard(
+      spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString),
+      tsCol = "ts", delay = "2 hours", idCols = Seq("l_orderkey", "l_linenumber"))
+    val q = StreamingStats.attach(guarded, streamCfg).start()
+    try q.processAllAvailable() finally q.stop()
+
+    // final state == from-scratch partials over archive + guard survivors
+    // (the redelivery and the straggler contribute NOTHING)
+    val survivors = archive
+      .unionByName(b1)
+      .unionByName(b2.filter(col("l_orderkey") === 6L))
+      .unionByName(b3.filter(col("l_orderkey") === 7L))
+    val c = streamCfg
+    val direct: Map[String, DataFrame] = Map(
+      "stats" -> Merge.partialStats(survivors, c.keys, c.valueCol),
+      "quantile" -> Merge.partialQuantileState(survivors, c.keys, c.valueCol),
+      "distinct" -> Merge.partialDistinctState(survivors, c.keys, c.distinctCol),
+      "moment" -> Merge.partialMomentState(survivors, c.keys, c.valueCol),
+      "freq" -> Merge.partialFreqState(survivors, c.keys, c.freqCol),
+      "sample" -> Merge.partialSampleState(survivors, c.keys,
+        Merge.samplePriorityFast(c.sampleIdCols), c.sampleK))
+    val got = stateSnapshot(c)
+    direct.foreach { case (family, df) =>
+      assert(got(family) == df.collect().map(_.toSeq: Seq[Any]).toSet,
+        s"family '$family' counted a redelivered or late row")
+    }
+  }
+
   test("init refuses double-init; processBatch refuses uninitialized state") {
     val root = java.nio.file.Files.createTempDirectory("graft-stream-stats3").toString
     val c = cfg(s"$root/state")
