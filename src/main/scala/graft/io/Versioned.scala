@@ -150,6 +150,15 @@ object Versioned {
     }
   }
 
+  /** Number of consecutive delta versions at the tip (0 when latest is a
+    * full snapshot or the table is empty) — the "how long is the chain"
+    * input to a checkpoint-every-K policy. */
+  def chainLength(spark: SparkSession, tablePath: String): Int = {
+    val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
+    versions(spark, tablePath).reverse
+      .takeWhile(v => hasMarker(fs, new Path(tablePath, s"v=$v"))).size
+  }
+
   /** Rematerialize the latest resolved state as a FULL snapshot, ending
     * the current delta chain — run periodically so reads stay one-scan
     * and [[retain]] has a boundary to GC behind. No-op (returns the

@@ -505,16 +505,7 @@ object Dedup {
     * historical pair graph. */
   def updateClusters(labels: DataFrame, newPairs: DataFrame,
                      maxIters: Int = 64): DataFrame = {
-    val contracted = newPairs
-      .join(labels.select(col("doc_id").as("id1"), col("cluster").as("__r1")),
-        Seq("id1"), "left")
-      .join(labels.select(col("doc_id").as("id2"), col("cluster").as("__r2")),
-        Seq("id2"), "left")
-      .select(coalesce(col("__r1"), col("id1")).as("id1"),
-        coalesce(col("__r2"), col("id2")).as("id2"))
-    // delta: new cluster per (representative | new doc) in the contracted
-    // graph — a batch-sized CC, localCheckpoint'd inside CC already
-    val delta = connectedComponents(contracted, maxIters)
+    val delta = contractedCC(labels, newPairs, maxIters)
     // relabel every member of a moved component via its representative
     val moved = delta.select(col("doc_id").as("cluster"), col("cluster").as("__newc"))
     val updated = labels.join(moved, Seq("cluster"), "left")
@@ -524,6 +515,41 @@ object Dedup {
     // in the table (a component min is one of its members)
     val introduced = delta.join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
     updated.unionByName(introduced)
+  }
+
+  /** The CHANGED-ROWS form of [[updateClusters]]: only the label rows the
+    * batch's pairs actually touch — members of components whose
+    * representative moved, plus docs the batch introduces. Applying these
+    * as upserts over the previous table
+    * ([[graft.ops.Merge.applyChangeLog]] / [[graft.io.Versioned.writeDelta]])
+    * reproduces [[updateClusters]] exactly (pinned in DedupSpec), which
+    * makes the persisted label artifact delta-sized per epoch: rows
+    * written ∝ touched components + batch, never the label table. */
+  def updateClustersDelta(labels: DataFrame, newPairs: DataFrame,
+                          maxIters: Int = 64): DataFrame = {
+    val delta = contractedCC(labels, newPairs, maxIters)
+    val moved = delta.select(col("doc_id").as("cluster"), col("cluster").as("__newc"))
+    val changed = labels.join(moved, Seq("cluster"), "inner")
+      .filter(col("__newc") =!= col("cluster"))
+      .select(col("doc_id"), col("__newc").as("cluster"))
+    val introduced = delta.join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+    changed.unionByName(introduced)
+  }
+
+  /** Shared core of [[updateClusters]]/[[updateClustersDelta]]: CC over
+    * the representative-contracted batch graph — one node per touched
+    * component or new doc, |newPairs| edges. */
+  private def contractedCC(labels: DataFrame, newPairs: DataFrame,
+                           maxIters: Int): DataFrame = {
+    val contracted = newPairs
+      .join(labels.select(col("doc_id").as("id1"), col("cluster").as("__r1")),
+        Seq("id1"), "left")
+      .join(labels.select(col("doc_id").as("id2"), col("cluster").as("__r2")),
+        Seq("id2"), "left")
+      .select(coalesce(col("__r1"), col("id1")).as("id1"),
+        coalesce(col("__r2"), col("id2")).as("id2"))
+    // batch-sized CC, localCheckpoint'd inside CC already
+    connectedComponents(contracted, maxIters)
   }
 
   /** Large-star: for each node u, attach every STRICTLY LARGER neighbor

@@ -17,13 +17,20 @@ import graft.ops.{Dedup, Manifest}
   *                   land as new files — ~16 rows/doc of metadata; each
   *                   file's rows were df-capped with the table epoch
   *                   current at its build, see the epoch note below);
-  *  - `shingle_df/`  the shingle document-frequency table, EPOCHED via
-  *                   [[graft.io.Versioned]] (vocabulary-scale rewrite per
-  *                   batch — counts merge by addition);
+  *  - `shingle_df/`  the shingle document-frequency table, epoched via
+  *                   [[graft.io.Versioned]] DELTA versions: each batch
+  *                   commits only the shingles it touched (rows ∝ batch
+  *                   vocabulary, not corpus vocabulary — counts merge by
+  *                   addition and land as upserts);
   *  - `labels/`      cluster labels, epoched via [[graft.io.Versioned]]
-  *                   (1 slim row per pair-involved doc; time travel =
+  *                   delta versions ([[Dedup.updateClustersDelta]] — rows
+  *                   ∝ touched components + batch; time travel =
   *                   "what did dedup say last week", and
   *                   [[graft.io.Versioned.diff]] shows cluster moves).
+  *
+  * Both epoched artifacts checkpoint back to a full snapshot every
+  * `checkpointEvery` deltas, bounding read-side chain resolution and
+  * giving [[graft.io.Versioned.retain]] its GC boundary.
   *
   * Per [[ingest]] batch: shingle + sign the batch only; probe the
   * persisted index for candidates; verify exact Jaccard on the batch +
@@ -68,9 +75,16 @@ object IncrementalIngest {
 
   /** Fold one arriving batch into the persisted state. Caller contract:
     * batch doc_ids are disjoint from the archive's (the
-    * [[Dedup.incrementalNearDup]] contract). */
+    * [[Dedup.incrementalNearDup]] contract).
+    *
+    * The epoched artifacts commit as DELTA versions — rows written ∝
+    * batch, not table — then checkpoint back to a full snapshot once the
+    * chain reaches `checkpointEvery` (so reads fold at most that many
+    * changelogs and retention can GC). */
   def ingest(spark: SparkSession, batch: DataFrame, root: String,
-             maxDf: Long = Dedup.DefaultMaxDf): IngestResult = {
+             maxDf: Long = Dedup.DefaultMaxDf,
+             checkpointEvery: Int = 16): IngestResult = {
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     val p = StatePaths(root)
     val archive = spark.read.parquet(p.archive)
     val index = spark.read.parquet(p.index)
@@ -78,19 +92,33 @@ object IncrementalIngest {
     val labels = Versioned.read(spark, p.labels)
     // new epoch FIRST: the batch's own df contribution merges in, so the
     // batch caps against the table that already counts it
-    val merged = Dedup.mergeShingleDf(Seq(dfTable,
-      Dedup.shingleDfTable(Dedup.shingleDF(batch)))).localCheckpoint()
+    val batchDf = Dedup.shingleDfTable(Dedup.shingleDF(batch))
+    val merged = Dedup.mergeShingleDf(Seq(dfTable, batchDf)).localCheckpoint()
     val pairs = Dedup
       .incrementalNearDupCapped(batch, archive, index, merged, maxDf)
       .select("id1", "id2").localCheckpoint()
-    val labelVersion = Versioned.write(
-      Dedup.updateClusters(labels, pairs), p.labels)
-    Versioned.write(merged, p.shingleDf)
+    // delta commits: only the rows this batch changed. Counts only grow
+    // and labels only move/appear, so both changelogs are upsert-only.
+    val labelVersion = Versioned.writeDelta(
+      asUpserts(Dedup.updateClustersDelta(labels, pairs)),
+      p.labels, keys = Seq("doc_id"))
+    Versioned.writeDelta(
+      asUpserts(merged.join(batchDf.select("shingle"), Seq("shingle"), "left_semi")),
+      p.shingleDf, keys = Seq("shingle"))
     // append-only artifacts: batch bands + batch docs land as new files
     Sinks.parquet(Dedup.lshBandIndexCapped(batch, merged, maxDf),
       p.index, mode = "append")
     Sinks.parquet(batch, p.archive, mode = "append")
     Manifest.appendManifest(spark, p.archive, Seq("doc_id"))
+    Seq(p.labels, p.shingleDf).foreach { t =>
+      if (Versioned.chainLength(spark, t) >= checkpointEvery)
+        Versioned.checkpoint(spark, t)
+    }
     IngestResult(pairs.count(), labelVersion)
+  }
+
+  private def asUpserts(changed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    changed.withColumn("op", lit("upsert")).withColumn("seq", lit(1L))
   }
 }

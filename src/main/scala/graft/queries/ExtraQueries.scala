@@ -176,6 +176,54 @@ object ExtraQueries {
       }
     },
 
+    sql("u15_versioned_delta",
+      "U7++: delta-sized versioned snapshots — a full base snapshot plus a chain of two U8 CDC changelog versions (storage ∝ changes, not table size), resolved through Versioned.read. Exercises latest-seq-wins WITHIN a delta (superseded seq-1 'X') and version-order-wins ACROSS deltas (a later version's seq-1 overwrites an earlier version's seq-2); oracle replays the same deterministic key-class edits in SQL",
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM (
+        | SELECT o_orderkey, o_custkey,
+        |        CASE WHEN o_orderkey % 100 = 3 THEN 'V'
+        |             WHEN o_orderkey % 10 = 3 THEN 'U'
+        |             ELSE o_orderstatus END AS o_orderstatus
+        |   FROM orders WHERE o_orderkey % 10 <> 7
+        | UNION ALL
+        | SELECT -o_orderkey, o_custkey, 'I' FROM orders WHERE o_orderkey % 100 = 1)
+        | ORDER BY o_orderkey""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // a real version-history round-trip, not an in-memory fold: base
+        // lands as full v1, two changelogs land as delta v2/v3 (each
+        // writes only its changed rows), and the read resolves
+        // base + chain through applyChangeLog. At 100 TB this is the
+        // whole point: v2/v3 cost ∝ the day's changes while a write()
+        // snapshot would copy the archive.
+        val base = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderstatus")
+        val dir = java.nio.file.Files.createTempDirectory("graft-u15").toString + "/t"
+        graft.io.Versioned.write(base, dir)
+        // delta v2: %10==3 → 'U' at seq 2 (with a superseded seq-1 'X'
+        // exercising in-batch latest-seq-wins), %10==7 deleted
+        val d1 = base.filter(col("o_orderkey") % 10 === 3)
+          .withColumn("o_orderstatus", lit("X"))
+          .withColumn("op", lit("upsert")).withColumn("seq", lit(1L))
+          .unionByName(base.filter(col("o_orderkey") % 10 === 3)
+            .withColumn("o_orderstatus", lit("U"))
+            .withColumn("op", lit("upsert")).withColumn("seq", lit(2L)))
+          .unionByName(base.filter(col("o_orderkey") % 10 === 7)
+            .withColumn("op", lit("delete")).withColumn("seq", lit(1L)))
+        graft.io.Versioned.writeDelta(d1, dir, keys = Seq("o_orderkey"))
+        // delta v3: inserts, plus %100==3 re-upserted to 'V' at seq 1 —
+        // beats v2's seq-2 'U' because versions fold in order (seq only
+        // ranks within one changelog batch)
+        val d2 = base.filter(col("o_orderkey") % 100 === 1)
+          .withColumn("o_orderkey", -col("o_orderkey"))
+          .withColumn("o_orderstatus", lit("I"))
+          .withColumn("op", lit("upsert")).withColumn("seq", lit(1L))
+          .unionByName(base.filter(col("o_orderkey") % 100 === 3)
+            .withColumn("o_orderstatus", lit("V"))
+            .withColumn("op", lit("upsert")).withColumn("seq", lit(1L)))
+        graft.io.Versioned.writeDelta(d2, dir, keys = Seq("o_orderkey"))
+        graft.io.Versioned.read(s, dir).orderBy("o_orderkey")
+      }
+    },
+
     sql("u9_incremental_agg",
       "U9: incremental aggregation maintenance — merge per-key algebraic states (count/decimal-sum/min/max) from a prior slice and a new batch; bit-identical to full recompute, new data only is scanned",
       s"""SELECT l_returnflag, l_linestatus, COUNT(l_quantity) AS cnt,

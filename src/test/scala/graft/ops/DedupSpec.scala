@@ -155,6 +155,21 @@ class DedupSpec extends AnyFunSuite {
     val served = Dedup.updateClusters(spark.read.parquet(dir), batchB)
     assert(toMap(served) == full,
       "label table did not survive parquet: served fold != in-memory fold")
+
+    // the CHANGED-ROWS form: applying updateClustersDelta as upserts over
+    // the previous table == updateClusters — and the delta itself carries
+    // only touched rows (batch B moves {50..61,300}, leaves cluster 1 and
+    // {100,101} untouched), which is what makes the persisted label
+    // artifact delta-sized per epoch
+    val deltaB = Dedup.updateClustersDelta(afterA, batchB)
+    val deltaKeys = deltaB.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(deltaKeys == Set(60L, 61L, 300L),
+      s"delta should carry only moved/new rows, got $deltaKeys")
+    val applied = graft.ops.Merge.applyChangeLog(afterA,
+      deltaB.withColumn("op", lit("upsert")).withColumn("seq", lit(1L)),
+      Seq("doc_id"))
+    assert(toMap(applied) == full,
+      "upsert-applied updateClustersDelta != updateClusters")
   }
 
   test("incrementalNearDup == full run restricted to batch-involving pairs; corpus-internal pairs excluded") {

@@ -50,5 +50,41 @@ class IncrementalIngestSpec extends AnyFunSuite {
     // of an archived doc must surface the pair (index epoch composes)
     val labelHistory = Versioned.versions(spark, p.labels)
     assert(labelHistory == Seq(1L, 2L, 3L), "label table should keep its epochs")
+
+    // epoched artifacts are DELTA-sized: v1 full, later epochs changelogs
+    for (t <- Seq(p.labels, p.shingleDf); v <- Versioned.versions(spark, t))
+      assert(Versioned.isDelta(spark, t, v) == (v > 1L),
+        s"$t v=$v: expected ${if (v > 1) "delta" else "full"}")
+    // and the delta rows are batch-sliver-sized, not table-sized: epoch 3's
+    // shingle changelog carries only the last batch's vocabulary
+    val lastDelta = spark.read.parquet(s"${p.shingleDf}/v=3").count()
+    val fullVocab = dfJoint.size.toLong
+    assert(lastDelta < fullVocab,
+      s"shingle delta ($lastDelta rows) should be smaller than the vocabulary ($fullVocab)")
+  }
+
+  test("checkpointEvery folds the delta chain back to a full snapshot; reads unchanged") {
+    val docs = graft.model.Tables.documents(spark, TestSpark.sfDir).limit(200)
+      .localCheckpoint()
+    val root = Files.createTempDirectory("graft-incr-ckpt").toString + "/state"
+    val p = IncrementalIngest.init(spark, docs.filter(col("doc_id") % 3 === 0), root)
+    // checkpointEvery=1: every ingest lands a delta, then immediately
+    // rematerializes — the chain never exceeds one changelog
+    IncrementalIngest.ingest(spark, docs.filter(col("doc_id") % 3 === 1), root,
+      checkpointEvery = 1)
+    assert(Versioned.chainLength(spark, p.labels) == 0)
+    assert(Versioned.chainLength(spark, p.shingleDf) == 0)
+    IncrementalIngest.ingest(spark, docs.filter(col("doc_id") % 3 === 2), root,
+      checkpointEvery = 1)
+    // the checkpointed state still equals the joint recompute
+    val joint = Dedup.shingleDfTable(Dedup.shingleDF(docs))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val served = Versioned.read(spark, p.shingleDf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(served == joint)
+    // retention can now GC behind the checkpoint without orphaning reads
+    Versioned.retain(spark, p.shingleDf, keep = 1)
+    assert(Versioned.read(spark, p.shingleDf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap == joint)
   }
 }
