@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED incremental IVF index — the vector-store maintenance cycle
+  * behind embedding similarity at corpus scale (reference has no vector
+  * ops; this extends the north-star ANN family of [[Similarity]]).
+  *
+  * Layout under one root:
+  *  - `centroids/` the trained coarse quantizer ([[Similarity]] model
+  *    artifact — K rows, read back for every assign/probe);
+  *  - `index/` the full vector rows + their assigned `cid`, written
+  *    `partitionBy(cid)` so a probe PRUNES AT THE STORAGE LAYER: a
+  *    query that ranks centroids and semi-joins on `cid` reads only the
+  *    probed partitions (Spark inserts a dynamic-partition-pruning
+  *    subquery on the scan — VectorIndexSpec pins it), never the
+  *    archive.
+  *
+  * Cycle contract (the IVF production norm, same freeze discipline as
+  * FAISS/Milvus segments): centroids are trained ONCE at [[init]] and
+  * FROZEN; [[ingest]] assigns each arriving batch against the read-back
+  * quantizer and appends batch-sized partitions files. Assignment is
+  * a pure function of (vector, centroids), so init+ingest over slices
+  * equals one joint build over the union, bit for bit — and queries are
+  * oblivious to how many increments built the index. Centroid drift
+  * (batch distribution diverging from the training corpus) degrades
+  * recall, not correctness; the remedy is an offline rebuild ([[init]]
+  * to a fresh root from the read-back corpus) swapped in atomically,
+  * exactly like any index rebuild.
+  *
+  * Scale shape: ingest work ∝ batch × K (map-side scoring against the
+  * broadcast K-row centroid table + one batch-sized window); query work
+  * ∝ K + the probed partitions' rows. No driver-side state, no
+  * collect. */
+object VectorIndex {
+
+  final case class StatePaths(root: String) {
+    val centroids: String = s"$root/centroids"
+    val index: String = s"$root/index"
+  }
+
+  /** Bootstrap: train the quantizer on the initial corpus (columns
+    * vec_id, embedding, …), persist it, and land the corpus as the first
+    * index partitions. */
+  def init(spark: SparkSession, vectors: DataFrame, root: String,
+           k: Int, iters: Int = 4): StatePaths = {
+    val p = StatePaths(root)
+    Similarity.saveIvfCentroids(
+      Similarity.trainIvfCentroids(vectors, k, iters), p.centroids)
+    writeAssigned(spark, vectors, p, mode = "overwrite")
+    p
+  }
+
+  /** Fold one arriving batch into the index: assign against the FROZEN
+    * read-back quantizer, append its rows to the probed layout. Caller
+    * contract: batch vec_ids are disjoint from the index's. */
+  def ingest(spark: SparkSession, batch: DataFrame, root: String): Unit =
+    writeAssigned(spark, batch, StatePaths(root), mode = "append")
+
+  private def writeAssigned(spark: SparkSession, vectors: DataFrame,
+                            p: StatePaths, mode: String): Unit = {
+    val cents = Similarity.loadIvfCentroids(spark, p.centroids)
+    val assigned = vectors.join(
+      Similarity.ivfAssign(vectors, cents), Seq("vec_id"))
+    graft.io.Sinks.parquet(assigned, p.index,
+      partitionBy = Seq("cid"), mode = mode)
+  }
+
+  /** Top-k by cosine against the persisted index: rank centroids for the
+    * query (K rows, broadcast), semi-join the index on `cid` — dynamic
+    * partition pruning reads only the `nprobe` probed partitions — and
+    * exact-score just those rows. `nprobe` ≥ the centroid count degrades
+    * to exact brute force over the whole index (the recall-1 setting the
+    * oracle uses). */
+  def topK(spark: SparkSession, root: String, query: DataFrame,
+           k: Int, nprobe: Int): DataFrame = {
+    val p = StatePaths(root)
+    val cents = Similarity.loadIvfCentroids(spark, p.centroids)
+    val probed = cents.crossJoin(broadcast(query))
+      .select(col("cid"), Similarity.cosine(col("cvec"), col("qe")).as("sim"))
+      .orderBy(col("sim").desc, col("cid")).limit(nprobe)
+      .select("cid")
+    val candidates = spark.read.parquet(p.index)
+      .join(broadcast(probed), Seq("cid"), "left_semi")
+      .drop("cid")
+    Similarity.cosineTopK(candidates, query, k)
+  }
+}

@@ -121,4 +121,24 @@ object IncrementalIngest {
     import org.apache.spark.sql.functions.lit
     changed.withColumn("op", lit("upsert")).withColumn("seq", lit(1L))
   }
+
+  /** Streaming form of the cycle: a foreachBatch sink folding every
+    * micro-batch (columns doc_id, text) into the persisted state via
+    * [[ingest]]. Pair with [[graft.streaming.Admission.guard]] upstream
+    * when the source is at-least-once — [[ingest]]'s disjoint-doc_id
+    * contract is exactly what the guard's redelivery kill restores
+    * (IncrementalIngestSpec pins replay == batch loop through it).
+    * Empty micro-batches (e.g. a guard that dropped everything) are
+    * skipped rather than burning an epoch. */
+  def attach(stream: DataFrame, root: String,
+             maxDf: Long = Dedup.DefaultMaxDf,
+             checkpointEvery: Int = 16):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val docs = batch.select("doc_id", "text")
+        if (!docs.isEmpty) {
+          ingest(batch.sparkSession, docs, root, maxDf, checkpointEvery); ()
+        }
+      }
 }

@@ -33,6 +33,12 @@ object SimilarityQueries {
   private val centroidModelPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Root of the persisted incremental IVF index per corpus dir (ss8 —
+    * built once via init+ingest, every query served from the partitioned
+    * read-back layout; same path-not-DataFrame rationale as above). */
+  private val ivfIndexRoot =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   val all: Seq[QuerySpec] = Seq(
 
     sql("ss1_cosine_topk",
@@ -127,6 +133,28 @@ object SimilarityQueries {
         })
         Similarity.ivfTopK(base, Similarity.loadIvfCentroids(s, path),
           queryVec(s, d), k = 10, nprobe = 6)
+      }
+    },
+
+    sql("ss8_incremental_ivf",
+      "Similarity: PERSISTED incremental IVF index — quantizer trained on the history slice and frozen, the remaining vectors ingested against the read-back model into a partitionBy(cid) layout whose probes prune at the storage layer (VectorIndex). Probing every centroid recovers exact brute-force top-10 — which the oracle hash-checks, pinning that the incremental index holds exactly the corpus; recall at production nprobe + dynamic partition pruning are pinned in VectorIndexSpec",
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, ROUND(${duckCosine("embedding", "qe")}, 6) AS cosine
+         | FROM embeddings, q WHERE vec_id <> 0
+         | ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val base = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        val root = ivfIndexRoot.getOrElseUpdate(d, {
+          val r = java.nio.file.Files
+            .createTempDirectory("graft-vecidx-q").toString + "/idx"
+          graft.ops.VectorIndex.init(s, base.filter(col("vec_id") % 5 =!= 0), r, k = 8)
+          graft.ops.VectorIndex.ingest(s, base.filter(col("vec_id") % 5 === 0), r)
+          r
+        })
+        // nprobe = K: the exact-recovery setting the oracle can hash;
+        // production probes fewer partitions (VectorIndexSpec's recall
+        // case runs nprobe=6)
+        graft.ops.VectorIndex.topK(s, root, queryVec(s, d), k = 10, nprobe = 8)
       }
     },
 

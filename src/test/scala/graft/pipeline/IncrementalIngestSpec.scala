@@ -63,6 +63,67 @@ class IncrementalIngestSpec extends AnyFunSuite {
       s"shingle delta ($lastDelta rows) should be smaller than the vocabulary ($fullVocab)")
   }
 
+  test("streaming attach behind the admission guard == batch ingest loop over the guard's survivors") {
+    import spark.implicits._
+    // the full capstone as a stream: at-least-once file source → Admission
+    // guard (normalize ts, kill redelivery, drop straggler) → foreachBatch
+    // ingest maintaining every persisted artifact. The batch reference
+    // runs ingest() directly over what should have survived.
+    def ts(h: Int, m: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    val archive = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "z y x w v u t s r q")).toDF("doc_id", "text")
+    val b1 = Seq(
+      (100L, "m n o p q r s t u v", ts(8)),
+      (101L, "f g h i j k l m n o", ts(10))).toDF("doc_id", "text", "ts")
+    val b2 = Seq(
+      (100L, "m n o p q r s t u v", ts(9, 30)), // redelivery — guard kills
+      (103L, "a b c d e f g h i j", ts(10, 30))).toDF("doc_id", "text", "ts")
+    val b3 = Seq(
+      (102L, "too late to matter x", ts(7, 30)), // straggler — guard drops
+      (104L, "completely novel words here now", ts(11))).toDF("doc_id", "text", "ts")
+
+    val root = Files.createTempDirectory("graft-incr-stream").toString
+    val src = new java.io.File(s"$root/src"); src.mkdirs()
+    Seq((b1, "b1", 1000000L), (b2, "b2", 2000000L), (b3, "b3", 3000000L)).foreach {
+      case (df, name, mtime) =>
+        val tmp = s"$root/tmp_$name"
+        df.coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(src, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(mtime)
+    }
+
+    val ps = IncrementalIngest.init(spark, archive, s"$root/state_stream")
+    val guarded = graft.streaming.Admission.guard(
+      spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString),
+      tsCol = "ts", delay = "2 hours", idCols = Seq("doc_id"))
+    val q = IncrementalIngest.attach(guarded, s"$root/state_stream").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val pb = IncrementalIngest.init(spark, archive, s"$root/state_batch")
+    IncrementalIngest.ingest(spark, b1.drop("ts"), pb.root)
+    IncrementalIngest.ingest(spark, b2.filter(col("doc_id") === 103L).drop("ts"), pb.root)
+    IncrementalIngest.ingest(spark, b3.filter(col("doc_id") === 104L).drop("ts"), pb.root)
+
+    def labels(p: IncrementalIngest.StatePaths) = Versioned.read(spark, p.labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def dfTab(p: IncrementalIngest.StatePaths) = Versioned.read(spark, p.shingleDf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    def docIds(p: IncrementalIngest.StatePaths) = spark.read.parquet(p.archive)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    assert(labels(ps) == labels(pb))
+    assert(labels(ps) == Map(1L -> 1L, 103L -> 1L), s"labels: ${labels(ps)}")
+    assert(dfTab(ps) == dfTab(pb))
+    assert(docIds(ps) == Set(1L, 2L, 100L, 101L, 103L, 104L), s"archive: ${docIds(ps)}")
+    assert(docIds(ps) == docIds(pb))
+  }
+
   test("checkpointEvery folds the delta chain back to a full snapshot; reads unchanged") {
     val docs = graft.model.Tables.documents(spark, TestSpark.sfDir).limit(200)
       .localCheckpoint()
