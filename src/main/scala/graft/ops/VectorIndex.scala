@@ -67,6 +67,21 @@ object VectorIndex {
       partitionBy = Seq("cid"), mode = mode)
   }
 
+  /** Streaming form of [[ingest]]: a foreachBatch sink assigning every
+    * micro-batch (columns vec_id, embedding, label) against the frozen
+    * quantizer and appending it to the probed layout. Pair with
+    * [[graft.streaming.Admission.guard]] upstream when the source is
+    * at-least-once — [[ingest]]'s disjoint-vec_id contract is exactly
+    * what the guard's redelivery kill restores (VectorIndexSpec pins
+    * replay == batch loop through it). Empty micro-batches are skipped. */
+  def attach(stream: DataFrame, root: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val vs = batch.select("vec_id", "embedding", "label")
+        if (!vs.isEmpty) ingest(batch.sparkSession, vs, root)
+      }
+
   /** Top-k by cosine against the persisted index: rank centroids for the
     * query (K rows, broadcast), semi-join the index on `cid` — dynamic
     * partition pruning reads only the `nprobe` probed partitions — and

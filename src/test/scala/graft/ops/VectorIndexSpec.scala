@@ -53,6 +53,67 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall@10 = $recall at nprobe=6/8")
   }
 
+  test("streaming attach behind the admission guard == batch ingest of the guard's survivors") {
+    import spark.implicits._
+    def ts(h: Int, m: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    def v(xs: Float*) = xs.toArray
+    val archive = Seq(
+      (1L, v(1f, 0f, 0f, 0f), 0),
+      (2L, v(0f, 1f, 0f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    val b1 = Seq(
+      (100L, v(0.9f, 0.1f, 0f, 0f), 1, ts(8)),
+      (101L, v(0f, 0.9f, 0.1f, 0f), 1, ts(10))).toDF("vec_id", "embedding", "label", "ts")
+    val b2 = Seq(
+      (100L, v(0.9f, 0.1f, 0f, 0f), 1, ts(9, 30)), // redelivery — guard kills
+      (103L, v(0f, 0f, 1f, 0f), 1, ts(10, 30))).toDF("vec_id", "embedding", "label", "ts")
+    val b3 = Seq(
+      (102L, v(0f, 0f, 0f, 1f), 1, ts(7, 30)),     // straggler — guard drops
+      (104L, v(0.5f, 0.5f, 0f, 0f), 1, ts(11))).toDF("vec_id", "embedding", "label", "ts")
+
+    val base = java.nio.file.Files.createTempDirectory("graft-vecidx-stream").toString
+    val src = new java.io.File(s"$base/src"); src.mkdirs()
+    Seq((b1, "b1", 1000000L), (b2, "b2", 2000000L), (b3, "b3", 3000000L)).foreach {
+      case (df, name, mtime) =>
+        val tmp = s"$base/tmp_$name"
+        df.coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(src, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(mtime)
+    }
+
+    VectorIndex.init(spark, archive, s"$base/idx_stream", k = 2)
+    val guarded = graft.streaming.Admission.guard(
+      spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString),
+      tsCol = "ts", delay = "2 hours", idCols = Seq("vec_id"))
+    val q = VectorIndex.attach(guarded, s"$base/idx_stream").start()
+    try q.processAllAvailable() finally q.stop()
+
+    VectorIndex.init(spark, archive, s"$base/idx_batch", k = 2)
+    VectorIndex.ingest(spark, b1.drop("ts"), s"$base/idx_batch")
+    VectorIndex.ingest(spark, b2.filter(col("vec_id") === 103L).drop("ts"), s"$base/idx_batch")
+    VectorIndex.ingest(spark, b3.filter(col("vec_id") === 104L).drop("ts"), s"$base/idx_batch")
+
+    def content(r: String) = spark.read.parquet(s"$r/index")
+      .select("vec_id", "cid").collect()
+      .map(x => (x.getAs[Number](0).longValue, x.getAs[Number](1).longValue)).toSet
+    assert(content(s"$base/idx_stream") == content(s"$base/idx_batch"))
+    assert(content(s"$base/idx_stream").map(_._1) == Set(1L, 2L, 100L, 101L, 103L, 104L))
+    // and the served index answers exactly like brute force over survivors
+    val qv = Seq(Tuple1(v(1f, 0f, 0f, 0f))).toDF("qe")
+    val got = VectorIndex.topK(spark, s"$base/idx_stream", qv, k = 3, nprobe = 2)
+      .collect().map(_.toSeq).toSeq
+    val survivors = archive.unionByName(b1.drop("ts"))
+      .unionByName(b2.filter(col("vec_id") === 103L).drop("ts"))
+      .unionByName(b3.filter(col("vec_id") === 104L).drop("ts"))
+    val exact = Similarity.cosineTopK(survivors, qv, k = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(got == exact)
+  }
+
   test("probe path prunes at the storage layer: scan reads only the probed partitions") {
     val all = VectorIndex.topK(spark, root, query, k = 10, nprobe = 8)
     val two = VectorIndex.topK(spark, root, query, k = 10, nprobe = 2)
