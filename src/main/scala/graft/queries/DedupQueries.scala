@@ -140,6 +140,10 @@ object DedupQueries {
         Dedup.connectedComponents(
             Dedup.minhashNearDupFromBands(Dedup.shingleDF(corpus), index))
           .write.mode("overwrite").parquet(s"$root/labels")
+        // everything downstream serves from the parquet artifacts; holding
+        // the checkpoint block for the rest of the bench JVM is pure
+        // memory pressure on every later timed query
+        index.unpersist(blocking = true)
         root
       })
   }
