@@ -71,9 +71,17 @@ object Versioned {
                  opCol: String = "op", seqCol: String = "seq"): Long = {
     require(keys.nonEmpty, "writeDelta needs at least one key column")
     val spark = changes.sparkSession
-    require(latestVersion(spark, tablePath).nonEmpty,
+    val vs = versions(spark, tablePath)
+    require(vs.nonEmpty,
       s"Versioned.writeDelta: no base snapshot under $tablePath — commit a full write() first")
-    val targetCols = read(spark, tablePath).columns.toIndexedSeq
+    // applyChangeLog preserves exactly the target's columns, so the
+    // resolved schema == the nearest full snapshot's schema — validate
+    // against that one dir instead of building the whole chain plan
+    val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
+    val base = vs.reverse.find(x => !hasMarker(fs, new Path(tablePath, s"v=$x")))
+      .getOrElse(throw new IllegalStateException(
+        s"Versioned.writeDelta: no full snapshot under $tablePath — chain is orphaned"))
+    val targetCols = spark.read.parquet(s"$tablePath/v=$base").columns.toIndexedSeq
     require(keys.forall(targetCols.contains),
       s"Versioned.writeDelta: keys ${keys.filterNot(targetCols.contains).mkString(",")} " +
         s"not in table columns ${targetCols.mkString(",")}")
@@ -85,8 +93,13 @@ object Versioned {
   }
 
   /** Is committed `version` a delta (changelog) rather than a full
-    * snapshot? */
+    * snapshot? Refuses a version that is not committed (a silent `false`
+    * would be indistinguishable from "full snapshot" — the same loud
+    * contract as [[read]]). */
   def isDelta(spark: SparkSession, tablePath: String, version: Long): Boolean = {
+    require(versions(spark, tablePath).contains(version),
+      s"Versioned.isDelta: version $version not present under $tablePath " +
+        s"(have: ${versions(spark, tablePath).mkString(", ")})")
     val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
     hasMarker(fs, new Path(tablePath, s"v=$version"))
   }

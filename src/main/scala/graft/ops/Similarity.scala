@@ -181,13 +181,19 @@ object Similarity {
     * centroid ranking + candidate scoring). Rank centroids against the
     * query, semi-join the base down to the `nprobe` nearest clusters,
     * score only those. */
-  def ivfTopKIndexed(base: DataFrame, assigned: DataFrame,
-                     centroids: DataFrame, query: DataFrame,
-                     k: Int, nprobe: Int = 2): DataFrame = {
-    val probed = centroids.crossJoin(broadcast(query))
+  /** The `nprobe` centroid ids nearest the query — the single probe
+    * policy every IVF consumer shares ([[ivfTopKIndexed]] and
+    * [[VectorIndex.topK]]); K-row scan + limit, never data-sized. */
+  def probeCids(centroids: DataFrame, query: DataFrame, nprobe: Int): DataFrame =
+    centroids.crossJoin(broadcast(query))
       .select(col("cid"), cosine(col("cvec"), col("qe")).as("sim"))
       .orderBy(col("sim").desc, col("cid")).limit(nprobe)
       .select("cid")
+
+  def ivfTopKIndexed(base: DataFrame, assigned: DataFrame,
+                     centroids: DataFrame, query: DataFrame,
+                     k: Int, nprobe: Int = 2): DataFrame = {
+    val probed = probeCids(centroids, query, nprobe)
     val cand = assigned
       .join(broadcast(probed), Seq("cid"), "left_semi")
       .select("vec_id")

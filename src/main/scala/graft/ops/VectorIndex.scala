@@ -73,14 +73,30 @@ object VectorIndex {
     * [[graft.streaming.Admission.guard]] upstream when the source is
     * at-least-once — [[ingest]]'s disjoint-vec_id contract is exactly
     * what the guard's redelivery kill restores (VectorIndexSpec pins
-    * replay == batch loop through it). Empty micro-batches are skipped. */
+    * replay == batch loop through it). */
   def attach(stream: DataFrame, root: String):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val vs = batch.select("vec_id", "embedding", "label")
-        if (!vs.isEmpty) ingest(batch.sparkSession, vs, root)
-      }
+      .foreachBatch { (batch: DataFrame, id: Long) => applyBatch(batch, root, id) }
+
+  /** The foreachBatch body with crash-replay protection: applied batch
+    * ids land as `_applied/` markers after a successful append and a
+    * marked id is skipped — on recovery Spark replays the last
+    * un-committed micro-batch and the upstream guard's dedup state rolls
+    * back with the checkpoint, so only this sink-side record prevents a
+    * double append (same contract and marker-race caveat as
+    * [[graft.pipeline.IncrementalIngest.applyBatch]]). Empty
+    * micro-batches are skipped. */
+  def applyBatch(batch: DataFrame, root: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(s"$root/_applied/batch=$batchId")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      val vs = batch.select("vec_id", "embedding", "label")
+      if (!vs.isEmpty) ingest(spark, vs, root)
+      fs.mkdirs(marker)
+    }
+  }
 
   /** Top-k by cosine against the persisted index: rank centroids for the
     * query (K rows, broadcast), semi-join the index on `cid` — dynamic
@@ -92,10 +108,7 @@ object VectorIndex {
            k: Int, nprobe: Int): DataFrame = {
     val p = StatePaths(root)
     val cents = Similarity.loadIvfCentroids(spark, p.centroids)
-    val probed = cents.crossJoin(broadcast(query))
-      .select(col("cid"), Similarity.cosine(col("cvec"), col("qe")).as("sim"))
-      .orderBy(col("sim").desc, col("cid")).limit(nprobe)
-      .select("cid")
+    val probed = Similarity.probeCids(cents, query, nprobe)
     val candidates = spark.read.parquet(p.index)
       .join(broadcast(probed), Seq("cid"), "left_semi")
       .drop("cid")

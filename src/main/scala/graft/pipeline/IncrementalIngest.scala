@@ -89,7 +89,11 @@ object IncrementalIngest {
     val archive = spark.read.parquet(p.archive)
     val index = spark.read.parquet(p.index)
     val dfTable = Versioned.read(spark, p.shingleDf)
-    val labels = Versioned.read(spark, p.labels)
+    // resolve the label chain ONCE: with delta epochs this read folds up
+    // to checkpointEvery changelogs, and updateClustersDelta references
+    // the table three times — without materialization each reference
+    // would re-execute the whole fold
+    val labels = Versioned.read(spark, p.labels).localCheckpoint()
     // new epoch FIRST: the batch's own df contribution merges in, so the
     // batch caps against the table that already counts it
     val batchDf = Dedup.shingleDfTable(Dedup.shingleDF(batch))
@@ -124,21 +128,44 @@ object IncrementalIngest {
 
   /** Streaming form of the cycle: a foreachBatch sink folding every
     * micro-batch (columns doc_id, text) into the persisted state via
-    * [[ingest]]. Pair with [[graft.streaming.Admission.guard]] upstream
-    * when the source is at-least-once — [[ingest]]'s disjoint-doc_id
-    * contract is exactly what the guard's redelivery kill restores
-    * (IncrementalIngestSpec pins replay == batch loop through it).
-    * Empty micro-batches (e.g. a guard that dropped everything) are
-    * skipped rather than burning an epoch. */
+    * [[applyBatch]]. Pair with [[graft.streaming.Admission.guard]]
+    * upstream when the source is at-least-once — [[ingest]]'s
+    * disjoint-doc_id contract is exactly what the guard's redelivery
+    * kill restores (IncrementalIngestSpec pins replay == batch loop
+    * through it). */
   def attach(stream: DataFrame, root: String,
              maxDf: Long = Dedup.DefaultMaxDf,
              checkpointEvery: Int = 16):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val docs = batch.select("doc_id", "text")
-        if (!docs.isEmpty) {
-          ingest(batch.sparkSession, docs, root, maxDf, checkpointEvery); ()
-        }
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyBatch(batch, root, id, maxDf, checkpointEvery)
       }
+
+  /** The foreachBatch body, with CRASH-REPLAY protection the in-stream
+    * guard cannot provide: on recovery Spark replays the last
+    * un-committed micro-batch, and the admission guard's own dedup state
+    * rolls back with the checkpoint — so the replayed rows pass it
+    * again. Applied batch ids are therefore recorded as `_applied/`
+    * markers in the state root AFTER a successful fold, and a marked id
+    * is skipped. The marker is not atomic with the multi-artifact fold,
+    * so a crash BETWEEN fold and marker still re-applies (at-least-once
+    * narrowed to that window — the standard foreachBatch idempotence
+    * trade; full exactness would need every artifact behind one
+    * transactional commit). Empty micro-batches (e.g. a guard that
+    * dropped everything) are skipped rather than burning an epoch. */
+  def applyBatch(batch: DataFrame, root: String, batchId: Long,
+                 maxDf: Long = Dedup.DefaultMaxDf,
+                 checkpointEvery: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(s"$root/_applied/batch=$batchId")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      val docs = batch.select("doc_id", "text")
+      if (!docs.isEmpty) {
+        ingest(spark, docs, root, maxDf, checkpointEvery); ()
+      }
+      fs.mkdirs(marker)
+    }
+  }
 }

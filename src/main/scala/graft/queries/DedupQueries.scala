@@ -134,16 +134,19 @@ object DedupQueries {
         val split = batchSplit(docs)
         val corpus = docs.filter(col("doc_id") < split)
         val root = java.nio.file.Files.createTempDirectory("graft-ddstate").toString
-        // the index is built once and feeds BOTH artifacts (dd8's shape)
-        val index = Dedup.lshBandIndex(corpus).localCheckpoint()
-        index.write.mode("overwrite").parquet(s"$root/index")
+        // the index is built once and feeds BOTH artifacts (dd8's shape):
+        // write it first, then serve the label build FROM THE PARQUET —
+        // reading the artifact back truncates lineage like a checkpoint
+        // would, without pinning blocks in the block manager for the rest
+        // of the bench JVM (Dataset.unpersist cannot release a
+        // localCheckpoint's RDD blocks — they are not CacheManager
+        // entries — so the read-back is the deterministic way to keep
+        // state builds off the timed queries' memory)
+        Dedup.lshBandIndex(corpus).write.mode("overwrite").parquet(s"$root/index")
+        val index = s.read.parquet(s"$root/index")
         Dedup.connectedComponents(
             Dedup.minhashNearDupFromBands(Dedup.shingleDF(corpus), index))
           .write.mode("overwrite").parquet(s"$root/labels")
-        // everything downstream serves from the parquet artifacts; holding
-        // the checkpoint block for the rest of the bench JVM is pure
-        // memory pressure on every later timed query
-        index.unpersist(blocking = true)
         root
       })
   }

@@ -5,10 +5,18 @@ import graft.model.Tables
 
 /** Event-time ADMISSION GUARD for streaming ingest — the stage between an
   * at-least-once source and a non-idempotent foreachBatch fold
-  * ([[StreamingDedup]]/[[StreamingStats]]), turning redelivery into
-  * exactly-once state maintenance and bounding how far behind the
-  * event-time frontier a row may arrive (reference has no streaming; this
-  * extends the §2.10 north-star family).
+  * ([[StreamingDedup]]/[[StreamingStats]]/the IncrementalIngest and
+  * VectorIndex attaches): WITHIN a run it deduplicates source
+  * redeliveries by identity and bounds how far behind the event-time
+  * frontier a row may arrive (reference has no streaming; this extends
+  * the §2.10 north-star family).
+  *
+  * What the guard does NOT cover: crash-replay of a committed
+  * micro-batch. On recovery Spark replays the last un-committed batch
+  * and this guard's own dedup state rolls back with the checkpoint, so
+  * the replayed rows pass it again — sink-side applied-batch-id records
+  * close that window ([[graft.pipeline.IncrementalIngest.applyBatch]] /
+  * [[graft.ops.VectorIndex.applyBatch]]).
   *
   * Composition (each piece does one documented Spark thing):
   *   1. [[Tables.normalizeEventTime]] — conform the event-time column to

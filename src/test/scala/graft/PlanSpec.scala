@@ -278,7 +278,7 @@ class PlanSpec extends AnyFunSuite {
     // dimension, never by corpus size:
     //   ops/Similarity.scala (5)        query vector / query bucket (1 row),
     //                                   centroid model (K rows), probed cids (nprobe)
-    //   ops/VectorIndex.scala (2)       query vector (1 row), probed cids (nprobe)
+    //   ops/VectorIndex.scala (1)       probed cids (nprobe)
     //   ops/Decontam.scala (3)          eval-set shingles ×2 (eval ≪ train),
     //                                   contaminated-id sliver
     //   ops/Dedup.scala (2)             candidate-doc id slivers (semi-join probes)
@@ -300,7 +300,7 @@ class PlanSpec extends AnyFunSuite {
     // A new hint (or a removed one) fails this test until re-justified here.
     val allowed = Map(
       "ops/Similarity.scala" -> 5,
-      "ops/VectorIndex.scala" -> 2,
+      "ops/VectorIndex.scala" -> 1,
       "ops/Decontam.scala" -> 3,
       "ops/Dedup.scala" -> 2,
       "ops/RangeJoin.scala" -> 1,

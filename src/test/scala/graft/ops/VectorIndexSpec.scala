@@ -114,6 +114,23 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(got == exact)
   }
 
+  test("crash-replayed micro-batch ids are skipped: applyBatch appends once per id") {
+    import spark.implicits._
+    def v(xs: Float*) = xs.toArray
+    val archive = Seq((1L, v(1f, 0f), 0), (2L, v(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val b = Seq((100L, v(0.9f, 0.1f), 1)).toDF("vec_id", "embedding", "label")
+    val r = java.nio.file.Files.createTempDirectory("graft-vecidx-replay").toString + "/idx"
+    VectorIndex.init(spark, archive, r, k = 2)
+    VectorIndex.applyBatch(b, r, batchId = 0)
+    assert(spark.read.parquet(s"$r/index").count() == 3)
+    VectorIndex.applyBatch(b, r, batchId = 0) // crash replay: no double append
+    assert(spark.read.parquet(s"$r/index").count() == 3)
+    VectorIndex.applyBatch(
+      Seq((101L, v(0.5f, 0.5f), 1)).toDF("vec_id", "embedding", "label"), r, batchId = 1)
+    assert(spark.read.parquet(s"$r/index").count() == 4)
+  }
+
   test("probe path prunes at the storage layer: scan reads only the probed partitions") {
     val all = VectorIndex.topK(spark, root, query, k = 10, nprobe = 8)
     val two = VectorIndex.topK(spark, root, query, k = 10, nprobe = 2)

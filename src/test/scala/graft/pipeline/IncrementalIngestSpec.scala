@@ -124,6 +124,32 @@ class IncrementalIngestSpec extends AnyFunSuite {
     assert(docIds(ps) == docIds(pb))
   }
 
+  test("crash-replayed micro-batch ids are skipped: applyBatch is idempotent per id") {
+    import spark.implicits._
+    // after a crash between the sink's fold and the stream checkpoint,
+    // Spark re-runs the SAME batch id with the SAME rows — and the
+    // admission guard's state has rolled back, so only the sink-side
+    // applied-id record prevents double-folding (shingle counts are not
+    // idempotent)
+    val archive = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val b1 = Seq((100L, "m n o p q r s t u v")).toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft-incr-replay").toString + "/state"
+    val p = IncrementalIngest.init(spark, archive, root)
+    def dfTab() = Versioned.read(spark, p.shingleDf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    def archiveCount() = spark.read.parquet(p.archive).count()
+
+    IncrementalIngest.applyBatch(b1, root, batchId = 0)
+    val after1 = (dfTab(), archiveCount(), Versioned.versions(spark, p.shingleDf))
+    // replay of id 0: byte-identical state, no new epoch, no double counts
+    IncrementalIngest.applyBatch(b1, root, batchId = 0)
+    assert((dfTab(), archiveCount(), Versioned.versions(spark, p.shingleDf)) == after1)
+    // a NEW id still folds
+    IncrementalIngest.applyBatch(
+      Seq((101L, "z y x w v u t s r q")).toDF("doc_id", "text"), root, batchId = 1)
+    assert(archiveCount() == after1._2 + 1)
+  }
+
   test("checkpointEvery folds the delta chain back to a full snapshot; reads unchanged") {
     val docs = graft.model.Tables.documents(spark, TestSpark.sfDir).limit(200)
       .localCheckpoint()
