@@ -582,11 +582,21 @@ object Dedup {
   /** 64-bit SimHash over term-frequency-weighted whitespace tokens: bit b
     * of the signature is the sign of Σ_tokens (±1 per token depending on
     * bit b of xxhash64(token)). One wide conditional aggregation. */
+  /** Engine-portable 60-bit word hash: the first 15 hex chars of md5,
+    * decoded to a long — the o8/o3b/o7 discipline applied to SimHash, so
+    * signatures (and the near-dup pair set) replay identically in any
+    * engine with md5 (DuckDB: `CAST('0x' || substr(md5(w),1,15) AS
+    * BIGINT)`). Bits 60–63 of the signature are then always 0 on both
+    * sides; the 4×16 banding's pigeonhole argument is unaffected. */
+  def portableWordHash(w: Column): Column =
+    conv(substring(md5(w), 1, 15), 16, 10).cast("long")
+
   def simhash(docs: DataFrame, idCol: String = "doc_id",
-              textCol: String = "text"): DataFrame = {
+              textCol: String = "text",
+              wordHash: Column => Column = xxhash64(_)): DataFrame = {
     val words = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      .select(col("doc_id"), wordHash(col("w")).as("h"))
     val sums = (0 until 64).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b"))
     val sig = (0 until 64).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))

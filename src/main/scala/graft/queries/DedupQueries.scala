@@ -396,11 +396,32 @@ object DedupQueries {
       }
     },
 
-    rowsOnly("dd4_simhash_neardup",
-      "Dedup: 64-bit SimHash signatures, 4×16-bit band join, hamming ≤ 3 (ScalaTest-pinned)") {
+    sql("dd4_simhash_neardup",
+      "Dedup: SimHash signatures (md5-portable 60-bit word hash), 4×16-bit band join, hamming ≤ 3. The banding is pure candidate pruning — pigeonhole guarantees every hamming≤3 pair shares a chunk — so the oracle checks the SEMANTICS with a direct all-pairs hamming filter over identically-computed signatures; production keeps the xxhash64 word hash (same plan, cheaper hash)",
+      """WITH words AS (
+        | SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
+        | FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)),
+        |bits AS (
+        | SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        | FROM words CROSS JOIN (SELECT UNNEST(range(64)) AS b) bs
+        | GROUP BY doc_id, b),
+        |sig AS (
+        | SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS simhash
+        | FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        | FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        | WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        | ORDER BY id1, id2""".stripMargin.replace("\n", "")) {
       (s, d) =>
-        Dedup.simhashNearDup(Dedup.simhash(Tables.documents(s, d)))
+        Dedup.simhashNearDup(
+            Dedup.simhash(Tables.documents(s, d), wordHash = Dedup.portableWordHash))
+          .withColumn("hamming", col("hamming").cast("long"))
           .orderBy("id1", "id2")
+    }.withBench { (s, d) =>
+      // production: same banded plan, xxhash64 word hash (codegen'd, no
+      // hex-string decode per token)
+      Dedup.simhashNearDup(Dedup.simhash(Tables.documents(s, d)))
     },
 
     sql("dd9_source_overlap",
