@@ -128,12 +128,27 @@ object StreamingDedup {
 
   /** Attach the sink to a document stream (columns doc_id, text). Start
     * with `.start()` / await as usual; each micro-batch runs
-    * [[processBatch]]. */
+    * [[applyBatch]]. */
   def attach(stream: DataFrame, cfg: Config): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch.sparkSession, cfg, batch)
-      }
+      .foreachBatch { (batch: DataFrame, id: Long) => applyBatch(batch, cfg, id) }
+
+  /** [[processBatch]] with CRASH-REPLAY protection: on recovery Spark
+    * replays the last un-committed micro-batch, and an epoch-append fold
+    * is not idempotent — the replay would land as a duplicate epoch.
+    * Applied batch ids are recorded as `_applied/` markers after a
+    * successful fold and a marked id is skipped (marker not atomic with
+    * the multi-artifact fold — the standard foreachBatch trade, same as
+    * [[graft.pipeline.IncrementalIngest.applyBatch]]). */
+  def applyBatch(batch: DataFrame, cfg: Config, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(s"${cfg.stateDir}/_applied/batch=$batchId")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      processBatch(spark, cfg, batch)
+      fs.mkdirs(marker)
+    }
+  }
 
   /** Every near-dup pair discovered so far (id1, id2, jaccard, epoch). */
   def pairs(spark: SparkSession, cfg: Config): DataFrame = {

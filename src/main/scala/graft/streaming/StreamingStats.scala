@@ -125,9 +125,22 @@ object StreamingStats {
   /** Attach the sink to a stream carrying the configured columns. */
   def attach(stream: DataFrame, cfg: Config): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch.sparkSession, cfg, batch)
-      }
+      .foreachBatch { (batch: DataFrame, id: Long) => applyBatch(batch, cfg, id) }
+
+  /** [[processBatch]] with crash-replay protection: counting states are
+    * not idempotent, so a replayed micro-batch id is skipped via an
+    * `_applied/` marker recorded after a successful fold (same contract
+    * and marker-race caveat as
+    * [[graft.pipeline.IncrementalIngest.applyBatch]]). */
+  def applyBatch(batch: DataFrame, cfg: Config, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(s"${cfg.stateDir}/_applied/batch=$batchId")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      processBatch(spark, cfg, batch)
+      fs.mkdirs(marker)
+    }
+  }
 
   /** Latest snapshot of one state family, read back from storage. */
   def state(spark: SparkSession, cfg: Config, family: String): DataFrame = {

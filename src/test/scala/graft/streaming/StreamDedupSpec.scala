@@ -110,6 +110,27 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(indexed == Set(1L, 2L, 3L, 100L, 102L, 200L, 201L))
   }
 
+  test("crash-replayed micro-batch ids are skipped: applyBatch folds once per id") {
+    import spark.implicits._
+    val archive = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val b1 = Seq((100L, "m n o p q r s t u v")).toDF("doc_id", "text")
+    val cfg = StreamingDedup.Config(
+      Files.createTempDirectory("graft-sd-replay").toString + "/state")
+    StreamingDedup.init(spark, cfg, archive)
+    StreamingDedup.applyBatch(b1, cfg, batchId = 0)
+    def snap() = (StreamingDedup.latestEpoch(cfg),
+      spark.read.parquet(s"${cfg.stateDir}/corpus").count())
+    val after1 = snap()
+    // replay of id 0 (crash between fold and stream-checkpoint commit):
+    // no duplicate epoch, no duplicate corpus rows
+    StreamingDedup.applyBatch(b1, cfg, batchId = 0)
+    assert(snap() == after1)
+    // a new id still folds
+    StreamingDedup.applyBatch(
+      Seq((101L, "z y x w v u t s r q")).toDF("doc_id", "text"), cfg, batchId = 1)
+    assert(snap() == (after1._1 + 1, after1._2 + 1))
+  }
+
   test("watermarked ingest guard: redelivered and too-late docs never reach the dedup state") {
     import spark.implicits._
     // at-least-once sources redeliver; Admission.guard upstream of the

@@ -212,6 +212,24 @@ class StreamStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("crash-replayed micro-batch ids are skipped: applyBatch folds once per id") {
+    import spark.implicits._
+    val cols = Seq("l_returnflag", "l_linestatus", "l_quantity", "l_partkey",
+      "l_orderkey", "l_linenumber")
+    val archive = Seq(("A", "O", 5.0, 10L, 1L, 1)).toDF(cols: _*)
+    val b1 = Seq(("A", "F", 7.0, 10L, 3L, 1)).toDF(cols: _*)
+    val c = cfg(java.nio.file.Files.createTempDirectory("graft-ss-replay").toString + "/state")
+    StreamingStats.init(spark, c, archive)
+    StreamingStats.applyBatch(b1, c, batchId = 0)
+    val after1 = (StreamingStats.latestEpoch(c), stateSnapshot(c))
+    // replay of id 0: counting states must NOT double-count
+    StreamingStats.applyBatch(b1, c, batchId = 0)
+    assert((StreamingStats.latestEpoch(c), stateSnapshot(c)) == after1)
+    StreamingStats.applyBatch(
+      Seq(("B", "O", 2.0, 12L, 4L, 1)).toDF(cols: _*), c, batchId = 1)
+    assert(StreamingStats.latestEpoch(c) == after1._1 + 1)
+  }
+
   test("init refuses double-init; processBatch refuses uninitialized state") {
     val root = java.nio.file.Files.createTempDirectory("graft-stream-stats3").toString
     val c = cfg(s"$root/state")
