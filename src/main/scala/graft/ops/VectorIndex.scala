@@ -87,16 +87,11 @@ object VectorIndex {
     * double append (same contract and marker-race caveat as
     * [[graft.pipeline.IncrementalIngest.applyBatch]]). Empty
     * micro-batches are skipped. */
-  def applyBatch(batch: DataFrame, root: String, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val marker = new org.apache.hadoop.fs.Path(s"$root/_applied/batch=$batchId")
-    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(marker)) {
+  def applyBatch(batch: DataFrame, root: String, batchId: Long): Unit =
+    graft.streaming.Replay.runOnce(batch.sparkSession, root, batchId) {
       val vs = batch.select("vec_id", "embedding", "label")
-      if (!vs.isEmpty) ingest(spark, vs, root)
-      fs.mkdirs(marker)
+      if (!vs.isEmpty) ingest(batch.sparkSession, vs, root)
     }
-  }
 
   /** Top-k by cosine against the persisted index: rank centroids for the
     * query (K rows, broadcast), semi-join the index on `cid` — dynamic

@@ -156,16 +156,11 @@ object IncrementalIngest {
     * dropped everything) are skipped rather than burning an epoch. */
   def applyBatch(batch: DataFrame, root: String, batchId: Long,
                  maxDf: Long = Dedup.DefaultMaxDf,
-                 checkpointEvery: Int = 16): Unit = {
-    val spark = batch.sparkSession
-    val marker = new org.apache.hadoop.fs.Path(s"$root/_applied/batch=$batchId")
-    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(marker)) {
+                 checkpointEvery: Int = 16): Unit =
+    graft.streaming.Replay.runOnce(batch.sparkSession, root, batchId) {
       val docs = batch.select("doc_id", "text")
       if (!docs.isEmpty) {
-        ingest(spark, docs, root, maxDf, checkpointEvery); ()
+        ingest(batch.sparkSession, docs, root, maxDf, checkpointEvery); ()
       }
-      fs.mkdirs(marker)
     }
-  }
 }

@@ -140,15 +140,10 @@ object StreamingDedup {
     * successful fold and a marked id is skipped (marker not atomic with
     * the multi-artifact fold — the standard foreachBatch trade, same as
     * [[graft.pipeline.IncrementalIngest.applyBatch]]). */
-  def applyBatch(batch: DataFrame, cfg: Config, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val marker = new org.apache.hadoop.fs.Path(s"${cfg.stateDir}/_applied/batch=$batchId")
-    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(marker)) {
-      processBatch(spark, cfg, batch)
-      fs.mkdirs(marker)
+  def applyBatch(batch: DataFrame, cfg: Config, batchId: Long): Unit =
+    Replay.runOnce(batch.sparkSession, cfg.stateDir, batchId) {
+      processBatch(batch.sparkSession, cfg, batch)
     }
-  }
 
   /** Every near-dup pair discovered so far (id1, id2, jaccard, epoch). */
   def pairs(spark: SparkSession, cfg: Config): DataFrame = {

@@ -132,15 +132,10 @@ object StreamingStats {
     * `_applied/` marker recorded after a successful fold (same contract
     * and marker-race caveat as
     * [[graft.pipeline.IncrementalIngest.applyBatch]]). */
-  def applyBatch(batch: DataFrame, cfg: Config, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val marker = new org.apache.hadoop.fs.Path(s"${cfg.stateDir}/_applied/batch=$batchId")
-    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(marker)) {
-      processBatch(spark, cfg, batch)
-      fs.mkdirs(marker)
+  def applyBatch(batch: DataFrame, cfg: Config, batchId: Long): Unit =
+    Replay.runOnce(batch.sparkSession, cfg.stateDir, batchId) {
+      processBatch(batch.sparkSession, cfg, batch)
     }
-  }
 
   /** Latest snapshot of one state family, read back from storage. */
   def state(spark: SparkSession, cfg: Config, family: String): DataFrame = {
