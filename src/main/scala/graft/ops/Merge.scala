@@ -461,4 +461,92 @@ object Merge {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__pri").asc)
     state.withColumn("rn", row_number().over(w).cast("long")).drop("__pri")
   }
+
+  // ───── RETRACTION: deletes / right-to-be-forgotten without a rescan ─────
+  //
+  // The merge family above only ever ADDS slices. Real pipelines also
+  // subtract: GDPR erasure, late "this batch was bad" corrections,
+  // retention expiry. At 100 TB the whole point is to honor a delete
+  // WITHOUT re-aggregating the archive: counts and decimal sums are
+  // abelian-group aggregates (retract = subtract the delete batch's
+  // partial state), while min/max are only semigroup — deleting the
+  // current extreme of a key cannot be undone from the state alone. The
+  // contract here is the standard production trade: subtract the cheap
+  // fields state-side, and RESCAN ONLY THE DIRTY KEYS (those whose
+  // deleted values touch the stored extreme, plus fully-emptied keys)
+  // against the remaining data via a semi-join — work ∝ data under
+  // dirty keys, never the corpus. Dirty detection may over-trigger
+  // (deleting one copy of a duplicated min) — that only costs rescan
+  // work; it can never under-trigger, because a deleted value strictly
+  // inside (min, max) leaves both extremes in place.
+
+  /** Retract `deletes`' contribution from an algebraic [[partialStats]]
+    * state, arbitrating min/max for dirty keys against `remaining` (the
+    * post-delete data — at scale, served by partition pruning /
+    * manifest skipping, and only read for dirty keys).
+    *
+    * Subset contract: `deletes` must be rows previously accumulated
+    * into `state` and `remaining` the complement under the same keys; a
+    * retraction that drives any key's count negative trips a
+    * distributed `raise_error` guard (no driver action). Keys with no
+    * remaining rows disappear, matching a direct GROUP BY over the
+    * remaining data — including keys whose remaining rows are all
+    * null-valued (kept, with null min/max), which the dirty-key rescan
+    * arbitrates row-wise. */
+  def retractStats(state: DataFrame, deletes: DataFrame, remaining: DataFrame,
+                   keys: Seq[String], valueCol: String): DataFrame = {
+    val kcols = keys.map(col)
+    val del = partialStats(deletes, keys, valueCol)
+      .withColumnRenamed("cnt", "__d_cnt")
+      .withColumnRenamed("sum_dec", "__d_sum")
+      .withColumnRenamed("min_v", "__d_min")
+      .withColumnRenamed("max_v", "__d_max")
+      // row-presence marker: partialStats' cnt counts non-null values,
+      // so an all-null delete slice still dirties its key (the key may
+      // have lost its last rows without losing a counted value)
+      .withColumn("__d_present", lit(true))
+
+    val newCnt = col("cnt") - coalesce(col("__d_cnt"), lit(0L))
+    // a key is dirty when the delete could have changed anything beyond
+    // count/sum: it removed a stored extreme, or may have emptied the
+    // key. Every contract violation lands here too: a negative count
+    // implies a delete row existed, which sets __d_present.
+    val dirty = coalesce(
+      col("__d_min") <=> col("min_v") || col("__d_max") <=> col("max_v"), lit(false)) ||
+      coalesce(col("__d_present"), lit(false)) && (newCnt <= 0)
+
+    val retracted = state.join(del, keys, "left")
+      .withColumn("__new_cnt", newCnt)
+      .withColumn("__new_sum", when(newCnt === 0, lit(null))
+        .otherwise(col("sum_dec") - coalesce(col("__d_sum"), lit(0))))
+      .withColumn("__dirty", dirty)
+
+    val clean = retracted.filter(!col("__dirty"))
+      .select(kcols ++ Seq(col("__new_cnt").as("cnt"), col("__new_sum").as("sum_dec"),
+        col("min_v"), col("max_v")): _*)
+
+    // dirty keys: recompute min/max from the remaining data restricted to
+    // them (semi-join sliver; AQE broadcasts the key list when small).
+    // The left join against the rescan arbitrates both key survival and
+    // the subset contract: no rescan group + zero count = cleanly
+    // emptied key (drop); a negative count, or a positive count with no
+    // remaining rows, trips the distributed guard.
+    val dirtyKeys = retracted.filter(col("__dirty")).select(kcols: _*)
+    val rescan = remaining.join(dirtyKeys, keys, "leftsemi")
+      .groupBy(kcols: _*)
+      .agg(min(col(valueCol)).as("__r_min"), max(col(valueCol)).as("__r_max"),
+        lit(true).as("__r_present"))
+    val violation = col("__new_cnt") < 0 ||
+      (col("__r_present").isNull && col("__new_cnt") =!= 0)
+    val repaired = retracted.filter(col("__dirty"))
+      .join(rescan, keys, "left")
+      .filter(when(violation, raise_error(concat(
+          lit("retractStats: delete/remaining violate the subset contract on key ("),
+          concat_ws(",", kcols: _*), lit(")"))))
+        .otherwise(col("__r_present").isNotNull))
+      .select(kcols ++ Seq(col("__new_cnt").as("cnt"), col("__new_sum").as("sum_dec"),
+        col("__r_min").as("min_v"), col("__r_max").as("max_v")): _*)
+
+    clean.unionByName(repaired)
+  }
 }

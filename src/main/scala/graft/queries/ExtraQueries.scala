@@ -77,6 +77,29 @@ object ExtraQueries {
       dir
     })
 
+  /** Deterministic customer-segment changelog for the SCD-2 queries
+    * (u18 / j9): a base version for every customer effective 1995-07-01
+    * (after the earliest orders, so pre-version facts exercise the
+    * no-match path) plus an 'UPGRADED' version for custkey%3=0 at a
+    * key-derived 1997-98 date. Mirrored literally by the oracle CTE. */
+  private def scdChangelog(s: org.apache.spark.sql.SparkSession,
+                           d: String): org.apache.spark.sql.DataFrame = {
+    val cust = Tables.customer(s, d)
+    cust.select(col("c_custkey"),
+        lit("1995-07-01").cast("timestamp").as("eff"),
+        col("c_mktsegment").as("segment"))
+      .unionByName(cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"),
+          date_add(lit("1997-01-01").cast("date"), (col("c_custkey") % 700).cast("int"))
+            .cast("timestamp").as("eff"),
+          lit("UPGRADED").as("segment")))
+  }
+
+  /** Shared with [[JoinQueries]] for the j9 point-in-time join. */
+  private[queries] def scd2Dimension(s: org.apache.spark.sql.SparkSession,
+                                     d: String): org.apache.spark.sql.DataFrame =
+    graft.ops.Scd.buildScd2(scdChangelog(s, d), Seq("c_custkey"), "eff")
+
   val all: Seq[QuerySpec] = Seq(
 
     sql("u1_union_all",
@@ -439,6 +462,83 @@ object ExtraQueries {
         li.filter(col("l_orderkey") % 5 === 0), keys, pri, 5)
       graft.ops.Merge.finalizeSample(
         graft.ops.Merge.mergeSampleStates(Seq(history, batch), keys, 5), keys)
+    },
+
+    sql("u16_retractable_agg",
+      "U16: state RETRACTION — honor a delete batch against a persisted algebraic state without rescanning history: counts/decimal-sums subtract (abelian), min/max repaired by rescanning ONLY the dirty keys (those whose deleted values touched a stored extreme) against the remaining data. The GDPR-erasure / late-correction primitive; oracle recomputes directly over the surviving rows",
+      s"""SELECT l_returnflag, l_linestatus, COUNT(l_quantity) AS cnt,
+         | ${ssum("l_quantity")} AS sum_v,
+         | ${ssum("l_quantity")} / COUNT(l_quantity) AS avg_v,
+         | MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v
+         | FROM lineitem WHERE l_orderkey % 13 <> 0 GROUP BY 1, 2
+         | ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // the state is built ONCE (at scale: yesterday's checkpoint);
+        // honoring the delete touches the state rows + the dirty-key
+        // sliver of the remaining data, never the archive
+        val keys = Seq("l_returnflag", "l_linestatus")
+        val li = Tables.lineitem(s, d)
+        val deletes = li.filter(col("l_orderkey") % 13 === 0)
+        val remaining = li.filter(col("l_orderkey") % 13 =!= 0)
+        val state = graft.ops.Merge.partialStats(li, keys, "l_quantity")
+        graft.ops.Merge.finalizeStats(
+          graft.ops.Merge.retractStats(state, deletes, remaining, keys, "l_quantity"), keys)
+          .orderBy("l_returnflag", "l_linestatus")
+      }
+    },
+
+    sql("gdpr1_forget_cascade",
+      "GDPR capstone: right-to-be-forgotten cascade — forget-keys from the customer table anti-join-purge their orders, and the order stats state absorbs the deletion by RETRACTION (u16) instead of a rescan; oracle recomputes over the surviving orders with NOT EXISTS",
+      s"""SELECT o_orderpriority, COUNT(o_totalprice) AS cnt,
+         | ${ssum("o_totalprice")} AS sum_v,
+         | MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v
+         | FROM orders WHERE NOT EXISTS (
+         |   SELECT 1 FROM customer
+         |   WHERE c_custkey = o_custkey AND c_custkey % 97 = 0)
+         | GROUP BY 1 ORDER BY o_orderpriority""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // cascade: the forget set is defined on CUSTOMER and propagates
+        // to ORDERS via semi/anti joins (AQE broadcasts the key sliver);
+        // the persisted per-priority stats state then subtracts the
+        // forgotten orders' partial state — at 100 TB this is the
+        // difference between honoring an erasure in minutes (state rows
+        // + dirty-key sliver) and re-aggregating the archive
+        val forget = Tables.customer(s, d)
+          .filter(col("c_custkey") % 97 === 0).select("c_custkey")
+        val orders = Tables.orders(s, d)
+        val deletes = orders.join(forget,
+          orders("o_custkey") === forget("c_custkey"), "leftsemi")
+        val remaining = orders.join(forget,
+          orders("o_custkey") === forget("c_custkey"), "leftanti")
+        val keys = Seq("o_orderpriority")
+        val state = graft.ops.Merge.partialStats(orders, keys, "o_totalprice")
+        graft.ops.Merge.finalizeStats(
+          graft.ops.Merge.retractStats(state, deletes, remaining, keys, "o_totalprice"), keys)
+          .drop("avg_v")
+          .orderBy("o_orderpriority")
+      }
+    },
+
+    sql("u18_scd2_build",
+      "U18: SCD-2 dimension build — a customer-segment changelog (base version + deterministic upgrades for custkey%3=0) becomes a versioned interval table: valid_from / valid_to via one window over the CHANGELOG (change-sized, never corpus-sized), half-open intervals tiling time; dates surfaced as strings (§7.5)",
+      """WITH chg AS (
+        |  SELECT c_custkey, TIMESTAMP '1995-07-01' AS eff, c_mktsegment AS segment FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, CAST(DATE '1997-01-01' + CAST(c_custkey % 700 AS INT) AS TIMESTAMP), 'UPGRADED'
+        |    FROM customer WHERE c_custkey % 3 = 0)
+        | SELECT c_custkey, segment,
+        |   strftime(eff, '%Y-%m-%d') AS valid_from_s,
+        |   COALESCE(strftime(LEAD(eff) OVER (PARTITION BY c_custkey ORDER BY eff), '%Y-%m-%d'), '(current)') AS valid_to_s,
+        |   LEAD(eff) OVER (PARTITION BY c_custkey ORDER BY eff) IS NULL AS is_current
+        | FROM chg ORDER BY c_custkey, valid_from_s""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val scd = scd2Dimension(s, d)
+        scd.select(col("c_custkey"), col("segment"),
+            date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from_s"),
+            coalesce(date_format(col("valid_to"), "yyyy-MM-dd"), lit("(current)")).as("valid_to_s"),
+            col("is_current"))
+          .orderBy("c_custkey", "valid_from_s")
+      }
     },
 
     sql("o10_domain_mixture",

@@ -170,6 +170,38 @@ object JoinQueries {
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("band_revenue"))
     },
 
+    sql("j9_scd2_pit_join",
+      "J1+: point-in-time (as-was) join — orders pick up the customer-segment version valid at their own order date from the u18 SCD-2 dimension; facts before the entity's first version keep a null segment ('(none)'). The no-future-leakage join a backfilled training set needs; equi-join on key + half-open interval filter, never a range-join explosion",
+      s"""WITH chg AS (
+         |  SELECT c_custkey, TIMESTAMP '1995-07-01' AS eff, c_mktsegment AS segment FROM customer
+         |  UNION ALL
+         |  SELECT c_custkey, CAST(DATE '1997-01-01' + CAST(c_custkey % 700 AS INT) AS TIMESTAMP), 'UPGRADED'
+         |    FROM customer WHERE c_custkey % 3 = 0),
+         | scd AS (
+         |  SELECT c_custkey, segment, eff AS valid_from,
+         |         LEAD(eff) OVER (PARTITION BY c_custkey ORDER BY eff) AS valid_to
+         |  FROM chg)
+         | SELECT COALESCE(segment, '(none)') AS segment_asof,
+         |   COUNT(*) AS n_orders, ${ssum("o_totalprice")} AS revenue
+         | FROM orders LEFT JOIN scd
+         |   ON o_custkey = c_custkey AND valid_from <= o_orderdate
+         |     AND (valid_to IS NULL OR o_orderdate < valid_to)
+         | GROUP BY 1 ORDER BY segment_asof""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val dim = ExtraQueries.scd2Dimension(s, d)
+        // conform o_orderdate to TimestampType (the fixture may carry
+        // NTZ) so the interval comparison against the dimension's
+        // TimestampType bounds resolves — same contract as events.ts
+        val facts = Tables.normalizeEventTime(
+          Tables.orders(s, d).select("o_custkey", "o_orderdate", "o_totalprice"),
+          "o_orderdate")
+        graft.ops.Scd.pointInTime(facts, dim, Seq("o_custkey" -> "c_custkey"), "o_orderdate")
+          .groupBy(coalesce(col("segment"), lit("(none)")).as("segment_asof"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+          .orderBy("segment_asof")
+      }
+    },
+
     sql("j5_broadcast_dim",
       "J1: explicit broadcast-hash join fact⋈dim (zero fact shuffle) + agg",
       s"""SELECT p_brand, COUNT(*) AS total_lines,

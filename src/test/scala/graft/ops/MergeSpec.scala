@@ -405,4 +405,65 @@ class MergeSpec extends AnyFunSuite {
     // weight's — it must be in the drawn sample
     assert(Merge.finalizeSample(merged, Seq("g")).filter($"id" === 42L).count() == 1)
   }
+
+  // ───── retractStats: deletes without a rescan (dirty-key repair) ─────
+
+  test("retractStats == direct recompute over the remaining data (lineitem, bit-parity)") {
+    val li = graft.model.Tables.lineitem(spark, TestSpark.sfDir)
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val deletes = li.filter(col("l_orderkey") % 13 === 0)
+    val remaining = li.filter(col("l_orderkey") % 13 =!= 0)
+    val state = Merge.partialStats(li, keys, "l_quantity")
+    val got = Merge.finalizeStats(
+      Merge.retractStats(state, deletes, remaining, keys, "l_quantity"), keys)
+      .orderBy(keys.map(col): _*)
+    val direct = Merge.finalizeStats(
+      Merge.partialStats(remaining, keys, "l_quantity"), keys)
+      .orderBy(keys.map(col): _*)
+    assert(got.collect().map(_.toSeq).toSeq == direct.collect().map(_.toSeq).toSeq)
+  }
+
+  test("retractStats repairs min/max when the delete removes a stored extreme") {
+    val data = Seq(("x", 1.0), ("x", 5.0), ("x", 9.0), ("y", 2.0), ("y", 4.0)).toDF("g", "v")
+    val deletes = Seq(("x", 9.0)).toDF("g", "v")
+    val remaining = Seq(("x", 1.0), ("x", 5.0), ("y", 2.0), ("y", 4.0)).toDF("g", "v")
+    val got = Merge.finalizeStats(
+      Merge.retractStats(Merge.partialStats(data, Seq("g"), "v"), deletes, remaining, Seq("g"), "v"),
+      Seq("g"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got("x") == ((2L, 6.0, 1.0, 5.0)))
+    assert(got("y") == ((2L, 6.0, 2.0, 4.0))) // untouched key passes through the clean path
+  }
+
+  test("retractStats drops a key whose rows are all deleted") {
+    val data = Seq(("x", 1.0), ("y", 2.0)).toDF("g", "v")
+    val deletes = Seq(("x", 1.0)).toDF("g", "v")
+    val remaining = Seq(("y", 2.0)).toDF("g", "v")
+    val got = Merge.retractStats(
+      Merge.partialStats(data, Seq("g"), "v"), deletes, remaining, Seq("g"), "v")
+    assert(got.select("g").as[String].collect().toSeq == Seq("y"))
+  }
+
+  test("retractStats keeps a key whose remaining rows are all null-valued (cnt 0, null stats)") {
+    val data = Seq(("z", Some(7.0)), ("z", None), ("z", None)).toDF("g", "v")
+    val deletes = Seq(("z", Some(7.0))).toDF("g", "v")
+    val remaining = Seq(("z", None: Option[Double]), ("z", None)).toDF("g", "v")
+    val rows = Merge.retractStats(
+      Merge.partialStats(data, Seq("g"), "v"), deletes, remaining, Seq("g"), "v").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "z" && r.getLong(1) == 0L && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+  }
+
+  test("retractStats trips the distributed guard on a non-subset delete") {
+    val data = Seq(("x", 1.0)).toDF("g", "v")
+    val deletes = Seq(("x", 1.0), ("x", 2.0)).toDF("g", "v") // 2 deletes, 1 accumulated
+    val ex = intercept[Exception] {
+      Merge.retractStats(Merge.partialStats(data, Seq("g"), "v"),
+        deletes, data.limit(0), Seq("g"), "v").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("subset contract")), s"unexpected: $ex")
+  }
 }
