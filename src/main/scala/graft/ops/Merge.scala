@@ -549,4 +549,29 @@ object Merge {
 
     clean.unionByName(repaired)
   }
+
+  /** Retract a delete slice from a value-HISTOGRAM state — the shared
+    * (keys…, v, cnt) shape of [[partialQuantileState]],
+    * [[binnedQuantileState]] and [[partialFreqState]]. Unlike
+    * [[retractStats]], no rescan is ever needed: the histogram carries
+    * the full per-key value distribution, so deletes subtract per
+    * (key, v) bin and emptied bins disappear — retract-then-finalize is
+    * bit-identical to a recompute over the surviving rows (quantiles,
+    * top-k, anything downstream). `deleteState` must be built by the
+    * SAME partial builder (and bin width) over rows previously
+    * accumulated into `state`; any bin the delete over- or under-shoots
+    * trips the distributed guard (full outer join sees both sides). */
+  def retractHistState(state: DataFrame, deleteState: DataFrame,
+                       keys: Seq[String]): DataFrame = {
+    val joinCols = keys :+ "v"
+    val del = deleteState.withColumnRenamed("cnt", "__d_cnt")
+    val newCnt = coalesce(col("cnt"), lit(0L)) - coalesce(col("__d_cnt"), lit(0L))
+    state.join(del, joinCols, "full")
+      .withColumn("cnt", when(newCnt < 0, raise_error(concat(
+          lit("retractHistState: delete histogram exceeds the state on ("),
+          concat_ws(",", (keys.map(col) :+ col("v")): _*), lit(")"))))
+        .otherwise(newCnt))
+      .filter(col("cnt") =!= 0)
+      .drop("__d_cnt")
+  }
 }

@@ -54,6 +54,29 @@ object Scd {
       .drop(effCol)
   }
 
+  /** Incrementally fold a new changelog batch into an existing SCD-2
+    * interval table: only the batch's keys are re-windowed (their old
+    * versions are reconstructed from `valid_from` and unioned with the
+    * batch), every other key passes through untouched — work ∝ the
+    * affected keys' version history, never the dimension. A batch row
+    * at an instant the key already has REPLACES that version
+    * (correction/replay semantics, batch wins). Equivalence with a
+    * from-scratch [[buildScd2]] over the concatenated changelog is
+    * pinned in ScdSpec. */
+  def updateScd2(existing: DataFrame, batch: DataFrame, keys: Seq[String],
+                 effCol: String): DataFrame = {
+    val affected = batch.select(keys.map(col): _*).distinct()
+    val untouched = existing.join(affected, keys, "leftanti")
+    val oldVersions = existing.join(affected, keys, "leftsemi")
+      .drop("valid_to", "is_current")
+      .withColumnRenamed("valid_from", effCol)
+      .withColumn("__gen", lit(0L))
+    val rebuilt = buildScd2(
+      oldVersions.unionByName(batch.withColumn("__gen", lit(1L))),
+      keys, effCol, seqCol = Some("__gen"))
+    untouched.unionByName(rebuilt)
+  }
+
   /** Point-in-time (as-was) left join: each fact row picks up the
     * dimension version whose [valid_from, valid_to) interval contains
     * the fact's `factTimeCol`; facts before the entity's first version

@@ -519,6 +519,34 @@ object ExtraQueries {
       }
     },
 
+    sql("u17_retractable_quantiles",
+      "U17: histogram-state RETRACTION — the u10 value-histogram quantile state honors a delete batch by per-bin count subtraction (emptied bins vanish, NO rescan ever — the histogram carries the full distribution); retract-then-finalize is bit-identical to recomputing quantiles over the survivors, which is exactly what the oracle does",
+      """SELECT l_returnflag, l_linestatus,
+        | ROUND(quantile_cont(l_quantity, 0.25), 4) AS q25,
+        | ROUND(quantile_cont(l_quantity, 0.50), 4) AS q50,
+        | ROUND(quantile_cont(l_quantity, 0.75), 4) AS q75,
+        | ROUND(quantile_cont(l_quantity, 0.95), 4) AS q95
+        | FROM lineitem WHERE l_orderkey % 13 <> 0 GROUP BY 1, 2
+        | ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val keys = Seq("l_returnflag", "l_linestatus")
+        val li = Tables.lineitem(s, d)
+        val state = graft.ops.Merge.partialQuantileState(li, keys, "l_quantity")
+        val dstate = graft.ops.Merge.partialQuantileState(
+          li.filter(col("l_orderkey") % 13 === 0), keys, "l_quantity")
+        val q = graft.ops.Merge.finalizeQuantiles(
+          graft.ops.Merge.retractHistState(state, dstate, keys),
+          keys, Seq(0.25, 0.50, 0.75, 0.95))
+        q.groupBy(keys.map(col): _*)
+          .agg(
+            max(when(col("p") === 0.25, col("q"))).as("q25"),
+            max(when(col("p") === 0.50, col("q"))).as("q50"),
+            max(when(col("p") === 0.75, col("q"))).as("q75"),
+            max(when(col("p") === 0.95, col("q"))).as("q95"))
+          .orderBy("l_returnflag", "l_linestatus")
+      }
+    },
+
     sql("u18_scd2_build",
       "U18: SCD-2 dimension build — a customer-segment changelog (base version + deterministic upgrades for custkey%3=0) becomes a versioned interval table: valid_from / valid_to via one window over the CHANGELOG (change-sized, never corpus-sized), half-open intervals tiling time; dates surfaced as strings (§7.5)",
       """WITH chg AS (

@@ -455,6 +455,58 @@ class MergeSpec extends AnyFunSuite {
     assert(r.getString(0) == "z" && r.getLong(1) == 0L && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
   }
 
+  test("retractHistState: retract-then-finalize quantiles == recompute over survivors (bit-parity)") {
+    val li = graft.model.Tables.lineitem(spark, TestSpark.sfDir)
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val deletes = li.filter(col("l_orderkey") % 13 === 0)
+    val remaining = li.filter(col("l_orderkey") % 13 =!= 0)
+    val state = Merge.partialQuantileState(li, keys, "l_quantity")
+    val dstate = Merge.partialQuantileState(deletes, keys, "l_quantity")
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    val got = Merge.finalizeQuantiles(
+      Merge.retractHistState(state, dstate, keys), keys, ps)
+      .orderBy("l_returnflag", "l_linestatus", "p")
+    val direct = Merge.finalizeQuantiles(
+      Merge.partialQuantileState(remaining, keys, "l_quantity"), keys, ps)
+      .orderBy("l_returnflag", "l_linestatus", "p")
+    assert(got.collect().map(_.toSeq).toSeq == direct.collect().map(_.toSeq).toSeq)
+  }
+
+  test("retractHistState: emptied bins disappear; top-k reflects the deletion") {
+    val data = Seq(("g", "a"), ("g", "a"), ("g", "a"), ("g", "b"), ("g", "b"), ("g", "c"))
+      .toDF("k", "w")
+    val deletes = Seq(("g", "a"), ("g", "a"), ("g", "c")).toDF("k", "w")
+    val retracted = Merge.retractHistState(
+      Merge.partialFreqState(data, Seq("k"), "w"),
+      Merge.partialFreqState(deletes, Seq("k"), "w"), Seq("k"))
+    // c emptied → bin gone; counts now a=1, b=2
+    assert(retracted.orderBy("v").select("v", "cnt").as[(String, Long)].collect().toSeq ==
+      Seq(("a", 1L), ("b", 2L)))
+    val top = Merge.finalizeTopK(retracted, Seq("k"), 1).select("v").as[String].collect()
+    assert(top.toSeq == Seq("b"))
+  }
+
+  test("retractHistState trips the guard when the delete histogram exceeds the state") {
+    val data = Seq(("g", 1.0)).toDF("k", "x")
+    val deletes = Seq(("g", 1.0), ("g", 1.0)).toDF("k", "x") // bin over-shoot
+    val ex = intercept[Exception] {
+      Merge.retractHistState(
+        Merge.partialQuantileState(data, Seq("k"), "x"),
+        Merge.partialQuantileState(deletes, Seq("k"), "x"), Seq("k")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("exceeds the state")), s"unexpected: $ex")
+    // a delete for a bin the state never saw is equally a violation
+    val ex2 = intercept[Exception] {
+      Merge.retractHistState(
+        Merge.partialQuantileState(data, Seq("k"), "x"),
+        Merge.partialQuantileState(Seq(("g", 9.0)).toDF("k", "x"), Seq("k"), "x"),
+        Seq("k")).collect()
+    }
+    assert(msgs(ex2).exists(_.contains("exceeds the state")), s"unexpected: $ex2")
+  }
+
   test("retractStats trips the distributed guard on a non-subset delete") {
     val data = Seq(("x", 1.0)).toDF("g", "v")
     val deletes = Seq(("x", 1.0), ("x", 2.0)).toDF("g", "v") // 2 deletes, 1 accumulated

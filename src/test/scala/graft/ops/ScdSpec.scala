@@ -58,6 +58,30 @@ class ScdSpec extends AnyFunSuite {
     assert(got == Map(10L -> null, 11L -> "A", 12L -> "A", 13L -> "B", 14L -> "C", 15L -> null))
   }
 
+  test("updateScd2 == from-scratch rebuild over the concatenated changelog; untouched keys pass through") {
+    val existing = Scd.buildScd2(changelog, Seq("k"), "eff")
+    val batch = Seq(
+      (1L, ts("2024-07-01"), "D"),  // new current version for an existing key
+      (3L, ts("2022-02-02"), "N")   // brand-new key
+    ).toDF("k", "eff", "attr")
+    val got = Scd.updateScd2(existing, batch, Seq("k"), "eff")
+    val full = Scd.buildScd2(changelog.unionByName(batch), Seq("k"), "eff")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "attr", "valid_from", "valid_to", "is_current")
+        .collect().map(_.toSeq).toSet
+    assert(canon(got) == canon(full))
+    // key 2 untouched by the batch: its interval row must be byte-identical
+    assert(canon(got.filter($"k" === 2L)) == canon(existing.filter($"k" === 2L)))
+  }
+
+  test("updateScd2: a batch version at an existing instant replaces it (batch wins)") {
+    val existing = Scd.buildScd2(changelog, Seq("k"), "eff")
+    val correction = Seq((1L, ts("2021-06-15"), "B-fixed")).toDF("k", "eff", "attr")
+    val got = Scd.updateScd2(existing, correction, Seq("k"), "eff")
+      .filter($"k" === 1L).orderBy("valid_from").select("attr").as[String].collect().toSeq
+    assert(got == Seq("A", "B-fixed", "C"))
+  }
+
   test("pointInTime never fans out: output rows == fact rows") {
     val dim = Scd.buildScd2(changelog, Seq("k"), "eff")
     val facts = (1 to 50).map(i => (i.toLong, 1L + i % 2, ts(f"202${i % 4}-01-01")))
