@@ -126,6 +126,140 @@ object IncrementalIngest {
     changed.withColumn("op", lit("upsert")).withColumn("seq", lit(1L))
   }
 
+  /** Outcome of a [[forget]]: docs actually erased, archive files
+    * rewritten (vs left untouched), and survivors relabeled. */
+  final case class ForgetResult(forgotten: Long, filesRewritten: Int,
+                                relabeled: Long)
+
+  /** Right-to-be-forgotten over the persisted state: erase `forgetIds`
+    * (column `doc_id`) from every artifact with work proportional to
+    * the FORGOTTEN SLICE, never the archive:
+    *
+    *  - `archive/`: only the FILES whose manifest envelope can contain
+    *    a forgotten id are rewritten (write-new → verify → delete-old,
+    *    the [[graft.io.Sinks.compactParquet]] swap discipline — a crash
+    *    leaves the originals or the recoverable rewrite, never lost
+    *    rows); every other file is untouched. [[Manifest.appendManifest]]
+    *    then reconciles the stats rows (drops vanished files, stats the
+    *    new ones).
+    *  - `shingle_df/`: the forgotten docs' shingle contributions
+    *    subtract as a DELTA version — decremented shingles upsert,
+    *    zeroed shingles delete (the [[graft.ops.Merge.retractStats]]
+    *    retraction discipline applied to the vocabulary table).
+    *  - `labels/`: erasing a doc can split its cluster (the doc may
+    *    have been the only bridge) or retire its representative, so the
+    *    AFFECTED CLUSTERS' surviving members are re-paired and re-run
+    *    through CC — a cluster-sliver recompute, exact because near-dup
+    *    pairs never cross component boundaries. Lands as a delta:
+    *    deletes for the forgotten, upserts/deletes for survivors whose
+    *    label changed or vanished.
+    *  - `index/`: the forgotten docs' band rows are filtered out. The
+    *    index is ~16 rows of fixed-width metadata per doc; at archive
+    *    scale this rewrite would shard by band-file with its own stats
+    *    manifest — the documented next step, not a semantic change.
+    *
+    * Unknown ids are ignored (erasure is idempotent — re-running with
+    * the same ids is a no-op), matching how erasure requests arrive in
+    * practice. Parity with a from-scratch [[init]] over the surviving
+    * corpus is pinned in IncrementalIngestSpec under the same
+    * no-shingle-crosses-the-cap proviso as [[ingest]]. */
+  def forget(spark: SparkSession, forgetIds: DataFrame, root: String,
+             maxDf: Long = Dedup.DefaultMaxDf): ForgetResult = {
+    import org.apache.spark.sql.functions._
+    val p = StatePaths(root)
+    val gone = forgetIds.select("doc_id").distinct().localCheckpoint()
+    val archive = spark.read.parquet(p.archive)
+    val goneDocs = archive.join(gone, Seq("doc_id"), "left_semi").localCheckpoint()
+    val nGone = goneDocs.count()
+
+    // 1. vocabulary table: subtract the forgotten docs' df contribution
+    val dfTable = Versioned.read(spark, p.shingleDf)
+    val goneDf = Dedup.shingleDfTable(Dedup.shingleDF(goneDocs))
+      .withColumnRenamed("df", "__gone_df")
+    val dfChanges = dfTable.join(goneDf, Seq("shingle"), "inner")
+      .select(col("shingle"), (col("df") - col("__gone_df")).as("df"))
+      .withColumn("op", when(col("df") <= 0, lit("delete")).otherwise(lit("upsert")))
+      .withColumn("seq", lit(1L))
+    if (!dfChanges.isEmpty)
+      Versioned.writeDelta(dfChanges, p.shingleDf, keys = Seq("shingle"))
+    val newDfTable = Versioned.read(spark, p.shingleDf).localCheckpoint()
+
+    // 2. labels: cluster-sliver recompute of the affected components
+    val labels = Versioned.read(spark, p.labels).localCheckpoint()
+    val affected = labels.join(gone, Seq("doc_id"), "left_semi")
+      .select("cluster").distinct()
+    val memberLabels = labels.join(affected, Seq("cluster"), "left_semi")
+      .localCheckpoint()
+    val survivors = memberLabels.join(gone, Seq("doc_id"), "left_anti")
+    val survivorDocs = archive.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
+    // re-pair the sliver with the POST-forget cap epoch (the same table
+    // a from-scratch rebuild over the surviving corpus would cap with)
+    val capped = Dedup.capWithDfTable(
+      Dedup.shingleDF(survivorDocs), newDfTable, maxDf).localCheckpoint()
+    val pairs = Dedup.minhashNearDupFromBands(capped,
+      Dedup.lshBands(Dedup.minhashSignatures(capped, 64), 16, 4))
+      .select("id1", "id2")
+    val newLabels = Dedup.connectedComponents(pairs).localCheckpoint()
+    val goneDeletes = labels.join(gone, Seq("doc_id"), "left_semi")
+      .select("doc_id", "cluster")
+      .withColumn("op", lit("delete"))
+    val relabeled = survivors.alias("s")
+      .join(newLabels.withColumnRenamed("cluster", "__nc"), Seq("doc_id"), "left")
+      .withColumn("op", when(col("__nc").isNull, lit("delete")) // now unpaired
+        .otherwise(lit("upsert")))
+      .filter(col("op") === "delete" || col("__nc") =!= col("cluster"))
+      .select(col("doc_id"), coalesce(col("__nc"), col("cluster")).as("cluster"), col("op"))
+    val labelChanges = goneDeletes.unionByName(relabeled).withColumn("seq", lit(1L))
+      .localCheckpoint()
+    val nRelabeled = labelChanges.filter(col("op") === "upsert").count()
+    if (!labelChanges.isEmpty)
+      Versioned.writeDelta(labelChanges, p.labels, keys = Seq("doc_id"))
+
+    // 3. index: drop the forgotten docs' band rows (materialized before
+    // the overwrite — localCheckpoint breaks the read-own-output cycle)
+    val newIndex = spark.read.parquet(p.index)
+      .join(gone, Seq("doc_id"), "left_anti").localCheckpoint()
+    Sinks.parquet(newIndex, p.index)
+
+    // 4. archive: rewrite ONLY the files whose stats envelope admits a
+    // forgotten id (manifest pruning, the prunedScan planning pattern)
+    val manifest = spark.read.parquet(Manifest.manifestPath(p.archive))
+    val touched = manifest.alias("m").join(gone,
+        gone("doc_id") >= col("doc_id_min") && gone("doc_id") <= col("doc_id_max"),
+        "left_semi")
+      .select("file").distinct()
+      .collect().map(_.getString(0)) // metadata scale: one string per touched file
+    val filesRewritten = touched.length
+    if (filesRewritten > 0) {
+      val hp = new org.apache.hadoop.fs.Path(p.archive)
+      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      val tmp = new org.apache.hadoop.fs.Path(p.archive + ".__forget_tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      val touchedDf = spark.read.parquet(touched.toIndexedSeq: _*)
+      val expect = touchedDf.count() - nGone
+      val kept = touchedDf.join(gone, Seq("doc_id"), "left_anti")
+      kept.write.parquet(tmp.toString)
+      val rewritten = spark.read.parquet(tmp.toString).count()
+      require(rewritten == expect,
+        s"forget: rewrite has $rewritten rows, expected $expect — " +
+          s"aborting with the archive intact (tmp left at $tmp)")
+      touched.foreach(f => fs.delete(new org.apache.hadoop.fs.Path(f), false))
+      val it = fs.listFiles(tmp, false)
+      var n = 0
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) {
+          require(fs.rename(f, new org.apache.hadoop.fs.Path(hp, s"forget-$n-${f.getName}")),
+            s"forget: rename $f into $hp failed")
+          n += 1
+        }
+      }
+      fs.delete(tmp, true)
+      Manifest.appendManifest(spark, p.archive, Seq("doc_id"))
+    }
+    ForgetResult(nGone, filesRewritten, nRelabeled)
+  }
+
   /** Streaming form of the cycle: a foreachBatch sink folding every
     * micro-batch (columns doc_id, text) into the persisted state via
     * [[applyBatch]]. Pair with [[graft.streaming.Admission.guard]]

@@ -461,6 +461,29 @@ object TextQueries {
           Pii.countMatches(col("t"), Pii.ipv4Pattern).as("n_ips"),
           Pii.countMatches(col("t"), Pii.ssnPattern).as("n_ssns"),
           Pii.redact(col("t")).as("redacted"))
+    },
+
+    sql("t14_quality_calibration",
+      "Text: cross-source quality calibration — raw quality proxies are not comparable across sources (a crawl source's median differs from a curated one's), so each doc's score maps to its WITHIN-SOURCE percentile (percent_rank: ties share a rank, (rank-1)/(n-1) is exact small-integer IEEE division — bit-portable with no rounding) plus its global percentile; thresholding q_pct >= x then takes the same fraction from every source instead of starving the low-scoring ones",
+      """SELECT doc_id, source,
+        | PERCENT_RANK() OVER (PARTITION BY source ORDER BY n_chars) AS q_pct,
+        | PERCENT_RANK() OVER (ORDER BY n_chars) AS q_pct_global
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // one shuffle keyed by source for the per-source rank; the
+        // global rank's single-partition window runs over (doc_id,
+        // n_chars) slivers only — at 100 TB the global calibration
+        // would swap to the u10 histogram-state CDF, same contract
+        val W = org.apache.spark.sql.expressions.Window
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("q_pct",
+            percent_rank().over(W.partitionBy("source").orderBy("n_chars")))
+          .withColumn("q_pct_global",
+            percent_rank().over(W.orderBy("n_chars")))
+          .drop("n_chars")
+          .orderBy("doc_id")
+      }
     }
   )
 }

@@ -255,6 +255,9 @@ class PlanSpec extends AnyFunSuite {
     //     appendManifest known-file list (×3) — metadata scale (one string
     //     per file), the structure Spark's own FileIndex holds on the
     //     driver for every scan; planning, not row data
+    //   pipeline/IncrementalIngest.scala forget's touched-file list — the
+    //     same manifest-pruning planning collect (one string per file
+    //     whose envelope admits a forgotten id), never row data
     // Scala-collection .head/.take on arrays/strings don't match these
     // patterns; a new DataFrame action anywhere else fails this test.
     val actionPattern = """\.collect\(\)|\.head\(\)|\.head\.|\.first\(\)|\.toLocalIterator|collectAsList|toPandas""".r
@@ -262,6 +265,7 @@ class PlanSpec extends AnyFunSuite {
       "ops/Cleaning.scala" -> 1,
       "ops/Quality.scala" -> 2,
       "ops/Manifest.scala" -> 3,
+      "pipeline/IncrementalIngest.scala" -> 1,
       "queries/DedupQueries.scala" -> 1)
     val found = mainSourceLines
       .filter { case (_, line) => actionPattern.findFirstIn(line).isDefined }

@@ -150,6 +150,73 @@ class IncrementalIngestSpec extends AnyFunSuite {
     assert(archiveCount() == after1._2 + 1)
   }
 
+  test("forget erases a doc set from every artifact == from-scratch rebuild over the survivors; idempotent") {
+    val docs = graft.model.Tables.documents(spark, TestSpark.sfDir)
+    val root = Files.createTempDirectory("graft-forget").toString + "/state"
+    val p = IncrementalIngest.init(spark, docs.filter(col("doc_id") < 350L), root)
+    IncrementalIngest.ingest(spark, docs.filter(col("doc_id") >= 350L), root)
+
+    // forget a CLUSTER REPRESENTATIVE (min id of a multi-member cluster —
+    // survivors must relabel), a clustered non-rep, and an unknown id
+    val labels0 = Versioned.read(spark, p.labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bigCluster = labels0.groupBy(_._2).maxBy(_._2.size)
+    assert(bigCluster._2.size >= 2, "fixture should have a multi-member cluster")
+    val rep = bigCluster._1
+    val other = labels0.find { case (id, c) => c != rep }.map(_._1)
+    import spark.implicits._
+    val forgetIds = (Seq(rep, 999999999L) ++ other).toDF("doc_id")
+
+    val res = IncrementalIngest.forget(spark, forgetIds, root)
+    assert(res.forgotten == (1 + other.size).toLong, s"unexpected: $res")
+    assert(res.filesRewritten > 0)
+
+    val survivors = docs.join(forgetIds, Seq("doc_id"), "left_anti").localCheckpoint()
+
+    // archive: exactly the survivors; manifest reconciled over live files
+    val archive = spark.read.parquet(p.archive)
+    assert(archive.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      survivors.select("doc_id").collect().map(_.getLong(0)).toSet)
+    val manifest = spark.read.parquet(graft.ops.Manifest.manifestPath(p.archive))
+    assert(manifest.count() == archive.inputFiles.length)
+    assert(manifest.agg(sum("n_rows")).head().getLong(0) == survivors.count())
+
+    // labels == a from-scratch CC over the surviving corpus (the
+    // forgotten rep's cluster relabeled to its surviving min)
+    def labelMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val joint = labelMap(Dedup.connectedComponents(
+      Dedup.minhashNearDup(survivors).select("id1", "id2")))
+    assert(labelMap(Versioned.read(spark, p.labels)) == joint)
+
+    // df table == the surviving corpus's own table
+    val dfServed = Versioned.read(spark, p.shingleDf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val dfJoint = Dedup.shingleDfTable(Dedup.shingleDF(survivors))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(dfServed == dfJoint)
+
+    // index: no band row references a forgotten doc; survivors' rows
+    // equal a from-scratch capped index build (nothing crosses the cap
+    // at fixture scale — the documented proviso)
+    val idx = spark.read.parquet(p.index)
+    assert(idx.join(forgetIds, Seq("doc_id"), "left_semi").isEmpty)
+    val idxJoint = Dedup.lshBandIndexCapped(survivors,
+      Dedup.shingleDfTable(Dedup.shingleDF(survivors)), Dedup.DefaultMaxDf)
+    assert(idx.collect().map(_.toSeq).toSet == idxJoint.collect().map(_.toSeq).toSet)
+
+    // idempotent: re-forgetting the same ids is a no-op
+    val again = IncrementalIngest.forget(spark, forgetIds, root)
+    assert(again.forgotten == 0L && again.relabeled == 0L)
+    assert(labelMap(Versioned.read(spark, p.labels)) == joint)
+
+    // and the state still ingests: a fresh batch folds cleanly on top
+    val more = Seq((900L, "completely novel words after forgetting them all"))
+      .toDF("doc_id", "text")
+    IncrementalIngest.ingest(spark, more, root)
+    assert(spark.read.parquet(p.archive).count() == survivors.count() + 1)
+  }
+
   test("checkpointEvery folds the delta chain back to a full snapshot; reads unchanged") {
     val docs = graft.model.Tables.documents(spark, TestSpark.sfDir).limit(200)
       .localCheckpoint()
