@@ -86,4 +86,35 @@ object Funnel {
       }: _*)).as("__s"))
       .select(col("__s.stage_idx"), col("__s.stage"), col("__s.users_reached"))
   }
+
+  /** BATCH sessionization — the gap-based session assignment the
+    * streaming `session_window` computes online, over the archive: an
+    * event starts a new session when more than `gapMicros` elapsed
+    * since the user's previous event (exact microsecond arithmetic —
+    * seconds-truncated timestamps would glue sessions that straddle a
+    * second boundary). One user-keyed window (break flags + running sum
+    * ⇒ per-user session ordinal) + one hash agg — no per-user event
+    * buffering, session count per shuffle key bounded by the user's
+    * events. Output: (userCol, session_seq, n_events, duration_us),
+    * deterministic under the (ts, event_id) total order. */
+  def sessionize(events: DataFrame, gapMicros: Long,
+                 userCol: String = "user_id", tsCol: String = "ts",
+                 idCol: String = "event_id"): DataFrame = {
+    require(gapMicros > 0, s"gapMicros must be positive, got $gapMicros")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(tsCol, idCol)
+    val wRun = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val t = unix_micros(col(tsCol))
+    val prev = lag(unix_micros(col(tsCol)), 1).over(w)
+    events
+      .withColumn("__t", t)
+      .withColumn("__brk",
+        when(prev.isNull || t - prev > gapMicros, 1L).otherwise(0L))
+      .withColumn("session_seq", sum("__brk").over(wRun))
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        (max("__t") - min("__t")).as("duration_us"))
+  }
 }

@@ -479,6 +479,16 @@ object Merge {
   // (deleting one copy of a duplicated min) — that only costs rescan
   // work; it can never under-trigger, because a deleted value strictly
   // inside (min, max) leaves both extremes in place.
+  //
+  // Retractability map of the state family, for honest capacity
+  // planning: algebraic count/sum — subtract ([[retractStats]]);
+  // histogram-shaped quantile/freq/binned — subtract per bin, exactly,
+  // no rescan ([[retractHistState]]); min/max — dirty-key rescan (here);
+  // bottom-k samples — a delete can evict a kept row with no recorded
+  // runner-up, and HLL registers are max-folded — NEITHER retracts from
+  // state alone; rebuild those from the remaining rows of the affected
+  // keys (sample: re-window the key sliver; HLL: re-sketch it), the
+  // same sliver-rescan shape as the min/max repair.
 
   /** Retract `deletes`' contribution from an algebraic [[partialStats]]
     * state, arbitrating min/max for dirty keys against `remaining` (the

@@ -66,16 +66,71 @@ object Scd {
   def updateScd2(existing: DataFrame, batch: DataFrame, keys: Seq[String],
                  effCol: String): DataFrame = {
     val affected = batch.select(keys.map(col): _*).distinct()
-    val untouched = existing.join(affected, keys, "leftanti")
+    existing.join(affected, keys, "leftanti")
+      .unionByName(updateScd2Delta(existing, batch, keys, effCol))
+  }
+
+  /** The CHANGED-ROWS form of [[updateScd2]]: the affected keys' rebuilt
+    * interval rows only (rows ∝ those keys' version history). Versions
+    * never vanish under the update — a same-instant correction keeps its
+    * `valid_from` — so applying these as upserts keyed
+    * (keys…, valid_from) over the previous table reproduces
+    * [[updateScd2]] exactly; that makes the persisted dimension a
+    * delta-sized [[graft.io.Versioned]] artifact, the label-table
+    * discipline applied to dimension history. */
+  def updateScd2Delta(existing: DataFrame, batch: DataFrame, keys: Seq[String],
+                      effCol: String): DataFrame = {
+    val affected = batch.select(keys.map(col): _*).distinct()
     val oldVersions = existing.join(affected, keys, "leftsemi")
       .drop("valid_to", "is_current")
       .withColumnRenamed("valid_from", effCol)
       .withColumn("__gen", lit(0L))
-    val rebuilt = buildScd2(
+    buildScd2(
       oldVersions.unionByName(batch.withColumn("__gen", lit(1L))),
       keys, effCol, seqCol = Some("__gen"))
-    untouched.unionByName(rebuilt)
   }
+
+  /** Bootstrap a PERSISTED SCD-2 dimension from an initial changelog:
+    * full v1 snapshot under `root` via [[graft.io.Versioned]]. */
+  def init(changelog: DataFrame, root: String, keys: Seq[String],
+           effCol: String): Unit =
+    graft.io.Versioned.write(buildScd2(changelog, keys, effCol), root)
+
+  /** Streaming SCD-2 maintenance: a dimension-changelog stream folds
+    * into the persisted interval table via [[applyBatch]] — each
+    * micro-batch lands as a DELTA version carrying only the affected
+    * keys' rebuilt rows. The consumer's [[pointInTime]] reads
+    * `Versioned.read(root)`; time travel answers "join against the
+    * dimension as we believed it last week". */
+  def attach(stream: DataFrame, root: String, keys: Seq[String],
+             effCol: String, checkpointEvery: Int = 16):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        applyBatch(batch, root, id, keys, effCol, checkpointEvery)
+    }
+
+  /** The foreachBatch body, crash-replay-guarded like every state sink
+    * ([[graft.streaming.Replay.runOnce]]): an interval rebuild is not
+    * idempotent across the delta-version append, so replayed ids skip.
+    * Checkpoints the delta chain back to a full snapshot every
+    * `checkpointEvery` versions (the [[graft.pipeline.IncrementalIngest]]
+    * read-bound/GC contract). */
+  def applyBatch(batch: DataFrame, root: String, batchId: Long,
+                 keys: Seq[String], effCol: String,
+                 checkpointEvery: Int = 16): Unit =
+    graft.streaming.Replay.runOnce(batch.sparkSession, root, batchId) {
+      val spark = batch.sparkSession
+      if (!batch.isEmpty) {
+        val existing = graft.io.Versioned.read(spark, root).localCheckpoint()
+        val delta = updateScd2Delta(existing, batch, keys, effCol)
+          .withColumn("op", lit("upsert")).withColumn("seq", lit(1L))
+        graft.io.Versioned.writeDelta(delta, root,
+          keys = keys :+ "valid_from")
+        if (graft.io.Versioned.chainLength(spark, root) >= checkpointEvery)
+          graft.io.Versioned.checkpoint(spark, root)
+      }
+    }
 
   /** Point-in-time (as-was) left join: each fact row picks up the
     * dimension version whose [valid_from, valid_to) interval contains

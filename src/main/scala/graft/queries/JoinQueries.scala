@@ -170,6 +170,32 @@ object JoinQueries {
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("band_revenue"))
     },
 
+    sql("j10_full_outer",
+      "J1: full outer join — deliberately offset key populations (even custkeys vs multiple-of-3 order owners) so BOTH unmatched sides appear; null-completed rows surface as typed defaults. One shuffle on the coalesced key, AQE sizes the strategy",
+      s"""SELECT k, COALESCE(c_mktsegment, '(no-customer)') AS segment,
+         | COALESCE(n_orders, 0) AS n_orders, COALESCE(spend, 0.0) AS spend
+         | FROM (SELECT c_custkey AS k, c_mktsegment FROM customer WHERE c_custkey % 2 = 0) c
+         | FULL JOIN (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |   ${ssum("o_totalprice")} AS spend
+         |   FROM orders WHERE o_custkey % 3 = 0 GROUP BY 1) o USING (k)
+         | ORDER BY k""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+          .filter(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey").as("k"), col("c_mktsegment"))
+        val ord = Tables.orders(s, d)
+          .filter(col("o_custkey") % 3 === 0)
+          .groupBy(col("o_custkey").as("k"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+        cust.join(ord, Seq("k"), "full")
+          .select(col("k"),
+            coalesce(col("c_mktsegment"), lit("(no-customer)")).as("segment"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("spend"), lit(0.0)).as("spend"))
+          .orderBy("k")
+      }
+    },
+
     sql("j9_scd2_pit_join",
       "J1+: point-in-time (as-was) join — orders pick up the customer-segment version valid at their own order date from the u18 SCD-2 dimension; facts before the entity's first version keep a null segment ('(none)'). The no-future-leakage join a backfilled training set needs; equi-join on key + half-open interval filter, never a range-join explosion",
       s"""WITH chg AS (

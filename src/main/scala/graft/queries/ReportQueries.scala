@@ -76,6 +76,26 @@ object ReportQueries {
       (s, d) =>
         graft.ops.Funnel.transitions(graft.model.Tables.events(s, d))
           .orderBy("from_type", "to_type")
+    },
+
+    sql("ep7_sessionization",
+      "EP7: batch sessionization — gap-based session assignment over the event archive (new session when >30 min since the user's previous event), the offline twin of the streaming session_window; exact microsecond arithmetic, one user-keyed window + one hash agg, no per-user event buffering",
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+        |g AS (SELECT user_id, event_id, t,
+        |  CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+        |         OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 1800000000
+        |       THEN 1 ELSE 0 END AS brk FROM e),
+        |s AS (SELECT user_id, t,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        | FROM g)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MAX(t) - MIN(t) AS BIGINT) AS duration_us
+        | FROM s GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        graft.ops.Funnel.sessionize(
+          graft.model.Tables.events(s, d), gapMicros = 1800L * 1000000L)
+          .orderBy("user_id", "session_seq")
     }
   )
 }

@@ -203,4 +203,52 @@ object InvariantProps extends Properties("graft") {
         .removedAll(latest.collect { case (k, (_, _, "delete", _)) => k })
       got == expect
     }
+
+  property("retractStats equals the direct recompute over survivors on random deletes") =
+    forAll(
+      Gen.listOfN(24, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(-50, 50))),
+      Gen.listOfN(24, Gen.oneOf(true, false))) { (rows, mask0) =>
+      val data = rows.zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v.toDouble) }
+      val mask = mask0.padTo(data.size, false)
+      val deletes = data.zip(mask).collect { case (r, true) => r }
+      val remaining = data.zip(mask).collect { case (r, false) => r }
+      val keys = Seq("g")
+      def fin(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), Option(r.get(2)), Option(r.get(4)), Option(r.get(5))))).toMap
+      val got = fin(graft.ops.Merge.finalizeStats(
+        graft.ops.Merge.retractStats(
+          graft.ops.Merge.partialStats(data.toDF("id", "g", "v"), keys, "v"),
+          deletes.toDF("id", "g", "v"), remaining.toDF("id", "g", "v"), keys, "v"),
+        keys))
+      val direct = fin(graft.ops.Merge.finalizeStats(
+        graft.ops.Merge.partialStats(remaining.toDF("id", "g", "v"), keys, "v"), keys))
+      got == direct
+    }
+
+  property("sessionize equals the sequential per-user fold") =
+    forAll(Gen.listOfN(20,
+      Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 8000L)))) { evs =>
+      val gap = 1000L
+      val rows = evs.zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) }
+      val df = rows.toDF("event_id", "user_id", "us")
+        .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      val got = graft.ops.Funnel.sessionize(df, gapMicros = gap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      // reference: per user, walk events in (t, id) order and split on gap
+      val expect = rows.groupBy(_._2).flatMap { case (u, es) =>
+        val ordered = es.sortBy(e => (e._3, e._1))
+        val sessions = ordered.foldLeft(List.empty[List[(Long, Long, Long)]]) {
+          case (Nil, e) => List(List(e))
+          case (cur :: done, e) =>
+            if (e._3 - cur.head._3 > gap) List(e) :: cur :: done
+            else (e :: cur) :: done
+        }.reverse.map(_.reverse)
+        sessions.zipWithIndex.map { case (s, i) =>
+          (u, (i + 1).toLong) -> (s.size.toLong, s.last._3 - s.head._3)
+        }
+      }
+      got == expect
+    }
 }

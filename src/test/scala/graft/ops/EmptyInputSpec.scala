@@ -13,6 +13,7 @@ import graft.TestSpark
   * an iteration loop, never divide by a zero total. */
 class EmptyInputSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
+  import spark.implicits._
 
   private def emptyDocs: DataFrame =
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -71,5 +72,53 @@ class EmptyInputSpec extends AnyFunSuite {
     val emptyTok = emptyDocs.select(col("doc_id"), col("n_chars").as("n_tokens"))
     assert(Packing.packByBudget(emptyTok, "doc_id", "n_tokens", 1000L).count() == 0)
     assert(Mixture.temperatureMixture(emptyDocs, budget = 100).count() == 0)
+  }
+
+  test("retraction: empty delete batch is the identity; empty state retracts to empty") {
+    val li = graft.model.Tables.lineitem(spark, TestSpark.sfDir)
+    val keys = Seq("l_returnflag")
+    val empty = li.filter(lit(false))
+    val state = Merge.partialStats(li, keys, "l_quantity")
+    val identity = Merge.finalizeStats(
+      Merge.retractStats(state, empty, li, keys, "l_quantity"), keys)
+      .orderBy(keys.head).collect().map(_.toSeq).toSeq
+    val direct = Merge.finalizeStats(state, keys)
+      .orderBy(keys.head).collect().map(_.toSeq).toSeq
+    assert(identity == direct, "empty delete must be the retraction identity")
+    assert(Merge.retractStats(Merge.partialStats(empty, keys, "l_quantity"),
+      empty, empty, keys, "l_quantity").count() == 0)
+    val hist = Merge.partialQuantileState(li, keys, "l_quantity")
+    val histIdentity = Merge.retractHistState(hist,
+      Merge.partialQuantileState(empty, keys, "l_quantity"), keys)
+    assert(histIdentity.count() == hist.count())
+  }
+
+  test("SCD-2 + sessionization: empty changelog, empty facts, and empty events are total") {
+    val emptyChg = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("k", LongType), StructField("eff", TimestampType),
+        StructField("attr", StringType))))
+    val scd = Scd.buildScd2(emptyChg, Seq("k"), "eff")
+    assert(scd.count() == 0)
+    assert(scd.columns.toSeq == Seq("k", "attr", "valid_from", "valid_to", "is_current"))
+    val emptyFacts = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("fid", LongType), StructField("k_fact", LongType),
+        StructField("t", TimestampType))))
+    // empty facts against a real dim; real facts against an empty dim
+    val realChg = Seq((1L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00"), "A"))
+      .toDF("k", "eff", "attr")
+    val realDim = Scd.buildScd2(realChg, Seq("k"), "eff")
+    assert(Scd.pointInTime(emptyFacts, realDim, Seq("k_fact" -> "k"), "t").count() == 0)
+    val realFacts = Seq((1L, 1L, java.sql.Timestamp.valueOf("2021-01-01 00:00:00")))
+      .toDF("fid", "k_fact", "t")
+    val joined = Scd.pointInTime(realFacts, scd, Seq("k_fact" -> "k"), "t")
+    assert(joined.count() == 1 && joined.select("attr").head().isNullAt(0))
+    // empty batch into updateScd2 passes the table through unchanged
+    assert(Scd.updateScd2(realDim, emptyChg, Seq("k"), "eff")
+      .collect().map(_.toSeq).toSet == realDim.collect().map(_.toSeq).toSet)
+    // empty event frame sessionizes to zero sessions
+    val emptyEvents = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("ts", TimestampType))))
+    assert(Funnel.sessionize(emptyEvents, gapMicros = 1000L).count() == 0)
   }
 }

@@ -88,4 +88,52 @@ class ScdSpec extends AnyFunSuite {
       .toDF("fid", "k_fact", "t")
     assert(Scd.pointInTime(facts, dim, Seq("k_fact" -> "k"), "t").count() == 50L)
   }
+
+  test("streaming attach: replayed changelog stream == batch updateScd2 loop; deltas stay key-sliver-sized") {
+    // dimension-changelog micro-batches land as delta versions on the
+    // persisted interval table; the reference folds the same batches
+    // through updateScd2 in a driver loop
+    val root0 = java.nio.file.Files.createTempDirectory("graft-scd-stream").toString
+    val src = new java.io.File(s"$root0/src"); src.mkdirs()
+    val b1 = Seq((1L, ts("2024-01-01"), "D"), (3L, ts("2022-02-02"), "N"))
+      .toDF("k", "eff", "attr")
+    val b2 = Seq((1L, ts("2021-06-15"), "B-fixed"), (4L, ts("2024-05-05"), "Q"))
+      .toDF("k", "eff", "attr")
+    Seq((b1, "b1"), (b2, "b2")).foreach { case (df, name) =>
+      val tmp = s"$root0/tmp_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(src, s"$name.parquet").toPath)
+    }
+
+    val streamRoot = s"$root0/dim_stream"
+    Scd.init(changelog, streamRoot, Seq("k"), "eff")
+    val q = Scd.attach(
+      spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString),
+      streamRoot, Seq("k"), "eff").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val batchRef = Seq(b1, b2).foldLeft(Scd.buildScd2(changelog, Seq("k"), "eff")) {
+      (acc, b) => Scd.updateScd2(acc, b, Seq("k"), "eff")
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "attr", "valid_from", "valid_to", "is_current")
+        .collect().map(_.toSeq).toSet
+    val served = graft.io.Versioned.read(spark, streamRoot)
+    assert(canon(served) == canon(batchRef))
+    // the versions landed as deltas (v1 full, v2+ changelogs)
+    val vs = graft.io.Versioned.versions(spark, streamRoot)
+    assert(vs.size >= 3)
+    assert(vs.tail.forall(v => graft.io.Versioned.isDelta(spark, streamRoot, v)))
+
+    // crash-replay: re-applying an already-marked micro-batch id is a no-op
+    val before = (canon(graft.io.Versioned.read(spark, streamRoot)),
+      graft.io.Versioned.versions(spark, streamRoot))
+    Scd.applyBatch(b2, streamRoot, batchId = 1, Seq("k"), "eff")
+    assert((canon(graft.io.Versioned.read(spark, streamRoot)),
+      graft.io.Versioned.versions(spark, streamRoot)) == before)
+  }
 }
