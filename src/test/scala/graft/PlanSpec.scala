@@ -135,6 +135,34 @@ class PlanSpec extends AnyFunSuite {
       s"llm3 lost the distributed prefix-sum shape: $llm3")
   }
 
+  test("round-9 operators keep scale-safe join shapes") {
+    // PIT join: the interval predicate must RIDE ON the key equi-join
+    // (hash or sort-merge with a post-condition) — a planner that only
+    // saw the range predicates would fall back to a nested loop, which
+    // dies at fact scale
+    val j9 = plan(specs("j9_scd2_pit_join").run(spark, TestSpark.sfDir))
+    assert(!j9.contains("BroadcastNestedLoopJoin") && !j9.contains("CartesianProduct"),
+      s"j9 lost the equi-join shape: $j9")
+    assert(j9.contains("BroadcastHashJoin") || j9.contains("SortMergeJoin") ||
+      j9.contains("ShuffledHashJoin"), s"j9 has no equi join: $j9")
+    // full outer: equi full-outer, never a nested loop
+    val j10 = plan(specs("j10_full_outer").run(spark, TestSpark.sfDir))
+    assert(j10.contains("FullOuter") || j10.contains("full_outer"), s"j10 lost full-outer: $j10")
+    assert(!j10.contains("BroadcastNestedLoopJoin") && !j10.contains("CartesianProduct"))
+    // retraction: state-vs-delete joins are key-equality; the dirty-key
+    // rescan is a semi-join sliver — nothing all-pairs anywhere
+    for (q <- Seq("u16_retractable_agg", "gdpr1_forget_cascade", "u17_retractable_quantiles")) {
+      val p = plan(specs(q).run(spark, TestSpark.sfDir))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q planned an all-pairs join: $p")
+    }
+    // sessionization: ONE data-sized exchange (the user-keyed window);
+    // the post-window agg only moves session-sliver rows
+    val ep7 = plan(specs("ep7_sessionization").run(spark, TestSpark.sfDir))
+    assert(ep7.contains("Window"), s"ep7 lost the window: $ep7")
+    assert(!ep7.contains("CartesianProduct"))
+  }
+
   test("runtime bloom-filter pruning engages for selective-dim shuffle joins") {
     // When a dim side carries a selective filter and the fact side is too
     // big to broadcast, Spark can inject a bloom filter built from the dim
