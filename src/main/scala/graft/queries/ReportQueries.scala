@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
 import graft.QuerySpec
 import graft.QuerySpec.sql
 
@@ -96,6 +97,53 @@ object ReportQueries {
         graft.ops.Funnel.sessionize(
           graft.model.Tables.events(s, d), gapMicros = 1800L * 1000000L)
           .orderBy("user_id", "session_seq")
+    },
+
+    sql("ep8_resample_locf",
+      "EP8: time-series resampling — irregular per-user events land on a regular hourly grid (sequence + explode per user, bounded by the user's own span) with last-observation-carried-forward interpolation over the gaps (last(_, ignoreNulls) running window); the align-sensor-streams-before-joining primitive. Values pass through untouched (no arithmetic), so the oracle matches exactly; user sliver %10 keeps the grid verify-sized",
+      """WITH e AS (SELECT user_id, ts, event_id, value FROM events WHERE user_id % 10 = 0),
+        |hourly AS (SELECT user_id, date_trunc('hour', ts) AS h, value,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM e),
+        |obs AS (SELECT user_id, h, value, TRUE AS obs FROM hourly WHERE rn = 1),
+        |grid AS (SELECT user_id, unnest(generate_series(min(h2), max(h2), INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT user_id, date_trunc('hour', ts) AS h2 FROM e) GROUP BY user_id),
+        |j AS (SELECT g.user_id, g.h, o.value, COALESCE(o.obs, FALSE) AS is_observed
+        |  FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h)
+        |SELECT user_id, strftime(h, '%Y-%m-%d %H') AS hour_s,
+        |  LAST_VALUE(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+        |  is_observed
+        | FROM j ORDER BY user_id, hour_s""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val e = graft.model.Tables.events(s, d)
+          .filter(col("user_id") % 10 === 0)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("h", date_trunc("hour", col("ts")))
+        // one observation per (user, hour): the hour's LAST event wins,
+        // deterministically under the (ts, event_id) total order
+        val wHour = W.partitionBy("user_id", "h")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val obs = e.withColumn("rn", row_number().over(wHour))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("h"), col("value"), lit(true).as("obs"))
+        // per-user hourly grid over the user's own span — sequence() is
+        // per-row compute, so grid size scales with keys × span, never a
+        // cross join against a global calendar
+        val grid = e.groupBy("user_id")
+          .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+        val wLocf = W.partitionBy("user_id").orderBy("h")
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        grid.join(obs, Seq("user_id", "h"), "left")
+          .select(col("user_id"),
+            date_format(col("h"), "yyyy-MM-dd HH").as("hour_s"),
+            last(col("value"), ignoreNulls = true).over(wLocf).as("value_locf"),
+            coalesce(col("obs"), lit(false)).as("is_observed"))
+          .orderBy("user_id", "hour_s")
+      }
     }
   )
 }
