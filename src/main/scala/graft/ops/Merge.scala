@@ -462,6 +462,79 @@ object Merge {
     state.withColumn("rn", row_number().over(w).cast("long")).drop("__pri")
   }
 
+  // ───── KMV SET-OPERATION estimates (distinct overlap across keys) ─────
+  //
+  // The U11 distinct states answer "how many distinct values per key";
+  // they cannot answer "how much do two keys' value SETS overlap" —
+  // the cross-source vocabulary/recrawl-overlap question — without
+  // shipping the full sets. The KMV (k-minimum-values) sketch can: keep
+  // the k smallest VALUE-hash priorities per key. Because the priority
+  // is a pure function of the VALUE (not the row), the same element
+  // sketches identically under every key, so for any two keys the
+  // bottom-L of the union of their sketches is a uniform sample of the
+  // union of their SETS, and the fraction of it present in both sketches
+  // estimates the Jaccard overlap (Beyer et al., SIGMOD'07). Both sets
+  // smaller than k ⇒ the "sketch" is the whole set and the estimate is
+  // EXACT. Unlike the uniform-sample state, slices may overlap on
+  // values: merge dedups by (key, priority) — re-observing an element
+  // is idempotent, so the state tolerates at-least-once feeds.
+
+  /** Per-key KMV state over a slice: bottom-`k` distinct value
+    * priorities. `priority` must be a deterministic injective function
+    * of the VALUE only ([[samplePriorityPortable]] over the value column
+    * for the oracle form, [[samplePriorityFast]] in production). One
+    * distinct + one window, both keyed — never a cross-key shuffle. */
+  def kmvState(df: DataFrame, keyCol: String,
+               priority: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    require(k > 0, s"sketch size k must be positive, got $k")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__pri").asc)
+    df.select(col(keyCol), priority.as("__pri")).distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Merge KMV states (value-overlapping slices welcome): distinct by
+    * (key, priority), re-cap at k. State-sized work only. */
+  def mergeKmvStates(states: Seq[DataFrame], keyCol: String, k: Int): DataFrame = {
+    require(states.nonEmpty, "mergeKmvStates needs at least one state frame")
+    require(k > 0, s"sketch size k must be positive, got $k")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__pri").asc)
+    states.reduce(_.unionByName(_)).distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Pairwise Jaccard estimates between every two keys of a KMV state:
+    * for each unordered pair, bottom-L (L = min(k, |union|)) of the
+    * union of the two sketches, `matches` = elements of that sample
+    * present in BOTH, estimate = matches / L (exact small-integer IEEE
+    * division — engine-portable). Output per pair: `l`, `matches`,
+    * `jaccard_est`. Work is sketch-sized: |keys|² · k rows — the key
+    * column is a sliver (sources, languages, shards) by contract, the
+    * corpus was only ever read by [[kmvState]]. */
+  def kmvPairwiseJaccard(state: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k > 0, s"sketch size k must be positive, got $k")
+    val ks = state.select(col(keyCol)).distinct()
+    val pairs = ks.select(col(keyCol).as("src_a"))
+      .crossJoin(ks.select(col(keyCol).as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    val u = pairs
+      .join(state, col(keyCol) === col("src_a") || col(keyCol) === col("src_b"))
+      .groupBy(col("src_a"), col("src_b"), col("__pri"))
+      .agg(max(when(col(keyCol) === col("src_a"), 1).otherwise(0)).as("__ina"),
+        max(when(col(keyCol) === col("src_b"), 1).otherwise(0)).as("__inb"))
+    val w = Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("__pri").asc)
+    u.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("l"),
+        sum(when(col("__ina") === 1 && col("__inb") === 1, 1L).otherwise(0L)).as("matches"))
+      .withColumn("jaccard_est",
+        col("matches").cast("double") / col("l").cast("double"))
+  }
+
   // ───── RETRACTION: deletes / right-to-be-forgotten without a rescan ─────
   //
   // The merge family above only ever ADDS slices. Real pipelines also

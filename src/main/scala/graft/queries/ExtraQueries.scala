@@ -464,6 +464,57 @@ object ExtraQueries {
         graft.ops.Merge.mergeSampleStates(Seq(history, batch), keys, 5), keys)
     },
 
+    sql("u19_kmv_overlap",
+      "U19: KMV set-operation sketch — per-source bottom-256 shingle-hash states (value-keyed priorities, so slices may OVERLAP on values: merge dedups by (key, pri), at-least-once-safe) answer the cross-source distinct-overlap question the U11 distinct states cannot: for each source pair, the bottom-L of the two sketches' union is a uniform sample of the union of their shingle SETS and the both-present fraction estimates Jaccard (Beyer et al. SIGMOD'07); sets under k make the estimate exact. md5 priorities for the oracle, xxhash64 in production",
+      s"""WITH sh AS (SELECT source, UNNEST(${graft.queries.DedupQueries.shingleListSql(3)}) AS g FROM documents),
+         |st AS (SELECT source, pri FROM (
+         |  SELECT source, md5(g) AS pri,
+         |   ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(g)) AS rn
+         |  FROM (SELECT DISTINCT source, g FROM sh)) WHERE rn <= 256),
+         |ks AS (SELECT DISTINCT source FROM documents),
+         |pr AS (SELECT a.source AS src_a, b.source AS src_b FROM ks a JOIN ks b ON a.source < b.source),
+         |u AS (SELECT src_a, src_b, pri,
+         |  MAX(CASE WHEN st.source = src_a THEN 1 ELSE 0 END) AS ina,
+         |  MAX(CASE WHEN st.source = src_b THEN 1 ELSE 0 END) AS inb
+         | FROM pr JOIN st ON st.source = src_a OR st.source = src_b GROUP BY 1, 2, 3),
+         |r AS (SELECT src_a, src_b, ina, inb,
+         |  ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY pri) AS rn FROM u)
+         |SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS l,
+         |  CAST(SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+         |  CAST(SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS jaccard_est
+         | FROM r WHERE rn <= 256 GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // history/batch slices (doc_id parity) share most shingles —
+        // exactly the value overlap the (key, pri) dedup merge absorbs;
+        // the corpus is read only by the two kmvState passes, everything
+        // downstream is sketch-sized (|sources|·k rows)
+        def sketch(slice: org.apache.spark.sql.DataFrame) =
+          graft.ops.Merge.kmvState(
+            slice.select(col("source"),
+              explode(graft.ops.Dedup.shingles(col("text"))).as("g")),
+            "source", md5(col("g")), k = 256)
+        val docs = Tables.documents(s, d)
+        val merged = graft.ops.Merge.mergeKmvStates(Seq(
+          sketch(docs.filter(col("doc_id") % 2 === 0)),
+          sketch(docs.filter(col("doc_id") % 2 =!= 0))), "source", k = 256)
+        graft.ops.Merge.kmvPairwiseJaccard(merged, "source", k = 256)
+          .orderBy("src_a", "src_b")
+      }
+    }.withBench { (s, d) =>
+      // production: xxhash64 priorities (8-byte longs through every
+      // shuffle instead of 32-char md5 text), no oracle sort
+      def sketch(slice: org.apache.spark.sql.DataFrame) =
+        graft.ops.Merge.kmvState(
+          slice.select(col("source"),
+            explode(graft.ops.Dedup.shingles(col("text"))).as("g")),
+          "source", xxhash64(col("g")), k = 256)
+      val docs = Tables.documents(s, d)
+      val merged = graft.ops.Merge.mergeKmvStates(Seq(
+        sketch(docs.filter(col("doc_id") % 2 === 0)),
+        sketch(docs.filter(col("doc_id") % 2 =!= 0))), "source", k = 256)
+      graft.ops.Merge.kmvPairwiseJaccard(merged, "source", k = 256)
+    },
+
     sql("u16_retractable_agg",
       "U16: state RETRACTION — honor a delete batch against a persisted algebraic state without rescanning history: counts/decimal-sums subtract (abelian), min/max repaired by rescanning ONLY the dirty keys (those whose deleted values touched a stored extreme) against the remaining data. The GDPR-erasure / late-correction primitive; oracle recomputes directly over the surviving rows",
       s"""SELECT l_returnflag, l_linestatus, COUNT(l_quantity) AS cnt,

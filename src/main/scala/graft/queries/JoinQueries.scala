@@ -228,6 +228,38 @@ object JoinQueries {
       }
     },
 
+    sql("j11_interval_overlap",
+      "J1+: keyed INTERVAL-OVERLAP self-join — per-customer concurrent order windows ([orderdate, orderdate + priority-derived duration)); grid-bucketized equality join on (custkey, cell) with exactly-once first-cell emission, never a nested loop (ops/RangeJoin.intervalOverlap)",
+      """WITH w AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS lo,
+        |  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) + o_orderkey % 30 + 1 AS hi
+        |  FROM orders)
+        |SELECT a.c AS custkey, COUNT(*) AS n_concurrent
+        | FROM w a JOIN w b ON a.c = b.c AND a.k < b.k
+        |   AND GREATEST(a.lo, b.lo) < LEAST(a.hi, b.hi)
+        | GROUP BY 1 ORDER BY custkey""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // fulfillment window in epoch-days: [orderdate, orderdate + dur)
+        // with dur = o_orderkey % 30 + 1 — integer day arithmetic, exact
+        // in both engines; bucket width 16 ≈ the median window length
+        def win(k: String, c: String, lo: String, hi: String) =
+          Tables.orders(s, d).select(
+            col("o_orderkey").as(k), col("o_custkey").as(c),
+            // NTZ fixture timestamp → explicit date cast (j9 discipline)
+            datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+              .cast("double").as(lo))
+            .withColumn(hi, col(lo) + (col(k) % 30 + 1).cast("double"))
+        graft.ops.RangeJoin.intervalOverlap(
+          win("k1", "c1", "lo1", "hi1"), win("k2", "c2", "lo2", "hi2"),
+          "lo1", "hi1", "lo2", "hi2", bucketWidth = 16.0,
+          keys = Seq("c1" -> "c2"))
+          .filter(col("k1") < col("k2"))
+          .groupBy(col("c1").as("custkey"))
+          .agg(count(lit(1)).as("n_concurrent"))
+          .orderBy("custkey")
+      }
+    },
+
     sql("j5_broadcast_dim",
       "J1: explicit broadcast-hash join fact⋈dim (zero fact shuffle) + agg",
       s"""SELECT p_brand, COUNT(*) AS total_lines,

@@ -15,6 +15,33 @@ object StatsQueries {
 
   val all: Seq[QuerySpec] = Seq(
 
+    sql("g2_triangles",
+      "G2: triangle enumeration — part triples pairwise co-ordered in ≥2 orders (market-basket cohesion over the co-order graph). Degree-ordered orientation (Suri–Vassilvitskii) bounds wedges to m^1.5 regardless of hub skew — never the naive 3-way self-join; the oracle IS that naive join, feasible only at oracle scale",
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pp AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT e1.p1 AS ta, e1.p2 AS tb, e2.p2 AS tc
+        | FROM pp e1 JOIN pp e2 ON e1.p2 = e2.p1
+        |  JOIN pp e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+        | ORDER BY ta, tb, tc""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // co-order pair graph: distinct (order, part) → within-order
+        // self-join (≤ C(lines,2) per order, order-keyed shuffle) →
+        // support filter. The pair graph is the ONLY corpus-scale step;
+        // triangles runs on the 3k-edge sliver
+        val lp = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        val pairs = lp.join(lp.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+          .filter(col("pk") < col("pk2"))
+          .groupBy(col("pk").as("id1"), col("pk2").as("id2"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+        graft.ops.Graph.triangles(pairs)
+          .orderBy("ta", "tb", "tc")
+      }
+    },
+
     sql("a19_unpivot_stats",
       "A19: UNPIVOT/stack — wide per-measure aggregates reshaped to long (measure, min, max, mean) rows",
       {

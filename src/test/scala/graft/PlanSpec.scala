@@ -314,7 +314,9 @@ class PlanSpec extends AnyFunSuite {
     //   ops/Decontam.scala (3)          eval-set shingles ×2 (eval ≪ train),
     //                                   contaminated-id sliver
     //   ops/Dedup.scala (2)             candidate-doc id slivers (semi-join probes)
-    //   ops/RangeJoin.scala (1)         interval dimension
+    //   ops/RangeJoin.scala (2)         interval dimension (point + overlap
+    //                                   NAIVE reference forms — spec/oracle
+    //                                   scale only; grid is the data path)
     //   ops/Packing.scala (1)           per-range-partition offsets (#partitions rows)
     //   ops/Mixture.scala (2)           1-row weight total; per-source quota dim
     //   streaming/EventStreams.scala (1) user dimension (stream-static enrich)
@@ -335,7 +337,7 @@ class PlanSpec extends AnyFunSuite {
       "ops/VectorIndex.scala" -> 1,
       "ops/Decontam.scala" -> 3,
       "ops/Dedup.scala" -> 2,
-      "ops/RangeJoin.scala" -> 1,
+      "ops/RangeJoin.scala" -> 2,
       "ops/Packing.scala" -> 1,
       "ops/Mixture.scala" -> 2,
       "streaming/EventStreams.scala" -> 1,

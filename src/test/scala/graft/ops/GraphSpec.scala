@@ -57,6 +57,53 @@ class GraphSpec extends AnyFunSuite {
     assert(again == fp)
   }
 
+  private def tset(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  /** Naive all-wedge 3-way join — reference semantics for [[Graph.triangles]]. */
+  private def naiveTriangles(pairs: Seq[(Long, Long)]): Set[(Long, Long, Long)] = {
+    val e = pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.toSet
+    (for {
+      (a, b) <- e; (b2, c) <- e if b2 == b; if e.contains((a, c))
+    } yield (a, b, c)).toSet
+  }
+
+  test("triangles: hand-checked shapes — K4 has 4, a square has 0, K3 plus tail has 1") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(tset(Graph.triangles(k4.toDF("id1", "id2"))) ==
+      Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(tset(Graph.triangles(square.toDF("id1", "id2"))).isEmpty)
+    val k3tail = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 9L))
+    assert(tset(Graph.triangles(k3tail.toDF("id1", "id2"))) == Set((1L, 2L, 3L)))
+  }
+
+  test("triangles: duplicates, reversed orientation, and self-loops are absorbed; each triangle exactly once") {
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L), (2L, 2L), (1L, 2L))
+    val got = Graph.triangles(messy.toDF("id1", "id2")).collect()
+    assert(got.length == 1 && (got.head.getLong(0), got.head.getLong(1), got.head.getLong(2)) == (1L, 2L, 3L))
+  }
+
+  test("triangles: degree-ordered plan equals the naive wedge join on a random graph, incl. a hub") {
+    val rnd = new scala.util.Random(42)
+    // 40-node random graph + a 30-edge hub at node 0 (the skew the
+    // orientation exists to survive)
+    val pairs = (Seq.fill(120)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)) ++
+      (1L to 30L).map(i => (0L, i))).filter { case (a, b) => a != b }
+    assert(tset(Graph.triangles(pairs.toDF("id1", "id2"))) == naiveTriangles(pairs))
+  }
+
+  test("triangleCounts: per-node participation sums to 3× triangle count; degree matches") {
+    val k4tail = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 9L))
+    val got = Graph.triangleCounts(k4tail.toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (3L, 3L) && got(2L) == (3L, 3L) && got(3L) == (3L, 3L))
+    assert(got(4L) == (3L, 4L)) // in all 3 of its K4 triangles, deg 4 with the tail
+    assert(got(9L) == (0L, 1L)) // tail node: no triangles, left-join keeps it
+    assert(got.values.map(_._1).sum == 4 * 3)
+  }
+
   test("near-dup graph: every cluster's top-ranked member is in that cluster's pair set") {
     val pairs = Dedup.minhashNearDup(
       graft.model.Tables.documents(spark, TestSpark.sfDir))

@@ -408,6 +408,47 @@ class MergeSpec extends AnyFunSuite {
 
   // ───── retractStats: deletes without a rescan (dirty-key repair) ─────
 
+  test("kmv state: overlapping slices merge to exactly the direct sketch; capped at k") {
+    // two sources drawing from overlapping value pools
+    val rows = ((1L to 120L).map(v => ("a", v)) ++ (61L to 200L).map(v => ("b", v)))
+      .toDF("src", "v")
+    val pri = Merge.samplePriorityFast(Seq("v"))
+    val k = 16
+    // slices OVERLAP on values (not just rows) — the same element seen in
+    // both slices must occupy one sketch slot, not two
+    val merged = Merge.mergeKmvStates(Seq(
+      Merge.kmvState(rows.filter($"v" <= 150), "src", pri, k),
+      Merge.kmvState(rows.filter($"v" >= 100), "src", pri, k)), "src", k)
+    val direct = Merge.kmvState(rows, "src", pri, k)
+    assert(merged.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
+    assert(direct.groupBy("src").count().collect().map(_.getLong(1)).forall(_ == k))
+    // re-merging the merged state is a no-op (at-least-once feeds)
+    val again = Merge.mergeKmvStates(Seq(merged, merged), "src", k)
+    assert(again.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
+  }
+
+  test("kmv pairwise jaccard: exact when sets fit in k; estimate within tolerance when capped") {
+    // |a ∪ b| = 200, |a ∩ b| = 60 → true J = 0.3
+    val rows = ((1L to 120L).map(v => ("a", v)) ++ (61L to 200L).map(v => ("b", v))
+      ++ (1L to 50L).map(v => ("c", v))).toDF("src", "v")
+    val pri = Merge.samplePriorityFast(Seq("v"))
+    // k big enough: every set is carried whole, estimate is EXACT
+    val exact = Merge.kmvPairwiseJaccard(Merge.kmvState(rows, "src", pri, 512), "src", 512)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(exact(("a", "b")) == 60.0 / 200.0)
+    assert(exact(("a", "c")) == 50.0 / 120.0) // c ⊂ a
+    assert(exact(("b", "c")) == 0.0)
+    // capped sketch: estimate within sampling tolerance of the truth
+    val est = Merge.kmvPairwiseJaccard(Merge.kmvState(rows, "src", pri, 64), "src", 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(math.abs(est(("a", "b")) - 0.3) < 0.2, s"ab=${est(("a", "b"))}")
+    assert(est(("b", "c")) == 0.0) // disjoint sets stay exactly 0 at any k
+    // l column: min(k, |union|) — the c-pairs' unions are under k=512
+    val l = Merge.kmvPairwiseJaccard(Merge.kmvState(rows, "src", pri, 512), "src", 512)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(l(("a", "b")) == 200L && l(("a", "c")) == 120L && l(("b", "c")) == 190L)
+  }
+
   test("retractStats == direct recompute over the remaining data (lineitem, bit-parity)") {
     val li = graft.model.Tables.lineitem(spark, TestSpark.sfDir)
     val keys = Seq("l_returnflag", "l_linestatus")

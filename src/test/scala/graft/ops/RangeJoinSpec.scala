@@ -35,6 +35,59 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  private def leftIv = Seq(
+    ("u1", 1L, 0.0, 10.0), ("u1", 2L, 12.0, 20.0), ("u2", 3L, 5.0, 15.0),
+    ("u2", 4L, 30.0, 31.0), ("u1", 5L, 9.0, 12.5), ("u3", 6L, 7.0, 7.0))
+    .toDF("lk", "lid", "llo", "lhi")
+  private def rightIv = Seq(
+    ("u1", 11L, 9.5, 13.0), ("u1", 12L, 20.0, 25.0), ("u2", 13L, 14.0, 40.0),
+    ("u3", 14L, 0.0, 50.0), ("u2", 15L, 15.0, 15.0))
+    .toDF("rk", "rid", "rlo", "rhi")
+
+  private def ovPairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+    df.select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("interval overlap: hand-checked half-open keyed semantics, empty intervals match nothing") {
+    val got = ovPairs(RangeJoin.intervalOverlap(leftIv, rightIv,
+      "llo", "lhi", "rlo", "rhi", 4.0, keys = Seq("lk" -> "rk"))).toSet
+    // (1,11): [0,10)∩[9.5,13) per u1; (2,11): [12,20)∩[9.5,13);
+    // (5,11): [9,12.5)∩[9.5,13); (3,13): [5,15)∩[14,40) per u2;
+    // (4,13): [30,31)∩[14,40); NOT (2,12): [12,20) vs [20,25) touch at
+    // the open edge; NOT (6,14): left interval [7,7) is empty;
+    // NOT (3,15): right empty
+    assert(got == Set((1L, 11L), (2L, 11L), (5L, 11L), (3L, 13L), (4L, 13L)))
+  }
+
+  test("interval overlap: exactly-once emission and naive parity for any bucket width") {
+    val naive = ovPairs(RangeJoin.intervalOverlapNaive(leftIv, rightIv,
+      "llo", "lhi", "rlo", "rhi", keys = Seq("lk" -> "rk"))).sorted
+    for (w <- Seq(0.5, 1.0, 4.0, 16.0, 1000.0)) {
+      val got = ovPairs(RangeJoin.intervalOverlap(leftIv, rightIv,
+        "llo", "lhi", "rlo", "rhi", w, keys = Seq("lk" -> "rk")))
+      // Seq (not Set) comparison: a pair spanning several shared cells
+      // must be emitted exactly once, not deduped away by the assertion
+      assert(got.sorted == naive, s"width $w diverged or duplicated pairs")
+    }
+  }
+
+  test("interval overlap: keyless form equals naive on real data (order fulfillment windows)") {
+    def win(k: String, lo: String, hi: String) =
+      graft.model.Tables.orders(spark, TestSpark.sfDir)
+        .filter(col("o_orderkey") % 11 === 0) // sliver: keyless form is quadratic by design
+        .select(col("o_orderkey").as(k),
+          // the fixture's o_orderdate is TIMESTAMP_NTZ — cast to date
+          // explicitly so datediff resolves instead of nulling out
+          datediff(col("o_orderdate").cast("date"),
+            lit("1992-01-01").cast("date")).cast("double").as(lo))
+        .withColumn(hi, col(lo) + (col(k) % 30 + 1).cast("double"))
+    val l = win("k1", "lo1", "hi1"); val r = win("k2", "lo2", "hi2")
+    val grid = ovPairs(RangeJoin.intervalOverlap(l, r, "lo1", "hi1", "lo2", "hi2", 16.0)
+      .filter(col("k1") < col("k2")).withColumnRenamed("k1", "lid").withColumnRenamed("k2", "rid")).sorted
+    val naive = ovPairs(RangeJoin.intervalOverlapNaive(l, r, "lo1", "hi1", "lo2", "hi2")
+      .filter(col("k1") < col("k2")).withColumnRenamed("k1", "lid").withColumnRenamed("k2", "rid")).sorted
+    assert(grid == naive && grid.nonEmpty)
+  }
+
   test("grid join parity on real data: order prices vs per-priority bands") {
     val orders = graft.model.Tables.orders(spark, TestSpark.sfDir)
       .select(col("o_orderkey"), col("o_totalprice").as("v"))
