@@ -223,6 +223,40 @@ object DedupQueries {
         Dedup.minhashNearDup(Tables.documents(s, d), maxDf = Some(Dedup.DefaultMaxDf)))
     },
 
+    sql("o13_cluster_holdout",
+      "O13: LEAKAGE-FREE train/test split — the split key is the near-dup CLUSTER (singleton docs are their own group), so every near-duplicate family lands wholly in one split and test can never contain a near-copy of a train doc (the contamination o11's per-doc hash split cannot rule out). Hash-prefix cut 'cc' ≈ 79.7% train; group assignment is a pure function of the cluster id, so corpus growth never migrates a family. Oracle: recursive-CTE cluster closure + identical md5-prefix rule",
+      s"""WITH RECURSIVE $jaccardCtes,
+         |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+         |          UNION ALL SELECT id2, id1 FROM pairs),
+         |cc AS (SELECT DISTINCT a AS doc_id, a AS label FROM edges
+         |       UNION
+         |       SELECT e.b AS doc_id, cc.label FROM cc JOIN edges e ON cc.doc_id = e.a),
+         |labels AS (SELECT doc_id, MIN(label) AS cluster FROM cc GROUP BY doc_id),
+         |g AS (SELECT d.doc_id AS doc_id, COALESCE(l.cluster, d.doc_id) AS grp
+         |      FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+         |SELECT CASE WHEN substr(md5(CAST(grp AS VARCHAR)), 1, 2) < 'cc'
+         |         THEN 'train' ELSE 'test' END AS split,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups
+         | FROM g GROUP BY 1 ORDER BY split""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // label table: at 100 TB this is the PERSISTED IncrementalIngest
+        // label artifact, not an in-query closure — the split then costs
+        // one left join against a sliver + a hash per doc
+        val labels = Dedup.connectedComponents(Dedup.minhashNearDup(docs))
+        val g = docs.select("doc_id").join(labels, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("grp"))
+        g.select(
+          when(substring(md5(col("grp").cast("string")), 1, 2) < "cc", "train")
+            .otherwise("test").as("split"),
+          col("grp"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"), countDistinct(col("grp")).as("n_groups"))
+          .orderBy("split")
+      }
+    },
+
     sql("dd6_incremental_neardup",
       "Dedup: INCREMENTAL near-dup — new batch (top 20% of doc_ids) vs corpus via persisted LSH band index; archive re-read only for candidate docs",
       incrementalPairOracle) {

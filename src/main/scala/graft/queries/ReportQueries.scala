@@ -144,6 +144,50 @@ object ReportQueries {
             coalesce(col("obs"), lit(false)).as("is_observed"))
           .orderBy("user_id", "hour_s")
       }
+    },
+
+    sql("ep9_rolling_anomaly",
+      "EP9: rolling z-score anomaly detection — each hour's event count scored against its trailing-24-observed-hours baseline (ROWS 24 PRECEDING..1 PRECEDING, the point under test excluded); z is derived from INTEGER power sums through a fixed IEEE shape ((x − s1/24) / (sqrt(24·s2 − s1²)/24) — every step correctly-rounded, bit-portable), |z| > 3 flags. The bad-ingest/traffic-spike monitor; the global window runs over the HOURLY AGG SLIVER (metadata-scale even at 100 TB of events), never the event stream",
+      """WITH h AS (SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT h, cnt,
+        |  CAST(SUM(cnt) OVER w AS BIGINT) AS s1,
+        |  CAST(SUM(cnt*cnt) OVER w AS BIGINT) AS s2,
+        |  COUNT(cnt) OVER w AS n
+        |  FROM h WINDOW w AS (ORDER BY h ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hr, cnt,
+        |  CASE WHEN n = 24 AND 24*s2 - s1*s1 > 0
+        |   THEN (CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / 24.0)
+        |        / (sqrt(CAST(24*s2 - s1*s1 AS DOUBLE)) / 24.0) END AS z,
+        |  CASE WHEN n = 24 AND 24*s2 - s1*s1 > 0
+        |   THEN ABS((CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / 24.0)
+        |        / (sqrt(CAST(24*s2 - s1*s1 AS DOUBLE)) / 24.0)) > 3.0
+        |   ELSE FALSE END AS is_anomaly
+        | FROM r ORDER BY hr""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val hours = graft.model.Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = W.orderBy("h").rowsBetween(-24, -1)
+        // integer power sums over the window; variance numerator
+        // 24·s2 − s1² stays exact BIGINT (cnt ≤ ~1e5/hour ⇒ no overflow
+        // until ~6e8 events/hour), doubles only in the final fixed shape
+        val scored = hours
+          .withColumn("s1", sum(col("cnt")).over(w))
+          .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))
+          .withColumn("n", count(col("cnt")).over(w))
+          .withColumn("vnum", lit(24L) * col("s2") - col("s1") * col("s1"))
+        val z = (col("cnt").cast("double") - col("s1").cast("double") / lit(24.0)) /
+          (sqrt(col("vnum").cast("double")) / lit(24.0))
+        scored.select(
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+          col("cnt"),
+          when(col("n") === 24 && col("vnum") > 0, z).as("z"),
+          when(col("n") === 24 && col("vnum") > 0, abs(z) > 3.0)
+            .otherwise(lit(false)).as("is_anomaly"))
+          .orderBy("hr")
+      }
     }
   )
 }

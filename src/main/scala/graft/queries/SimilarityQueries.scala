@@ -190,6 +190,49 @@ object SimilarityQueries {
       (s, d) =>
         Similarity.cosineNearDupPairs(Tables.embeddings(s, d), thr = 0.4)
           .orderBy("id1", "id2")
+    },
+
+    sql("dd12_semantic_prune",
+      "DD12: SemDeDup-style semantic prune — within-CLUSTER pairwise cosine ≥ τ pairs (blocking key = the assigned cluster, here the label column; at 100 TB the IVF assignment from ss5/ss8 plays this role and bounds every block, so the quadratic step never sees the corpus) → connected components → every non-min-id member pruned. τ = 0.35 against this corpus's 0.475 max within-label cosine; production semantic dedup sits at ~0.95. Oracle: recursive-CTE closure over the identically-computed ROUND(cosine,6) pair set",
+      s"""WITH RECURSIVE e AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id <> 0),
+         |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ROUND(${duckCosine("a.embedding", "b.embedding")}, 6) >= 0.35),
+         |edges AS (SELECT id1 AS x, id2 AS y FROM p UNION ALL SELECT id2, id1 FROM p),
+         |cc AS (SELECT DISTINCT x AS vec_id, x AS lbl FROM edges
+         |       UNION SELECT e2.y, cc.lbl FROM cc JOIN edges e2 ON cc.vec_id = e2.x),
+         |cl AS (SELECT vec_id, MIN(lbl) AS cluster FROM cc GROUP BY vec_id)
+         |SELECT cl.vec_id AS vec_id, e.label AS label, cl.cluster AS cluster
+         | FROM cl JOIN e ON cl.vec_id = e.vec_id
+         | WHERE cl.vec_id <> cl.cluster ORDER BY cl.vec_id""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val e = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        val prs = e.select(col("vec_id").as("id1"), col("label"), col("embedding").as("ea"))
+          .join(e.select(col("vec_id").as("id2"), col("label").as("lb"),
+            col("embedding").as("eb")),
+            col("label") === col("lb") && col("id1") < col("id2"))
+          .filter(round(Similarity.cosine(col("ea"), col("eb")), 6) >= 0.35)
+          .select("id1", "id2")
+        graft.ops.Dedup.connectedComponents(prs)
+          .filter(col("doc_id") =!= col("cluster"))
+          .join(e.select(col("vec_id"), col("label")), col("doc_id") === col("vec_id"))
+          .select(col("vec_id"), col("label"), col("cluster"))
+          .orderBy("vec_id")
+      }
+    }.withBench { (s, d) =>
+      // production: the fused codegen'd cosine expression (no
+      // intermediate arrays per pair — the pairwise step is the hot loop)
+      val e = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val prs = e.select(col("vec_id").as("id1"), col("label"), col("embedding").as("ea"))
+        .join(e.select(col("vec_id").as("id2"), col("label").as("lb"),
+          col("embedding").as("eb")),
+          col("label") === col("lb") && col("id1") < col("id2"))
+        .filter(round(expr("graft_cosine(ea, eb)"), 6) >= 0.35)
+        .select("id1", "id2")
+      graft.ops.Dedup.connectedComponents(prs)
+        .filter(col("doc_id") =!= col("cluster"))
+        .join(e.select(col("vec_id"), col("label")), col("doc_id") === col("vec_id"))
+        .select(col("vec_id"), col("label"), col("cluster"))
     }
   )
 }

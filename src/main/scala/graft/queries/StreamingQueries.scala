@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.functions.col
 import graft.QuerySpec
 import graft.QuerySpec.sql
 import graft.model.Tables
@@ -92,6 +93,24 @@ object StreamingQueries {
         val ev = Tables.events(s, d)
         EventStreams.clickPurchaseJoin(ev, Tables.events(s, d))
           .orderBy("click_id", "purchase_id")
+      }
+    },
+
+    sql("st6_stream_left_join",
+      "Streaming: stream-stream LEFT OUTER click->purchase join — every click appears, unconverted ones null-completed (the abandoned-journeys view an inner join drops); null rows emit once the watermark closes the click's horizon. Batch = stream (StreamingSpec pins the replay with a watermark-advancing sentinel)",
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        | strftime(date_trunc('second', c.ts), '%Y-%m-%d %H:%M:%S') AS click_ts,
+        | strftime(date_trunc('second', p.ts), '%Y-%m-%d %H:%M:%S') AS purchase_ts
+        | FROM events c LEFT JOIN events p
+        |  ON c.user_id = p.user_id AND p.event_type = 'purchase' AND p.user_id IS NOT NULL
+        |  AND date_trunc('second', p.ts) >= date_trunc('second', c.ts)
+        |  AND date_trunc('second', p.ts) <= date_trunc('second', c.ts) + INTERVAL 60 MINUTE
+        | WHERE c.event_type = 'click' AND c.user_id IS NOT NULL
+        | ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        EventStreams.clickPurchaseJoinOuter(ev, Tables.events(s, d))
+          .orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
       }
     }
   )

@@ -67,7 +67,31 @@ object EventStreams {
     * (SURVEY.md §7.4.4 discipline, same as the as-of join). */
   def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
                         horizon: String = "60 minutes",
-                        watermark: String = "2 hours"): DataFrame = {
+                        watermark: String = "2 hours"): DataFrame =
+    clickPurchaseJoinTyped(clicks, purchases, horizon, watermark, "inner")
+
+  /** LEFT-OUTER form of [[clickPurchaseJoin]] — every click appears, the
+    * unconverted ones with null purchase columns: the "abandoned
+    * journeys" view conversion analysis actually needs (an inner join
+    * silently drops exactly the rows marketing asks about).
+    *
+    * Streaming semantics: an outer stream-stream join emits a
+    * null-completed row only once the WATERMARK has definitively closed
+    * that click's horizon (until then a match could still arrive), so
+    * null rows trail the matched rows by the watermark delay, and a
+    * bounded replay only emits null rows for clicks whose horizon ends
+    * before the final watermark — the StreamingSpec case pushes the
+    * watermark past end-of-data with a sentinel event, the same thing a
+    * production heartbeat topic does. Matched rows stream out eagerly,
+    * exactly as in the inner form. */
+  def clickPurchaseJoinOuter(clicks: DataFrame, purchases: DataFrame,
+                             horizon: String = "60 minutes",
+                             watermark: String = "2 hours"): DataFrame =
+    clickPurchaseJoinTyped(clicks, purchases, horizon, watermark, "left_outer")
+
+  private def clickPurchaseJoinTyped(clicks: DataFrame, purchases: DataFrame,
+                                     horizon: String, watermark: String,
+                                     joinType: String): DataFrame = {
     val c = clicks
       .filter(col("user_id").isNotNull && col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
@@ -81,7 +105,8 @@ object EventStreams {
     c.join(p,
         col("user_id") === col("p_user_id") &&
           col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"),
+        joinType)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
         date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))

@@ -84,4 +84,28 @@ class SamplingSpec extends AnyFunSuite {
     val s = strat.run(spark, TestSpark.sfDir)
     assert(s.exceptAll(li.select(s.columns.map(org.apache.spark.sql.functions.col): _*)).count() == 0)
   }
+
+  test("cluster-holdout split: every near-dup cluster lands wholly in one split (no leakage)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.model.Tables.documents(spark, TestSpark.sfDir)
+    val labels = graft.ops.Dedup.connectedComponents(graft.ops.Dedup.minhashNearDup(docs))
+    assert(labels.count() > 0, "fixture must contain near-dup clusters for this spec to bite")
+    // the o13 split rule, applied per doc THROUGH its cluster group
+    val split = labels
+      .select(col("doc_id"), col("cluster"),
+        when(substring(md5(col("cluster").cast("string")), 1, 2) < "cc", "train")
+          .otherwise("test").as("split"))
+    val perCluster = split.groupBy("cluster")
+      .agg(countDistinct("split").as("n_splits"))
+    assert(perCluster.filter(col("n_splits") =!= 1).count() == 0,
+      "a cluster straddles train/test — the leakage the operator exists to prevent")
+    // contrast: the per-doc o11-style rule DOES split at least one cluster
+    // on this fixture (otherwise the group key adds nothing here)
+    val naive = labels
+      .select(col("cluster"),
+        when(substring(md5(col("doc_id").cast("string")), 1, 2) < "cc", "train")
+          .otherwise("test").as("split"))
+      .groupBy("cluster").agg(countDistinct("split").as("n_splits"))
+    assert(naive.filter(col("n_splits") > 1).count() > 0)
+  }
 }

@@ -221,6 +221,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("stream-stream LEFT OUTER join: null rows emit after the watermark closes; equals batch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = Tables.events(spark, TestSpark.sfDir)
+    val batch = EventStreams
+      .clickPurchaseJoinOuter(ev, Tables.events(spark, TestSpark.sfDir), watermark = "30 days")
+      .collect().toSet
+    assert(batch.exists(_.isNullAt(2)), "fixture must contain unconverted clicks")
+    // dedicated source dir: phase 1 replays the corpus, phase 2 appends a
+    // heartbeat sentinel far past end-of-data so both watermarks pass
+    // every real click's horizon and the trailing null rows emit — the
+    // production heartbeat-topic pattern. Two processAllAvailable phases
+    // guarantee the sentinel file is consumed LAST (a fast-forwarded
+    // watermark seen first would mark the whole corpus late).
+    val dir = Files.createTempDirectory("graft-stream-outer").toString
+    Tables.events(spark, TestSpark.sfDir).write.mode("overwrite").parquet(dir)
+    val schema = Tables.events(spark, TestSpark.sfDir).schema
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = EventStreams.clickPurchaseJoinOuter(src, src, watermark = "30 days")
+      .writeStream.format("memory").queryName("stream_outer").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+      val far = new java.sql.Timestamp(maxTs.getTime + 100L * 24 * 3600 * 1000)
+      // distinct negative user_ids so the two sentinels can't join each other
+      Seq((-1L, far, -1L, "click", 0.0, "{}"), (-2L, far, -2L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("stream_outer")
+      .filter(col("user_id") >= 0).collect().toSet
+    assert(streamed == batch)
+  }
+
   test("stream-stream click->purchase join: streaming equals batch") {
     // Two independent readStream sources joined on key + event-time range.
     // Inner stream-stream joins emit matches eagerly (the watermark bounds
