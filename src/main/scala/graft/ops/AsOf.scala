@@ -52,4 +52,51 @@ object AsOf {
       .filter(col("__side") === 1)
       .select(leftCols.map(col) :+ col(asofCol): _*)
   }
+
+  /** FORWARD as-of join: for every left row, the SMALLEST right timestamp
+    * with rightTs >= leftTs within the same key — "the next purchase at
+    * or after each click", the time-to-convert / next-reading direction
+    * pandas calls `merge_asof(direction='forward')`. Same one-union
+    * one-window plan as [[asofBackward]], mirrored: the running window
+    * looks ahead (`CURRENT ROW..UNBOUNDED FOLLOWING`, `first` ignoreNulls)
+    * and at equal timestamps the LEFT row sorts first (side 0 < 1) so an
+    * exactly-simultaneous right row matches — inclusive >= semantics.
+    *
+    * `toleranceSeconds` bounds the look-ahead: a match farther than the
+    * tolerance nulls out (computed on epoch seconds — callers wanting
+    * exact boundary semantics should pass second-truncated timestamps,
+    * the j6 discipline). */
+  def asofForward(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String,
+                  asofCol: String = "asof_ts",
+                  toleranceSeconds: Option[Long] = None): DataFrame = {
+    val tsType = right.schema(rightTs).dataType
+    val leftCols = left.columns.toSeq
+    val rightNonNull = right.filter(col(key).isNotNull)
+
+    val l = left
+      .withColumn("__rt", lit(null).cast(tsType))
+      .withColumn("__side", lit(0))
+      .withColumn("__k", col(key))
+      .withColumn("__t", col(leftTs))
+    val r = leftCols.foldLeft(
+      rightNonNull.select(col(key).as("__k"), col(rightTs).as("__t"), col(rightTs).as("__rt"))
+        .withColumn("__side", lit(1))) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(l.columns.toIndexedSeq.map(col): _*)
+
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val joined = l.unionByName(r)
+      .withColumn(asofCol, first(col("__rt"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+    val bounded = toleranceSeconds match {
+      case Some(tol) => joined.withColumn(asofCol,
+        when(col(asofCol).cast("long") - col(leftTs).cast("long") <= tol, col(asofCol)))
+      case None => joined
+    }
+    bounded.select(leftCols.map(col) :+ col(asofCol): _*)
+  }
 }

@@ -133,6 +133,40 @@ object JoinQueries {
       }
     },
 
+    sql("j12_asof_forward",
+      "J1+: FORWARD as-of join with tolerance — next purchase at or after each click, nulled past 2 h (time-to-convert; pandas merge_asof direction='forward'). Same one-union one-window plan as j6, mirrored to look ahead; tolerance on exact epoch-second arithmetic",
+      """WITH c AS (SELECT event_id, user_id, date_trunc('second', ts) AS cts FROM events
+        |           WHERE event_type = 'click' AND user_id IS NOT NULL),
+        |p AS (SELECT user_id, date_trunc('second', ts) AS pts FROM events
+        |      WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |u AS (SELECT user_id, cts AS t, CAST(NULL AS TIMESTAMP) AS rt, 0 AS side, event_id FROM c
+        |      UNION ALL SELECT user_id, pts, pts, 1, NULL FROM p),
+        |f AS (SELECT user_id, t, side, event_id,
+        |  FIRST_VALUE(rt IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t, side
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt FROM u)
+        |SELECT event_id, user_id, strftime(t, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  strftime(CASE WHEN date_diff('second', t, nxt) <= 7200 THEN nxt END,
+        |           '%Y-%m-%d %H:%M:%S') AS next_purchase_ts
+        | FROM f WHERE side = 0 ORDER BY event_id""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // second-truncated on both sides (the j6 discipline) so the
+        // inclusive >= boundary and the tolerance edge are identical in
+        // both engines
+        val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"),
+            date_trunc("second", col("ts")).as("cts"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), date_trunc("second", col("ts")).as("pts"))
+        graft.ops.AsOf.asofForward(c, p, "user_id", "cts", "pts", "nxt",
+          toleranceSeconds = Some(7200L))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("cts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+            date_format(col("nxt"), "yyyy-MM-dd HH:mm:ss").as("next_purchase_ts"))
+          .orderBy("event_id")
+      }
+    },
+
     sql("j8_range_join",
       "J1+: point-in-interval range join — order prices vs per-priority price bands (grid-bucketized production plan)",
       s"""WITH bands AS (SELECT o_orderpriority AS band,

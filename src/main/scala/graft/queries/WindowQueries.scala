@@ -181,6 +181,36 @@ object WindowQueries {
               .cast("double").as("running_total"))
           .orderBy("o_custkey", "o_orderkey")
       }
+    },
+
+    sql("w9_activity_streaks",
+      "W9: gaps-and-islands — per-user consecutive-day activity streaks via the day-minus-row_number grouping trick (all integer day arithmetic, engine-exact); the retention/engagement-streak primitive. Work = one user-keyed window over the DISTINCT (user, day) sliver, never the event stream",
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |           WHERE user_id IS NOT NULL),
+        |r AS (SELECT user_id, day,
+        |  date_diff('day', DATE '1992-01-01', day)
+        |    - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp FROM d),
+        |i AS (SELECT user_id, grp, COUNT(*) AS len FROM r GROUP BY 1, 2)
+        |SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+        |  CAST(MAX(len) AS BIGINT) AS longest_streak
+        | FROM i GROUP BY 1 ORDER BY user_id""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val days = Tables.events(s, d).filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        // consecutive days share (day_number − row_number): the island id
+        val islands = days
+          .withColumn("grp",
+            datediff(col("day"), lit("1992-01-01").cast("date")).cast("long")
+              - row_number().over(w))
+          .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        islands.groupBy("user_id")
+          .agg(sum(col("len")).cast("long").as("n_active_days"),
+            count(lit(1)).as("n_streaks"),
+            max(col("len")).as("longest_streak"))
+          .orderBy("user_id")
+      }
     }
   )
 }

@@ -161,6 +161,23 @@ class PlanSpec extends AnyFunSuite {
     val ep7 = plan(specs("ep7_sessionization").run(spark, TestSpark.sfDir))
     assert(ep7.contains("Window"), s"ep7 lost the window: $ep7")
     assert(!ep7.contains("CartesianProduct"))
+    // interval-overlap: the grid turns the pure range predicate into an
+    // EQUI join on (key, cell) — a nested loop here is the exact plan
+    // the operator exists to avoid
+    val j11 = plan(specs("j11_interval_overlap").run(spark, TestSpark.sfDir))
+    assert(!j11.contains("BroadcastNestedLoopJoin") && !j11.contains("CartesianProduct"),
+      s"j11 lost the grid equi-join shape: $j11")
+    assert(j11.contains("BroadcastHashJoin") || j11.contains("SortMergeJoin") ||
+      j11.contains("ShuffledHashJoin"), s"j11 has no equi join: $j11")
+    // triangles: wedge build + closure are equi-joins on oriented edges;
+    // only the corpus→pair-graph step may shuffle data-sized rows
+    val g2 = plan(specs("g2_triangles").run(spark, TestSpark.sfDir))
+    assert(!g2.contains("BroadcastNestedLoopJoin") && !g2.contains("CartesianProduct"),
+      s"g2 planned an all-pairs join: $g2")
+    // semantic prune: the pairwise step must ride the blocking-key
+    // equi-join (label here, IVF cid at scale)
+    val dd12 = plan(specs("dd12_semantic_prune").run(spark, TestSpark.sfDir))
+    assert(!dd12.contains("CartesianProduct"), s"dd12 went all-pairs: $dd12")
   }
 
   test("runtime bloom-filter pruning engages for selective-dim shuffle joins") {

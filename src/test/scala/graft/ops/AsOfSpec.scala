@@ -32,4 +32,48 @@ class AsOfSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("id", "k", "t", "payload", "asof_ts"))
     assert(out.count() == 1)
   }
+
+  test("asofForward: smallest right ts >= left ts per key; inclusive at equality") {
+    val clicks = Seq(
+      (1L, 100L, ts(15)), (2L, 100L, ts(20)), (3L, 100L, ts(30)),
+      (4L, 200L, ts(50))).toDF("id", "k", "t")
+    val purchases = Seq((100L, ts(20)), (100L, ts(25)), (300L, ts(99))).toDF("k", "pt")
+
+    val got = AsOf.asofForward(clicks, purchases, "k", "t", "pt")
+      .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(3)).map(_.getTime / 1000)).toMap
+
+    assert(got(1L) == Some(20L)) // purchase@20 >= click@15
+    assert(got(2L) == Some(20L)) // equality is inclusive
+    assert(got(3L) == None)      // nothing after 30 for key 100
+    assert(got(4L) == None)      // key 200 has no purchases at all
+  }
+
+  test("asofForward tolerance nulls matches beyond the bound, keeps those at it") {
+    val clicks = Seq((1L, 7L, ts(10)), (2L, 7L, ts(90))).toDF("id", "k", "t")
+    val purchases = Seq((7L, ts(40)), (7L, ts(200))).toDF("k", "pt")
+    val got = AsOf.asofForward(clicks, purchases, "k", "t", "pt",
+      toleranceSeconds = Some(30L))
+      .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(3)).map(_.getTime / 1000)).toMap
+    assert(got(1L) == Some(40L)) // gap 30 == tolerance: kept (inclusive)
+    assert(got(2L) == None)      // next is @200, gap 110 > 30: nulled
+  }
+
+  test("asofForward mirrors the brute-force per-row definition on real data") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.model.Tables.events(spark, TestSpark.sfDir)
+      .filter(col("user_id").isNotNull && col("user_id") % 7 === 0)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), date_trunc("second", col("ts")).as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("second", col("ts")).as("pts"))
+    val got = AsOf.asofForward(c, p, "user_id", "cts", "pts", "nxt")
+      .select("event_id", "nxt").collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+    val brute = c.join(p.withColumnRenamed("user_id", "pu"),
+        col("user_id") === col("pu") && col("pts") >= col("cts"), "left")
+      .groupBy("event_id").agg(min(col("pts")).as("nxt"))
+      .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+    assert(got == brute && got.nonEmpty)
+    assert(got.values.exists(_.isDefined))
+  }
 }
