@@ -93,6 +93,47 @@ object VectorIndex {
       if (!vs.isEmpty) ingest(batch.sparkSession, vs, root)
     }
 
+  /** Right-to-be-forgotten over the persisted index: erase `forgetIds`
+    * (column `vec_id`) with work ∝ the AFFECTED partitions, never an
+    * index rebuild — the vector-store leg of the GDPR cascade
+    * ([[graft.pipeline.IncrementalIngest.forget]] covers the dedup
+    * artifacts; this covers the embeddings serving them).
+    *
+    * Shape: the forgotten ids semi-join the index once to name the
+    * affected `cid`s (≤ K values — a dim-bounded planning collect, the
+    * quantizer is frozen at K centroids); survivors of just those
+    * partitions are re-materialized (localCheckpoint breaks the
+    * read-path lineage so the dynamic partition overwrite can land on
+    * the same root) and rewritten partition-for-partition; a partition
+    * whose rows ALL vanished is absent from the overwrite output and is
+    * cleared explicitly. Unknown ids are ignored ⇒ idempotent replays.
+    * Crash windows: before the overwrite commits nothing changed; after
+    * it, re-running is the idempotent no-op. */
+  def forget(spark: SparkSession, forgetIds: DataFrame, root: String): Unit = {
+    val p = StatePaths(root)
+    val ids = forgetIds.select(col("vec_id")).distinct()
+    val idx = spark.read.parquet(p.index)
+    // cid round-trips through partition directories as an int-inferred
+    // column — read it type-agnostically
+    val affected = idx.join(ids, Seq("vec_id"), "left_semi")
+      .select("cid").distinct().collect().map(_.getAs[Number](0).longValue)
+    if (affected.isEmpty) return
+    val survivors = idx.filter(col("cid").isin(affected.toIndexedSeq: _*))
+      .join(ids, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    graft.io.Sinks.parquetPartitionOverwrite(survivors, p.index, Seq("cid"))
+    val kept = survivors.select("cid").distinct().collect()
+      .map(_.getAs[Number](0).longValue).toSet
+    val emptied = affected.filterNot(kept)
+    if (emptied.nonEmpty) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(p.index), spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { cid =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"${p.index}/cid=$cid"), true)
+      }
+    }
+  }
+
   /** Top-k by cosine against the persisted index: rank centroids for the
     * query (K rows, broadcast), semi-join the index on `cid` — dynamic
     * partition pruning reads only the `nprobe` probed partitions — and

@@ -340,6 +340,32 @@ object LlmPipelineQueries {
           expr("n_docs * 1000000L div __tot").as("docs_ppm"),
           col("total_tokens"), col("avg_quality"),
           col("low_quality_docs"), col("n_langs"), col("dup_text_docs"))
+    },
+
+    sql("llm9_concentration",
+      "LLM pipeline: source-concentration audit — token-mass shares in integer ppm, the Herfindahl–Hirschman index (Σ share_ppm², ppm² units) and the top-source share: the one-row 'is this corpus dangerously dominated by one feed' governance number. All integer fixed-point (a22 discipline: shares via truncating DIV, HHI a BIGINT sum of squares ≤ 1e12) — zero float rounding; work is one corpus scan + arithmetic on the source sliver",
+      """WITH t AS (SELECT source, CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY 1),
+        |s AS (SELECT source, toks,
+        |  CAST(toks * 1000000 // (SELECT SUM(toks) FROM t) AS BIGINT) AS share_ppm FROM t)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+        |  CAST(MAX(share_ppm) AS BIGINT) AS top_share_ppm,
+        |  CAST(SUM(share_ppm * share_ppm) AS BIGINT) AS hhi_ppm2
+        | FROM s""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val W = org.apache.spark.sql.expressions.Window
+        val t = Tables.documents(s, d)
+          .select(col("source"), graft.ops.TextOps.tokenCount(col("text")).as("n"))
+          .groupBy("source").agg(sum("n").as("toks"))
+        val w = W.partitionBy(lit(1))
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        t.withColumn("__tot", sum("toks").over(w))
+          .withColumn("share_ppm", expr("toks * 1000000L div __tot"))
+          .agg(count(lit(1)).as("n_sources"),
+            max("share_ppm").as("top_share_ppm"),
+            sum(col("share_ppm") * col("share_ppm")).as("hhi_ppm2"))
+      }
     }
   )
 }

@@ -76,6 +76,22 @@ object MultimodalQueries {
       Multimodal.sharedChunkPairs(
         Multimodal.mediaFromDocuments(Tables.documents(s, d)),
         minShared = 2, maxDf = Some(graft.ops.Dedup.DefaultMaxDf))
+    },
+
+    sql("mm4_frame_sample",
+      "Multimodal: strided frame-offset sampling over VIDEO payloads — every 4th 64-byte block index as a frame manifest (the plan-which-frames-to-decode step a video featurizer runs BEFORE any codec; pure Catalyst sequence+explode, zero decode, zero shuffle). Oracle recomputes the block grid from text length + the 88-byte AVI header size — independent of the engine's byte plumbing",
+      """WITH v AS (SELECT doc_id, octet_length(encode(text)) + 88 AS len
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id AS media_id,
+        |  UNNEST(range(0, (len - 1) // 64 + 1, 4)) AS frame_block
+        | FROM v ORDER BY media_id, frame_block""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Multimodal.frameOffsets(
+          Multimodal.mediaWithHeaders(Tables.documents(s, d)).toDF(),
+          blockSize = 64, stride = 4)
+          .select(col("media_id"),
+            explode(col("frame_blocks")).as("frame_block"))
+          .orderBy("media_id", "frame_block")
     }
   )
 }

@@ -303,6 +303,9 @@ class PlanSpec extends AnyFunSuite {
     //   pipeline/IncrementalIngest.scala forget's touched-file list — the
     //     same manifest-pruning planning collect (one string per file
     //     whose envelope admits a forgotten id), never row data
+    //   ops/VectorIndex.scala     forget's affected/kept cid lists (×2) —
+    //     ≤ K values each (the quantizer is frozen at K centroids):
+    //     dim-bounded partition PLANNING, never row data
     // Scala-collection .head/.take on arrays/strings don't match these
     // patterns; a new DataFrame action anywhere else fails this test.
     val actionPattern = """\.collect\(\)|\.head\(\)|\.head\.|\.first\(\)|\.toLocalIterator|collectAsList|toPandas""".r
@@ -311,6 +314,7 @@ class PlanSpec extends AnyFunSuite {
       "ops/Quality.scala" -> 2,
       "ops/Manifest.scala" -> 3,
       "pipeline/IncrementalIngest.scala" -> 1,
+      "ops/VectorIndex.scala" -> 2,
       "queries/DedupQueries.scala" -> 1)
     val found = mainSourceLines
       .filter { case (_, line) => actionPattern.findFirstIn(line).isDefined }

@@ -162,4 +162,43 @@ class VectorIndexSpec extends AnyFunSuite {
       .contains("dynamicpruning"),
       "expected a dynamic-partition-pruning subquery on the index scan")
   }
+
+  test("forget erases ids partition-locally: index == rebuild over survivors; idempotent; emptied partitions cleared") {
+    import spark.implicits._
+    // dedicated index (the shared lazy `root` must stay intact for the
+    // other cases)
+    val r = java.nio.file.Files.createTempDirectory("graft-vecidx-forget").toString + "/idx"
+    VectorIndex.init(spark, emb, r, k = 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => (x.getAs[Number](0).longValue, x.getAs[Number](1).longValue)).toSet
+    val before = pairs(spark.read.parquet(s"$r/index").select("vec_id", "cid"))
+
+    // forget every 7th vector + one unknown id (ignored)
+    val gone = emb.select("vec_id").filter(col("vec_id") % 7 === 0)
+    VectorIndex.forget(spark, gone.unionByName(Seq(999999L).toDF("vec_id")), r)
+    val after = pairs(spark.read.parquet(s"$r/index").select("vec_id", "cid"))
+    val goneIds = gone.collect().map(_.getLong(0)).toSet
+    assert(after == before.filterNot { case (v, _) => goneIds(v) })
+    // survivors' assignments are untouched (pure function of the frozen
+    // quantizer) and probes no longer surface forgotten ids
+    val top = VectorIndex.topK(spark, r, query, k = 10, nprobe = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(top.intersect(goneIds).isEmpty)
+    // idempotent replay
+    VectorIndex.forget(spark, gone, r)
+    assert(pairs(spark.read.parquet(s"$r/index").select("vec_id", "cid")) == after)
+
+    // empty a whole partition: forget every remaining member of one cid
+    val idx = spark.read.parquet(s"$r/index")
+    val victim = idx.select("cid").limit(1).collect().head.getAs[Number](0).longValue
+    val members = idx.filter(col("cid") === victim).select("vec_id")
+    VectorIndex.forget(spark, members, r)
+    val left = spark.read.parquet(s"$r/index")
+    assert(left.filter(col("cid") === victim).count() == 0)
+    // the directory itself is gone, not just empty
+    assert(!new java.io.File(s"$r/index/cid=$victim").exists())
+    // untouched partitions survive byte-count-wise
+    assert(pairs(left.select("vec_id", "cid")) ==
+      after.filterNot { case (_, c) => c == victim })
+  }
 }
