@@ -535,6 +535,88 @@ object Merge {
         col("matches").cast("double") / col("l").cast("double"))
   }
 
+  // ───── mergeable BLOOM membership state (approximate set membership) ─────
+  //
+  // "Might this id already be in the corpus?" without shipping the id
+  // set: a Bloom filter held AS ROWS — (keys, word, bits), word = a
+  // 63-bit lane of the m-bit array (bit 63 stays clear: engines with
+  // checked BIGINT shifts — DuckDB — reject 1<<63, and the sign bit
+  // buys nothing), bits = OR of the set lanes. Insert
+  // = k hash positions per value; merge = bit_or per (keys, word) —
+  // commutative, idempotent, at-least-once-safe like the KMV state and
+  // never driver-side (unlike DataFrameStatFunctions.bloomFilter, which
+  // collects the whole filter). Probing joins candidates against the
+  // state on (keys, word): NO FALSE NEGATIVES ever (an inserted value
+  // probes true by construction — MergeSpec pins it); false positives
+  // at the textbook (1 − e^(−kn/m))^k rate, and deterministic — both
+  // engines compute identical positions, so even the FPs oracle-match.
+  // The 100 TB role: pre-filter a corpus-sized side before an expensive
+  // semi-join/shuffle using a state-table a fraction of the id set's
+  // size, maintained incrementally per batch.
+
+  /** Engine-portable Bloom positions: `k` disjoint 7-hex-char windows of
+    * md5(value), mod `mBits` (28 bits per window ⇒ mBits ≤ 2²⁸; k ≤ 4
+    * windows fit md5's 32 hex chars). DuckDB mirror:
+    * `('0x' || substr(md5(v), 1+7i, 7))::BIGINT % mBits`. */
+  def bloomPositionsPortable(value: org.apache.spark.sql.Column,
+                             mBits: Long, k: Int): Seq[org.apache.spark.sql.Column] = {
+    require(k >= 1 && k <= 4, s"k must be in 1..4 (md5 hex windows), got $k")
+    require(mBits > 0 && mBits <= (1L << 28), s"mBits must be in 1..2^28, got $mBits")
+    (0 until k).map(i =>
+      conv(substring(md5(value.cast("string")), 1 + 7 * i, 7), 16, 10)
+        .cast("long") % mBits)
+  }
+
+  /** Production positions: xxhash64(value, seed=i) — 8-byte hashing, no
+    * hex-string parsing; Spark-only. */
+  def bloomPositionsFast(value: org.apache.spark.sql.Column,
+                         mBits: Long, k: Int): Seq[org.apache.spark.sql.Column] = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(mBits > 0, s"mBits must be positive, got $mBits")
+    (0 until k).map(i => pmod(xxhash64(value, lit(i)), lit(mBits)))
+  }
+
+  /** Per-key Bloom state over a slice: one explode (k rows per value) +
+    * one (keys, word)-keyed bit_or agg. State size ≤ mBits/64 rows per
+    * key regardless of cardinality. */
+  def bloomState(df: DataFrame, keys: Seq[String],
+                 positions: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(positions.nonEmpty, "bloomState needs at least one position column")
+    val pos = df.select(keys.map(col) :+
+      explode(array(positions: _*)).as("__p"): _*)
+    pos.groupBy(keys.map(col) :+ (col("__p") / 63).cast("long").as("word"): _*)
+      .agg(expr("bit_or(shiftleft(1L, CAST(__p % 63 AS INT)))").as("bits"))
+  }
+
+  /** Merge Bloom states: bit_or per (keys, word). Idempotent and
+    * commutative — replayed or overlapping slices are harmless. */
+  def mergeBloomStates(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeBloomStates needs at least one state frame")
+    states.reduce(_.unionByName(_))
+      .groupBy((keys :+ "word").map(col): _*)
+      .agg(expr("bit_or(bits)").as("bits"))
+  }
+
+  /** Probe candidates against a Bloom state: `probes`' columns pass
+    * through (they are the row identity — duplicates collapse) plus
+    * `maybe_member`. One explode + one (keys, word) equi-join against
+    * the state + one group-back; never touches the insert-side data. */
+  def bloomProbe(state: DataFrame, probes: DataFrame, keys: Seq[String],
+                 positions: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(positions.nonEmpty, "bloomProbe needs at least one position column")
+    val probeCols = probes.columns.toSeq
+    val pos = probes.select(probeCols.map(col) :+
+      explode(array(positions: _*)).as("__p"): _*)
+      .withColumn("word", (col("__p") / 63).cast("long"))
+    val hit = pos.join(state, (keys :+ "word").toSeq, "left")
+      .withColumn("__hit",
+        when(col("bits").isNotNull &&
+          (col("bits").bitwiseAND(expr("shiftleft(1L, CAST(__p % 63 AS INT))")) =!= 0L),
+          1).otherwise(0))
+    hit.groupBy(probeCols.map(col): _*)
+      .agg((min(col("__hit")) === 1).as("maybe_member"))
+  }
+
   // ───── RETRACTION: deletes / right-to-be-forgotten without a rescan ─────
   //
   // The merge family above only ever ADDS slices. Real pipelines also

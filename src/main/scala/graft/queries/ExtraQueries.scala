@@ -515,6 +515,66 @@ object ExtraQueries {
       graft.ops.Merge.kmvPairwiseJaccard(merged, "source", k = 256)
     },
 
+    sql("u20_bloom_probe",
+      "U20: mergeable BLOOM membership state — per-flag filters over referenced part keys held AS ROWS ((key, word, bits), 63-bit lanes), merged by bit_or (idempotent + commutative, at-least-once-safe), probed by the part dimension: no false negatives EVER, false positives at the textbook rate and DETERMINISTIC (both engines compute identical md5-window positions, so even the FPs hash-match). The pre-filter-before-expensive-semi-join primitive: state ≤ m/63 rows per key regardless of id-set size. md5 positions for the oracle, xxhash64 in production",
+      """WITH v AS (SELECT DISTINCT l_returnflag AS rf, CAST(l_partkey AS VARCHAR) AS val FROM lineitem),
+        |pos AS (SELECT rf, ('0x' || substr(md5(val), 1, 7))::BIGINT % 16384 AS p FROM v
+        |        UNION ALL SELECT rf, ('0x' || substr(md5(val), 8, 7))::BIGINT % 16384 FROM v),
+        |st AS (SELECT rf, p // 63 AS word,
+        |  bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits FROM pos GROUP BY 1, 2),
+        |f AS (SELECT DISTINCT l_returnflag AS rf FROM lineitem),
+        |pr AS (SELECT rf, p_partkey, CAST(p_partkey AS VARCHAR) AS val FROM part CROSS JOIN f),
+        |pp AS (SELECT rf, p_partkey, ('0x' || substr(md5(val), 1, 7))::BIGINT % 16384 AS p FROM pr
+        |       UNION ALL SELECT rf, p_partkey, ('0x' || substr(md5(val), 8, 7))::BIGINT % 16384 FROM pr),
+        |j AS (SELECT pp.rf, pp.p_partkey,
+        |   CASE WHEN st.bits IS NOT NULL
+        |     AND (st.bits & (1::BIGINT << CAST(pp.p % 63 AS INT))) <> 0 THEN 1 ELSE 0 END AS hit
+        |  FROM pp LEFT JOIN st ON pp.rf = st.rf AND pp.p // 63 = st.word)
+        |SELECT rf AS l_returnflag, p_partkey, MIN(hit) = 1 AS maybe_member
+        | FROM j GROUP BY 1, 2 ORDER BY l_returnflag, p_partkey""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val mBits = 16384L
+        // history/batch slices on partkey parity — the bit_or merge is
+        // idempotent, so overlapping or replayed slices cost nothing
+        val li = Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_partkey")).distinct()
+        def sketch(slice: org.apache.spark.sql.DataFrame) =
+          graft.ops.Merge.bloomState(
+            slice.withColumn("val", col("l_partkey").cast("string")),
+            Seq("l_returnflag"),
+            graft.ops.Merge.bloomPositionsPortable(col("val"), mBits, 2))
+        val state = graft.ops.Merge.mergeBloomStates(Seq(
+          sketch(li.filter(col("l_partkey") % 2 === 0)),
+          sketch(li.filter(col("l_partkey") % 2 =!= 0))), Seq("l_returnflag"))
+        val flags = Tables.lineitem(s, d).select("l_returnflag").distinct()
+        val probes = Tables.part(s, d).select(col("p_partkey")).crossJoin(flags)
+          .withColumn("val", col("p_partkey").cast("string"))
+        graft.ops.Merge.bloomProbe(state, probes, Seq("l_returnflag"),
+          graft.ops.Merge.bloomPositionsPortable(col("val"), mBits, 2))
+          .select(col("l_returnflag"), col("p_partkey"), col("maybe_member"))
+          .orderBy("l_returnflag", "p_partkey")
+      }
+    }.withBench { (s, d) =>
+      // production: xxhash64 positions (no hex parsing), no oracle sort
+      val mBits = 16384L
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_partkey")).distinct()
+      def sketch(slice: org.apache.spark.sql.DataFrame) =
+        graft.ops.Merge.bloomState(
+          slice.withColumn("val", col("l_partkey").cast("string")),
+          Seq("l_returnflag"),
+          graft.ops.Merge.bloomPositionsFast(col("val"), mBits, 2))
+      val state = graft.ops.Merge.mergeBloomStates(Seq(
+        sketch(li.filter(col("l_partkey") % 2 === 0)),
+        sketch(li.filter(col("l_partkey") % 2 =!= 0))), Seq("l_returnflag"))
+      val flags = Tables.lineitem(s, d).select("l_returnflag").distinct()
+      val probes = Tables.part(s, d).select(col("p_partkey")).crossJoin(flags)
+        .withColumn("val", col("p_partkey").cast("string"))
+      graft.ops.Merge.bloomProbe(state, probes, Seq("l_returnflag"),
+        graft.ops.Merge.bloomPositionsFast(col("val"), mBits, 2))
+        .select(col("l_returnflag"), col("p_partkey"), col("maybe_member"))
+    },
+
     sql("u16_retractable_agg",
       "U16: state RETRACTION — honor a delete batch against a persisted algebraic state without rescanning history: counts/decimal-sums subtract (abelian), min/max repaired by rescanning ONLY the dirty keys (those whose deleted values touched a stored extreme) against the remaining data. The GDPR-erasure / late-correction primitive; oracle recomputes directly over the surviving rows",
       s"""SELECT l_returnflag, l_linestatus, COUNT(l_quantity) AS cnt,

@@ -449,6 +449,46 @@ class MergeSpec extends AnyFunSuite {
     assert(l(("a", "b")) == 200L && l(("a", "c")) == 120L && l(("b", "c")) == 190L)
   }
 
+  test("bloom state: no false negatives ever; FP rate in the textbook band; merge == direct") {
+    val mBits = 4096L
+    val rows = (1L to 400L).map(v => ("k", s"v$v")).toDF("g", "val")
+    def pos(c: org.apache.spark.sql.Column) = Merge.bloomPositionsFast(c, mBits, 2)
+    val direct = Merge.bloomState(rows, Seq("g"), pos($"val"))
+    // overlapping slices (1..300 and 200..400) merge to the direct state
+    val merged = Merge.mergeBloomStates(Seq(
+      Merge.bloomState(rows.filter($"val".substr(2, 10).cast("long") <= 300), Seq("g"), pos($"val")),
+      Merge.bloomState(rows.filter($"val".substr(2, 10).cast("long") >= 200), Seq("g"), pos($"val"))),
+      Seq("g"))
+    assert(merged.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
+    // re-merge is a no-op (at-least-once feeds)
+    val again = Merge.mergeBloomStates(Seq(merged, merged), Seq("g"))
+    assert(again.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
+    // every inserted value probes TRUE — the hard guarantee
+    val inserted = Merge.bloomProbe(direct, rows, Seq("g"), pos($"val"))
+    assert(inserted.filter(!$"maybe_member").count() == 0)
+    // fresh values probe mostly false: with n=400, m=4096, k=2 the FP
+    // rate is (1−e^(−kn/m))² ≈ 3.1% — allow a generous band
+    val fresh = (1L to 2000L).map(v => ("k", s"w$v")).toDF("g", "val")
+    val fp = Merge.bloomProbe(direct, fresh, Seq("g"), pos($"val"))
+      .filter($"maybe_member").count()
+    assert(fp > 0 && fp < 300, s"FP count $fp outside the plausible band for n=400 m=4096 k=2")
+    // unknown key (no bloom rows at all) probes false, not error
+    val other = Merge.bloomProbe(direct, Seq(("z", "v1")).toDF("g", "val"), Seq("g"), pos($"val"))
+    assert(other.collect().head.getBoolean(2) == false) // (g, val, maybe_member)
+  }
+
+  test("bloom portable positions: in range, deterministic, k distinct windows") {
+    val mBits = 16384L
+    val vals = (1L to 50L).map(v => Tuple1(s"x$v")).toDF("val")
+    val ps = Merge.bloomPositionsPortable($"val", mBits, 4)
+    val got = vals.select(array(ps: _*).as("p")).collect().map(_.getSeq[Long](0))
+    assert(got.forall(_.forall(p => p >= 0 && p < mBits)))
+    // the 4 md5 windows are independent enough to differ for most values
+    assert(got.count(s => s.distinct.size == 4) > 40)
+    intercept[IllegalArgumentException](Merge.bloomPositionsPortable($"val", mBits, 5))
+    intercept[IllegalArgumentException](Merge.bloomPositionsPortable($"val", (1L << 29), 2))
+  }
+
   test("retractStats == direct recompute over the remaining data (lineitem, bit-parity)") {
     val li = graft.model.Tables.lineitem(spark, TestSpark.sfDir)
     val keys = Seq("l_returnflag", "l_linestatus")
