@@ -43,15 +43,28 @@ object StreamingStats {
     * columns must make the priority injective per key). */
   final case class Config(stateDir: String, keys: Seq[String],
                           valueCol: String, distinctCol: String, freqCol: String,
-                          sampleIdCols: Seq[String] = Nil, sampleK: Int = 64)
+                          sampleIdCols: Seq[String] = Nil, sampleK: Int = 64,
+                          kmvK: Int = 0, bloomBits: Long = 0L, bloomHashes: Int = 2) {
+    require(kmvK == 0 || keys.size == 1,
+      "the kmv family (cross-key overlap) needs exactly one key column")
+  }
 
   /** The five always-on state families. */
   val Families: Seq[String] = Seq("stats", "quantile", "distinct", "moment", "freq")
 
   /** The families a given config maintains (+"sample" when id columns
-    * are configured). */
+    * are configured; +"kmv"/"bloom" when their sizes are set — both fold
+    * the `distinctCol` values and, unlike the counting states, tolerate
+    * value overlap across batches by construction). */
   def families(cfg: Config): Seq[String] =
-    Families ++ (if (cfg.sampleIdCols.nonEmpty) Seq("sample") else Nil)
+    Families ++
+      (if (cfg.sampleIdCols.nonEmpty) Seq("sample") else Nil) ++
+      (if (cfg.kmvK > 0) Seq("kmv") else Nil) ++
+      (if (cfg.bloomBits > 0) Seq("bloom") else Nil)
+
+  private def bloomPos(cfg: Config) =
+    Merge.bloomPositionsFast(col(cfg.distinctCol).cast("string"),
+      cfg.bloomBits, cfg.bloomHashes)
 
   private def snapDir(cfg: Config, family: String, epoch: Long) =
     s"${cfg.stateDir}/$family/epoch=$epoch"
@@ -75,6 +88,13 @@ object StreamingStats {
     (if (cfg.sampleIdCols.nonEmpty)
       Seq("sample" -> Merge.partialSampleState(df, cfg.keys,
         Merge.samplePriorityFast(cfg.sampleIdCols), cfg.sampleK))
+    else Nil) ++
+    (if (cfg.kmvK > 0)
+      Seq("kmv" -> Merge.kmvState(df, cfg.keys.head,
+        Merge.samplePriorityFast(Seq(cfg.distinctCol)), cfg.kmvK))
+    else Nil) ++
+    (if (cfg.bloomBits > 0)
+      Seq("bloom" -> Merge.bloomState(df, cfg.keys, bloomPos(cfg)))
     else Nil) ++ Seq(
     "quantile" -> Merge.partialQuantileState(df, cfg.keys, cfg.valueCol),
     "distinct" -> Merge.partialDistinctState(df, cfg.keys, cfg.distinctCol),
@@ -91,6 +111,8 @@ object StreamingStats {
     case "moment"   => Merge.mergeMomentStates(states, cfg.keys)
     case "freq"     => Merge.mergeFreqStates(states, cfg.keys)
     case "sample"   => Merge.mergeSampleStates(states, cfg.keys, cfg.sampleK)
+    case "kmv"      => Merge.mergeKmvStates(states, cfg.keys.head, cfg.kmvK)
+    case "bloom"    => Merge.mergeBloomStates(states, cfg.keys)
   }
 
   /** Initialize state at epoch 0 from an (optionally empty) starting
@@ -172,4 +194,17 @@ object StreamingStats {
     * everything ever ingested would draw. */
   def auditSample(spark: SparkSession, cfg: Config): DataFrame =
     Merge.finalizeSample(state(spark, cfg, "sample"), cfg.keys)
+
+  /** Cross-key distinct-overlap estimates from the latest KMV snapshot
+    * (per key pair: l, matches, jaccard_est — see
+    * [[Merge.kmvPairwiseJaccard]]). Sketch-sized work. */
+  def overlapMatrix(spark: SparkSession, cfg: Config): DataFrame =
+    Merge.kmvPairwiseJaccard(state(spark, cfg, "kmv"), cfg.keys.head, cfg.kmvK)
+
+  /** Probe candidates against the latest Bloom snapshot: probes' columns
+    * + `maybe_member`. Probes must carry the key columns and the
+    * configured `distinctCol`. NO false negatives against everything
+    * ever ingested (pinned in StreamStatsSpec). */
+  def mightContain(spark: SparkSession, cfg: Config, probes: DataFrame): DataFrame =
+    Merge.bloomProbe(state(spark, cfg, "bloom"), probes, cfg.keys, bloomPos(cfg))
 }

@@ -251,4 +251,45 @@ object InvariantProps extends Properties("graft") {
       }
       got == expect
     }
+
+  private val ivSide = Gen.listOfN(10,
+    Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0.0, 40.0), Gen.chooseNum(0.0, 15.0)))
+
+  property("intervalOverlap equals the naive overlap join for random keyed intervals and widths") =
+    forAll(ivSide, ivSide, Gen.oneOf(0.5, 3.0, 10.0, 100.0)) { (ls, rs, w) =>
+      // len 0 yields EMPTY intervals — the half-open boundary case
+      val left = ls.zipWithIndex.map { case ((k, lo, len), i) => (i.toLong, k, lo, lo + len) }
+      val right = rs.zipWithIndex.map { case ((k, lo, len), i) => (i.toLong, k, lo, lo + len) }
+      val got = graft.ops.RangeJoin.intervalOverlap(
+        left.toDF("lid", "lk", "llo", "lhi"), right.toDF("rid", "rk", "rlo", "rhi"),
+        "llo", "lhi", "rlo", "rhi", w, keys = Seq("lk" -> "rk"))
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val expect = (for {
+        (li, lk, llo, lhi) <- left
+        (ri, rk, rlo, rhi) <- right
+        if lk == rk && math.max(llo, rlo) < math.min(lhi, rhi)
+      } yield (li, ri)).sorted
+      got == expect // Seq equality: exactly-once emission, not just the same set
+    }
+
+  property("triangles equals the naive wedge enumeration on random graphs") =
+    forAll(Gen.listOfN(25, Gen.zip(Gen.chooseNum(0L, 12L), Gen.chooseNum(0L, 12L)))) { es =>
+      val got = graft.ops.Graph.triangles(es.toDF("id1", "id2"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val e = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.toSet
+      val expect = for {
+        (a, b) <- e; (b2, c) <- e if b2 == b; if e.contains((a, c))
+      } yield (a, b, c)
+      got == expect
+    }
+
+  property("bloom probe never false-negatives on random inserted values") =
+    forAll(Gen.listOfN(20, Gen.identifier)) { vs =>
+      val rows = vs.map(("g", _)).toDF("g", "val")
+      val pos = graft.ops.Merge.bloomPositionsFast(col("val"), 512L, 2)
+      val state = graft.ops.Merge.bloomState(rows, Seq("g"), pos)
+      graft.ops.Merge.bloomProbe(state, rows, Seq("g"), pos)
+        .filter(!col("maybe_member")).count() == 0L
+    }
 }

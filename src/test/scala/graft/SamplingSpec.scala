@@ -108,4 +108,17 @@ class SamplingSpec extends AnyFunSuite {
       .groupBy("cluster").agg(countDistinct("split").as("n_splits"))
     assert(naive.filter(col("n_splits") > 1).count() > 0)
   }
+
+  test("cluster-holdout production variant (persisted labels, xxhash buckets) conserves docs and groups") {
+    import org.apache.spark.sql.functions._
+    val spec = graft.SparkEntry.specs.find(_.name == "o13_cluster_holdout").get
+    spec.prepare.foreach(_(spark, TestSpark.sfDir))
+    val out = spec.production(spark, TestSpark.sfDir).collect()
+    val docs = graft.model.Tables.documents(spark, TestSpark.sfDir)
+    assert(out.map(_.getLong(1)).sum == docs.count())
+    val labels = graft.ops.Dedup.connectedComponents(graft.ops.Dedup.minhashNearDup(docs))
+    val nGroups = docs.join(labels, Seq("doc_id"), "left")
+      .select(coalesce(col("cluster"), col("doc_id"))).distinct().count()
+    assert(out.map(_.getLong(2)).sum == nGroups)
+  }
 }

@@ -19,7 +19,8 @@ class StreamStatsSpec extends AnyFunSuite {
   private def cfg(dir: String) = StreamingStats.Config(
     dir, keys = Seq("l_returnflag"),
     valueCol = "l_quantity", distinctCol = "l_partkey", freqCol = "l_linestatus",
-    sampleIdCols = Seq("l_orderkey", "l_linenumber"), sampleK = 3)
+    sampleIdCols = Seq("l_orderkey", "l_linenumber"), sampleK = 3,
+    kmvK = 16, bloomBits = 4096L)
 
   // deterministic slice of the smallest corpus (no limit(): its row pick
   // can differ between evaluations and the test re-derives `li` per use)
@@ -53,7 +54,12 @@ class StreamStatsSpec extends AnyFunSuite {
       "moment" -> Merge.partialMomentState(all, c.keys, c.valueCol),
       "freq" -> Merge.partialFreqState(all, c.keys, c.freqCol),
       "sample" -> Merge.partialSampleState(all, c.keys,
-        Merge.samplePriorityFast(c.sampleIdCols), c.sampleK))
+        Merge.samplePriorityFast(c.sampleIdCols), c.sampleK),
+      "kmv" -> Merge.kmvState(all, "l_returnflag",
+        Merge.samplePriorityFast(Seq("l_partkey")), c.kmvK),
+      "bloom" -> Merge.bloomState(all, c.keys,
+        Merge.bloomPositionsFast(col("l_partkey").cast("string"),
+          c.bloomBits, c.bloomHashes)))
     val got = stateSnapshot(c)
     direct.foreach { case (family, df) =>
       assert(got(family) == df.collect().map(_.toSeq: Seq[Any]).toSet,
@@ -96,6 +102,19 @@ class StreamStatsSpec extends AnyFunSuite {
     assert(samp.columns.contains("rn"))
     assert(samp.groupBy("l_returnflag").count()
       .collect().forall(_.getLong(1) <= c.sampleK))
+
+    // overlap matrix: one row per key pair, estimates in [0,1]
+    val ov = StreamingStats.overlapMatrix(spark, c).collect()
+    val nKeys = all.select("l_returnflag").distinct().count()
+    assert(ov.length == nKeys * (nKeys - 1) / 2)
+    assert(ov.forall(r => r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+
+    // bloom: every ingested (key, value) probes maybe_member — no false
+    // negatives against everything ever folded in
+    val probes = all.select("l_returnflag", "l_partkey").distinct()
+    val neg = StreamingStats.mightContain(spark, c, probes)
+      .filter(!col("maybe_member")).count()
+    assert(neg == 0, s"$neg ingested values probed false")
   }
 
   test("stream replay == batch loop: bit-identical state epoch by epoch") {
