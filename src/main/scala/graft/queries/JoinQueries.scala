@@ -167,6 +167,45 @@ object JoinQueries {
       }
     },
 
+    sql("j13_asof_nearest",
+      "J1+: NEAREST as-of join — each signup's closest click in absolute time within the user (pandas direction='nearest'; one backward + one forward window pass, exact ties prefer backward). Oracle mirrors both passes and the tie rule in integer-second arithmetic",
+      """WITH s AS (SELECT event_id, user_id, date_trunc('second', ts) AS t FROM events
+        |           WHERE event_type = 'signup' AND user_id IS NOT NULL),
+        |c AS (SELECT user_id, date_trunc('second', ts) AS ct FROM events
+        |      WHERE event_type = 'click' AND user_id IS NOT NULL),
+        |ub AS (SELECT user_id, t, CAST(NULL AS TIMESTAMP) AS rt, 1 AS side, event_id FROM s
+        |       UNION ALL SELECT user_id, ct, ct, 0, NULL FROM c),
+        |b AS (SELECT event_id, bk FROM (
+        |  SELECT event_id, side, LAST_VALUE(rt IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY t, side ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bk
+        |  FROM ub) WHERE side = 1),
+        |uf AS (SELECT user_id, t, CAST(NULL AS TIMESTAMP) AS rt, 0 AS side, event_id FROM s
+        |       UNION ALL SELECT user_id, ct, ct, 1, NULL FROM c),
+        |f AS (SELECT event_id, fw FROM (
+        |  SELECT event_id, side, FIRST_VALUE(rt IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY t, side ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fw
+        |  FROM uf) WHERE side = 0)
+        |SELECT s.event_id, s.user_id, strftime(s.t, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+        |  strftime(CASE WHEN fw IS NULL THEN bk WHEN bk IS NULL THEN fw
+        |    WHEN date_diff('second', s.t, fw) < date_diff('second', bk, s.t) THEN fw
+        |    ELSE bk END, '%Y-%m-%d %H:%M:%S') AS nearest_click_ts
+        | FROM s JOIN b USING (event_id) JOIN f USING (event_id)
+        | ORDER BY event_id""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+        val su = ev.filter(col("event_type") === "signup")
+          .select(col("event_id"), col("user_id"),
+            date_trunc("second", col("ts")).as("t"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), date_trunc("second", col("ts")).as("ct"))
+        graft.ops.AsOf.asofNearest(su, c, "user_id", "t", "ct", "nearest")
+          .select(col("event_id"), col("user_id"),
+            date_format(col("t"), "yyyy-MM-dd HH:mm:ss").as("signup_ts"),
+            date_format(col("nearest"), "yyyy-MM-dd HH:mm:ss").as("nearest_click_ts"))
+          .orderBy("event_id")
+      }
+    },
+
     sql("j8_range_join",
       "J1+: point-in-interval range join — order prices vs per-priority price bands (grid-bucketized production plan)",
       s"""WITH bands AS (SELECT o_orderpriority AS band,

@@ -188,6 +188,41 @@ object ReportQueries {
             .otherwise(lit(false)).as("is_anomaly"))
           .orderBy("hr")
       }
+    },
+
+    sql("ep10_attribution",
+      "EP10: LAST-CLICK revenue attribution — each purchase's value credits the channel of that user's most recent click at or before it (asofBackward carrying the matched row's PAYLOAD, not just its timestamp); purchases with no prior click land in '(organic)'. Deterministic tie rule (struct-greatest payload among same-instant clicks) mirrored exactly by the oracle's window ordering — a bare ASOF JOIN's tie pick would be partition-order luck",
+      s"""WITH p AS (SELECT user_id, event_id, value, date_trunc('second', ts) AS t
+         |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+         |c AS (SELECT user_id, date_trunc('second', ts) AS t,
+         |  'ch' || CAST(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) % 5 AS VARCHAR) AS channel
+         |  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+         |u AS (SELECT user_id, t, 0 AS side, channel, CAST(NULL AS DOUBLE) AS value FROM c
+         |      UNION ALL SELECT user_id, t, 1, NULL, value FROM p),
+         |f AS (SELECT user_id, t, side, value,
+         |  LAST_VALUE(channel IGNORE NULLS) OVER (PARTITION BY user_id
+         |    ORDER BY t, side, channel
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS attr FROM u)
+         |SELECT COALESCE(attr, '(organic)') AS channel,
+         |  COUNT(*) AS n_purchases, ${graft.ops.Det.Sql.dsum("value")} AS revenue
+         | FROM f WHERE side = 1 GROUP BY 1 ORDER BY channel""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val ev = graft.model.Tables.events(s, d).filter(col("user_id").isNotNull)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("value"),
+            date_trunc("second", col("ts")).as("pts"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), date_trunc("second", col("ts")).as("cts"),
+            concat(lit("ch"),
+              (regexp_extract(col("props"), "([0-9]+)", 1).cast("long") % 5)
+                .cast("string")).as("channel"))
+        graft.ops.AsOf.asofBackward(p, c, "user_id", "pts", "cts",
+          "last_click_ts", payloadCols = Seq("channel"))
+          .groupBy(coalesce(col("channel"), lit("(organic)")).as("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            graft.ops.Det.dsum(col("value")).as("revenue"))
+          .orderBy("channel")
+      }
     }
   )
 }

@@ -33,6 +33,24 @@ class AsOfSpec extends AnyFunSuite {
     assert(out.count() == 1)
   }
 
+  test("asofBackward payload: matched row's columns ride along; ties pick the struct-greatest payload") {
+    val purchases = Seq((1L, 100L, ts(15)), (2L, 100L, ts(5))).toDF("id", "k", "t")
+    val clicks = Seq(
+      (100L, ts(10), "chA"), (100L, ts(10), "chB"), // tie at ts(10)
+      (100L, ts(2), "chZ")).toDF("k", "ct", "channel")
+    val got = AsOf.asofBackward(purchases, clicks, "k", "t", "ct", "bk",
+      payloadCols = Seq("channel"))
+    assert(got.columns.toSeq == Seq("id", "k", "t", "bk", "channel"))
+    val m = got.collect().map(r => r.getLong(0) ->
+      (Option(r.getTimestamp(3)).map(_.getTime / 1000), Option(r.getString(4)))).toMap
+    assert(m(1L) == (Some(10L), Some("chB"))) // tie: greatest payload, deterministically
+    assert(m(2L) == (Some(2L), Some("chZ")))  // payload tracks the matched row, not the max
+    // payload-name collision fails fast
+    intercept[IllegalArgumentException](AsOf.asofBackward(
+      purchases, clicks.withColumnRenamed("channel", "id"), "k", "t", "ct",
+      payloadCols = Seq("id")))
+  }
+
   test("asofForward: smallest right ts >= left ts per key; inclusive at equality") {
     val clicks = Seq(
       (1L, 100L, ts(15)), (2L, 100L, ts(20)), (3L, 100L, ts(30)),
@@ -56,6 +74,18 @@ class AsOfSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(3)).map(_.getTime / 1000)).toMap
     assert(got(1L) == Some(40L)) // gap 30 == tolerance: kept (inclusive)
     assert(got(2L) == None)      // next is @200, gap 110 > 30: nulled
+  }
+
+  test("asofNearest picks the closer side; exact ties prefer backward; one-sided rows fall through") {
+    val l = Seq((1L, 9L, ts(100)), (2L, 9L, ts(10)), (3L, 9L, ts(500)), (4L, 8L, ts(50)))
+      .toDF("id", "k", "t")
+    val r = Seq((9L, ts(90)), (9L, ts(103)), (9L, ts(5)), (9L, ts(15))).toDF("k", "rt")
+    val got = AsOf.asofNearest(l, r, "k", "t", "rt")
+      .collect().map(x => x.getLong(0) -> Option(x.getTimestamp(3)).map(_.getTime / 1000)).toMap
+    assert(got(1L) == Some(103L)) // fw gap 3 < bk gap 10
+    assert(got(2L) == Some(5L))   // bk gap 5 == fw gap 5: tie → backward
+    assert(got(3L) == Some(103L)) // nothing after: backward fallback
+    assert(got(4L) == None)       // key 8 has no right rows
   }
 
   test("asofForward mirrors the brute-force per-row definition on real data") {
