@@ -464,6 +464,39 @@ object ExtraQueries {
         graft.ops.Merge.mergeSampleStates(Seq(history, batch), keys, 5), keys)
     },
 
+    sql("d8_target_encoding",
+      "D8: leave-one-out target encoding with m-estimate smoothing — each order's priority encoded as (cat_sum − own_target + m·global_mean) / (cat_n − 1 + m), m=20: the classic high-cardinality-categorical feature WITHOUT self-leakage (own row excluded) or small-category blowup (prior pull). Category sums in exact DECIMAL; the encode itself is a fixed IEEE shape both engines replay bit-for-bit. Per-cat stats are a 5-row sliver joined back map-side — no window over the fact table",
+      """WITH g AS (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |             / COUNT(*) AS gmean FROM orders),
+        |c AS (SELECT o_orderpriority AS cat, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS s
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderkey, o_orderpriority,
+        |  (s - o_totalprice + 20.0 * gmean) / CAST(n - 1 + 20 AS DOUBLE) AS loo_encoding
+        | FROM orders JOIN c ON o_orderpriority = cat CROSS JOIN g
+        | ORDER BY o_orderkey""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val Dec = org.apache.spark.sql.types.DecimalType(18, 4)
+        val orders = Tables.orders(s, d)
+        val cats = orders.groupBy(col("o_orderpriority").as("cat"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(Dec)).cast("double").as("s"))
+        // global mean over the 5-row cat sliver (same value as a direct
+        // global agg since the decimal sums add exactly)
+        val w = W.partitionBy(lit(1))
+          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        val withG = cats.withColumn("gmean",
+          sum(col("s").cast(Dec)).over(w).cast("double") /
+            sum(col("n")).over(w))
+        orders.join(withG, col("o_orderpriority") === col("cat"))
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            ((col("s") - col("o_totalprice") + lit(20.0) * col("gmean"))
+              / (col("n") - 1 + 20).cast("double")).as("loo_encoding"))
+          .orderBy("o_orderkey")
+      }
+    },
+
     sql("u19_kmv_overlap",
       "U19: KMV set-operation sketch — per-source bottom-256 shingle-hash states (value-keyed priorities, so slices may OVERLAP on values: merge dedups by (key, pri), at-least-once-safe) answer the cross-source distinct-overlap question the U11 distinct states cannot: for each source pair, the bottom-L of the two sketches' union is a uniform sample of the union of their shingle SETS and the both-present fraction estimates Jaccard (Beyer et al. SIGMOD'07); sets under k make the estimate exact. md5 priorities for the oracle, xxhash64 in production",
       s"""WITH sh AS (SELECT source, UNNEST(${graft.queries.DedupQueries.shingleListSql(3)}) AS g FROM documents),

@@ -183,6 +183,28 @@ object WindowQueries {
       }
     },
 
+    sql("w10_time_range_window",
+      "W10: TIME-interval RANGE frame — per-user trailing-1-hour event count and exact-decimal value sum at every event (the velocity / rate-limit feature); RANGE peers at one instant share the frame in both engines, so second-truncated ties stay deterministic. One user-keyed window, no self-join against a time grid",
+      """SELECT event_id, user_id,
+        | CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+        | CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+        | FROM (SELECT event_id, user_id, date_trunc('second', ts) AS ts, value
+        |       FROM events WHERE user_id IS NOT NULL)
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        | ORDER BY event_id""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.events(s, d).filter(col("user_id").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            date_trunc("second", col("ts")).as("ts"), col("value"))
+          .selectExpr("event_id", "user_id",
+            """CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+              | RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS n_1h""".stripMargin.replace("\n", ""),
+            """CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY ts
+              | RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_1h""".stripMargin.replace("\n", ""))
+          .orderBy("event_id")
+    },
+
     sql("w9_activity_streaks",
       "W9: gaps-and-islands — per-user consecutive-day activity streaks via the day-minus-row_number grouping trick (all integer day arithmetic, engine-exact); the retention/engagement-streak primitive. Work = one user-keyed window over the DISTINCT (user, day) sliver, never the event stream",
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
