@@ -121,4 +121,66 @@ class EmptyInputSpec extends AnyFunSuite {
         StructField("ts", TimestampType))))
     assert(Funnel.sessionize(emptyEvents, gapMicros = 1000L).count() == 0)
   }
+
+  test("round-9 operators: interval overlap, triangles, as-of variants, kmv, and bloom are total on empty") {
+    def emptyIv(pre: String): DataFrame =
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField(s"${pre}id", LongType), StructField(s"${pre}k", StringType),
+          StructField(s"${pre}lo", DoubleType), StructField(s"${pre}hi", DoubleType))))
+    val realIv = Seq((1L, "u", 0.0, 10.0)).toDF("rid", "rk", "rlo", "rhi")
+    // empty left vs real right, and empty vs empty
+    assert(RangeJoin.intervalOverlap(emptyIv("l"), realIv,
+      "llo", "lhi", "rlo", "rhi", 4.0, keys = Seq("lk" -> "rk")).count() == 0)
+    assert(RangeJoin.intervalOverlap(emptyIv("l"), emptyIv("r"),
+      "llo", "lhi", "rlo", "rhi", 4.0).count() == 0)
+
+    val emptyPairs2 = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("id1", LongType), StructField("id2", LongType))))
+    assert(Graph.triangles(emptyPairs2).count() == 0)
+    assert(Graph.triangleCounts(emptyPairs2).count() == 0)
+
+    // as-of forward/nearest: empty left keeps schema; empty right keeps
+    // every left row with a null match
+    val emptyL = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("id", LongType), StructField("k", LongType),
+        StructField("t", TimestampType))))
+    val emptyR = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("k", LongType), StructField("rt", TimestampType))))
+    val realL = Seq((1L, 9L, java.sql.Timestamp.valueOf("2020-01-01 00:00:00")))
+      .toDF("id", "k", "t")
+    assert(AsOf.asofForward(emptyL, emptyR, "k", "t", "rt").count() == 0)
+    val fw = AsOf.asofForward(realL, emptyR, "k", "t", "rt").collect()
+    assert(fw.length == 1 && fw.head.isNullAt(3))
+    val nr = AsOf.asofNearest(realL, emptyR, "k", "t", "rt").collect()
+    assert(nr.length == 1 && nr.head.isNullAt(3))
+    val bk = AsOf.asofBackward(realL, emptyR, "k", "t", "rt",
+      payloadCols = Nil).collect()
+    assert(bk.length == 1 && bk.head.isNullAt(3))
+
+    // kmv: empty slice is an identity in the merge; pairwise over an
+    // empty state yields no pairs
+    val emptyVals = spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("src", StringType), StructField("v", LongType))))
+    val realVals = Seq(("a", 1L), ("a", 2L), ("b", 2L)).toDF("src", "v")
+    val pri = Merge.samplePriorityFast(Seq("v"))
+    val emptyState = Merge.kmvState(emptyVals, "src", pri, 8)
+    assert(emptyState.count() == 0)
+    val mergedK = Merge.mergeKmvStates(
+      Seq(Merge.kmvState(realVals, "src", pri, 8), emptyState), "src", 8)
+    assert(mergedK.collect().map(_.toSeq).toSet ==
+      Merge.kmvState(realVals, "src", pri, 8).collect().map(_.toSeq).toSet)
+    assert(Merge.kmvPairwiseJaccard(emptyState, "src", 8).count() == 0)
+
+    // bloom: empty state probes everything false; empty probe set is empty
+    val bpos = Merge.bloomPositionsFast(col("val"), 256L, 2)
+    val emptyB = Merge.bloomState(
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("g", StringType), StructField("val", StringType)))),
+      Seq("g"), bpos)
+    assert(emptyB.count() == 0)
+    val probes = Seq(("g1", "x")).toDF("g", "val")
+    val probed = Merge.bloomProbe(emptyB, probes, Seq("g"), bpos).collect()
+    assert(probed.length == 1 && !probed.head.getBoolean(2))
+    assert(Merge.bloomProbe(emptyB, probes.limit(0), Seq("g"), bpos).count() == 0)
+  }
 }
