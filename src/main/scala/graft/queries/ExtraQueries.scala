@@ -1314,6 +1314,37 @@ object ExtraQueries {
             count(lit(1)).as("n_orders"),
             Det.dsum(col("o_totalprice")).as("total_revenue"))
           .orderBy("order_month")
+    },
+
+    sql("u21_join_view_maintenance",
+      "U21: incremental JOIN-view maintenance — a materialized orders×customer view folds two insert batches (one growing each side) via the bag-exact delta identity ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, three batch-sized joins instead of a full re-join; the oracle runs the full join the increments must reproduce exactly",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority,
+        | c_name, c_acctbal, c_mktsegment
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | ORDER BY o_orderkey""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // day-0 build: a0⋈b0; day-1 folds ΔA=a1 (new orders); day-2 folds
+        // ΔA=a2 and ΔB=b1 (new customers) in one increment — at 100 TB
+        // each fold shuffles only the batch, the archive is scanned
+        // map-side once per increment and never re-joined against itself
+        val a = Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+        val b = Tables.customer(s, d).select(
+          col("c_custkey").as("o_custkey"), col("c_name"),
+          col("c_acctbal"), col("c_mktsegment"))
+        val Seq(a0, a1, a2) =
+          (0 to 2).map(i => a.filter(col("o_orderkey") % 3 === i))
+        val b0 = b.filter(col("o_custkey") % 2 === 0)
+        val b1 = b.filter(col("o_custkey") % 2 =!= 0)
+        val v0 = a0.join(b0, Seq("o_custkey"))
+        val v1 = graft.ops.Ivm.maintainJoinView(v0, a0, a1, b0, b0.limit(0), Seq("o_custkey"))
+        val v2 = graft.ops.Ivm.maintainJoinView(v1, a0.unionByName(a1), a2, b0, b1, Seq("o_custkey"))
+        v2.select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderpriority"),
+            col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+          .orderBy("o_orderkey")
+      }
     }
   )
 }
