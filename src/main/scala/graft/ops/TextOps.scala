@@ -172,4 +172,59 @@ object TextOps {
       array_distinct(transform(sequence(lit(0), size(hashes) - w),
         i => array_min(slice(hashes, i + lit(1), lit(w))))))
       .otherwise(array(array_min(hashes)))
+
+  // ── Boilerplate segment removal (CCNet/RefinedWeb line dedup) ──────────
+
+  /** Fixed-width token segments per doc: (idCol, pos, seg) where `seg` is
+    * the space-joined window of `segTokens` consecutive tokens starting at
+    * token pos·segTokens (last segment may be shorter). The corpus "line"
+    * unit for [[removeBoilerplate]] when the text has no natural line
+    * structure — pure map-side sequence+slice+explode, no shuffle. */
+  def docSegments(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, segTokens: Int): org.apache.spark.sql.DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0),
+          ((size(col("__ts")) + (segTokens - 1)) / segTokens).cast("int") - 1),
+        i => array_join(slice(col("__ts"), i * segTokens + 1, lit(segTokens)), " "))))
+      .withColumnRenamed("col", "seg")
+  }
+
+  /** Corpus-level boilerplate removal — the CCNet/RefinedWeb pass that
+    * strips repeated lines (headers, nav bars, license banners) BEFORE
+    * document-level dedup: any segment appearing in ≥ `minDocs` distinct
+    * docs is boilerplate; every occurrence is dropped and each doc is
+    * reassembled from its surviving segments in order.
+    *
+    * Output: (idCol, n_segments, n_dropped, kept_text) — one row per doc,
+    * docs reduced to nothing keep an empty kept_text.
+    *
+    * Scale shape: segments are map-side; the doc-frequency agg shuffles
+    * (segment-key, doc) once; the boilerplate SLIVER (repeated segments
+    * only — tiny by Zipf) comes back as a left-join AQE broadcasts; the
+    * reassembly window is one groupBy(doc). With `hashedKeys` the df agg
+    * and join move 8-byte xxhash64 keys instead of segment strings — the
+    * production plan; md5-free string keys stay oracle-portable. */
+  def removeBoilerplate(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, segTokens: Int, minDocs: Int,
+                        hashedKeys: Boolean = false): org.apache.spark.sql.DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2 (1 would drop every segment), got $minDocs")
+    val segs = docSegments(docs, idCol, textCol, segTokens)
+      .withColumn("__k", if (hashedKeys) xxhash64(col("seg")) else col("seg"))
+    val boiler = segs.groupBy("__k")
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__k"), lit(true).as("__boiler"))
+    segs.join(boiler, Seq("__k"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("__boiler"), 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("__boiler").isNull,
+            struct(col("pos"), col("seg"))))),
+          x => x.getField("seg"))).as("kept_text"))
+  }
 }

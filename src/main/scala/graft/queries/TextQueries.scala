@@ -484,6 +484,33 @@ object TextQueries {
           .drop("n_chars")
           .orderBy("doc_id")
       }
+    },
+
+    sql("t15_boilerplate_removal",
+      "Text: corpus-level BOILERPLATE removal — the CCNet/RefinedWeb repeated-line strip that runs BEFORE document dedup: any 8-token segment appearing in >= 2 distinct docs (nav bars, license banners — here the planted near-dup overlaps) is dropped from every doc, and docs reassemble from their surviving segments in order; production form ships 8-byte xxhash64 segment keys through the df agg and join instead of strings",
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        | sized AS (SELECT doc_id, ts, (len(ts) + 7) // 8 AS nseg FROM base),
+        | segs AS (SELECT doc_id,
+        |   CAST(unnest(range(nseg)) AS INT) AS pos,
+        |   unnest(list_transform(range(nseg),
+        |     i -> array_to_string(list_slice(ts, i*8 + 1, i*8 + 8), ' '))) AS seg
+        |  FROM sized),
+        | boiler AS (SELECT seg FROM
+        |   (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
+        |   WHERE df >= 2),
+        | flagged AS (SELECT s.doc_id, s.pos, s.seg, b.seg IS NOT NULL AS dropped
+        |   FROM segs s LEFT JOIN boiler b ON s.seg = b.seg)
+        | SELECT doc_id, COUNT(*) AS n_segments,
+        |  CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  COALESCE(string_agg(CASE WHEN NOT dropped THEN seg END, ' ' ORDER BY pos), '') AS kept_text
+        | FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        TextOps.removeBoilerplate(Tables.documents(s, d), "doc_id", "text",
+            segTokens = 8, minDocs = 2)
+          .orderBy("doc_id")
+    }.withBench { (s, d) =>
+      TextOps.removeBoilerplate(Tables.documents(s, d), "doc_id", "text",
+        segTokens = 8, minDocs = 2, hashedKeys = true)
     }
   )
 }

@@ -99,4 +99,40 @@ class TextOpsSpec extends AnyFunSuite {
     assert(short.select(TextOps.winnowFromHashes(col("hashes"), w = 4).as("f"))
       .as[Seq[String]].collect()(0) == Seq("m"))
   }
+
+  test("docSegments: fixed-width windows, short tail kept, one segment per short doc") {
+    val docs = Seq((1L, "a b c d e"), (2L, "x")).toDF("doc_id", "text")
+    val got = TextOps.docSegments(docs, "doc_id", "text", segTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set((1L, 0, "a b"), (1L, 1, "c d"), (1L, 2, "e"), (2L, 0, "x")))
+  }
+
+  test("removeBoilerplate: shared segments drop everywhere, unique ones survive in order") {
+    val docs = Seq(
+      (1L, "copy right one two"),  // "copy right" shared with docs 2,3
+      (2L, "copy right three four"),
+      (3L, "copy right copy right")) // reduces to nothing
+      .toDF("doc_id", "text")
+    val rows = TextOps.removeBoilerplate(docs, "doc_id", "text", segTokens = 2, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rows(1L) == ((2L, 1L, "one two")))
+    assert(rows(2L) == ((2L, 1L, "three four")))
+    assert(rows(3L) == ((2L, 2L, "")))   // fully-boilerplate doc stays, empty
+  }
+
+  test("removeBoilerplate: hashed-key production plan equals the string-key plan on the corpus") {
+    val docs = graft.model.Tables.documents(spark, TestSpark.sfDir)
+    def canon(hashed: Boolean) =
+      TextOps.removeBoilerplate(docs, "doc_id", "text", 8, 2, hashedKeys = hashed)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(canon(hashed = true) == canon(hashed = false))
+  }
+
+  test("removeBoilerplate guards: minDocs < 2 and segTokens < 1 rejected") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      TextOps.removeBoilerplate(docs, "doc_id", "text", 2, 1))
+    intercept[IllegalArgumentException](
+      TextOps.docSegments(docs, "doc_id", "text", 0))
+  }
 }
