@@ -617,6 +617,63 @@ object Merge {
       .agg((min(col("__hit")) === 1).as("maybe_member"))
   }
 
+  // ───── COUNT-MIN frequency sketch state ─────
+  //
+  // The U13 freq state answers "top-k heaviest" but its capped form
+  // ([[capFreqState]]) forgets the tail entirely; a COUNT-MIN sketch
+  // (Cormode & Muthukrishnan '05) answers POINT frequency queries for
+  // ANY value with fixed state: a depth×width counter grid per key,
+  // held AS ROWS (keys, d, cell, cnt) — only touched cells materialize,
+  // so state ≤ min(depth·width, depth·|values|) rows per key. Merge =
+  // cnt addition per cell (counting state: slices must be row-disjoint,
+  // the U9 contract). Estimates NEVER undercount (every probed cell
+  // counts at least the value's own occurrences); overcount is the
+  // textbook bound — ≤ εN with ε = e/width at confidence 1 − e^(−depth)
+  // — and deterministic: both engines compute identical positions, so
+  // even collision-inflated estimates oracle-match. The 100 TB role:
+  // per-slice token/URL/entity frequency monitoring with state the size
+  // of the grid, not the vocabulary, composable across days like every
+  // other mergeable state. Positions reuse the Bloom hash construction
+  // ([[bloomPositionsPortable]] md5 windows / [[bloomPositionsFast]]
+  // xxhash64-seeded) with width as the modulus — index i is the row.
+
+  /** Per-key CMS state over a slice: one posexplode (depth rows per
+    * value occurrence) + one (keys, d, cell) hash agg. */
+  def cmsState(df: DataFrame, keys: Seq[String],
+               positions: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(positions.nonEmpty, "cmsState needs at least one position column")
+    df.select(keys.map(col) :+ posexplode(array(positions: _*)): _*)
+      .withColumnRenamed("pos", "d").withColumnRenamed("col", "cell")
+      .groupBy((keys :+ "d" :+ "cell").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge CMS states: cnt addition per (keys, d, cell). Row-disjoint
+    * slices only — double-counting a replayed slice inflates estimates
+    * (route at-least-once sources through the admission guard first). */
+  def mergeCmsStates(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "mergeCmsStates needs at least one state frame")
+    states.reduce(_.unionByName(_))
+      .groupBy((keys :+ "d" :+ "cell").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Point frequency estimates: `probes`' columns pass through plus
+    * `est_count` = min over depths of the probed cells (missing cell =
+    * 0). One explode + one (keys, d, cell) left join + one group-back;
+    * `positions` must be built from the same probe value expression and
+    * (width, depth) the state used. */
+  def cmsEstimate(state: DataFrame, probes: DataFrame, keys: Seq[String],
+                  positions: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(positions.nonEmpty, "cmsEstimate needs at least one position column")
+    val probeCols = probes.columns.toSeq
+    probes.select(probeCols.map(col) :+ posexplode(array(positions: _*)): _*)
+      .withColumnRenamed("pos", "d").withColumnRenamed("col", "cell")
+      .join(state, (keys :+ "d" :+ "cell").toSeq, "left")
+      .groupBy(probeCols.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
+
   // ───── RETRACTION: deletes / right-to-be-forgotten without a rescan ─────
   //
   // The merge family above only ever ADDS slices. Real pipelines also

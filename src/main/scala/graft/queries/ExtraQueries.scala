@@ -1345,6 +1345,77 @@ object ExtraQueries {
             col("c_name"), col("c_acctbal"), col("c_mktsegment"))
           .orderBy("o_orderkey")
       }
+    },
+
+    sql("u22_cms_estimate",
+      "U22: mergeable COUNT-MIN sketch state — point frequency estimates for ANY value from a fixed depth×width counter grid per key (state ∝ grid, not vocabulary; merge = cell addition across row-disjoint slices); estimates NEVER undercount and both engines compute identical md5-window positions so even collision-inflated values hash-match; the per-source token-frequency monitor at 100 TB",
+      """WITH d3 AS (SELECT unnest([0, 1, 2]) AS d),
+        | toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        | cells AS (SELECT source, d,
+        |   ('0x' || substr(md5(tok), 1 + 7*d, 7))::BIGINT % 1024 AS cell, COUNT(*) AS cnt
+        |  FROM toks, d3 GROUP BY 1, 2, 3),
+        | probes AS (SELECT source, tok FROM (SELECT DISTINCT source FROM documents),
+        |   (SELECT unnest(['the', 'data', 'value', 'table', 'zz_absent']) AS tok)),
+        | pp AS (SELECT source, tok, d,
+        |   ('0x' || substr(md5(tok), 1 + 7*d, 7))::BIGINT % 1024 AS cell FROM probes, d3)
+        | SELECT source, tok, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est_count
+        | FROM pp LEFT JOIN cells USING (source, d, cell)
+        | GROUP BY source, tok ORDER BY source, tok""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val width = 1024L; val depth = 3
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        def sketch(slice: org.apache.spark.sql.DataFrame) =
+          graft.ops.Merge.cmsState(slice, Seq("source"),
+            graft.ops.Merge.bloomPositionsPortable(col("tok"), width, depth))
+        // two row-disjoint slices folded through the merge law — the
+        // daily-increment shape; at scale yesterday's state is parquet
+        val state = graft.ops.Merge.mergeCmsStates(Seq(
+          sketch(toks.filter(col("doc_id") % 2 === 0)),
+          sketch(toks.filter(col("doc_id") % 2 =!= 0))), Seq("source"))
+        val probes = docs.select("source").distinct()
+          .withColumn("tok", explode(array(
+            Seq("the", "data", "value", "table", "zz_absent").map(lit): _*)))
+        graft.ops.Merge.cmsEstimate(state, probes, Seq("source"),
+            graft.ops.Merge.bloomPositionsPortable(col("tok"), width, depth))
+          .orderBy("source", "tok")
+      }
+    }.withBench { (s, d) =>
+      // production: xxhash64-seeded positions, no hex parsing, no sort
+      val width = 1024L; val depth = 3
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      def sketch(slice: org.apache.spark.sql.DataFrame) =
+        graft.ops.Merge.cmsState(slice, Seq("source"),
+          graft.ops.Merge.bloomPositionsFast(col("tok"), width, depth))
+      val state = graft.ops.Merge.mergeCmsStates(Seq(
+        sketch(toks.filter(col("doc_id") % 2 === 0)),
+        sketch(toks.filter(col("doc_id") % 2 =!= 0))), Seq("source"))
+      val probes = docs.select("source").distinct()
+        .withColumn("tok", explode(array(
+          Seq("the", "data", "value", "table", "zz_absent").map(lit): _*)))
+      graft.ops.Merge.cmsEstimate(state, probes, Seq("source"),
+        graft.ops.Merge.bloomPositionsFast(col("tok"), width, depth))
+    },
+
+    sql("o14_stratified_kfold",
+      "O14: stratified K-FOLD assignment — round-robin over the md5-ordered docs WITHIN each stratum, so every (stratum, fold) cell is exactly balanced (sizes differ by <= 1) and the assignment is a pure function of the ids; the eval-set construction primitive. The per-stratum total order is the oracle form — at 100 TB the production variant assigns fold = xxhash64(id) % k map-side (statistical balance, no window)",
+      """SELECT doc_id, lang,
+        | CAST((ROW_NUMBER() OVER (PARTITION BY lang
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % 5 AS INT) AS fold
+        | FROM documents ORDER BY doc_id""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        Tables.documents(s, d).select(col("doc_id"), col("lang"))
+          .withColumn("fold", ((row_number().over(W) - 1) % 5).cast("int"))
+          .orderBy("doc_id")
+      }
+    }.withBench { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .withColumn("fold", pmod(xxhash64(col("doc_id")), lit(5)).cast("int"))
     }
   )
 }

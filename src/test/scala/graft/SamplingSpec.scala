@@ -121,4 +121,23 @@ class SamplingSpec extends AnyFunSuite {
       .select(coalesce(col("cluster"), col("doc_id"))).distinct().count()
     assert(out.map(_.getLong(2)).sum == nGroups)
   }
+
+  test("stratified k-fold: every (stratum, fold) cell exactly balanced; assignment partition-independent") {
+    val kfold = SparkEntry.specs.find(_.name == "o14_stratified_kfold").get
+    val out = kfold.run(spark, TestSpark.sfDir)
+    val cells = out.groupBy("lang", "fold").count()
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // round-robin over a total order: per-stratum fold sizes differ by <= 1
+    cells.keys.map(_._1).toSet.foreach { lang: String =>
+      val sizes = cells.collect { case ((l, _), n) if l == lang => n }
+      assert(sizes.max - sizes.min <= 1, s"unbalanced folds for $lang: $sizes")
+    }
+    assert(out.select("fold").distinct().count() == 5)
+    // pure function of (doc_id, stratum population): repartitioning the
+    // input must not move any doc to a different fold
+    val again = kfold.run(spark, TestSpark.sfDir)
+      .repartition(7).collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val first = out.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(again == first)
+  }
 }

@@ -599,4 +599,51 @@ class MergeSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
     assert(msgs(ex).exists(_.contains("subset contract")), s"unexpected: $ex")
   }
+
+  // ── count-min sketch state ──
+
+  private def cmsToks = graft.model.Tables.documents(spark, graft.TestSpark.sfDir)
+    .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("tok"))
+
+  test("cms: estimates NEVER undercount the exact per-key frequency (both hash families)") {
+    val toks = cmsToks
+    val exact = toks.groupBy("source", "tok").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val probes = toks.select("source", "tok").distinct()
+    for (pos <- Seq(
+        Merge.bloomPositionsPortable(col("tok"), 256L, 3),
+        Merge.bloomPositionsFast(col("tok"), 256L, 3))) {
+      val state = Merge.cmsState(toks, Seq("source"), pos)
+      val est = Merge.cmsEstimate(state, probes, Seq("source"), pos)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(exact.keySet == est.keySet)
+      val under = exact.collect { case (k, n) if est(k) < n => (k, n, est(k)) }
+      assert(under.isEmpty, s"undercounts: ${under.take(5)}")
+    }
+  }
+
+  test("cms: merged row-disjoint slices equal the one-shot state bit-for-bit") {
+    val toks = cmsToks
+    val pos = Merge.bloomPositionsPortable(col("tok"), 1024L, 3)
+    val direct = Merge.cmsState(toks, Seq("source"), pos)
+    val merged = Merge.mergeCmsStates(Seq(
+      Merge.cmsState(toks.filter(col("doc_id") % 3 === 0), Seq("source"), pos),
+      Merge.cmsState(toks.filter(col("doc_id") % 3 === 1), Seq("source"), pos),
+      Merge.cmsState(toks.filter(col("doc_id") % 3 === 2), Seq("source"), pos)),
+      Seq("source"))
+    assert(direct.unionByName(merged).distinct().count() == direct.count())
+    assert(merged.count() == direct.count())
+  }
+
+  test("cms: never-inserted value under a wide grid estimates 0; estimates are deterministic") {
+    val toks = cmsToks
+    val pos = Merge.bloomPositionsPortable(col("tok"), 65536L, 4)
+    val state = Merge.cmsState(toks, Seq("source"), pos)
+    val probes = toks.select("source").distinct().withColumn("tok", lit("zz_never_seen"))
+    val est = Merge.cmsEstimate(state, probes, Seq("source"), pos)
+      .collect().map(_.getLong(2))
+    // 4 independent 16-bit cells all colliding is vanishingly unlikely at
+    // this vocab size — and the fixture is deterministic, so this pins it
+    assert(est.forall(_ == 0L))
+  }
 }
