@@ -88,6 +88,9 @@ object Ivm {
     requireDisjointPayloads(survivors, bCur, joinKeys)
     val untouched = viewOld.join(latest.select(aPk.map(col): _*).distinct(),
       aPk, "left_anti")
+    // using-column joins move their keys to the front; restore the
+    // view's own column order so the fold is schema-stable
     untouched.unionByName(survivors.join(bCur, joinKeys))
+      .select(viewOld.columns.map(col).toIndexedSeq: _*)
   }
 }

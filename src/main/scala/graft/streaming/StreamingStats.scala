@@ -44,7 +44,8 @@ object StreamingStats {
   final case class Config(stateDir: String, keys: Seq[String],
                           valueCol: String, distinctCol: String, freqCol: String,
                           sampleIdCols: Seq[String] = Nil, sampleK: Int = 64,
-                          kmvK: Int = 0, bloomBits: Long = 0L, bloomHashes: Int = 2) {
+                          kmvK: Int = 0, bloomBits: Long = 0L, bloomHashes: Int = 2,
+                          cmsWidth: Long = 0L, cmsDepth: Int = 3) {
     require(kmvK == 0 || keys.size == 1,
       "the kmv family (cross-key overlap) needs exactly one key column")
   }
@@ -55,16 +56,24 @@ object StreamingStats {
   /** The families a given config maintains (+"sample" when id columns
     * are configured; +"kmv"/"bloom" when their sizes are set — both fold
     * the `distinctCol` values and, unlike the counting states, tolerate
-    * value overlap across batches by construction). */
+    * value overlap across batches by construction; +"cms" when
+    * `cmsWidth` is set — point frequency estimates over `freqCol` with
+    * grid-sized state, the U22 counting sketch: row-disjoint batches
+    * only, like freq/stats). */
   def families(cfg: Config): Seq[String] =
     Families ++
       (if (cfg.sampleIdCols.nonEmpty) Seq("sample") else Nil) ++
       (if (cfg.kmvK > 0) Seq("kmv") else Nil) ++
-      (if (cfg.bloomBits > 0) Seq("bloom") else Nil)
+      (if (cfg.bloomBits > 0) Seq("bloom") else Nil) ++
+      (if (cfg.cmsWidth > 0) Seq("cms") else Nil)
 
   private def bloomPos(cfg: Config) =
     Merge.bloomPositionsFast(col(cfg.distinctCol).cast("string"),
       cfg.bloomBits, cfg.bloomHashes)
+
+  private def cmsPos(cfg: Config) =
+    Merge.bloomPositionsFast(col(cfg.freqCol).cast("string"),
+      cfg.cmsWidth, cfg.cmsDepth)
 
   private def snapDir(cfg: Config, family: String, epoch: Long) =
     s"${cfg.stateDir}/$family/epoch=$epoch"
@@ -95,6 +104,9 @@ object StreamingStats {
     else Nil) ++
     (if (cfg.bloomBits > 0)
       Seq("bloom" -> Merge.bloomState(df, cfg.keys, bloomPos(cfg)))
+    else Nil) ++
+    (if (cfg.cmsWidth > 0)
+      Seq("cms" -> Merge.cmsState(df, cfg.keys, cmsPos(cfg)))
     else Nil) ++ Seq(
     "quantile" -> Merge.partialQuantileState(df, cfg.keys, cfg.valueCol),
     "distinct" -> Merge.partialDistinctState(df, cfg.keys, cfg.distinctCol),
@@ -113,6 +125,7 @@ object StreamingStats {
     case "sample"   => Merge.mergeSampleStates(states, cfg.keys, cfg.sampleK)
     case "kmv"      => Merge.mergeKmvStates(states, cfg.keys.head, cfg.kmvK)
     case "bloom"    => Merge.mergeBloomStates(states, cfg.keys)
+    case "cms"      => Merge.mergeCmsStates(states, cfg.keys)
   }
 
   /** Initialize state at epoch 0 from an (optionally empty) starting
@@ -207,4 +220,11 @@ object StreamingStats {
     * ever ingested (pinned in StreamStatsSpec). */
   def mightContain(spark: SparkSession, cfg: Config, probes: DataFrame): DataFrame =
     Merge.bloomProbe(state(spark, cfg, "bloom"), probes, cfg.keys, bloomPos(cfg))
+
+  /** Point frequency estimates against the latest CMS snapshot: probes'
+    * columns + `est_count` (min over depths; never undercounts the true
+    * count of everything ever ingested). Probes must carry the key
+    * columns and the configured `freqCol`. */
+  def estimateCounts(spark: SparkSession, cfg: Config, probes: DataFrame): DataFrame =
+    Merge.cmsEstimate(state(spark, cfg, "cms"), probes, cfg.keys, cmsPos(cfg))
 }

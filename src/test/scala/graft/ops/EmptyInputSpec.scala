@@ -183,4 +183,35 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(probed.length == 1 && !probed.head.getBoolean(2))
     assert(Merge.bloomProbe(emptyB, probes.limit(0), Seq("g"), bpos).count() == 0)
   }
+
+  test("join-view IVM, boilerplate removal, and cms are total on empty") {
+    // IVM: empty deltas are identities; an empty view folds deltas cleanly
+    val facts = Seq((1L, 10L, "f1")).toDF("fk", "k", "fval")
+    val dims = Seq((10L, "d10")).toDF("k", "dval")
+    val v = facts.join(dims, Seq("k"))
+    assert(Ivm.maintainJoinView(v.limit(0), facts.limit(0), facts,
+      dims.limit(0), dims, Seq("k")).count() == 1)
+    assert(Ivm.joinViewDelta(facts.limit(0), facts.limit(0),
+      dims.limit(0), dims.limit(0), Seq("k")).count() == 0)
+    val ch = Seq((1L, 10L, "x", "upsert", 1L)).toDF("fk", "k", "fval", "op", "seq")
+    assert(Ivm.applyToJoinView(v, ch.limit(0), dims, Seq("fk"), Seq("k"))
+      .collect().map(_.toSeq).toSet == v.collect().map(_.toSeq).toSet)
+
+    // boilerplate removal: empty corpus → empty, correctly-shaped output
+    val rb = TextOps.removeBoilerplate(emptyDocs, "doc_id", "text", 8, 2)
+    assert(rb.count() == 0)
+    assert(rb.columns.toSeq == Seq("doc_id", "n_segments", "n_dropped", "kept_text"))
+
+    // cms: empty state estimates 0 for every probe; empty probe set empty
+    val cpos = Merge.bloomPositionsFast(col("val"), 256L, 3)
+    val emptyC = Merge.cmsState(
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("g", StringType), StructField("val", StringType)))),
+      Seq("g"), cpos)
+    assert(emptyC.count() == 0)
+    val cprobes = Seq(("g1", "x")).toDF("g", "val")
+    val est = Merge.cmsEstimate(emptyC, cprobes, Seq("g"), cpos).collect()
+    assert(est.length == 1 && est.head.getLong(2) == 0L)
+    assert(Merge.cmsEstimate(emptyC, cprobes.limit(0), Seq("g"), cpos).count() == 0)
+  }
 }

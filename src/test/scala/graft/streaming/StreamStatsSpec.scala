@@ -20,7 +20,7 @@ class StreamStatsSpec extends AnyFunSuite {
     dir, keys = Seq("l_returnflag"),
     valueCol = "l_quantity", distinctCol = "l_partkey", freqCol = "l_linestatus",
     sampleIdCols = Seq("l_orderkey", "l_linenumber"), sampleK = 3,
-    kmvK = 16, bloomBits = 4096L)
+    kmvK = 16, bloomBits = 4096L, cmsWidth = 512L)
 
   // deterministic slice of the smallest corpus (no limit(): its row pick
   // can differ between evaluations and the test re-derives `li` per use)
@@ -59,7 +59,10 @@ class StreamStatsSpec extends AnyFunSuite {
         Merge.samplePriorityFast(Seq("l_partkey")), c.kmvK),
       "bloom" -> Merge.bloomState(all, c.keys,
         Merge.bloomPositionsFast(col("l_partkey").cast("string"),
-          c.bloomBits, c.bloomHashes)))
+          c.bloomBits, c.bloomHashes)),
+      "cms" -> Merge.cmsState(all, c.keys,
+        Merge.bloomPositionsFast(col("l_linestatus").cast("string"),
+          c.cmsWidth, c.cmsDepth)))
     val got = stateSnapshot(c)
     direct.foreach { case (family, df) =>
       assert(got(family) == df.collect().map(_.toSeq: Seq[Any]).toSet,
@@ -115,6 +118,15 @@ class StreamStatsSpec extends AnyFunSuite {
     val neg = StreamingStats.mightContain(spark, c, probes)
       .filter(!col("maybe_member")).count()
     assert(neg == 0, s"$neg ingested values probed false")
+
+    // cms: estimates over everything ever ingested never undercount
+    val exactFreq = all.groupBy("l_returnflag", "l_linestatus").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val cmsProbes = all.select("l_returnflag", "l_linestatus").distinct()
+    val under = StreamingStats.estimateCounts(spark, c, cmsProbes)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .filter { case (k, v, est) => est < exactFreq((k, v)) }
+    assert(under.isEmpty, s"cms undercounts: $under")
   }
 
   test("stream replay == batch loop: bit-identical state epoch by epoch") {
