@@ -219,4 +219,147 @@ object Similarity {
       .filter(col("cosine") >= thr)
       .distinct()
   }
+
+  // ───── Product quantization (PQ / asymmetric-distance ANN) ─────
+  //
+  // The FAISS IVF-PQ second stage: each L2-normalized vector is split
+  // into `m` contiguous subvectors, each encoded as the id of its
+  // nearest subspace centroid — D floats become m small ints (m·log₂k
+  // bits, e.g. 64-dim float32 → 8 bytes at m=8/k=16, a 32× compression).
+  // Queries score candidates WITHOUT decoding (ADC): the query builds an
+  // m×k lookup table of exact subspace distances once, and each code's
+  // approximate distance is the sum of its m table entries. On unit
+  // vectors, minimum L2 distance == maximum cosine, so this slots into
+  // the same family as [[cosineTopK]]/[[ivfTopK]] — at 100 TB the codes
+  // table (not the float vectors) is what sits in fast storage, and the
+  // LUT join replaces 64-float arithmetic per candidate with m lookups.
+
+  /** L2-normalize the embedding column (zero vectors pass through
+    * unchanged). The norm is projected FIRST — a lambda that recomputed
+    * it per element would do 64 aggregate passes per row. */
+  def l2normalized(df: DataFrame, embCol: String = "embedding"): DataFrame =
+    df.withColumn("__n", l2norm(col(embCol)))
+      .withColumn(embCol,
+        when(col("__n") > 0,
+          transform(col(embCol), x => (x.cast("double") / col("__n")).cast("float")))
+          .otherwise(col(embCol)))
+      .drop("__n")
+
+  /** Squared L2 between two float arrays, double accumulation (same
+    * fused aggregate shape as [[dot]]). */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Contiguous subvector explode: (vec_id, sub, svec) with m rows per
+    * vector. The embedding dim must be divisible by m (the last slice
+    * would silently shorten otherwise — SimilaritySpec pins the shape). */
+  def pqSubvecs(base: DataFrame, m: Int): DataFrame = {
+    require(m >= 1, s"m must be positive, got $m")
+    val subDim = (size(col("embedding")) / m).cast("int")
+    base
+      .select(col("vec_id"), col("embedding"), subDim.as("__sd"))
+      .select(col("vec_id"), posexplode(transform(sequence(lit(0), lit(m - 1)),
+        i => slice(col("embedding"), i * col("__sd") + 1, col("__sd")))))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "svec")
+  }
+
+  /** Nearest sub-centroid per (vec_id, sub): map-side scoring against
+    * the broadcast m×k codebook + one argmin window. */
+  def pqAssign(subs: DataFrame, codebooks: DataFrame): DataFrame = {
+    val scored = subs.join(broadcast(codebooks), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("cid"),
+        l2sq(col("svec"), col("cvec")).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "sub").orderBy(col("d2"), col("cid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("vec_id", "sub", "cid")
+  }
+
+  /** Train PQ codebooks: per-subspace deterministic Lloyd under the L2
+    * objective on L2-NORMALIZED vectors — (sub, cid, cvec), m·k rows.
+    * Same training discipline as [[trainIvfCentroids]] (hash-order
+    * seeding, broadcast E-step, [[graft.expressions.CentroidAgg]]
+    * M-step, localCheckpoint per iteration, model never on the driver);
+    * all m subspaces train in the SAME jobs — the grid is one frame. */
+  def trainPqCodebooks(base: DataFrame, m: Int = 8, k: Int = 16,
+                       iters: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 128, s"k must be in 1..128 (codes are tinyint), got $k")
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    val centroid = udaf(graft.expressions.CentroidAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]())
+    val subs = pqSubvecs(l2normalized(base), m).localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+    val seeds = base.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      .select(col("vec_id"))
+      .select(col("vec_id"),
+        (row_number().over(w) - 1).cast("long").as("cid")) // k-row window: model-sized
+    var cb = subs.join(seeds, "vec_id")
+      .select(col("sub"), col("cid"), col("svec").as("cvec"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      cb = pqAssign(subs, cb)
+        .join(subs, Seq("vec_id", "sub"))
+        .groupBy("sub", "cid").agg(centroid(col("svec")).as("cvec"))
+        .localCheckpoint()
+      i += 1
+    }
+    cb
+  }
+
+  /** Encode a corpus against a trained codebook: (vec_id, codes) with
+    * `codes` an array<tinyint> of length m in subspace order — the
+    * compressed representation that REPLACES the float vectors in
+    * storage. */
+  def pqEncode(base: DataFrame, codebooks: DataFrame, m: Int): DataFrame =
+    pqAssign(pqSubvecs(l2normalized(base), m), codebooks)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid")))),
+        x => x.getField("cid").cast("tinyint")).as("codes"))
+
+  /** Persist / read back a PQ codebook artifact (m·k rows — trained once
+    * per corpus, served from storage like the IVF centroids). */
+  def savePqCodebooks(codebooks: DataFrame, path: String): Unit =
+    graft.io.Sinks.parquet(codebooks.select(col("sub"), col("cid"), col("cvec")), path)
+
+  def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(col("sub"), col("cid"), col("cvec"))
+
+  /** ADC top-k over PQ codes: the query (1-row DF with `qe`) builds the
+    * broadcast m×k LUT of exact subspace distances to its own normalized
+    * subvectors; candidates never decode — one posexplode + LUT join +
+    * per-vector sum, then TakeOrderedAndProject. Returns
+    * (vec_id, adc_dist) ascending (nearest first). */
+  def pqTopK(codes: DataFrame, codebooks: DataFrame, query: DataFrame,
+             k: Int, m: Int): DataFrame = {
+    val qsubs = pqSubvecs(
+      l2normalized(query.select(lit(0L).as("vec_id"), col("qe").as("embedding"))), m)
+      .select(col("sub"), col("svec").as("qvec"))
+    val lut = codebooks.join(qsubs, Seq("sub"))
+      .select(col("sub"), col("cid").cast("tinyint").as("code"),
+        l2sq(col("qvec"), col("cvec")).as("d2"))
+    codes.select(col("vec_id"), posexplode(col("codes")))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "code")
+      .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy("vec_id").agg(sum(col("d2")).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id")).limit(k)
+  }
+
+  /** The production PQ query shape: ADC retrieves a `shortlist` of
+    * candidates from the CODES table alone, then exact cosine re-ranks
+    * just that sliver against the float vectors (a semi-join point
+    * lookup — the only place float data is touched). Compression does
+    * the corpus-scale scan, exact math does the final ranking; on this
+    * structure-free synthetic corpus ADC-only recall@10 is ~0.5 while
+    * the re-ranked form recovers ~1.0 (SimilaritySpec pins both). */
+  def pqTopKRefined(base: DataFrame, codes: DataFrame, codebooks: DataFrame,
+                    query: DataFrame, k: Int, m: Int,
+                    shortlist: Int = 64): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val cand = pqTopK(codes, codebooks, query, shortlist, m).select("vec_id")
+    cosineTopK(base.join(cand, Seq("vec_id"), "left_semi"), query, k)
+  }
 }

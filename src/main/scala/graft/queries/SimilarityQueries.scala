@@ -52,6 +52,27 @@ object SimilarityQueries {
       r
     })
 
+  /** Paths of the persisted PQ artifacts per corpus dir: the m·k-row
+    * codebook and the ENCODED CODES table (ss9 — the codes, not the
+    * float vectors, are what a PQ deployment scans; both round-trip
+    * storage like any other table). */
+  private val pqModelPaths =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private val PqM = 32
+
+  private def ensurePqModel(s: org.apache.spark.sql.SparkSession,
+                            d: String): (String, String) =
+    pqModelPaths.getOrElseUpdate(d, {
+      val base = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val root = java.nio.file.Files.createTempDirectory("graft-pq-q").toString
+      val cb = graft.ops.Similarity.trainPqCodebooks(base, m = PqM, k = 16, iters = 3)
+      graft.ops.Similarity.savePqCodebooks(cb, s"$root/codebooks")
+      graft.io.Sinks.parquet(
+        graft.ops.Similarity.pqEncode(base, cb, PqM), s"$root/codes")
+      (s"$root/codebooks", s"$root/codes")
+    })
+
   val all: Seq[QuerySpec] = Seq(
 
     sql("ss1_cosine_topk",
@@ -148,6 +169,18 @@ object SimilarityQueries {
           queryVec(s, d), k = 10, nprobe = 6)
       }
     },
+
+    rowsOnly("ss9_pq_topk",
+      "Similarity: PRODUCT-QUANTIZED ANN — vectors compressed 32× into tinyint code arrays against a per-subspace Lloyd codebook (both persisted parquet artifacts); queries score candidates from the CODES table alone via an ADC lookup-table join, then exact cosine re-ranks only the shortlist sliver (recall@10 vs ss1 pinned in SimilaritySpec)") {
+      (s, d) => {
+        val (cbPath, codesPath) = ensurePqModel(s, d)
+        val base = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        graft.ops.Similarity.pqTopKRefined(base,
+          s.read.parquet(codesPath),
+          graft.ops.Similarity.loadPqCodebooks(s, cbPath),
+          queryVec(s, d), k = 10, m = PqM, shortlist = 64)
+      }
+    }.withPrepare((s, d) => { ensurePqModel(s, d); () }),
 
     sql("ss8_incremental_ivf",
       "Similarity: PERSISTED incremental IVF index — quantizer trained on the history slice and frozen, the remaining vectors ingested against the read-back model into a partitionBy(cid) layout whose probes prune at the storage layer (VectorIndex). Probing every centroid recovers exact brute-force top-10 — which the oracle hash-checks, pinning that the incremental index holds exactly the corpus; recall at production nprobe + dynamic partition pruning are pinned in VectorIndexSpec",

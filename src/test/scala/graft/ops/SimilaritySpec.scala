@@ -135,4 +135,61 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 5L)))
   }
+
+  test("PQ: subvector shape, tinyint codes in range, codebook artifact round-trip") {
+    val emb = graft.model.Tables.embeddings(spark, graft.TestSpark.sfDir)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val subs = Similarity.pqSubvecs(corpus, m = 8)
+    assert(subs.count() == corpus.count() * 8)
+    assert(subs.select(size(col("svec")).as("l")).distinct()
+      .collect().map(_.getInt(0)).toSeq == Seq(8)) // 64-dim / m=8
+    val cb = Similarity.trainPqCodebooks(corpus, m = 8, k = 16, iters = 2)
+    val codes = Similarity.pqEncode(corpus, cb, m = 8)
+    assert(codes.count() == corpus.count())
+    val flat = codes.select(explode(col("codes")).as("c"))
+    assert(flat.filter(col("c") < 0 || col("c") >= 16).count() == 0)
+    assert(codes.select(size(col("codes")).as("l")).distinct()
+      .collect().map(_.getInt(0)).toSeq == Seq(8))
+    // artifact round-trip: serving from the read-back codebook gives the
+    // identical ranking
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").resolve("cb").toString
+    Similarity.savePqCodebooks(cb, dir)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val inMem = Similarity.pqTopK(codes, cb, q, k = 10, m = 8)
+      .collect().map(_.getLong(0)).toSeq
+    val served = Similarity.pqTopK(codes,
+      Similarity.loadPqCodebooks(spark, dir), q, k = 10, m = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(served == inMem)
+  }
+
+  test("PQ: ADC shortlist + exact re-rank recovers brute-force top-10 (recall >= 0.8)") {
+    val emb = graft.model.Tables.embeddings(spark, graft.TestSpark.sfDir)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val exact = Similarity.cosineTopK(corpus, q, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    // m=32/k=16: measured ADC-only 0.5, shortlist-64 re-rank 1.0 on this
+    // structure-free corpus; thresholds leave margin for the float-merge
+    // nondeterminism of distributed centroid training
+    val cb = Similarity.trainPqCodebooks(corpus, m = 32, k = 16, iters = 3)
+    val codes = Similarity.pqEncode(corpus, cb, m = 32)
+    val adc = Similarity.pqTopK(codes, cb, q, k = 10, m = 32)
+      .collect().map(_.getLong(0)).toSet
+    assert((exact intersect adc).size / 10.0 >= 0.2,
+      s"ADC-only recall collapsed: $adc vs $exact")
+    val refined = Similarity.pqTopKRefined(corpus, codes, cb, q,
+      k = 10, m = 32, shortlist = 64)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect refined).size / 10.0
+    assert(recall >= 0.8, s"refined PQ recall@10 was $recall")
+  }
+
+  test("PQ guards: k > 128, m < 1, shortlist < k rejected") {
+    val emb = graft.model.Tables.embeddings(spark, graft.TestSpark.sfDir).limit(5)
+    intercept[IllegalArgumentException](Similarity.trainPqCodebooks(emb, m = 8, k = 129))
+    intercept[IllegalArgumentException](Similarity.pqSubvecs(emb, m = 0))
+    intercept[IllegalArgumentException](
+      Similarity.pqTopKRefined(emb, emb, emb, emb, k = 10, m = 8, shortlist = 5))
+  }
 }
