@@ -184,4 +184,47 @@ object Graph {
     }
     ranks
   }
+
+  /** Common-neighbor LINK PREDICTION over an undirected pair graph: every
+    * NON-adjacent node pair sharing ≥1 neighbor, scored by shared-neighbor
+    * count and neighborhood Jaccard |N(a)∩N(b)| / |N(a)∪N(b)| — the
+    * "these two docs/parts/users will probably connect next" ranking
+    * (recommendations, missing-edge repair in a near-dup graph).
+    *
+    * Plan: wedge enumeration through each shared neighbor (one
+    * self-join of the adjacency list on the center) + one hash agg +
+    * one anti-join against the existing edges. Work ∝ Σ_c deg(c)² —
+    * bounded on real graphs by `maxDegree`, which drops hub CENTERS
+    * from wedge formation (the dd9 prefix-frequency trade: work
+    * bounded, recall loss confined to pairs whose ONLY shared neighbors
+    * are hubs; `common` then undercounts, so capped Jaccard only ever
+    * UNDER-scores — full degrees stay in the denominator).
+    *
+    * Jaccard is one small-integer division (correctly-rounded IEEE,
+    * bit-portable — the t14 argument); everything else exact BIGINT. */
+  def linkCandidates(pairs: DataFrame, maxDegree: Long = Long.MaxValue): DataFrame = {
+    val e = pairs.select(
+      least(col("id1").cast("long"), col("id2").cast("long")).as("a"),
+      greatest(col("id1").cast("long"), col("id2").cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = e.select(col("a").as("id"), col("b").as("nb"))
+      .unionAll(e.select(col("b").as("id"), col("a").as("nb")))
+    val deg = adj.groupBy("id").agg(count(lit(1)).as("deg"))
+    val adjC =
+      if (maxDegree == Long.MaxValue) adj
+      else adj.join(deg.filter(col("deg") <= maxDegree).select(col("id").as("nb")),
+        Seq("nb"), "left_semi")
+    val cand = adjC.select(col("id").as("id1"), col("nb"))
+      .join(adjC.select(col("id").as("id2"), col("nb")), Seq("nb"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("common"))
+    cand
+      .join(e.select(col("a").as("id1"), col("b").as("id2")), Seq("id1", "id2"), "left_anti")
+      .join(deg.select(col("id").as("id1"), col("deg").as("d1")), Seq("id1"))
+      .join(deg.select(col("id").as("id2"), col("deg").as("d2")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("common"),
+        (col("common").cast("double") /
+          (col("d1") + col("d2") - col("common")).cast("double")).as("jaccard"))
+  }
 }

@@ -190,6 +190,44 @@ object ReportQueries {
       }
     },
 
+    sql("ep11_ewma_smoothing", {
+      "EP11: EWMA traffic smoothing — each hour's event count exponentially smoothed over its trailing 16 OBSERVED hours with α = 1/2 (finite-window renormalized form s = Σ wⱼ·xⱼ / Σ wⱼ, wⱼ = 2⁻ʲ). Every term is an integer scaled by a power of two, so numerator and denominator sums are EXACT in double regardless of order and the single final division is correctly rounded — a bit-portable EWMA with no fixed-point gymnastics; window runs over the hourly agg sliver like ep9"
+    }, {
+      val numSql = (0 until 16).map(j =>
+        s"COALESCE(CAST(LAG(cnt, $j) OVER w AS DOUBLE) * ${java.lang.Double.toString(math.pow(0.5, j))}, 0)")
+        .mkString(" + ")
+      val denSql = (0 until 16).map(j =>
+        s"CASE WHEN LAG(cnt, $j) OVER w IS NOT NULL THEN ${java.lang.Double.toString(math.pow(0.5, j))} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH h AS (SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1)
+         |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hr, cnt,
+         |  ($numSql) / ($denSql) AS ewma
+         | FROM h WINDOW w AS (ORDER BY h)
+         | ORDER BY hr""".stripMargin.replace("\n", "")
+    }) {
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window.orderBy("h")
+        val hours = graft.model.Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("cnt"))
+        // α = 1/2 exactly: each term cnt·2⁻ʲ is exact (scaling by a
+        // power of two), the 16-term sums stay exact (36 bits needed,
+        // 53 available), so engine summation order cannot matter — the
+        // whole expression is deterministic to the last bit
+        val num = (0 until 16).map(j =>
+          coalesce(lag(col("cnt"), j).over(W).cast("double") * lit(math.pow(0.5, j)),
+            lit(0.0))).reduce(_ + _)
+        val den = (0 until 16).map(j =>
+          when(lag(col("cnt"), j).over(W).isNotNull, lit(math.pow(0.5, j)))
+            .otherwise(lit(0.0))).reduce(_ + _)
+        hours.select(
+          date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+          col("cnt"), (num / den).as("ewma"))
+          .orderBy("hr")
+      }
+    },
+
     sql("ep10_attribution",
       "EP10: LAST-CLICK revenue attribution — each purchase's value credits the channel of that user's most recent click at or before it (asofBackward carrying the matched row's PAYLOAD, not just its timestamp); purchases with no prior click land in '(organic)'. Deterministic tie rule (struct-greatest payload among same-instant clicks) mirrored exactly by the oracle's window ordering — a bare ASOF JOIN's tie pick would be partition-order luck",
       s"""WITH p AS (SELECT user_id, event_id, value, date_trunc('second', ts) AS t

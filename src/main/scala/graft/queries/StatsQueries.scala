@@ -42,6 +42,37 @@ object StatsQueries {
       }
     },
 
+    sql("g3_link_prediction",
+      "G3: common-neighbor LINK PREDICTION over the co-order part graph — every non-adjacent part pair sharing >= 1 graph neighbor, scored by shared-neighbor count and neighborhood Jaccard (the 'likely next co-purchase' ranking). Wedge self-join through each shared neighbor + anti-join against existing edges; at hub-skewed scale the maxDegree cap bounds the wedge blowup (spec-pinned); Jaccard is one small-integer IEEE division, bit-portable",
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pp AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |adj AS (SELECT p1 AS id, p2 AS nb FROM pp UNION ALL SELECT p2, p1 FROM pp),
+        |deg AS (SELECT id, COUNT(*) AS deg FROM adj GROUP BY id),
+        |cand AS (SELECT x.id AS id1, y.id AS id2, COUNT(*) AS common
+        |  FROM adj x JOIN adj y ON x.nb = y.nb AND x.id < y.id GROUP BY 1, 2),
+        |fresh AS (SELECT c.id1, c.id2, c.common FROM cand c
+        |  LEFT JOIN pp ON c.id1 = pp.p1 AND c.id2 = pp.p2 WHERE pp.p1 IS NULL)
+        |SELECT id1, id2, common,
+        |  CAST(common AS DOUBLE) / CAST(d1.deg + d2.deg - common AS DOUBLE) AS jaccard
+        | FROM fresh JOIN deg d1 ON id1 = d1.id JOIN deg d2 ON id2 = d2.id
+        | ORDER BY id1, id2""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // same corpus-scale step as g2 (the co-order pair graph); the
+        // prediction runs on the edge sliver
+        val lp = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        val pairs = lp.join(lp.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+          .filter(col("pk") < col("pk2"))
+          .groupBy(col("pk").as("id1"), col("pk2").as("id2"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+        graft.ops.Graph.linkCandidates(pairs)
+          .orderBy("id1", "id2")
+      }
+    },
+
     sql("a19_unpivot_stats",
       "A19: UNPIVOT/stack — wide per-measure aggregates reshaped to long (measure, min, max, mean) rows",
       {

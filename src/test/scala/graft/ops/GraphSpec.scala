@@ -114,4 +114,33 @@ class GraphSpec extends AnyFunSuite {
       .distinct().collect().map(_.getLong(0)).toSet
     assert(ranked.collect().map(_.getLong(0)).toSet == ids)
   }
+
+  test("linkCandidates: path and square shapes score hand-checked Jaccards; adjacent pairs excluded") {
+    // path a-b-c: (a,c) share {b}; both endpoints have degree 1 → J = 1/(1+1-1) = 1
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val got = Graph.linkCandidates(path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set((1L, 3L, 1L, 1.0)))
+    // square a-b-c-d-a: diagonals share 2 neighbors, all degrees 2 → J = 2/(2+2-2) = 1;
+    // the four existing edges never appear
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("id1", "id2")
+    val got2 = Graph.linkCandidates(square)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got2 == Set((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)))
+    // K3: every pair adjacent → no candidates
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id1", "id2")
+    assert(Graph.linkCandidates(k3).count() == 0)
+  }
+
+  test("linkCandidates: maxDegree drops hub-centered wedges (bounded work, documented recall trade)") {
+    // star: 5 leaves through center 9 → 10 leaf-pair candidates, all via the hub
+    val star = (1L to 5L).map(i => (9L, i)).toDF("id1", "id2")
+    assert(Graph.linkCandidates(star).count() == 10)
+    assert(Graph.linkCandidates(star, maxDegree = 4).count() == 0)
+    // duplicate + reversed edges don't inflate common counts
+    val noisy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val got = Graph.linkCandidates(noisy)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 3L, 1L)))
+  }
 }
