@@ -156,6 +156,34 @@ object Dedup {
       .select(col("id1"), col("id2"), round(jac, 4).as("jaccard"))
   }
 
+  /** ASYMMETRIC containment: C(id → in_id) = |S(id) ∩ S(in_id)| / |S(id)|
+    * ≥ `minContainment` — the share of a doc's OWN shingles present in
+    * the other doc. Catches what symmetric Jaccard structurally misses:
+    * a short doc fully embedded in a long one (truncated reprint, quote
+    * inside an article, chat excerpt in a scrape) scores C ≈ 1 while its
+    * Jaccard ≈ |A|/|B| can be arbitrarily low. Directional — both
+    * orientations are emitted when both clear the bar.
+    *
+    * Same bucket-join shape as [[exactJaccardPairs]]; with `maxDf` the
+    * intersection runs over the CAPPED shingle set while |S(id)| stays
+    * uncapped, so a capped containment only ever UNDER-scores (the dd9
+    * discipline: bounded hot buckets, misses confined to docs whose
+    * overlap is all stop-shingles). */
+  def containmentPairs(sh: DataFrame, minContainment: Double,
+                       maxDf: Option[Long] = None): DataFrame = {
+    val capped = maxDf.map(capDocumentFrequency(sh, _)).getOrElse(sh)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_own"))
+    val inter = capped.as("a").join(capped.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id"), col("b.doc_id").as("in_id"))
+      .agg(count(lit(1)).as("i"))
+    val c = col("i") / col("n_own")
+    inter
+      .join(cnt.select(col("doc_id").as("id"), col("n_own")), "id")
+      .filter(c >= minContainment)
+      .select(col("id"), col("in_id"), round(c, 4).as("containment"))
+  }
+
   /** MinHash+LSH near-dup detection with exact verification: LSH candidates
     * → semi-join shingles down to candidate docs → exact Jaccard ≥ thr.
     * Recall with 16 bands × 4 rows: a pair at exactly J=0.8 is missed

@@ -221,6 +221,33 @@ object DedupQueries {
         thr = 0.8, maxDf = Some(Dedup.DefaultMaxDf))
     },
 
+    sql("dd13_containment",
+      "Dedup: ASYMMETRIC containment pairs — C(id→in_id) = |S(id)∩S(in_id)|/|S(id)| ≥ 0.9, the share of a doc's OWN 3-gram shingles found in the other doc; catches short-doc-embedded-in-long-doc reprints whose symmetric Jaccard is arbitrarily low. Directional: both orientations emitted when both clear the bar; production caps shingle document frequency (under-scores only)",
+      """WITH sh AS (
+        | SELECT doc_id, UNNEST(CASE WHEN len(string_split(text,' ')) >= 3
+        |   THEN list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+        |        i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))
+        |   ELSE [text] END) AS shingle FROM documents),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n_own FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id, b.doc_id AS in_id, COUNT(*) AS i
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id, in_id, ROUND(i * 1.0 / c.n_own, 4) AS containment
+        | FROM inter JOIN cnt c ON id = c.doc_id
+        | WHERE i * 1.0 / c.n_own >= 0.9
+        | ORDER BY id, in_id""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Dedup.containmentPairs(
+          Dedup.shingleDF(Tables.documents(s, d)), minContainment = 0.9)
+          .orderBy("id", "in_id")
+    }.withBench { (s, d) =>
+      // production: hashed shingles + df-cap — 8-byte join keys, hot
+      // buckets bounded; containment only ever under-scores vs exact
+      Dedup.containmentPairs(
+        Dedup.hashedShingleDF(Tables.documents(s, d)),
+        minContainment = 0.9, maxDf = Some(Dedup.DefaultMaxDf))
+    },
+
     sql("dd5_dedup_clusters",
       "Dedup: near-dup pairs resolved to clusters (connected components, min-id representative)",
       clusterOracle) {

@@ -318,4 +318,31 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == Set((0L, 3L, 0)))
   }
+
+  test("containmentPairs: an embedded prefix scores 1.0 toward its superstring, not back") {
+    import spark.implicits._
+    val long = "q w e r t y u i o p a s d f g h j k l z"
+    val short = "q w e r t y u i"  // prefix: every 3-gram of short ⊂ long
+    val planted = Seq((1L, long), (2L, short), (3L, "totally different words here now"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(Dedup.shingleDF(planted), minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((2L, 1L, 1.0)))  // direction matters: 1→2 is 6/18
+    // symmetric Jaccard misses it entirely at the same bar
+    assert(Dedup.exactJaccardPairs(Dedup.shingleDF(planted), 0.9).count() == 0)
+  }
+
+  test("containmentPairs: hashed+capped production plan finds every exact-plan pair on the corpus") {
+    val docs = graft.model.Tables.documents(spark, graft.TestSpark.sfDir)
+    val exact = Dedup.containmentPairs(Dedup.shingleDF(docs), 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prod = Dedup.containmentPairs(Dedup.hashedShingleDF(docs), 0.9,
+      maxDf = Some(Dedup.DefaultMaxDf))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap can only under-score; on this corpus (no shingle above the
+    // cap) the sets are identical — pinned so a silent cap regression
+    // (or a hash collision) shows up
+    assert(prod == exact)
+    assert(exact.nonEmpty)  // the planted near-dup families contain each other
+  }
 }
