@@ -141,6 +141,50 @@ object Multimodal {
       count(lit(1)).as("n_items"),
       sum(length(col("payload")).cast("long")).as("total_bytes"),
       round(avg(length(col("payload"))), 4).as("avg_bytes"))
+
+  /** Frame-level PCM ENERGY over WAV payloads — the first ACTUAL sample
+    * math in the multimodal family (mm2 stops at headers): skip the
+    * 44-byte canonical WAV header, read the body as little-endian signed
+    * 16-bit PCM, and emit Σ s² per `frameSamples`-sample frame (the
+    * silence-detection / loudness-segmentation primitive an audio
+    * featurizer runs before any model).
+    *
+    * Pure Catalyst, zero UDFs and ZERO SHUFFLES: the body is hex-dumped
+    * once per row, frames explode map-side carrying only their own hex
+    * slice, and each frame's energy is one `aggregate` lambda doing the
+    * hex→int16 two's-complement decode per sample. All-integer output —
+    * s² ≤ 2³⁰, so a frame of up to 2²³ samples fits a long. A trailing
+    * odd byte (no low/high pair) is dropped, matching the oracle's
+    * integer division. */
+  def audioFrameEnergy(media: DataFrame, frameSamples: Int = 32): DataFrame = {
+    require(frameSamples >= 1, s"frameSamples must be >= 1, got $frameSamples")
+    val body = col("payload").substr(lit(45), octet_length(col("payload")) - 44)
+    val prep = media
+      .filter(col("kind") === "audio" && octet_length(col("payload")) > 44)
+      .select(col("media_id"), hex(body).as("__hex"))
+      .withColumn("__nsamp", (length(col("__hex")) / 4).cast("int"))
+      .filter(col("__nsamp") > 0)
+    val frames = prep
+      .select(col("media_id"), col("__hex"), col("__nsamp"),
+        explode(sequence(lit(0),
+          ((col("__nsamp") + (frameSamples - 1)) / frameSamples).cast("int") - 1))
+          .as("frame"))
+      .withColumn("__ns",
+        least(lit(frameSamples), col("__nsamp") - col("frame") * frameSamples))
+      .withColumn("__fhex",
+        col("__hex").substr(col("frame") * (frameSamples * 4) + 1, col("__ns") * 4))
+    def sample(i: Column): Column = {
+      // little-endian: first byte is the low one; conv gives unsigned,
+      // the when() applies 16-bit two's complement
+      val v = conv(concat(col("__fhex").substr(i * 4 + 3, lit(2)),
+        col("__fhex").substr(i * 4 + 1, lit(2))), 16, 10).cast("long")
+      when(v >= 32768L, v - 65536L).otherwise(v)
+    }
+    frames.select(col("media_id"), col("frame"),
+      col("__ns").cast("long").as("n_samples"),
+      aggregate(sequence(lit(0), col("__ns") - 1),
+        lit(0L), (acc, i) => acc + sample(i) * sample(i)).as("energy"))
+  }
 }
 
 /** Minimal real-container codec: byte-exact PNG signature+IHDR, canonical

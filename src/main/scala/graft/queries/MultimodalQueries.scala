@@ -92,6 +92,34 @@ object MultimodalQueries {
           .select(col("media_id"),
             explode(col("frame_blocks")).as("frame_block"))
           .orderBy("media_id", "frame_block")
+    },
+
+    sql("mm5_audio_energy", {
+      "Multimodal: frame-level PCM ENERGY — the WAV payload body decoded as little-endian signed int16 samples (real sample math, past mm2's headers), sum-of-squares per 32-sample frame; the silence-detection/loudness primitive. Spark parses the CONTAINER BYTES (45+), the oracle independently rebuilds samples from the generative text — agreement requires the header skip, endianness, and two's complement all correct. Map-side only, zero shuffles, all-integer"
+    }, {
+      // the signed sample value, shared across the CASE arms
+      def x(fh: String) =
+        s"('0x' || substr($fh, i*4+3, 2) || substr($fh, i*4+1, 2))::BIGINT"
+      s"""WITH audio AS (SELECT doc_id AS media_id, hex(encode(text)) AS h
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |sized AS (SELECT media_id, h, CAST(length(h) // 4 AS INT) AS nsamp
+         |  FROM audio WHERE length(h) // 4 > 0),
+         |frames AS (SELECT media_id, h, nsamp,
+         |  CAST(UNNEST(range((nsamp + 31) // 32)) AS INT) AS frame FROM sized),
+         |f2 AS (SELECT media_id, frame, LEAST(32, nsamp - frame*32) AS ns,
+         |  substr(h, frame*128 + 1, LEAST(32, nsamp - frame*32)*4) AS fh FROM frames)
+         |SELECT media_id, frame, CAST(ns AS BIGINT) AS n_samples,
+         |  CAST(list_sum(list_transform(range(ns), i ->
+         |    CASE WHEN ${x("fh")} >= 32768
+         |     THEN (${x("fh")} - 65536) * (${x("fh")} - 65536)
+         |     ELSE ${x("fh")} * ${x("fh")} END)) AS BIGINT) AS energy
+         | FROM f2 ORDER BY media_id, frame""".stripMargin.replace("\n", "")
+    }) {
+      (s, d) =>
+        Multimodal.audioFrameEnergy(
+          Multimodal.mediaWithHeaders(Tables.documents(s, d)).toDF(),
+          frameSamples = 32)
+          .orderBy("media_id", "frame")
     }
   )
 }

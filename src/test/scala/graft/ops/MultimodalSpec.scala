@@ -108,4 +108,41 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(capped == got)
   }
+
+  test("audioFrameEnergy: hand-built PCM decodes LE int16 with two's complement; ragged tail frame") {
+    // samples 1, -1, 300 → bytes 01 00 / FF FF / 2C 01 (little-endian)
+    val body = Array[Byte](0x01, 0x00, 0xFF.toByte, 0xFF.toByte, 0x2C, 0x01)
+    val wav = MediaCodec.encodeWav(8000, 1, body)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", wav),
+      Multimodal.MediaRow(2L, "video", wav),                    // wrong kind: excluded
+      Multimodal.MediaRow(3L, "audio", wav.take(44))).toDS.toDF // headers only: excluded
+    val got = Multimodal.audioFrameEnergy(media, frameSamples = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, 0, 2L, 2L), (1L, 1, 1L, 90000L)))
+  }
+
+  test("audioFrameEnergy: trailing odd byte dropped; energy matches a JVM-side recompute on the corpus") {
+    val odd = MediaCodec.encodeWav(8000, 1, Array[Byte](0x01, 0x00, 0x7F))
+    val media = Seq(Multimodal.MediaRow(1L, "audio", odd)).toDS.toDF
+    val got = Multimodal.audioFrameEnergy(media).collect()
+    assert(got.length == 1 && got.head.getLong(2) == 1L && got.head.getLong(3) == 1L)
+
+    // independent JVM recompute over the real generated corpus
+    val docs = graft.model.Tables.documents(spark, graft.TestSpark.sfDir).limit(40)
+    val fromEngine = Multimodal
+      .audioFrameEnergy(Multimodal.mediaWithHeaders(docs).toDF(), frameSamples = 32)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(3)).toMap
+    val expected = docs.select("doc_id", "text").collect()
+      .filter(_.getLong(0) % 3 == 1)
+      .flatMap { r =>
+        val b = r.getString(1).getBytes("UTF-8")
+        val samples = b.grouped(2).filter(_.length == 2)
+          .map(p => ((p(1) << 8) | (p(0) & 0xFF)).toShort.toLong).toArray
+        samples.grouped(32).zipWithIndex.map { case (fr, i) =>
+          (r.getLong(0), i) -> fr.map(s => s * s).sum
+        }
+      }.toMap
+    assert(expected.nonEmpty && fromEngine == expected)
+  }
 }
