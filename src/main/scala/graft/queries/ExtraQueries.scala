@@ -1400,6 +1400,38 @@ object ExtraQueries {
         graft.ops.Merge.bloomPositionsFast(col("tok"), width, depth))
     },
 
+    sql("o15_poisson_bootstrap",
+      "O15: deterministic POISSON BOOTSTRAP — 32 resample replicates of the revenue total in ONE pass with NO RNG: each (row, replicate) draws a Poisson(1) multiplicity by inverse-CDF over a 28-bit md5 uniform against hard-coded integer thresholds (floor(CDF·2²⁸) — no float compare anywhere); the spread across replicates is the standard error a data-quality dashboard wants. Multiplicities are map-side; partial aggs combine before the 32-row shuffle; production swaps md5 for xxhash64",
+      s"""WITH reps AS (SELECT o_orderkey, o_totalprice, UNNEST(range(32)) AS replicate FROM orders),
+         |m AS (SELECT replicate, o_totalprice,
+         |  CASE WHEN u < 98751885 THEN 0 WHEN u < 197503771 THEN 1
+         |       WHEN u < 246879713 THEN 2 WHEN u < 263338361 THEN 3
+         |       WHEN u < 267453023 THEN 4 WHEN u < 268275955 THEN 5
+         |       WHEN u < 268413111 THEN 6 ELSE 7 END AS mult
+         |  FROM (SELECT *, ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '-' ||
+         |    CAST(replicate AS VARCHAR)), 1, 7))::BIGINT AS u FROM reps))
+         |SELECT CAST(replicate AS INT) AS replicate, CAST(SUM(mult) AS BIGINT) AS n_rows,
+         |  ${ssum("o_totalprice * mult")} AS total_revenue
+         | FROM m GROUP BY replicate ORDER BY replicate""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val thresholds = Seq(98751885L, 197503771L, 246879713L, 263338361L,
+          267453023L, 268275955L, 268413111L)
+        val reps = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            explode(sequence(lit(0), lit(31))).as("replicate"))
+        val u = conv(substring(md5(concat_ws("-",
+          col("o_orderkey").cast("string"), col("replicate").cast("string"))),
+          1, 7), 16, 10).cast("long")
+        val mult = thresholds.zipWithIndex
+          .foldRight(lit(7L)) { case ((t, i), els) => when(u < t, i.toLong).otherwise(els) }
+        reps.withColumn("mult", mult)
+          .groupBy(col("replicate").cast("int").as("replicate"))
+          .agg(sum(col("mult")).as("n_rows"),
+            Det.dsum(col("o_totalprice") * col("mult")).as("total_revenue"))
+          .orderBy("replicate")
+      }
+    },
+
     sql("o14_stratified_kfold",
       "O14: stratified K-FOLD assignment — round-robin over the md5-ordered docs WITHIN each stratum, so every (stratum, fold) cell is exactly balanced (sizes differ by <= 1) and the assignment is a pure function of the ids; the eval-set construction primitive. The per-stratum total order is the oracle form — at 100 TB the production variant assigns fold = xxhash64(id) % k map-side (statistical balance, no window)",
       """SELECT doc_id, lang,

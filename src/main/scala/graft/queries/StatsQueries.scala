@@ -73,6 +73,46 @@ object StatsQueries {
       }
     },
 
+    sql("a25_benford_audit",
+      "A25: BENFORD first-digit audit — leading digits of order totals vs the Benford expectation (hard-coded log10(1+1/d) ppm constants, summing to exactly 10⁶), per-digit chi-square contributions through the a23 fixed-IEEE shape. The fabricated-data / broken-generator detector; the first digit comes from integer-string slicing of FLOOR(x) — no log10, whose last-ulp behavior differs between engines. All 9 digits always present (zero-count digits included via the expectation side)",
+      """WITH digits AS (SELECT substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+        |  FROM orders WHERE o_totalprice >= 1),
+        |obs AS (SELECT digit, COUNT(*) AS obs FROM digits GROUP BY digit),
+        |expd AS (SELECT * FROM (VALUES ('1', 301030), ('2', 176091), ('3', 124939),
+        |  ('4', 96910), ('5', 79181), ('6', 66947), ('7', 57992), ('8', 51153),
+        |  ('9', 45757)) AS t(digit, ppm)),
+        |n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM obs)
+        |SELECT e.digit, CAST(COALESCE(o.obs, 0) AS BIGINT) AS obs,
+        |  CAST(n.n * e.ppm AS DOUBLE) / 1000000.0 AS exp_cnt,
+        |  (CAST(COALESCE(o.obs, 0) AS DOUBLE) - CAST(n.n * e.ppm AS DOUBLE) / 1000000.0)
+        |   * (CAST(COALESCE(o.obs, 0) AS DOUBLE) - CAST(n.n * e.ppm AS DOUBLE) / 1000000.0)
+        |   / (CAST(n.n * e.ppm AS DOUBLE) / 1000000.0) AS chi2
+        | FROM expd e LEFT JOIN obs o ON e.digit = o.digit CROSS JOIN n
+        | ORDER BY e.digit""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        import s.implicits._
+        // Benford ppm constants: round(log10(1+1/d)·10⁶), summing to 10⁶
+        val expDf = Seq("1" -> 301030L, "2" -> 176091L, "3" -> 124939L,
+          "4" -> 96910L, "5" -> 79181L, "6" -> 66947L, "7" -> 57992L,
+          "8" -> 51153L, "9" -> 45757L).toDF("digit", "ppm")
+        val obs = Tables.orders(s, d)
+          .filter(col("o_totalprice") >= 1)
+          // FLOOR then BIGINT: DuckDB ROUNDS on double→int casts while
+          // Spark truncates — floor first makes both exact and equal
+          .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1).as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("obs"))
+        val n = obs.agg(sum(col("obs")).cast("long").as("n"))
+        val expCnt = (col("n") * col("ppm")).cast("double") / lit(1000000.0)
+        val diff = col("obs2").cast("double") - expCnt
+        broadcast(expDf).join(obs, Seq("digit"), "left")
+          .withColumn("obs2", coalesce(col("obs"), lit(0L)))
+          .crossJoin(broadcast(n))
+          .select(col("digit"), col("obs2").as("obs"),
+            expCnt.as("exp_cnt"), (diff * diff / expCnt).as("chi2"))
+          .orderBy("digit")
+      }
+    },
+
     sql("a19_unpivot_stats",
       "A19: UNPIVOT/stack — wide per-measure aggregates reshaped to long (measure, min, max, mean) rows",
       {
