@@ -228,6 +228,39 @@ object ReportQueries {
       }
     },
 
+    sql("ep12_user_growth", {
+      "EP12: user-growth accounting — per day: distinct active users, NEW users (first-ever activity), cumulative users to date, and returning users. A running COUNT(DISTINCT) window is unsupported/unscalable in any engine; the first-seen contraction makes it trivial: min(day) per user (user-dim sized) → new-user counts → one cumulative sum over the DAY SLIVER. The DAU/growth dashboard primitive"
+    },
+      """WITH e AS (SELECT user_id, date_trunc('day', ts) AS day
+        |  FROM events WHERE user_id IS NOT NULL),
+        |act AS (SELECT day, COUNT(DISTINCT user_id) AS active_users FROM e GROUP BY day),
+        |fs AS (SELECT user_id, MIN(day) AS fday FROM e GROUP BY user_id),
+        |nu AS (SELECT fday AS day, COUNT(*) AS nu FROM fs GROUP BY fday)
+        |SELECT strftime(a.day, '%Y-%m-%d') AS day, a.active_users,
+        |  CAST(COALESCE(n.nu, 0) AS BIGINT) AS new_users,
+        |  CAST(SUM(COALESCE(n.nu, 0)) OVER (ORDER BY a.day) AS BIGINT) AS cum_users,
+        |  a.active_users - CAST(COALESCE(n.nu, 0) AS BIGINT) AS returning_users
+        | FROM act a LEFT JOIN nu n ON a.day = n.day
+        | ORDER BY day""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window.orderBy("day")
+        val e = graft.model.Tables.events(s, d)
+          .filter(col("user_id").isNotNull)
+          .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        val act = e.groupBy("day").agg(countDistinct(col("user_id")).as("active_users"))
+        val nu = e.groupBy("user_id").agg(min(col("day")).as("day"))
+          .groupBy("day").agg(count(lit(1)).as("nu"))
+        act.join(nu, Seq("day"), "left")
+          .withColumn("new_users", coalesce(col("nu"), lit(0L)))
+          .select(
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("active_users"), col("new_users"),
+            sum(col("new_users")).over(W).as("cum_users"),
+            (col("active_users") - col("new_users")).as("returning_users"))
+          .orderBy("day")
+      }
+    },
+
     sql("ep10_attribution",
       "EP10: LAST-CLICK revenue attribution — each purchase's value credits the channel of that user's most recent click at or before it (asofBackward carrying the matched row's PAYLOAD, not just its timestamp); purchases with no prior click land in '(organic)'. Deterministic tie rule (struct-greatest payload among same-instant clicks) mirrored exactly by the oracle's window ordering — a bare ASOF JOIN's tie pick would be partition-order luck",
       s"""WITH p AS (SELECT user_id, event_id, value, date_trunc('second', ts) AS t

@@ -511,6 +511,35 @@ object TextQueries {
     }.withBench { (s, d) =>
       TextOps.removeBoilerplate(Tables.documents(s, d), "doc_id", "text",
         segTokens = 8, minDocs = 2, hashedKeys = true)
+    },
+
+    sql("t17_salient_terms",
+      "Text: per-doc SALIENT TERM extraction (keyword tagging) — top-3 terms by an ALL-INTEGER tf·N/df relevance score (truncating division; same ranking as tf-idf's tf·(N/df) without log, whose last-ulp behavior t10 already pins but rankings shouldn't depend on); ties break lexicographically. tf/df/N are three hash aggs; the rank is one doc-keyed window",
+      """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (SELECT doc_id, term, (tf * n.n) // df AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |  ORDER BY score DESC, term) AS rank FROM scored)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, term, CAST(score AS BIGINT) AS score
+        | FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+        tf.join(dfT, "term").crossJoin(broadcast(n))
+          .withColumn("score", expr("tf * n div df"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("term"), col("score"))
+          .orderBy("doc_id", "rank")
+      }
     }
   )
 }

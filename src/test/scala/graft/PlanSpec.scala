@@ -329,8 +329,9 @@ class PlanSpec extends AnyFunSuite {
     // GROWS WITH THE CORPUS caps scalability at driver memory. Every
     // allowed site below broadcasts a frame bounded by a constant or a
     // dimension, never by corpus size:
-    //   ops/Similarity.scala (5)        query vector / query bucket (1 row),
-    //                                   centroid model (K rows), probed cids (nprobe)
+    //   ops/Similarity.scala (7)        query vector / query bucket (1 row),
+    //                                   centroid model (K rows), probed cids (nprobe),
+    //                                   PQ codebook + query LUT (m·k rows)
     //   ops/VectorIndex.scala (1)       probed cids (nprobe)
     //   ops/Decontam.scala (3)          eval-set shingles ×2 (eval ≪ train),
     //                                   contaminated-id sliver
@@ -346,15 +347,17 @@ class PlanSpec extends AnyFunSuite {
     //                                   d7's per-group median/MAD stat
     //                                   frames ×2 oracle + ×2 bench (≤3
     //                                   rows — group-keyed p2 discipline)
-    //   queries/StatsQueries.scala (4)  1-row thresholds/bounds/global stats
+    //   queries/StatsQueries.scala (6)  1-row thresholds/bounds/global stats,
+    //                                   a25's 9-row Benford expectation + 1-row n
     //   queries/SimilarityQueries.scala (3) query vectors (1 row)
-    //   queries/TextQueries.scala (5)   vocab-capped df/freq tables, 1-row totals
+    //   queries/TextQueries.scala (6)   vocab-capped df/freq tables, 1-row totals
+    //                                   (incl. t17's 1-row doc count)
     //   queries/LlmPipelineQueries.scala (1) llm4 eval-driven contaminated-id
     //                                   sliver (eval-sized — sanctioned, unlike
     //                                   llm1's removed corpus-fraction hint)
     // A new hint (or a removed one) fails this test until re-justified here.
     val allowed = Map(
-      "ops/Similarity.scala" -> 5,
+      "ops/Similarity.scala" -> 7,
       "ops/VectorIndex.scala" -> 1,
       "ops/Decontam.scala" -> 3,
       "ops/Dedup.scala" -> 2,
@@ -364,9 +367,9 @@ class PlanSpec extends AnyFunSuite {
       "streaming/EventStreams.scala" -> 1,
       "queries/JoinQueries.scala" -> 3,
       "queries/ExtraQueries.scala" -> 8,
-      "queries/StatsQueries.scala" -> 4,
+      "queries/StatsQueries.scala" -> 6,
       "queries/SimilarityQueries.scala" -> 3,
-      "queries/TextQueries.scala" -> 5,
+      "queries/TextQueries.scala" -> 6,
       "queries/LlmPipelineQueries.scala" -> 1)
     val found = mainSourceLines
       .filter { case (_, line) => line.contains("broadcast(") }
