@@ -173,6 +173,24 @@ object TextOps {
         i => array_min(slice(hashes, i + lit(1), lit(w))))))
       .otherwise(array(array_min(hashes)))
 
+  /** URL canonicalization — the crawl-frontier/dedup normalizer: one
+    * canonical form per logical resource so recrawls, tracking-tagged
+    * shares, and scheme/case/port variants collapse to one key. Policy
+    * (deliberately simple, documented): scheme → https, host lowercased,
+    * default ports (:80/:443) stripped, query string and fragment DROPPED
+    * entirely (the aggressive crawl-dedup setting — keep-significant-
+    * params needs a per-site rule table this operator doesn't pretend to
+    * have), trailing slashes trimmed. Pure regexp chain, map-side,
+    * idempotent (pinned in TextOpsSpec); patterns shared verbatim with
+    * the DuckDB oracle. */
+  def canonicalizeUrl(url: Column): Column = {
+    val host = lower(regexp_replace(
+      regexp_extract(url, "^[a-zA-Z]+://([^/?#]+)", 1), ":(80|443)$", ""))
+    val path = regexp_replace(
+      regexp_extract(url, "^[a-zA-Z]+://[^/?#]+([^?#]*)", 1), "/+$", "")
+    concat(lit("https://"), host, path)
+  }
+
   // ── Boilerplate segment removal (CCNet/RefinedWeb line dedup) ──────────
 
   /** Fixed-width token segments per doc: (idCol, pos, seg) where `seg` is

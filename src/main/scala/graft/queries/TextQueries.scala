@@ -540,6 +540,42 @@ object TextQueries {
           .select(col("doc_id"), col("rank"), col("term"), col("score"))
           .orderBy("doc_id", "rank")
       }
+    },
+
+    sql("t18_url_dedup",
+      "Text: URL CANONICALIZATION dedup — the crawl-frontier normalizer: messy deterministic URL variants (scheme/host case, :443 ports, utm/ref query tags, fragments, trailing slashes — synthesized per doc_id since the corpus carries no real URLs) collapse to one canonical form per logical resource; canonical groups count their members and keep the min-id survivor. One regexp chain map-side + one hash agg; the same canonicalizer both engines, so even the messy-variant construction is cross-checked",
+      """WITH urls AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END) || '.Example.COM' ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+        |  '/doc/' || CAST(doc_id % 50 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_campaign=x'
+        |        WHEN doc_id % 4 = 1 THEN '?ref=tw' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END) AS url FROM documents),
+        |canon AS (SELECT doc_id,
+        |  'https://' || lower(regexp_replace(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1), ':(80|443)$', '')) ||
+        |  regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1), '/+$', '') AS canonical_url
+        | FROM urls)
+        |SELECT canonical_url, COUNT(*) AS n_docs, MIN(doc_id) AS survivor_id
+        | FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val urls = Tables.documents(s, d).select(col("doc_id"), concat(
+          when(col("doc_id") % 2 === 0, lit("HTTP")).otherwise(lit("https")), lit("://"),
+          when(col("doc_id") % 2 === 0, upper(col("source"))).otherwise(col("source")),
+          lit(".Example.COM"),
+          when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+          lit("/doc/"), (col("doc_id") % 50).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit("?utm_source=feed&utm_campaign=x"))
+            .when(col("doc_id") % 4 === 1, lit("?ref=tw")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit("#sec2")).otherwise(lit(""))).as("url"))
+        urls
+          .select(col("doc_id"), TextOps.canonicalizeUrl(col("url")).as("canonical_url"))
+          .groupBy("canonical_url")
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("survivor_id"))
+          .orderBy("canonical_url")
+      }
     }
   )
 }

@@ -128,6 +128,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(canon(hashed = true) == canon(hashed = false))
   }
 
+  test("canonicalizeUrl: scheme/case/port/query/fragment/slash variants collapse; idempotent") {
+    val cases = Seq(
+      "HTTP://WWW.Example.COM/A/b"            -> "https://www.example.com/A/b",
+      "https://example.com:443/x/"            -> "https://example.com/x",
+      "http://example.com:80/x?utm_source=a"  -> "https://example.com/x",
+      "https://example.com/x#frag"            -> "https://example.com/x",
+      "https://example.com/x///"              -> "https://example.com/x",
+      "https://example.com:8080/x"            -> "https://example.com:8080/x", // non-default port kept
+      "https://example.com"                   -> "https://example.com")
+    val got = cases.map(_._1).toDF("url")
+      .select(TextOps.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2))
+    // idempotence: canonical(canonical(u)) == canonical(u)
+    val twice = cases.map(_._1).toDF("url")
+      .select(TextOps.canonicalizeUrl(TextOps.canonicalizeUrl(col("url"))).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(twice == got)
+  }
+
   test("removeBoilerplate guards: minDocs < 2 and segTokens < 1 rejected") {
     val docs = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](
