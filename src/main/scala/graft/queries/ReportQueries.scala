@@ -51,6 +51,44 @@ object ReportQueries {
           .orderBy("stage_idx")
     },
 
+    sql("ep13_funnel_latency",
+      "EP13: funnel CONVERSION-LATENCY distribution — per funnel transition (view→click, click→purchase), the distribution of seconds between a user's qualifying stage timestamps (from the same min-ts contractions as ep4, so ordering semantics stay in one place): count, min/max, exact p50/p90. Latencies are exact integer seconds (truncate-then-diff on both engines); percentiles interpolate like a18. The 'where does the funnel stall' follow-up to ep4's reach counts",
+      """WITH v AS (SELECT user_id, MIN(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t1 FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY 1),
+        |lat AS (
+        |  SELECT 'view_to_click' AS transition, date_diff('second', v.t0, c.t1) AS s
+        |   FROM c JOIN v USING (user_id)
+        |  UNION ALL
+        |  SELECT 'click_to_purchase', date_diff('second', c.t1, p.t2)
+        |   FROM p JOIN c USING (user_id))
+        |SELECT transition, COUNT(*) AS n_users, CAST(MIN(s) AS BIGINT) AS min_s,
+        |  ROUND(quantile_cont(s, 0.5), 4) AS p50_s,
+        |  ROUND(quantile_cont(s, 0.9), 4) AS p90_s,
+        |  CAST(MAX(s) AS BIGINT) AS max_s
+        | FROM lat GROUP BY transition ORDER BY transition""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val times = graft.ops.Funnel.funnelTimes(graft.model.Tables.events(s, d),
+          Seq("view", "click", "purchase"))
+        def leg(name: String, from: String, to: String) = times
+          .filter(col(to).isNotNull)
+          .select(lit(name).as("transition"),
+            (unix_timestamp(col(to)) - unix_timestamp(col(from))).as("s"))
+        leg("view_to_click", "t0", "t1")
+          .unionByName(leg("click_to_purchase", "t1", "t2"))
+          .groupBy("transition")
+          .agg(count(lit(1)).as("n_users"),
+            min(col("s")).as("min_s"),
+            round(expr("percentile(s, 0.5)"), 4).as("p50_s"),
+            round(expr("percentile(s, 0.9)"), 4).as("p90_s"),
+            max(col("s")).as("max_s"))
+          .orderBy("transition")
+      }
+    },
+
     sql("ep5_cohort_retention",
       "EP5: weekly cohort retention — users bucketed by ISO-Monday week of first activity, distinct active users per (cohort, week offset); user-dim intermediates, exact integer week arithmetic",
       """WITH f AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cw
