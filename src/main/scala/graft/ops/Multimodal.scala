@@ -180,10 +180,12 @@ object Multimodal {
         col("__fhex").substr(i * 4 + 1, lit(2))), 16, 10).cast("long")
       when(v >= 32768L, v - 65536L).otherwise(v)
     }
+    // decode each sample ONCE via the inner transform, then square in the
+    // fold — `acc + sample(i)·sample(i)` would run the hex decode twice
     frames.select(col("media_id"), col("frame"),
       col("__ns").cast("long").as("n_samples"),
-      aggregate(sequence(lit(0), col("__ns") - 1),
-        lit(0L), (acc, i) => acc + sample(i) * sample(i)).as("energy"))
+      aggregate(transform(sequence(lit(0), col("__ns") - 1), i => sample(i)),
+        lit(0L), (acc, v) => acc + v * v).as("energy"))
   }
 }
 

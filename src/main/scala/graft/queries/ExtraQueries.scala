@@ -1430,6 +1430,21 @@ object ExtraQueries {
             Det.dsum(col("o_totalprice") * col("mult")).as("total_revenue"))
           .orderBy("replicate")
       }
+    }.withBench { (s, d) =>
+      // production draw: one xxhash64 per (row, replicate) instead of an
+      // md5 hex parse — same 28-bit uniform, same threshold ladder
+      val thresholds = Seq(98751885L, 197503771L, 246879713L, 263338361L,
+        267453023L, 268275955L, 268413111L)
+      val reps = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          explode(sequence(lit(0), lit(31))).as("replicate"))
+      val u = pmod(xxhash64(col("o_orderkey"), col("replicate")), lit(1L << 28))
+      val mult = thresholds.zipWithIndex
+        .foldRight(lit(7L)) { case ((t, i), els) => when(u < t, i.toLong).otherwise(els) }
+      reps.withColumn("mult", mult)
+        .groupBy(col("replicate").cast("int").as("replicate"))
+        .agg(sum(col("mult")).as("n_rows"),
+          Det.dsum(col("o_totalprice") * col("mult")).as("total_revenue"))
     },
 
     sql("o14_stratified_kfold",
