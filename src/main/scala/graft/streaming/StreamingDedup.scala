@@ -151,4 +151,29 @@ object StreamingDedup {
     if (dir.isDirectory) spark.read.parquet(dir.toString)
     else spark.emptyDataFrame
   }
+
+  /** Shingle-df snapshot GC: keep the newest `keepLast` `shingle_df/`
+    * epochs, delete the rest (corpus/index/pairs are append-only DATA —
+    * they never get GC'd here; only the vocab-sized per-epoch df
+    * snapshots are redundant history). Same safety argument as
+    * [[StreamingStats.retain]]: the serving pointer is the MAX epoch,
+    * old deletions never move it, crash mid-GC only leaves orphans for
+    * the next sweep. Returns the dropped epoch ids. */
+  def retain(spark: SparkSession, cfg: Config, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val latest = latestEpoch(cfg)
+    require(latest >= 0, s"state at ${cfg.stateDir} not initialized")
+    val cutoff = latest - keepLast + 1
+    val base = new org.apache.hadoop.fs.Path(s"${cfg.stateDir}/shingle_df")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dropped = scala.collection.mutable.SortedSet.empty[Long]
+    if (fs.exists(base)) fs.listStatus(base).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("epoch=") && name.stripPrefix("epoch=").toLong < cutoff) {
+        dropped += name.stripPrefix("epoch=").toLong
+        fs.delete(st.getPath, true)
+      }
+    }
+    dropped.toSeq
+  }
 }

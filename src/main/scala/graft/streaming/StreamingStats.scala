@@ -227,4 +227,35 @@ object StreamingStats {
     * columns and the configured `freqCol`. */
   def estimateCounts(spark: SparkSession, cfg: Config, probes: DataFrame): DataFrame =
     Merge.cmsEstimate(state(spark, cfg, "cms"), probes, cfg.keys, cmsPos(cfg))
+
+  /** Epoch-snapshot GC: keep the newest `keepLast` epochs per family,
+    * delete the rest. Snapshots are state-sized but one lands per family
+    * per micro-batch — a month of minutely batches is ~43k dirs per
+    * family without retention. Safe by construction: [[latestEpoch]]
+    * reads the MAX stats epoch, so deleting OLD epochs never moves the
+    * serving pointer; only epochs strictly below `latest − keepLast + 1`
+    * go; a crash mid-GC leaves older orphans the next retain sweeps;
+    * `_applied/` replay markers guard batch ids, not epochs, and are
+    * untouched. Returns the dropped epoch ids. Hadoop FS API, so
+    * local/HDFS/S3A share the code (the compactParquet discipline). */
+  def retain(spark: SparkSession, cfg: Config, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val latest = latestEpoch(cfg)
+    require(latest >= 0, s"state at ${cfg.stateDir} not initialized")
+    val cutoff = latest - keepLast + 1
+    val dropped = scala.collection.mutable.SortedSet.empty[Long]
+    val conf = spark.sparkContext.hadoopConfiguration
+    families(cfg).foreach { family =>
+      val base = new org.apache.hadoop.fs.Path(s"${cfg.stateDir}/$family")
+      val fs = base.getFileSystem(conf)
+      if (fs.exists(base)) fs.listStatus(base).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("epoch=") && name.stripPrefix("epoch=").toLong < cutoff) {
+          dropped += name.stripPrefix("epoch=").toLong
+          fs.delete(st.getPath, true)
+        }
+      }
+    }
+    dropped.toSeq
+  }
 }

@@ -202,4 +202,31 @@ class StreamDedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(corpus == Set(1L, 2L, 100L, 101L, 103L, 104L), s"corpus: $corpus")
   }
+
+  test("retain GCs old shingle-df snapshots; serving, data dirs, and further folds intact") {
+    import spark.implicits._
+    val cfg = StreamingDedup.Config(
+      Files.createTempDirectory("graft-sd-retain").toString + "/state")
+    StreamingDedup.init(spark, cfg, Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text"))
+    StreamingDedup.processBatch(spark, cfg,
+      Seq((2L, "k l m n o p q r s t")).toDF("doc_id", "text"))
+    StreamingDedup.processBatch(spark, cfg,
+      Seq((3L, "u v w x y z a1 b1 c1 d1")).toDF("doc_id", "text"))
+    val dfBefore = spark.read
+      .parquet(s"${cfg.stateDir}/shingle_df/epoch=${StreamingDedup.latestEpoch(cfg)}")
+      .collect().map(_.toSeq).toSet
+    assert(StreamingDedup.retain(spark, cfg, keepLast = 1) == Seq(0L, 1L))
+    assert(StreamingDedup.latestEpoch(cfg) == 2L)
+    val names = Option(new java.io.File(s"${cfg.stateDir}/shingle_df").listFiles())
+      .toSeq.flatten.map(_.getName).filter(_.startsWith("epoch=")).toSet
+    assert(names == Set("epoch=2"))
+    assert(spark.read.parquet(s"${cfg.stateDir}/shingle_df/epoch=2")
+      .collect().map(_.toSeq).toSet == dfBefore)
+    // append-only data dirs untouched; the sink still folds after GC
+    assert(spark.read.parquet(s"${cfg.stateDir}/corpus").count() == 3)
+    StreamingDedup.processBatch(spark, cfg,
+      Seq((4L, "e1 f1 g1 h1 i1 j1 k1 l1 m1 n1")).toDF("doc_id", "text"))
+    assert(StreamingDedup.latestEpoch(cfg) == 3L)
+    intercept[IllegalArgumentException](StreamingDedup.retain(spark, cfg, 0))
+  }
 }

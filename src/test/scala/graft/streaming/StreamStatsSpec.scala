@@ -261,6 +261,28 @@ class StreamStatsSpec extends AnyFunSuite {
     assert(StreamingStats.latestEpoch(c) == after1._1 + 1)
   }
 
+  test("retain keeps the newest epochs for every family; serving and further folds unaffected") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ss-retain").toString
+    val c = cfg(s"$root/state")
+    StreamingStats.init(spark, c, li.filter(col("l_orderkey") % 3 === 0))
+    StreamingStats.processBatch(spark, c, li.filter(col("l_orderkey") % 3 === 1))
+    StreamingStats.processBatch(spark, c, li.filter(col("l_orderkey") % 3 === 2))
+    val before = stateSnapshot(c)
+    assert(StreamingStats.retain(spark, c, keepLast = 1) == Seq(0L, 1L))
+    assert(StreamingStats.latestEpoch(c) == 2L)
+    assert(stateSnapshot(c) == before) // the serving snapshot never moved
+    StreamingStats.families(c).foreach { f =>
+      val names = Option(new java.io.File(s"$root/state/$f").listFiles())
+        .toSeq.flatten.map(_.getName).filter(_.startsWith("epoch=")).toSet
+      assert(names == Set("epoch=2"), s"family $f kept: $names")
+    }
+    // the sink keeps folding after GC (empty batch is trivially row-disjoint)
+    StreamingStats.processBatch(spark, c, li.filter(lit(false)))
+    assert(StreamingStats.latestEpoch(c) == 3L)
+    assert(stateSnapshot(c) == before)
+    intercept[IllegalArgumentException](StreamingStats.retain(spark, c, 0))
+  }
+
   test("init refuses double-init; processBatch refuses uninitialized state") {
     val root = java.nio.file.Files.createTempDirectory("graft-stream-stats3").toString
     val c = cfg(s"$root/state")
