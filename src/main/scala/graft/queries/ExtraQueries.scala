@@ -1400,6 +1400,35 @@ object ExtraQueries {
         graft.ops.Merge.bloomPositionsFast(col("tok"), width, depth))
     },
 
+    sql("u23_sliding_distinct",
+      "U23: SLIDING-WINDOW distinct counts from per-day states — trailing-7-day distinct users per day computed by COMPOSING the U11 per-day distinct states (each day-state contributes to its next 7 targets via a 7-way offset explode, set-union absorbs overlap) instead of rescanning 7 days of events per day; work ∝ state rows × window, the nightly-DAU/WAU pattern over persisted slices",
+      """WITH e AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |days AS (SELECT DISTINCT day FROM e)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS users_7d
+        | FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+        | GROUP BY d.day ORDER BY day""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val e = graft.model.Tables.events(s, d)
+          .filter(col("user_id").isNotNull)
+          .select(date_trunc("day", col("ts")).cast("date").as("day"), col("user_id"))
+        // per-day U11 states (at scale: yesterday's persisted snapshots)
+        val st = graft.ops.Merge.partialDistinctState(e, Seq("day"), "user_id")
+        val days = e.select("day").distinct()
+        val contrib = st
+          .select(col("day"), col("v"), explode(sequence(lit(0), lit(6))).as("off"))
+          .select(date_add(col("day"), col("off")).as("day"), col("v"))
+        graft.ops.Merge.finalizeDistinct(
+            graft.ops.Merge.mergeDistinctStates(Seq(contrib))
+              .join(days, Seq("day"), "left_semi"),
+            Seq("day"))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("distinct_cnt").as("users_7d"))
+          .orderBy("day")
+      }
+    },
+
     sql("o15_poisson_bootstrap",
       "O15: deterministic POISSON BOOTSTRAP — 32 resample replicates of the revenue total in ONE pass with NO RNG: each (row, replicate) draws a Poisson(1) multiplicity by inverse-CDF over a 28-bit md5 uniform against hard-coded integer thresholds (floor(CDF·2²⁸) — no float compare anywhere); the spread across replicates is the standard error a data-quality dashboard wants. Multiplicities are map-side; partial aggs combine before the 32-row shuffle; production swaps md5 for xxhash64",
       s"""WITH reps AS (SELECT o_orderkey, o_totalprice, UNNEST(range(32)) AS replicate FROM orders),

@@ -51,6 +51,42 @@ object ReportQueries {
           .orderBy("stage_idx")
     },
 
+    sql("ep14_periodicity", {
+      "EP14: traffic PERIODICITY signal — cosine similarity between the hourly-count series and its lag-1 / lag-24 shifts (over OBSERVED hours, the ep9 discipline): a lag-24 ratio near the lag-1 ratio says the load is daily-seasonal. Numerator and both norms are EXACT BIGINT sums of count products; doubles only in the final fixed sqrt/division shape (the ep9/a23 bit-portability argument)"
+    },
+      """WITH h AS (SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT cnt, LAG(cnt, 1) OVER (ORDER BY h) AS c1,
+        |             LAG(cnt, 24) OVER (ORDER BY h) AS c24 FROM h),
+        |r1 AS (SELECT CAST(1 AS INT) AS lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(cnt * c1) AS DOUBLE) /
+        |   (sqrt(CAST(SUM(cnt * cnt) AS DOUBLE)) * sqrt(CAST(SUM(c1 * c1) AS DOUBLE))) AS r
+        |  FROM l WHERE c1 IS NOT NULL),
+        |r24 AS (SELECT CAST(24 AS INT) AS lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(cnt * c24) AS DOUBLE) /
+        |   (sqrt(CAST(SUM(cnt * cnt) AS DOUBLE)) * sqrt(CAST(SUM(c24 * c24) AS DOUBLE))) AS r
+        |  FROM l WHERE c24 IS NOT NULL)
+        |SELECT * FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r24)
+        | ORDER BY lag""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window.orderBy("h")
+        val hourly = graft.model.Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("c1", lag(col("cnt"), 1).over(W))
+          .withColumn("c24", lag(col("cnt"), 24).over(W))
+        def ratio(k: Int, ck: String) = hourly.filter(col(ck).isNotNull)
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("cnt") * col(ck)).as("num"),
+            sum(col("cnt") * col("cnt")).as("d1"),
+            sum(col(ck) * col(ck)).as("d2"))
+          .select(lit(k).as("lag"), col("n_pairs"),
+            (col("num").cast("double") /
+              (sqrt(col("d1").cast("double")) * sqrt(col("d2").cast("double")))).as("r"))
+        ratio(1, "c1").unionByName(ratio(24, "c24")).orderBy("lag")
+      }
+    },
+
     sql("ep13_funnel_latency",
       "EP13: funnel CONVERSION-LATENCY distribution — per funnel transition (view→click, click→purchase), the distribution of seconds between a user's qualifying stage timestamps (from the same min-ts contractions as ep4, so ordering semantics stay in one place): count, min/max, exact p50/p90. Latencies are exact integer seconds (truncate-then-diff on both engines); percentiles interpolate like a18. The 'where does the funnel stall' follow-up to ep4's reach counts",
       """WITH v AS (SELECT user_id, MIN(ts) AS t0 FROM events
