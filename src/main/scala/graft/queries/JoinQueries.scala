@@ -347,6 +347,65 @@ object JoinQueries {
             count(lit(1)).as("total_lines"),
             dsum(revenue).as("total_revenue"))
           .orderBy("p_brand")
+    },
+
+    sql("j15_shipping_priority",
+      "J1+: TPC-H Q3-shaped SHIPPING PRIORITY — 3-way customer⋈orders⋈lineitem with a segment filter and date predicates on both fact sides, top-10 open orders by pending revenue; the classic fact⋈fact shuffle + dim-filter plan AQE must get right (customer-side filter reduces the build early, lineitem shuffles on orderkey once)",
+      s"""SELECT l_orderkey, ${ssum(revenueSql)} AS revenue,
+         | strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+         | FROM customer
+         |  JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         | WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+         | GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         | ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp")),
+            col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, d)
+            .filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            col("o_orderpriority"))
+          .agg(dsum(revenue).as("revenue"))
+          .select(col("l_orderkey"), col("revenue"), col("orderdate"), col("o_orderpriority"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+    },
+
+    sql("j16_region_volume",
+      "J1+: TPC-H Q5-shaped LOCAL SUPPLIER VOLUME — 6-way region⋈nation⋈supplier⋈customer⋈orders⋈lineitem where supplier and customer share a nation; per-nation revenue within one region and year. The widest join in the registry: three dims broadcast, the two facts shuffle once each, the s_nationkey = c_nationkey constraint rides the join condition instead of a post-filter",
+      s"""SELECT n_name, ${ssum(revenueSql)} AS revenue
+         | FROM region
+         |  JOIN nation ON n_regionkey = r_regionkey
+         |  JOIN supplier ON s_nationkey = n_nationkey
+         |  JOIN customer ON c_nationkey = s_nationkey
+         |  JOIN orders ON o_custkey = c_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+         | WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         | GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.region(s, d).filter(col("r_name") === "ASIA")
+          .join(Tables.nation(s, d), col("n_regionkey") === col("r_regionkey"))
+          .join(Tables.supplier(s, d), col("s_nationkey") === col("n_nationkey"))
+          .join(Tables.customer(s, d), col("c_nationkey") === col("s_nationkey"))
+          .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.lineitem(s, d),
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("n_name"))
+          .agg(dsum(revenue).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
     }
   )
 }
