@@ -36,6 +36,16 @@ class PlanSpec extends AnyFunSuite {
     assert(star.contains("BroadcastHashJoin")) // nation/region at least
   }
 
+  test("6-way j16 plan: every join has an equi-condition (no cartesian), dims broadcast") {
+    val p = plan(specs("j16_region_volume").run(spark, TestSpark.sfDir))
+    // the same-nation constraint rides the join condition — a missing key
+    // would surface as CartesianProduct / BroadcastNestedLoopJoin here
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("BroadcastHashJoin")) // region/nation/supplier side
+    val q3 = plan(specs("j15_shipping_priority").run(spark, TestSpark.sfDir))
+    assert(!q3.contains("CartesianProduct") && !q3.contains("BroadcastNestedLoop"), q3)
+  }
+
   test("semi/anti joins plan as LeftSemi/LeftAnti, not inner+distinct") {
     assert(plan(specs("j3_semi_join").run(spark, TestSpark.sfDir)).contains("LeftSemi"))
     assert(plan(specs("j4_anti_join").run(spark, TestSpark.sfDir)).contains("LeftAnti"))
