@@ -99,7 +99,21 @@ object Funnel {
     * deterministic under the (ts, event_id) total order. */
   def sessionize(events: DataFrame, gapMicros: Long,
                  userCol: String = "user_id", tsCol: String = "ts",
-                 idCol: String = "event_id"): DataFrame = {
+                 idCol: String = "event_id"): DataFrame =
+    assignSessions(events, gapMicros, userCol, tsCol, idCol)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        (max("__t") - min("__t")).as("duration_us"))
+
+  /** Per-EVENT session assignment: the input rows plus `session_seq` (the
+    * user's 1-based session ordinal) and `__t` (event-time micros). The
+    * row-level primitive under [[sessionize]]; path/sequence analyses that
+    * need the events themselves (not just session summaries) build on this.
+    * Same determinism contract: (ts, id) total order per user, >gap ⇒ new
+    * session. One user-keyed window, no per-user buffering. */
+  def assignSessions(events: DataFrame, gapMicros: Long,
+                     userCol: String = "user_id", tsCol: String = "ts",
+                     idCol: String = "event_id"): DataFrame = {
     require(gapMicros > 0, s"gapMicros must be positive, got $gapMicros")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(userCol).orderBy(tsCol, idCol)
@@ -113,8 +127,6 @@ object Funnel {
       .withColumn("__brk",
         when(prev.isNull || t - prev > gapMicros, 1L).otherwise(0L))
       .withColumn("session_seq", sum("__brk").over(wRun))
-      .groupBy(col(userCol), col("session_seq"))
-      .agg(count(lit(1)).as("n_events"),
-        (max("__t") - min("__t")).as("duration_us"))
+      .drop("__brk")
   }
 }

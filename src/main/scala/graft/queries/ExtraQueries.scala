@@ -1492,6 +1492,41 @@ object ExtraQueries {
     }.withBench { (s, d) =>
       Tables.documents(s, d).select(col("doc_id"), col("lang"))
         .withColumn("fold", pmod(xxhash64(col("doc_id")), lit(5)).cast("int"))
+    },
+
+    sql("o16_class_balanced_downsample",
+      "O16: class-balanced downsample — every language capped at the MINORITY class count, members drawn by md5-priority (a pure function of the ids: reruns, retries, and the DuckDB oracle all draw the same rows); the classifier-training rebalance primitive. The cap is a 1-row agg joined in (AQE broadcasts it); the per-class total order is the oracle form — at 100 TB production keeps rank < cap via a per-class xxhash64 THRESHOLD estimated from class counts, no global window",
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |m AS (SELECT MIN(n) AS cap FROM c),
+        |r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents)
+        |SELECT doc_id, lang FROM r, m WHERE rk <= cap ORDER BY lang, doc_id"""
+        .stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        val cap = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+          .agg(min("n").as("cap"))
+        val W = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        docs.withColumn("rk", row_number().over(W))
+          .crossJoin(cap) // 1 row — AQE broadcasts
+          .filter(col("rk") <= col("cap"))
+          .select("doc_id", "lang")
+          .orderBy("lang", "doc_id")
+      }
+    }.withBench { (s, d) =>
+      // production: no per-class window — rank-by-hash replaced by a hash
+      // THRESHOLD per class (cap/n of the 2^64 space), map-side after one
+      // count agg; statistically balanced, same determinism
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val capped = counts.crossJoin(counts.agg(min("n").as("cap")))
+        .select(col("lang"),
+          (col("cap").cast("double") / col("n")).as("keep_frac"))
+      docs.join(capped, "lang")
+        .filter(pmod(xxhash64(col("doc_id")), lit(1L << 28)).cast("double")
+          < col("keep_frac") * (1L << 28).toDouble)
+        .select("doc_id", "lang")
     }
   )
 }

@@ -368,6 +368,99 @@ object ReportQueries {
             graft.ops.Det.dsum(col("value")).as("revenue"))
           .orderBy("channel")
       }
+    },
+
+    sql("ep16_top_paths",
+      "EP16: top session-opening paths — the 20 most common first-3-event-type sequences across gap-sessionized sessions (>=3 events), ep7's session assignment reused row-level; the UX-flow / bot-pattern mining primitive. Path strings are built per session from the rank-ordered struct sort (array_sort(collect_list(struct(rn,type)))), the path agg runs on the session sliver, and the top-20 is a TakeOrderedAndProject — no corpus-wide sort",
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events),
+        |g AS (SELECT user_id, event_id, event_type, t,
+        |  CASE WHEN LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+        |         OR t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 1800000000
+        |       THEN 1 ELSE 0 END AS brk FROM e),
+        |s AS (SELECT user_id, event_type, t, event_id,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM g),
+        |r AS (SELECT user_id, sid, event_type,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id, sid ORDER BY t, event_id) AS rn FROM s),
+        |p AS (SELECT user_id, sid, string_agg(event_type, '>' ORDER BY rn) AS path,
+        |  COUNT(*) AS n3 FROM r WHERE rn <= 3 GROUP BY 1, 2)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        | FROM p WHERE n3 = 3 GROUP BY path
+        | ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val sess = graft.ops.Funnel.assignSessions(
+          graft.model.Tables.events(s, d), gapMicros = 1800L * 1000000L)
+        val w = W.partitionBy("user_id", "session_seq")
+          .orderBy(col("__t"), col("event_id"))
+        sess.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .groupBy("user_id", "session_seq")
+          .agg(count(lit(1)).as("n3"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("rn"), col("event_type")))),
+              x => x("event_type")), ">").as("path"))
+          .filter(col("n3") === 3)
+          .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_sessions").desc, col("path"))
+          .limit(20)
+      }
+    },
+
+    sql("ep15_km_survival",
+      "EP15: Kaplan-Meier user-retention curve — per-user lifetime in days (first to last event), right-censored for users still active in the archive's final 7 days; daily survival S(t) as the running product of (1 - d_t/n_t), realized as exp(sum(ln)) on both engines over identical correctly-rounded per-day factors (IEEE div is exact-rounded; ln+round(4) is the t10/t12-proven portable shape). The churn/content-lifetime estimator; all work on the per-user sliver then a day-sliver window",
+      """WITH span AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1),
+        |mx AS (SELECT max(ts) AS tmax FROM events),
+        |life AS (SELECT user_id, date_diff('day', t0, t1) AS days,
+        |  CASE WHEN t1 >= tmax - INTERVAL 7 DAY THEN 0 ELSE 1 END AS observed
+        |  FROM span, mx),
+        |agg AS (SELECT days, CAST(SUM(observed) AS BIGINT) AS d,
+        |  CAST(COUNT(*) AS BIGINT) AS ending FROM life GROUP BY 1),
+        |r AS (SELECT days, d, ending,
+        |  CAST(SUM(ending) OVER (ORDER BY days DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+        |  FROM agg),
+        |k AS (SELECT days, d, n_risk,
+        |  SUM(CASE WHEN d > 0 AND d < n_risk
+        |      THEN ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) ELSE 0.0 END)
+        |    OVER (ORDER BY days ROWS UNBOUNDED PRECEDING) AS lnS,
+        |  MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+        |    OVER (ORDER BY days ROWS UNBOUNDED PRECEDING) AS hit0 FROM r)
+        |SELECT days, d AS n_events, n_risk,
+        |  CASE WHEN hit0 = 1 THEN 0.0 ELSE ROUND(EXP(lnS), 4) END AS survival
+        | FROM k ORDER BY days""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val ev = graft.model.Tables.events(s, d).filter(col("user_id").isNotNull)
+        val span = ev.groupBy("user_id")
+          .agg(min("ts").as("t0"), max("ts").as("t1"))
+        val mx = ev.agg(max("ts").as("tmax")) // 1 row — AQE broadcasts
+        val life = span.crossJoin(mx).select(
+          datediff(to_date(col("t1")), to_date(col("t0"))).cast("long").as("days"),
+          when(col("t1") >= col("tmax") - expr("INTERVAL 7 DAY"), 0L)
+            .otherwise(1L).as("observed"))
+        val agg = life.groupBy("days")
+          .agg(sum("observed").as("d"), count(lit(1)).as("ending"))
+        // n_risk(t) = users with lifetime >= t: reverse running sum on the
+        // day sliver (<= archive-span rows even at 100 TB)
+        val wRev = W.orderBy(col("days").desc)
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        val wFwd = W.orderBy(col("days"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        agg.withColumn("n_risk", sum("ending").over(wRev))
+          .withColumn("lnS", sum(
+            when(col("d") > 0 && col("d") < col("n_risk"),
+              log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")))
+              .otherwise(lit(0.0))).over(wFwd))
+          // d == n_risk ⇒ the curve hits exactly 0 and stays there; kept out
+          // of the log-sum (Spark log(0)=null vs DuckDB -inf would diverge)
+          .withColumn("hit0", max(
+            when(col("d") >= col("n_risk"), 1).otherwise(0)).over(wFwd))
+          .select(col("days"), col("d").as("n_events"), col("n_risk"),
+            when(col("hit0") === 1, lit(0.0))
+              .otherwise(round(exp(col("lnS")), 4)).as("survival"))
+          .orderBy("days")
+      }
     }
   )
 }

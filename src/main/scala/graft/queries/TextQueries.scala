@@ -576,6 +576,31 @@ object TextQueries {
           .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("survivor_id"))
           .orderBy("canonical_url")
       }
+    },
+
+    sql("t19_lexical_diversity",
+      "Text: per-language lexical-diversity audit — type-token ratio and hapax-legomenon share in integer ppm (truncating div, a22 discipline), over per-(lang,token) counts. Low TTR / low hapax flags templated or machine-generated feeds before they dilute a training mix; one token-keyed partial+final agg then a lang-sliver rollup — no distinct-expansion (the per-token counts ARE the distinct set)",
+      """WITH tok AS (SELECT lang, UNNEST(string_split(text, ' ')) AS token FROM documents),
+        |pt AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2)
+        |SELECT lang, CAST(SUM(n) AS BIGINT) AS total_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_tokens,
+        |  CAST(COUNT(*) * 1000000 // SUM(n) AS BIGINT) AS ttr_ppm,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 // SUM(n) AS BIGINT) AS hapax_ppm
+        | FROM pt GROUP BY lang ORDER BY lang""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+          .groupBy("lang").agg(
+            sum("n").as("total_tokens"),
+            count(lit(1)).as("distinct_tokens"),
+            sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax_tokens"))
+          .select(col("lang"), col("total_tokens"), col("distinct_tokens"),
+            col("hapax_tokens"),
+            expr("distinct_tokens * 1000000L div total_tokens").as("ttr_ppm"),
+            expr("hapax_tokens * 1000000L div total_tokens").as("hapax_ppm"))
+          .orderBy("lang")
     }
   )
 }

@@ -68,6 +68,23 @@ class FunnelSpec extends AnyFunSuite {
     ))
   }
 
+  test("assignSessions: row-level ordinals — boundary gap stays, >gap breaks, ties by event_id") {
+    val log = Seq(
+      // u1: 0 → +600s (== gap, same session) → +601s after that (breaks)
+      (1L, 10L, ts(0)), (1L, 11L, ts(10)),
+      (1L, 12L, Timestamp.valueOf("2024-01-01 10:20:01")),
+      // u2: same-timestamp pair — event_id decides the order, one session
+      (2L, 20L, ts(5)), (2L, 21L, ts(5))
+    ).toDF("user_id", "event_id", "ts")
+    val got = Funnel.assignSessions(log, gapMicros = 600L * 1000000L)
+      .collect().map(r => r.getLong(1) -> r.getAs[Long]("session_seq")).toMap
+    assert(got == Map(10L -> 1L, 11L -> 1L, 12L -> 2L, 20L -> 1L, 21L -> 1L))
+    // summary view == groupBy of the row-level assignment (same contract)
+    val viaRows = Funnel.assignSessions(log, gapMicros = 600L * 1000000L)
+      .groupBy("user_id", "session_seq").count().count()
+    assert(Funnel.sessionize(log, gapMicros = 600L * 1000000L).count() == viaRows)
+  }
+
   test("guards and empty input") {
     intercept[IllegalArgumentException](Funnel.funnelTimes(log, Seq()))
     intercept[IllegalArgumentException](Funnel.funnelTimes(log, Seq("a", "a")))
