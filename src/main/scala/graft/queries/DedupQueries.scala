@@ -573,6 +573,31 @@ object DedupQueries {
         .groupBy("source_a", "source_b")
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("pre")).as("n_prefixes"))
+    },
+
+    sql("dd14_dup_downweight_sample",
+      "Dedup: duplicate-DOWNWEIGHT sampling — instead of hard dedup, each member of an exact-dup cluster survives with probability 1/cluster_size via a deterministic hash draw (md5 28-bit int mod size == 0), so every cluster contributes ~1 expected copy and the corpus distribution keeps its natural shape without the 40x-repeated boilerplate dominating; the soft-dedup alternative when repetition carries signal. One text-keyed window for sizes + a map-side filter — pure function of the ids, rerun/oracle-stable; production keys the window on xxhash64(text) so the shuffle moves 8 bytes, not documents",
+      """WITH c AS (SELECT doc_id, lang, COUNT(*) OVER (PARTITION BY text) AS sz
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(sz AS BIGINT) AS cluster_size FROM c
+        | WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % sz = 0
+        | ORDER BY doc_id""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window.partitionBy("text")
+        Tables.documents(s, d)
+          .withColumn("sz", count(lit(1)).over(W))
+          .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+            .cast("long") % col("sz") === 0)
+          .select(col("doc_id"), col("lang"), col("sz").as("cluster_size"))
+          .orderBy("doc_id")
+      }
+    }.withBench { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window.partitionBy("th")
+      Tables.documents(s, d)
+        .withColumn("th", xxhash64(col("text")))
+        .withColumn("sz", count(lit(1)).over(W))
+        .filter(pmod(xxhash64(col("doc_id")), col("sz")) === 0)
+        .select(col("doc_id"), col("lang"), col("sz").as("cluster_size"))
     }
   )
 }

@@ -1527,6 +1527,66 @@ object ExtraQueries {
         .filter(pmod(xxhash64(col("doc_id")), lit(1L << 28)).cast("double")
           < col("keep_frac") * (1L << 28).toDouble)
         .select("doc_id", "lang")
+    },
+
+    sql("d9_feature_cross_hash",
+      "D9: hashing-trick feature cross — (returnflag × linestatus × ship-month) crossed into 64 hashed buckets (md5 28-bit int mod 64, the oracle-portable stand-in for the production xxhash64), with per-bucket collision audit (distinct raw crosses landing in the bucket) and exact-decimal price mass; the bounded-cardinality categorical encoder for wide crosses — map-side hash, one 64-key agg, no vocabulary build or broadcast dictionary",
+      s"""WITH x AS (SELECT l_returnflag || '|' || l_linestatus || '|'
+        |    || CAST(month(l_shipdate) AS VARCHAR) AS k, l_extendedprice FROM lineitem)
+        |SELECT CAST(('0x' || substr(md5(k), 1, 7))::BIGINT % 64 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT k) AS BIGINT) AS n_crosses,
+        |  ${graft.ops.Det.Sql.dsum("l_extendedprice")} AS price_mass
+        | FROM x GROUP BY 1 ORDER BY bucket""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select(concat_ws("|", col("l_returnflag"), col("l_linestatus"),
+            month(col("l_shipdate")).cast("string")).as("k"),
+            col("l_extendedprice"))
+          .groupBy((conv(substring(md5(col("k")), 1, 7), 16, 10)
+            .cast("long") % 64).as("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct("k").as("n_crosses"),
+            graft.ops.Det.dsum(col("l_extendedprice")).as("price_mass"))
+          .orderBy("bucket")
+    }.withBench { (s, d) =>
+      // production: xxhash64 (codegen'd, no hex-string detour), same shape
+      Tables.lineitem(s, d)
+        .select(concat_ws("|", col("l_returnflag"), col("l_linestatus"),
+          month(col("l_shipdate")).cast("string")).as("k"),
+          col("l_extendedprice"))
+        .groupBy(pmod(xxhash64(col("k")), lit(64)).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          approx_count_distinct("k").as("n_crosses"),
+          sum("l_extendedprice").as("price_mass"))
+    },
+
+    sql("u24_decayed_counts",
+      "U24: time-decayed event counts — per-type activity mass with half-life 1 day over a 30-day horizon, as-of the archive's last day. Weights are exact powers of two over integer ages (1/(1<<age)), so every term and every partial sum is EXACT in double (47 bits used, 53 available) — order-independent, hence trivially mergeable: slice states are per-(type, day) integer counts (the U9 substrate), merge is integer addition, the decayed readout is this same fold. The freshness-weighted popularity signal for mixture/temperature decisions",
+      """WITH mx AS (SELECT CAST(max(ts) AS DATE) AS d1 FROM events),
+        |dc AS (SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ag AS (SELECT event_type, date_diff('day', day, d1) AS age, n FROM dc, mx
+        |  WHERE date_diff('day', day, d1) <= 30)
+        |SELECT event_type,
+        |  SUM(CAST(n AS DOUBLE) / CAST(1::BIGINT << age AS DOUBLE)) AS decayed_count,
+        |  CAST(SUM(n) AS BIGINT) AS raw_count
+        | FROM ag GROUP BY event_type ORDER BY event_type""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val ev = graft.model.Tables.events(s, d)
+        val mx = ev.agg(max(to_date(col("ts"))).as("d1")) // 1 row — AQE broadcasts
+        ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .crossJoin(mx)
+          .withColumn("age", datediff(col("d1"), col("day")))
+          .filter(col("age") <= 30)
+          .groupBy("event_type")
+          .agg(sum(col("n").cast("double") /
+            expr("cast(shiftleft(1L, cast(age as int)) as double)"))
+            .as("decayed_count"),
+            sum("n").as("raw_count"))
+          .orderBy("event_type")
+      }
     }
   )
 }

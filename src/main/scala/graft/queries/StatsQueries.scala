@@ -489,6 +489,38 @@ object StatsQueries {
               .otherwise(0L).as("is_ks"))
           .orderBy("bin")
       }
+    },
+
+    sql("a26_mutual_information",
+      "A26: categorical dependence audit — per-cell pointwise mutual information and MI contribution over (returnflag × linestatus), from one contingency-table agg plus margin windows on the CELL SLIVER (≤ |A|·|B| rows at any scale). All counts exact BIGINT; pmi = ln of ONE correctly-rounded division of exact integer products (n·N and n_r·n_c stay ≤ ~1e12, no overflow), the t10/t12-proven portable shape; the redundant-feature / leaky-label detector",
+      """WITH c AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+        |  CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT rf, ls, n,
+        |  CAST(SUM(n) OVER (PARTITION BY rf) AS BIGINT) AS n_r,
+        |  CAST(SUM(n) OVER (PARTITION BY ls) AS BIGINT) AS n_c,
+        |  CAST(SUM(n) OVER () AS BIGINT) AS tot FROM c)
+        |SELECT rf, ls, n,
+        |  ROUND(ln(CAST(n * tot AS DOUBLE) / CAST(n_r * n_c AS DOUBLE)), 4) AS pmi,
+        |  ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+        |    * ln(CAST(n * tot AS DOUBLE) / CAST(n_r * n_c AS DOUBLE)), 6) AS mi_part
+        | FROM m ORDER BY rf, ls""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val cells = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+          .agg(count(lit(1)).as("n"))
+        val m = cells
+          .withColumn("n_r", sum("n").over(W.partitionBy("rf")))
+          .withColumn("n_c", sum("n").over(W.partitionBy("ls")))
+          .withColumn("tot", sum("n").over(W.partitionBy()))
+        val ratio = (col("n") * col("tot")).cast("double") /
+          (col("n_r") * col("n_c")).cast("double")
+        m.select(col("rf"), col("ls"), col("n"),
+            round(log(ratio), 4).as("pmi"),
+            round(col("n").cast("double") / col("tot").cast("double")
+              * log(ratio), 6).as("mi_part"))
+          .orderBy("rf", "ls")
+      }
     }
   )
 }
