@@ -1587,6 +1587,34 @@ object ExtraQueries {
             sum("n").as("raw_count"))
           .orderBy("event_type")
       }
+    },
+
+    sql("o17_purged_temporal_split",
+      "O17: PURGED temporal train/test split — train is everything up to 16 days before the archive end, test the final 14 days, and the 2-day EMBARGO between them is dropped outright, so overlapping-horizon features (rolling windows, decayed counts) can't leak test-period information into training rows — the purged/embargoed split from financial ML (de Prado), the difference between honest and inflated backtests. Pure timestamp predicates against one 1-row max (map-side after AQE broadcasts it); output is the per-split audit sliver",
+      """WITH mx AS (SELECT max(ts) AS t1 FROM events),
+        |lab AS (SELECT event_type,
+        |  CASE WHEN ts > t1 - INTERVAL 14 DAY THEN 'test'
+        |       WHEN ts <= t1 - INTERVAL 16 DAY THEN 'train'
+        |       ELSE 'embargo' END AS split, ts FROM events, mx)
+        |SELECT split, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  strftime(min(ts), '%Y-%m-%d') AS first_day,
+        |  strftime(max(ts), '%Y-%m-%d') AS last_day
+        | FROM lab GROUP BY 1, 2 ORDER BY split, event_type"""
+        .stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val ev = graft.model.Tables.events(s, d)
+        val mx = ev.agg(max("ts").as("t1")) // 1 row — AQE broadcasts
+        ev.crossJoin(mx)
+          .withColumn("split",
+            when(col("ts") > col("t1") - expr("INTERVAL 14 DAY"), "test")
+              .when(col("ts") <= col("t1") - expr("INTERVAL 16 DAY"), "train")
+              .otherwise("embargo"))
+          .groupBy("split", "event_type")
+          .agg(count(lit(1)).as("n"),
+            date_format(min("ts"), "yyyy-MM-dd").as("first_day"),
+            date_format(max("ts"), "yyyy-MM-dd").as("last_day"))
+          .orderBy("split", "event_type")
+      }
     }
   )
 }

@@ -491,6 +491,50 @@ object StatsQueries {
       }
     },
 
+    sql("g4_clustering_coefficient",
+      "G4: local clustering coefficient — per-node triangle density 2·tri/(deg·(deg−1)) in integer ppm over the g2 co-order part graph (the community-tightness signal that separates genuine item clusters from hub artifacts). Triangle counts come from the SAME degree-ordered enumeration as g2 (wedges bounded m^1.5), per-node rollup + degree join run on the edge/node slivers; coefficients are exact truncating-div ppm, no floats anywhere",
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pp AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |tri AS (SELECT e1.p1 AS ta, e1.p2 AS tb, e2.p2 AS tc
+        | FROM pp e1 JOIN pp e2 ON e1.p2 = e2.p1
+        |  JOIN pp e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+        |tn AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM
+        |  (SELECT ta AS id FROM tri UNION ALL SELECT tb FROM tri UNION ALL SELECT tc FROM tri)
+        |  GROUP BY 1),
+        |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM
+        |  (SELECT p1 AS id FROM pp UNION ALL SELECT p2 FROM pp) GROUP BY 1)
+        |SELECT deg.id AS id, deg, COALESCE(n_tri, 0) AS n_tri,
+        |  CASE WHEN deg >= 2 THEN COALESCE(n_tri, 0) * 2000000 // (deg * (deg - 1))
+        |       ELSE 0 END AS coeff_ppm
+        | FROM deg LEFT JOIN tn ON deg.id = tn.id ORDER BY deg.id""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val lp = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        val pairs = lp.join(lp.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+          .filter(col("pk") < col("pk2"))
+          .groupBy(col("pk").as("id1"), col("pk2").as("id2"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+        val tri = graft.ops.Graph.triangles(pairs)
+        val tn = tri.select(col("ta").as("id"))
+          .unionAll(tri.select(col("tb").as("id")))
+          .unionAll(tri.select(col("tc").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("n_tri"))
+        val deg = pairs.select(col("id1").as("id"))
+          .unionAll(pairs.select(col("id2").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("deg"))
+        deg.join(tn, Seq("id"), "left")
+          .select(col("id"), col("deg"),
+            coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+            when(col("deg") >= 2,
+              expr("coalesce(n_tri, 0L) * 2000000L div (deg * (deg - 1))"))
+              .otherwise(0L).as("coeff_ppm"))
+          .orderBy("id")
+      }
+    },
+
     sql("a26_mutual_information",
       "A26: categorical dependence audit — per-cell pointwise mutual information and MI contribution over (returnflag × linestatus), from one contingency-table agg plus margin windows on the CELL SLIVER (≤ |A|·|B| rows at any scale). All counts exact BIGINT; pmi = ln of ONE correctly-rounded division of exact integer products (n·N and n_r·n_c stay ≤ ~1e12, no overflow), the t10/t12-proven portable shape; the redundant-feature / leaky-label detector",
       """WITH c AS (SELECT l_returnflag AS rf, l_linestatus AS ls,

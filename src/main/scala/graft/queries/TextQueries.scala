@@ -601,6 +601,52 @@ object TextQueries {
             expr("distinct_tokens * 1000000L div total_tokens").as("ttr_ppm"),
             expr("hapax_tokens * 1000000L div total_tokens").as("hapax_ppm"))
           .orderBy("lang")
+    },
+
+    sql("t20_bigram_collocations",
+      "Text: bigram COLLOCATION mining — adjacent token pairs scored by PMI against the unigram model (the multi-word-expression / template-phrase detector feeding tokenizer-merge and boilerplate decisions). Bigrams via sliced-array zip (map-side, no self-join); counts are exact BIGINTs; pmi is an IDENTICAL left-assoc chain of IEEE ops on both engines (each step correctly rounded ⇒ bit-equal), support >= 20, ranked by round-4 pmi with lexical tiebreak; corpus-scale work is one token and one bigram agg",
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT UNNEST(t) AS w FROM toks),
+        |un AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM uni GROUP BY 1),
+        |tu AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM un),
+        |bi AS (SELECT UNNEST(t[1:len(t)-1]) AS w1, UNNEST(t[2:len(t)]) AS w2 FROM toks),
+        |bn AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_xy FROM bi GROUP BY 1, 2),
+        |tb AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS totb FROM bn),
+        |s AS (SELECT w1, w2, n_xy,
+        |  ln(CAST(n_xy AS DOUBLE) * CAST(tot AS DOUBLE) / CAST(totb AS DOUBLE)
+        |     / CAST(a.n AS DOUBLE) * CAST(tot AS DOUBLE) / CAST(b.n AS DOUBLE)) AS pmi
+        |  FROM bn CROSS JOIN tu CROSS JOIN tb
+        |  JOIN un a ON bn.w1 = a.w JOIN un b ON bn.w2 = b.w
+        |  WHERE n_xy >= 20)
+        |SELECT w1, w2, n_xy, ROUND(pmi, 4) AS pmi
+        | FROM s ORDER BY ROUND(pmi, 4) DESC, w1, w2 LIMIT 30"""
+        .stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(TextOps.tokens(col("text")).as("t"))
+        val un = toks.select(explode(col("t")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n"))
+        val tu = un.agg(sum("n").as("tot")) // 1 row — AQE broadcasts
+        val bn = toks
+          .select(explode(arrays_zip(
+            slice(col("t"), lit(1), size(col("t")) - 1),
+            slice(col("t"), lit(2), size(col("t")) - 1))).as("p"))
+          .select(col("p.0").as("w1"), col("p.1").as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+          .filter(col("n_xy") >= 20)
+        val tb = toks
+          .select((size(col("t")) - 1).cast("long").as("nb"))
+          .agg(sum("nb").as("totb"))
+        val pmi = log(col("n_xy").cast("double") * col("tot").cast("double")
+          / col("totb").cast("double") / col("n_w1").cast("double")
+          * col("tot").cast("double") / col("n_w2").cast("double"))
+        bn.crossJoin(tu).crossJoin(tb)
+          .join(un.select(col("w").as("w1"), col("n").as("n_w1")), "w1")
+          .join(un.select(col("w").as("w2"), col("n").as("n_w2")), "w2")
+          .select(col("w1"), col("w2"), col("n_xy"), round(pmi, 4).as("pmi"))
+          .orderBy(col("pmi").desc, col("w1"), col("w2"))
+          .limit(30)
+      }
     }
   )
 }

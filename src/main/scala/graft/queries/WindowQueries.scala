@@ -233,6 +233,33 @@ object WindowQueries {
             max(col("len")).as("longest_streak"))
           .orderBy("user_id")
       }
+    },
+
+    sql("w11_rolling_median",
+      "W11: rolling MEDIAN of daily revenue (trailing 7 rows) — the outlier-robust smoother a mean-based trend line can't give you (one bad ingest day drags a mean for a week, a median shrugs). Spark has no percentile window, so the frame's values ride a collect_list → array_sort and the median is indexed out — frame size is a CONSTANT 7, so the per-row array is O(1) and the whole thing stays one window pass over the day sliver; both engines index the same sorted list and average the two middles with one identical IEEE divide, so exact-decimal revenue doubles hash-match with no rounding",
+      """WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |  ${DSUM} AS rev FROM lineitem GROUP BY 1),
+        |w AS (SELECT day, rev, list_sort(list(rev) OVER
+        |    (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr FROM d)
+        |SELECT strftime(day, '%Y-%m-%d') AS day_s, rev,
+        |  (arr[(len(arr) + 1) // 2] + arr[len(arr) // 2 + 1]) / 2.0 AS med7
+        | FROM w ORDER BY day_s"""
+        .stripMargin.replace("\n", "")
+        .replace("${DSUM}", graft.ops.Det.Sql.dsum("l_extendedprice"))) {
+      (s, d) => {
+        val W = Window.orderBy("day").rowsBetween(-6, 0)
+        val daily = Tables.lineitem(s, d)
+          .groupBy(to_date(col("l_shipdate")).as("day"))
+          .agg(graft.ops.Det.dsum(col("l_extendedprice")).as("rev"))
+        daily
+          .withColumn("arr", sort_array(collect_list(col("rev")).over(W)))
+          .withColumn("n", size(col("arr")))
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day_s"), col("rev"),
+            ((element_at(col("arr"), ((col("n") + 1) / 2).cast("int"))
+              + element_at(col("arr"), (col("n") / 2 + 1).cast("int"))) / 2.0)
+              .as("med7"))
+          .orderBy("day_s")
+      }
     }
   )
 }
