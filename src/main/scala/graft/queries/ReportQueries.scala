@@ -461,6 +461,45 @@ object ReportQueries {
               .otherwise(round(exp(col("lnS")), 4)).as("survival"))
           .orderBy("days")
       }
+    },
+
+    sql("ep17_cusum_changepoint",
+      "EP17: CUSUM changepoint detection on hourly traffic — the sequential drift detector that catches a sustained level shift long before a per-point z-score (ep9) fires. The recursive S_t = max(0, S_{t-1} + dev_t) unrolls to the PREFIX-MIN identity S_t = P_t − min_{j≤t} P_j (P = running devsum), so the whole statistic is two running windows — no iteration, no state. Deviations are scaled by the hour count (cnt·H − total), keeping EVERYTHING exact BIGINT; alarms at 5 mean-hours of accumulated excess (> 5·total, still integer). Runs on the hourly agg sliver",
+      """WITH h AS (SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT h, cnt, CAST(COUNT(*) OVER () AS BIGINT) AS nh,
+        |  CAST(SUM(cnt) OVER () AS BIGINT) AS tot FROM h),
+        |p AS (SELECT h, cnt, tot, CAST(SUM(cnt * nh - tot)
+        |    OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pf FROM t),
+        |s AS (SELECT h, cnt, tot, pf,
+        |  CAST(MIN(pf) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pmin,
+        |  CAST(MAX(pf) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pmax FROM p)
+        |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hr, cnt,
+        |  CAST(pf - pmin AS BIGINT) AS s_pos, CAST(pmax - pf AS BIGINT) AS s_neg,
+        |  pf - pmin > 5 * tot AS alarm_up, pmax - pf > 5 * tot AS alarm_down
+        | FROM s ORDER BY hr""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val wAll = W.partitionBy()
+        val wRun = W.orderBy("h").rowsBetween(W.unboundedPreceding, W.currentRow)
+        val hours = graft.model.Tables.events(s, d)
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("cnt"))
+        // cnt·H − total ≤ ~1e5·1e4 per hour ⇒ prefix sums bounded by
+        // 1e9·H ~ 1e13, far inside BIGINT even at 1000× the fixture
+        hours
+          .withColumn("nh", count(lit(1)).over(wAll))
+          .withColumn("tot", sum("cnt").over(wAll))
+          .withColumn("pf", sum(col("cnt") * col("nh") - col("tot")).over(wRun))
+          .withColumn("pmin", min("pf").over(wRun))
+          .withColumn("pmax", max("pf").over(wRun))
+          .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+            col("cnt"), (col("pf") - col("pmin")).as("s_pos"),
+            (col("pmax") - col("pf")).as("s_neg"),
+            (col("pf") - col("pmin") > lit(5L) * col("tot")).as("alarm_up"),
+            (col("pmax") - col("pf") > lit(5L) * col("tot")).as("alarm_down"))
+          .orderBy("hr")
+      }
     }
   )
 }

@@ -535,6 +535,95 @@ object StatsQueries {
       }
     },
 
+    sql("a27_theil_sen",
+      "A27: Theil–Sen robust trend — the median of all pairwise day-to-day revenue slopes over one year of the daily sliver (the estimator a single crazy day can't drag, unlike OLS; breakdown point 29%). Pairwise slopes are identical one-step IEEE divisions of exact-decimal revenue doubles over integer day gaps; the median is indexed out of the row_number order (never a quantile estimate), two middles averaged by one exact halving. The pair self-join runs on the YEAR-bounded day sliver (~66k pairs) — never the fact table",
+      """WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day, ${DSUM} AS rev
+        |  FROM lineitem WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+        |  GROUP BY 1),
+        |p AS (SELECT (b.rev - a.rev) / CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS slope
+        |  FROM d a JOIN d b ON a.day < b.day),
+        |r AS (SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+        |  COUNT(*) OVER () AS n FROM p)
+        |SELECT CAST(max(n) AS BIGINT) AS n_pairs,
+        |  SUM(CASE WHEN rn = (n + 1) // 2 THEN slope ELSE 0 END) / 2.0
+        |  + SUM(CASE WHEN rn = n // 2 + 1 THEN slope ELSE 0 END) / 2.0 AS median_slope
+        | FROM r""".stripMargin.replace("\n", "")
+        .replace("${DSUM}", graft.ops.Det.Sql.dsum("l_extendedprice"))) {
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val daily = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= "1995-01-01" && col("l_shipdate") < "1996-01-01")
+          .groupBy(to_date(col("l_shipdate")).as("day"))
+          .agg(graft.ops.Det.dsum(col("l_extendedprice")).as("rev"))
+        val b = daily.select(col("day").as("day2"), col("rev").as("rev2"))
+        val slopes = daily.join(b, col("day") < col("day2"))
+          .select(((col("rev2") - col("rev"))
+            / datediff(col("day2"), col("day")).cast("double")).as("slope"))
+        slopes
+          .withColumn("rn", row_number().over(W.orderBy("slope")))
+          .withColumn("n", count(lit(1)).over(W.partitionBy()))
+          .agg(max("n").as("n_pairs"),
+            (sum(when(col("rn") === expr("(n + 1) div 2"), col("slope")).otherwise(0.0)) / 2.0
+              + sum(when(col("rn") === expr("n div 2 + 1"), col("slope")).otherwise(0.0)) / 2.0)
+              .as("median_slope"))
+      }
+    },
+
+    sql("a28_welch_ttest",
+      "A28: Welch two-sample t-test — does returned ('R') merchandise ship in different quantities than accepted ('A')? The unequal-variance A/B-test primitive behind every metrics dashboard. Quantities are exact 2-dp decimals scaled to integer centi-units, so n/Σx/Σx² are exact BIGINT power sums (map-side combine, two grand totals); t and the Welch–Satterthwaite df come out of one FIXED IEEE chain both engines evaluate identically — bit-portable without a stats library",
+      """WITH q AS (SELECT l_returnflag AS f, CAST(round(l_quantity * 100) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |m AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s1,
+        |  CAST(SUM(c * c) AS BIGINT) AS s2 FROM q GROUP BY 1),
+        |w AS (SELECT
+        |  MAX(CASE WHEN f = 'A' THEN n END) AS na, MAX(CASE WHEN f = 'A' THEN s1 END) AS sa1,
+        |  MAX(CASE WHEN f = 'A' THEN s2 END) AS sa2,
+        |  MAX(CASE WHEN f = 'R' THEN n END) AS nr, MAX(CASE WHEN f = 'R' THEN s1 END) AS sr1,
+        |  MAX(CASE WHEN f = 'R' THEN s2 END) AS sr2 FROM m),
+        |v AS (SELECT na, nr,
+        |  CAST(sa1 AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+        |  CAST(sr1 AS DOUBLE) / CAST(nr AS DOUBLE) AS mr,
+        |  (CAST(sa2 AS DOUBLE) - CAST(sa1 AS DOUBLE) * CAST(sa1 AS DOUBLE) / CAST(na AS DOUBLE))
+        |    / CAST(na - 1 AS DOUBLE) / CAST(na AS DOUBLE) AS va_n,
+        |  (CAST(sr2 AS DOUBLE) - CAST(sr1 AS DOUBLE) * CAST(sr1 AS DOUBLE) / CAST(nr AS DOUBLE))
+        |    / CAST(nr - 1 AS DOUBLE) / CAST(nr AS DOUBLE) AS vr_n FROM w)
+        |SELECT na AS n_a, nr AS n_r, ROUND(ma / 100.0, 4) AS mean_a, ROUND(mr / 100.0, 4) AS mean_r,
+        |  ROUND((ma - mr) / sqrt(va_n + vr_n), 4) AS t_stat,
+        |  ROUND((va_n + vr_n) * (va_n + vr_n)
+        |    / (va_n * va_n / CAST(na - 1 AS DOUBLE) + vr_n * vr_n / CAST(nr - 1 AS DOUBLE)), 2) AS df
+        | FROM v""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val m = Tables.lineitem(s, d)
+          .filter(col("l_returnflag").isin("A", "R"))
+          .select(col("l_returnflag").as("f"),
+            round(col("l_quantity") * 100).cast("long").as("c"))
+          .groupBy("f")
+          .agg(count(lit(1)).as("n"), sum("c").as("s1"),
+            sum(col("c") * col("c")).as("s2"))
+        val w = m.agg(
+          max(when(col("f") === "A", col("n"))).as("na"),
+          max(when(col("f") === "A", col("s1"))).as("sa1"),
+          max(when(col("f") === "A", col("s2"))).as("sa2"),
+          max(when(col("f") === "R", col("n"))).as("nr"),
+          max(when(col("f") === "R", col("s1"))).as("sr1"),
+          max(when(col("f") === "R", col("s2"))).as("sr2"))
+        val ma = col("sa1").cast("double") / col("na").cast("double")
+        val mr = col("sr1").cast("double") / col("nr").cast("double")
+        val vaN = (col("sa2").cast("double")
+          - col("sa1").cast("double") * col("sa1").cast("double") / col("na").cast("double")) /
+          (col("na") - 1).cast("double") / col("na").cast("double")
+        val vrN = (col("sr2").cast("double")
+          - col("sr1").cast("double") * col("sr1").cast("double") / col("nr").cast("double")) /
+          (col("nr") - 1).cast("double") / col("nr").cast("double")
+        w.select(col("na").as("n_a"), col("nr").as("n_r"),
+          round(ma / 100.0, 4).as("mean_a"), round(mr / 100.0, 4).as("mean_r"),
+          round((ma - mr) / sqrt(vaN + vrN), 4).as("t_stat"),
+          round((vaN + vrN) * (vaN + vrN)
+            / (vaN * vaN / (col("na") - 1).cast("double")
+              + vrN * vrN / (col("nr") - 1).cast("double")), 2).as("df"))
+      }
+    },
+
     sql("a26_mutual_information",
       "A26: categorical dependence audit — per-cell pointwise mutual information and MI contribution over (returnflag × linestatus), from one contingency-table agg plus margin windows on the CELL SLIVER (≤ |A|·|B| rows at any scale). All counts exact BIGINT; pmi = ln of ONE correctly-rounded division of exact integer products (n·N and n_r·n_c stay ≤ ~1e12, no overflow), the t10/t12-proven portable shape; the redundant-feature / leaky-label detector",
       """WITH c AS (SELECT l_returnflag AS rf, l_linestatus AS ls,

@@ -647,6 +647,43 @@ object TextQueries {
           .orderBy(col("pmi").desc, col("w1"), col("w2"))
           .limit(30)
       }
+    },
+
+    sql("t21_zipf_slope",
+      "Text: Zipf rank-frequency fit — OLS slope of (ln rank, ln freq) over the top-1000 vocabulary, the one-number corpus-health signal (natural text ≈ −1; templated/synthetic feeds bend it). The portability trap is summing IRRATIONAL doubles (engine sum order ≠ deterministic), so both logs are floored to 0.1-milli-nat FIXED POINT first (floor+cast truncates identically; ln is bit-equal on identical inputs) — power sums become exact BIGINT (≤1e16, no overflow), slope/intercept one rounded division each. Corpus work is the t8 token agg + a 1000-row TakeOrderedAndProject",
+      """WITH un AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM
+        |  (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY 1 ORDER BY n DESC, token LIMIT 1000),
+        |r AS (SELECT CAST(floor(ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS DOUBLE)) * 10000) AS BIGINT) AS x,
+        |  CAST(floor(ln(CAST(n AS DOUBLE)) * 10000) AS BIGINT) AS y FROM un),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(x) AS BIGINT) AS sx,
+        |  CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |  CAST(SUM(x * x) AS BIGINT) AS sxx FROM r)
+        |SELECT k AS n_terms,
+        |  ROUND(CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+        |  ROUND((CAST(sy AS DOUBLE) - CAST(k * sxy - sx * sy AS DOUBLE)
+        |    / CAST(k * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE) / 10000.0, 4) AS intercept_ln
+        | FROM s""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val un = Tables.documents(s, d)
+          .select(explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token")).limit(1000)
+        val r = un
+          .withColumn("rk", row_number().over(W.orderBy(col("n").desc, col("token"))))
+          .select(
+            floor(log(col("rk").cast("double")) * 10000).cast("long").as("x"),
+            floor(log(col("n").cast("double")) * 10000).cast("long").as("y"))
+        val st = r.agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        val slope = (col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("k") * col("sxx") - col("sx") * col("sx")).cast("double")
+        st.select(col("k").as("n_terms"),
+          round(slope, 6).as("zipf_slope"),
+          round((col("sy").cast("double") - slope * col("sx").cast("double"))
+            / col("k").cast("double") / 10000.0, 4).as("intercept_ln"))
+      }
     }
   )
 }
