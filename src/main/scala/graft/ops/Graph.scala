@@ -110,6 +110,39 @@ object Graph {
         greatest(col("src"), col("v"), col("w")).as("tc"))
   }
 
+  /** k-core: the maximal subgraph in which every node keeps degree ≥ k,
+    * by iterative peeling — drop deg<k nodes, re-derive degrees, repeat.
+    * `iters` FIXED sweeps keep the loop action-free (no per-round driver
+    * count — a sweep with no removals is a no-op, so overshooting is
+    * safe); lineage truncated every `checkpointEvery` rounds like
+    * [[pageRank]]. Per sweep: one degree agg + two semi-joins, all
+    * id-keyed slivers. Returns surviving (id, core_deg).
+    *
+    * The density-peeling workhorse: spam rings and boilerplate clusters
+    * survive high-k cores that organic co-occurrence graphs don't. */
+  def kCore(pairs: DataFrame, k: Int, iters: Int = 15,
+            checkpointEvery: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var edges = pairs.select(col("id1"), col("id2")).localCheckpoint()
+    for (i <- 1 to iters) {
+      val keep = edges.select(col("id1").as("id"))
+        .unionAll(edges.select(col("id2").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("id")
+      val next = edges
+        .join(keep.withColumnRenamed("id", "id1"), Seq("id1"), "left_semi")
+        .join(keep.withColumnRenamed("id", "id2"), Seq("id2"), "left_semi")
+        .select("id1", "id2")
+      edges =
+        if (i % checkpointEvery == 0 || i == iters) next.localCheckpoint()
+        else next
+    }
+    edges.select(col("id1").as("id")).unionAll(edges.select(col("id2").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("core_deg"))
+      .filter(col("core_deg") >= k)
+  }
+
   /** Per-node triangle participation + clustering coefficient inputs:
     * (id, n_triangles, deg). Coefficient = 2·t / (deg·(deg−1)) — left
     * to the caller so the division shape is the query's choice. */

@@ -535,6 +535,71 @@ object StatsQueries {
       }
     },
 
+    sql("g5_kcore", {
+      "G5: 3-core extraction — iterative peeling of the co-order part graph down to the maximal subgraph where every node keeps >= 3 neighbors (the density filter that separates genuine item communities / spam rings from tree-like organic fringe). FIXED 15 action-free sweeps (overshoot is a no-op), each one degree agg + two id-keyed semi-joins on the edge sliver, lineage truncated every 5 rounds; the oracle unrolls the identical 15 rounds as a CTE chain"
+    }, {
+      // AS MATERIALIZED: without it DuckDB inlines each CTE at every
+      // reference and the 15-round chain re-evaluates exponentially
+      val rounds = (1 to 15).map { i =>
+        s"""n$i AS MATERIALIZED (SELECT id FROM (SELECT p1 AS id FROM e${i - 1}
+           | UNION ALL SELECT p2 FROM e${i - 1}) GROUP BY id HAVING COUNT(*) >= 3),
+           |e$i AS MATERIALIZED (SELECT p1, p2 FROM e${i - 1}
+           | JOIN n$i a ON p1 = a.id JOIN n$i b ON p2 = b.id)""".stripMargin
+      }.mkString(",")
+      s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |$rounds
+        |SELECT id, CAST(COUNT(*) AS BIGINT) AS core_deg FROM
+        |  (SELECT p1 AS id FROM e15 UNION ALL SELECT p2 FROM e15)
+        | GROUP BY id HAVING COUNT(*) >= 3 ORDER BY id""".stripMargin.replace("\n", "")
+    }) {
+      (s, d) => {
+        val lp = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        val pairs = lp.join(lp.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+          .filter(col("pk") < col("pk2"))
+          .groupBy(col("pk").as("id1"), col("pk2").as("id2"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+        graft.ops.Graph.kCore(pairs, k = 3, iters = 15).orderBy("id")
+      }
+    },
+
+    sql("p10_row_fingerprint",
+      "P10: table integrity fingerprint — every order row canonically serialized (keys, codes, day-formatted date, exact centi-cents) and hashed; per-status SUM of the 28-bit row hashes is an ORDER-INDEPENDENT checksum two sides of a replication/migration can compare without moving a row (a vanished, duplicated, or bit-flipped row shifts the sum; commutative ⇒ partition- and shuffle-layout-agnostic). Map-side hash + one tiny keyed agg; production swaps md5 for codegen'd xxhash64",
+      """SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(('0x' || substr(md5(concat_ws('|',
+        |    CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+        |    o_orderstatus, o_orderpriority, strftime(o_orderdate, '%Y-%m-%d'),
+        |    CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR))), 1, 7))::BIGINT)
+        |    AS BIGINT) AS checksum
+        | FROM orders GROUP BY 1 ORDER BY status""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val canon = concat_ws("|",
+          col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+          col("o_orderstatus"), col("o_orderpriority"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd"),
+          round(col("o_totalprice") * 100).cast("long").cast("string"))
+        Tables.orders(s, d)
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(conv(substring(md5(canon), 1, 7), 16, 10).cast("long"))
+              .as("checksum"))
+          .orderBy("status")
+      }
+    }.withBench { (s, d) =>
+      val canon = concat_ws("|",
+        col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+        col("o_orderstatus"), col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd"),
+        round(col("o_totalprice") * 100).cast("long").cast("string"))
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_rows"), sum(xxhash64(canon)).as("checksum"))
+    },
+
     sql("a27_theil_sen",
       "A27: Theil–Sen robust trend — the median of all pairwise day-to-day revenue slopes over one year of the daily sliver (the estimator a single crazy day can't drag, unlike OLS; breakdown point 29%). Pairwise slopes are identical one-step IEEE divisions of exact-decimal revenue doubles over integer day gaps; the median is indexed out of the row_number order (never a quantile estimate), two middles averaged by one exact halving. The pair self-join runs on the YEAR-bounded day sliver (~66k pairs) — never the fact table",
       """WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day, ${DSUM} AS rev

@@ -166,6 +166,12 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q planned an all-pairs join: $p")
     }
+    // k-core + downweight sampling: every join is id- or text-keyed —
+    // peeling/sizing must never degenerate to all-pairs
+    for (q <- Seq("g5_kcore", "dd14_dup_downweight_sample", "t20_bigram_collocations")) {
+      val p = plan(specs(q).run(spark, TestSpark.sfDir))
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian: $p")
+    }
     // sessionization: ONE data-sized exchange (the user-keyed window);
     // the post-window agg only moves session-sliver rows
     val ep7 = plan(specs("ep7_sessionization").run(spark, TestSpark.sfDir))

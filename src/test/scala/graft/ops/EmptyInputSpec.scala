@@ -49,6 +49,7 @@ class EmptyInputSpec extends AnyFunSuite {
   test("graph + decontam: empty pair graph and empty eval set are total") {
     assert(Graph.pageRank(emptyPairs, iters = 3).count() == 0)
     assert(Graph.pageRankFixedPoint(emptyPairs, iters = 3).count() == 0)
+    assert(Graph.kCore(emptyPairs, k = 3, iters = 3).count() == 0)
     val train = graft.model.Tables.documents(spark, TestSpark.sfDir).limit(20)
     assert(Decontam.contamination(train, emptyDocs, k = 5).count() == 0)
     assert(Decontam.contamination(emptyDocs, train, k = 5).count() == 0)

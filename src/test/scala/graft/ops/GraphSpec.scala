@@ -104,6 +104,21 @@ class GraphSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum == 4 * 3)
   }
 
+  test("kCore: cascading peel — triangle + pendant collapse, the clique-side survives") {
+    // triangle 1-2-3 with pendant 4, bridged by 1-5 to a K4 {5,6,7,8}:
+    // peeling deg<3 removes 2 and 4, the cascade then takes 1 and 3,
+    // and only the K4 survives with core degree 3 each
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (1L, 5L),
+      (5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L)
+    ).toDF("id1", "id2")
+    val got = Graph.kCore(edges, k = 3, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 3L, 6L -> 3L, 7L -> 3L, 8L -> 3L))
+    // k=1 keeps everything (every endpoint has degree >= 1)
+    assert(Graph.kCore(edges, k = 1, iters = 3).count() == 8)
+  }
+
   test("near-dup graph: every cluster's top-ranked member is in that cluster's pair set") {
     val pairs = Dedup.minhashNearDup(
       graft.model.Tables.documents(spark, TestSpark.sfDir))
