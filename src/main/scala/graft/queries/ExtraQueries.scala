@@ -1615,6 +1615,22 @@ object ExtraQueries {
             date_format(max("ts"), "yyyy-MM-dd").as("last_day"))
           .orderBy("split", "event_type")
       }
+    },
+
+    sql("o18_class_weights",
+      "O18: inverse-frequency class weights — per-language loss weight total/(K·n_c) in integer ppm (balanced-class weighting, the train-time twin of o16's data-side rebalance: keep every row, scale its gradient instead). One class-count agg + a 1-row total joined back; exact truncating-div ppm",
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS k FROM c)
+        |SELECT lang, n, CAST(tot * 1000000 // (k * n) AS BIGINT) AS weight_ppm
+        | FROM c, t ORDER BY lang""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val c = Tables.documents(s, d).groupBy("lang").agg(count(lit(1)).as("n"))
+        val t = c.agg(sum("n").as("tot"), count(lit(1)).as("k"))
+        c.crossJoin(t) // 1 row — AQE broadcasts
+          .select(col("lang"), col("n"),
+            expr("tot * 1000000L div (k * n)").as("weight_ppm"))
+          .orderBy("lang")
+      }
     }
   )
 }

@@ -500,6 +500,42 @@ object ReportQueries {
             (col("pmax") - col("pf") > lit(5L) * col("tot")).as("alarm_down"))
           .orderBy("hr")
       }
+    },
+
+    sql("ep18_stickiness",
+      "EP18: product stickiness — per-day DAU, trailing-28-day MAU, and the DAU/MAU ratio in integer ppm, both distinct counts served from the SAME per-day U11 distinct states (u23's composition widened to the 28-day offset explode) — one state build feeds every window length; work ∝ state rows × window, never a 28-day event rescan per day. The engagement-trend line every growth dashboard opens with",
+      """WITH e AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |days AS (SELECT DISTINCT day FROM e),
+        |dau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau FROM e GROUP BY 1),
+        |mau AS (SELECT d.day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS mau
+        |  FROM days d JOIN e ON e.day BETWEEN d.day - 27 AND d.day GROUP BY d.day)
+        |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau, mau,
+        |  CAST(dau * 1000000 // mau AS BIGINT) AS stickiness_ppm
+        | FROM dau JOIN mau ON dau.day = mau.day ORDER BY day"""
+        .stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val e = graft.model.Tables.events(s, d)
+          .filter(col("user_id").isNotNull)
+          .select(date_trunc("day", col("ts")).cast("date").as("day"), col("user_id"))
+        val st = graft.ops.Merge.partialDistinctState(e, Seq("day"), "user_id")
+        val days = e.select("day").distinct()
+        val dau = graft.ops.Merge.finalizeDistinct(st, Seq("day"))
+          .select(col("day"), col("distinct_cnt").as("dau"))
+        val contrib = st
+          .select(col("day"), col("v"), explode(sequence(lit(0), lit(27))).as("off"))
+          .select(date_add(col("day"), col("off")).as("day"), col("v"))
+        val mau = graft.ops.Merge.finalizeDistinct(
+            graft.ops.Merge.mergeDistinctStates(Seq(contrib))
+              .join(days, Seq("day"), "left_semi"),
+            Seq("day"))
+          .select(col("day"), col("distinct_cnt").as("mau"))
+        dau.join(mau, "day")
+          .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("dau"), col("mau"),
+            expr("dau * 1000000L div mau").as("stickiness_ppm"))
+          .orderBy("day")
+      }
     }
   )
 }

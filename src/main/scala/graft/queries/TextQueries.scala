@@ -684,6 +684,39 @@ object TextQueries {
           round((col("sy").cast("double") - slope * col("sx").cast("double"))
             / col("k").cast("double") / 10000.0, 4).as("intercept_ln"))
       }
+    },
+
+    sql("t22_reading_level",
+      "Text: corpus reading level per language — Flesch-style ease from CORPUS-LEVEL ratios (words/sentences, vowel-group 'syllables'/words), not per-doc averages: the per-doc counts are exact integers, only their per-lang SUMS feed the formula, so no double ever rides an engine-ordered sum and the final score is one fixed IEEE chain. The difficulty/register audit that flags OCR soup and legalese before they skew a mix; all counts map-side regexp, one lang-keyed agg",
+      """WITH c AS (SELECT lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syls,
+        |  CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS BIGINT) AS sents
+        |  FROM documents),
+        |g AS (SELECT lang, CAST(SUM(words) AS BIGINT) AS w, CAST(SUM(syls) AS BIGINT) AS s,
+        |  CAST(SUM(sents) AS BIGINT) AS st FROM c GROUP BY 1)
+        |SELECT lang, w AS n_words, st AS n_sentences, s AS n_syllables,
+        |  ROUND(206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(st AS DOUBLE))
+        |    - 84.6 * (CAST(s AS DOUBLE) / CAST(w AS DOUBLE)), 4) AS flesch_ease
+        | FROM g ORDER BY lang""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("lang"),
+            TextOps.tokenCount(col("text")).as("words"),
+            expr("cast(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) as long)")
+              .as("syls"),
+            greatest(
+              expr("cast(size(regexp_extract_all(text, '[.!?]', 0)) as long)"),
+              lit(1L)).as("sents"))
+          .groupBy("lang")
+          .agg(sum("words").as("w"), sum("syls").as("s"), sum("sents").as("st"))
+          .select(col("lang"), col("w").as("n_words"), col("st").as("n_sentences"),
+            col("s").as("n_syllables"),
+            round(lit(206.835) - lit(1.015)
+              * (col("w").cast("double") / col("st").cast("double"))
+              - lit(84.6) * (col("s").cast("double") / col("w").cast("double")), 4)
+              .as("flesch_ease"))
+          .orderBy("lang")
     }
   )
 }
