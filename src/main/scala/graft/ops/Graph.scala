@@ -111,21 +111,26 @@ object Graph {
   }
 
   /** k-core: the maximal subgraph in which every node keeps degree ≥ k,
-    * by iterative peeling — drop deg<k nodes, re-derive degrees, repeat.
-    * `iters` FIXED sweeps keep the loop action-free (no per-round driver
-    * count — a sweep with no removals is a no-op, so overshooting is
-    * safe); lineage truncated every `checkpointEvery` rounds like
-    * [[pageRank]]. Per sweep: one degree agg + two semi-joins, all
-    * id-keyed slivers. Returns surviving (id, core_deg).
+    * by iterative peeling — drop deg<k nodes, re-derive degrees, repeat
+    * until the FIXED POINT (a sweep that removes nothing), bounded by
+    * `iters` sweeps. Each sweep localCheckpoints the shrunken edge list
+    * (truncating lineage) and reads back its count — a 1-row scalar off
+    * already-materialized data, the same sanctioned class as the IQR
+    * bounds; peeling typically converges in a handful of sweeps, so the
+    * early exit is what keeps 15-bound runs from paying 15 sweeps. Per
+    * sweep: one degree agg + two id-keyed semi-joins on the (shrinking)
+    * edge sliver. Returns surviving (id, core_deg).
     *
     * The density-peeling workhorse: spam rings and boilerplate clusters
     * survive high-k cores that organic co-occurrence graphs don't. */
-  def kCore(pairs: DataFrame, k: Int, iters: Int = 15,
-            checkpointEvery: Int = 5): DataFrame = {
+  def kCore(pairs: DataFrame, k: Int, iters: Int = 15): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     var edges = pairs.select(col("id1"), col("id2")).localCheckpoint()
-    for (i <- 1 to iters) {
+    var prev = edges.count()
+    var i = 0
+    while (i < iters && prev > 0) {
+      i += 1
       val keep = edges.select(col("id1").as("id"))
         .unionAll(edges.select(col("id2").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -134,9 +139,11 @@ object Graph {
         .join(keep.withColumnRenamed("id", "id1"), Seq("id1"), "left_semi")
         .join(keep.withColumnRenamed("id", "id2"), Seq("id2"), "left_semi")
         .select("id1", "id2")
-      edges =
-        if (i % checkpointEvery == 0 || i == iters) next.localCheckpoint()
-        else next
+        .localCheckpoint()
+      val c = next.count()
+      edges = next
+      if (c == prev) prev = -1 // fixed point — further sweeps are no-ops
+      else prev = c
     }
     edges.select(col("id1").as("id")).unionAll(edges.select(col("id2").as("id")))
       .groupBy("id").agg(count(lit(1)).as("core_deg"))

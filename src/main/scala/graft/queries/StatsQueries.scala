@@ -536,7 +536,7 @@ object StatsQueries {
     },
 
     sql("g5_kcore", {
-      "G5: 3-core extraction — iterative peeling of the co-order part graph down to the maximal subgraph where every node keeps >= 3 neighbors (the density filter that separates genuine item communities / spam rings from tree-like organic fringe). FIXED 15 action-free sweeps (overshoot is a no-op), each one degree agg + two id-keyed semi-joins on the edge sliver, lineage truncated every 5 rounds; the oracle unrolls the identical 15 rounds as a CTE chain"
+      "G5: 3-core extraction — iterative peeling of the co-order part graph down to the maximal subgraph where every node keeps >= 3 neighbors (the density filter that separates genuine item communities / spam rings from tree-like organic fringe). Peels to the FIXED POINT with a 15-sweep bound (each sweep: one degree agg + two id-keyed semi-joins on the checkpointed, shrinking edge sliver; early exit when a sweep removes nothing); the oracle unrolls the full 15 rounds as a MATERIALIZED CTE chain — identical output, since post-fixed-point rounds are no-ops"
     }, {
       // AS MATERIALIZED: without it DuckDB inlines each CTE at every
       // reference and the 15-round chain re-evaluates exponentially
@@ -590,14 +590,19 @@ object StatsQueries {
           .orderBy("status")
       }
     }.withBench { (s, d) =>
+      // production accumulates by BIT XOR, not SUM: order-independent like
+      // the sum, but it cannot overflow at any row count (ANSI mode aborts
+      // a summed full-range xxhash64 on the second row) — and orders rows
+      // are key-unique, so the xor's duplicate-pair blind spot is moot
       val canon = concat_ws("|",
         col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
         col("o_orderstatus"), col("o_orderpriority"),
         date_format(col("o_orderdate"), "yyyy-MM-dd"),
         round(col("o_totalprice") * 100).cast("long").cast("string"))
       Tables.orders(s, d)
-        .groupBy(col("o_orderstatus").as("status"))
-        .agg(count(lit(1)).as("n_rows"), sum(xxhash64(canon)).as("checksum"))
+        .select(col("o_orderstatus").as("status"), xxhash64(canon).as("h"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
     },
 
     sql("a27_theil_sen",
