@@ -126,7 +126,17 @@ object Graph {
   def kCore(pairs: DataFrame, k: Int, iters: Int = 15): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    var edges = pairs.select(col("id1"), col("id2")).localCheckpoint()
+    // canonicalize defensively: duplicate or reversed pairs would inflate
+    // degrees and keep nodes in the core that should peel; self-loops
+    // would anchor a node at deg ≥ 1 forever (same normalization as
+    // linkCandidates — a no-op when the caller already passes distinct
+    // canonical edges, as g5 does)
+    var edges = pairs
+      .select(least(col("id1"), col("id2")).as("id1"),
+              greatest(col("id1"), col("id2")).as("id2"))
+      .filter(col("id1") =!= col("id2"))
+      .distinct()
+      .localCheckpoint()
     var prev = edges.count()
     var i = 0
     while (i < iters && prev > 0) {

@@ -64,7 +64,9 @@ object Ivm {
     viewOld.unionByName(joinViewDelta(aOld, aDelta, bOld, bDelta, keys))
 
   /** CDC form: apply an upsert/delete changelog on the FACT side (keyed by
-    * A's primary key `aPk`, latest `seqCol` wins — the U8 contract) to the
+    * A's primary key `aPk`, latest `seqCol` wins — the U8 contract;
+    * op values outside {upsert, delete} fail loudly via
+    * [[Merge.validatedOp]] instead of silently acting as deletes) to the
     * materialized view directly. Affected keys' view rows are dropped and
     * recomputed against the current dim `bCur`; untouched view rows pass
     * through unscanned-by-the-join. Requires A's pk columns to survive
@@ -81,6 +83,7 @@ object Ivm {
       s"view must carry the fact pk columns ${aPk.mkString(",")}")
     val w = Window.partitionBy(aPk.map(col): _*).orderBy(col(seqCol).desc, col(opCol))
     val latest = aChanges
+      .withColumn(opCol, Merge.validatedOp(opCol))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")

@@ -21,7 +21,7 @@ object Merge {
     * a delete — the anti-join removes every keyed row and the upsert
     * filter would then drop the malformed one. Map-side `when` check,
     * zero extra shuffles; `raise_error` carries the offending value. */
-  private def validatedOp(opCol: String): org.apache.spark.sql.Column =
+  private[ops] def validatedOp(opCol: String): org.apache.spark.sql.Column =
     when(col(opCol).isin("upsert", "delete"), col(opCol))
       .otherwise(raise_error(concat(
         lit(s"malformed CDC batch: '$opCol' must be 'upsert' or 'delete', got "),

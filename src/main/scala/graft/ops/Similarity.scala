@@ -283,7 +283,16 @@ object Similarity {
     * Same training discipline as [[trainIvfCentroids]] (hash-order
     * seeding, broadcast E-step, [[graft.expressions.CentroidAgg]]
     * M-step, localCheckpoint per iteration, model never on the driver);
-    * all m subspaces train in the SAME jobs — the grid is one frame. */
+    * all m subspaces train in the SAME jobs — the grid is one frame.
+    *
+    * Known limitation (deliberate): a centroid with ZERO assignments in
+    * an M-step vanishes from that subspace's codebook for all later
+    * iterations and for [[pqEncode]] — FAISS-style empty-cluster
+    * reseeding is absent. Harmless at the deterministic k=16 / dense-
+    * normalized-corpus operating point (hash-order seeds land on real
+    * points, so first-iteration clusters are non-empty); callers
+    * training with large k on sparse corpora should reseed or accept a
+    * shrunken codebook (codes stay valid — cids just skip values). */
   def trainPqCodebooks(base: DataFrame, m: Int = 8, k: Int = 16,
                        iters: Int = 3): DataFrame = {
     require(k >= 1 && k <= 128, s"k must be in 1..128 (codes are tinyint), got $k")

@@ -33,6 +33,29 @@ object SimilarityQueries {
   private val centroidModelPath =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Temp model roots created by the build-once accessors below; removed
+    * at JVM exit so repeated suite/bench runs don't accumulate artifacts. */
+  private val tempRoots = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+  sys.addShutdownHook {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(): Unit
+    }
+    tempRoots.synchronized(tempRoots.toList).foreach(rm)
+  }
+  private def newTempRoot(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempRoots.synchronized { tempRoots += p.toFile }
+    p.toString
+  }
+
+  /** Single-flight build-once: TrieMap.getOrElseUpdate may run the
+    * builder twice under concurrent first calls (wasted training runs,
+    * divergent temp dirs). Fast path is the lock-free read; only first
+    * builds serialize on the map. */
+  private def buildOnce[V](m: scala.collection.concurrent.TrieMap[String, V],
+                           key: String)(build: => V): V =
+    m.get(key).getOrElse(m.synchronized(m.getOrElseUpdate(key, build)))
+
   /** Root of the persisted incremental IVF index per corpus dir (ss8 —
     * built once via init+ingest, every query served from the partitioned
     * read-back layout; same path-not-DataFrame rationale as above). */
@@ -43,14 +66,13 @@ object SimilarityQueries {
     * untimed prepare hook, so timed passes measure the probe, not the
     * one-time init+ingest build; Verify's single run builds inline). */
   private def ensureIvfIndex(s: org.apache.spark.sql.SparkSession, d: String): String =
-    ivfIndexRoot.getOrElseUpdate(d, {
+    buildOnce(ivfIndexRoot, d) {
       val base = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
-      val r = java.nio.file.Files
-        .createTempDirectory("graft-vecidx-q").toString + "/idx"
+      val r = newTempRoot("graft-vecidx-q") + "/idx"
       graft.ops.VectorIndex.init(s, base.filter(col("vec_id") % 5 =!= 0), r, k = 8)
       graft.ops.VectorIndex.ingest(s, base.filter(col("vec_id") % 5 === 0), r)
       r
-    })
+    }
 
   /** Paths of the persisted PQ artifacts per corpus dir: the m·k-row
     * codebook and the ENCODED CODES table (ss9 — the codes, not the
@@ -63,15 +85,15 @@ object SimilarityQueries {
 
   private def ensurePqModel(s: org.apache.spark.sql.SparkSession,
                             d: String): (String, String) =
-    pqModelPaths.getOrElseUpdate(d, {
+    buildOnce(pqModelPaths, d) {
       val base = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
-      val root = java.nio.file.Files.createTempDirectory("graft-pq-q").toString
+      val root = newTempRoot("graft-pq-q")
       val cb = graft.ops.Similarity.trainPqCodebooks(base, m = PqM, k = 16, iters = 3)
       graft.ops.Similarity.savePqCodebooks(cb, s"$root/codebooks")
       graft.io.Sinks.parquet(
         graft.ops.Similarity.pqEncode(base, cb, PqM), s"$root/codes")
       (s"$root/codebooks", s"$root/codes")
-    })
+    }
 
   val all: Seq[QuerySpec] = Seq(
 
@@ -159,12 +181,11 @@ object SimilarityQueries {
         // work is the probe, never 4 corpus-scanning Lloyd iterations,
         // and the model round-trips storage like any other table.
         val base = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
-        val path = centroidModelPath.getOrElseUpdate(d, {
-          val p = java.nio.file.Files
-            .createTempDirectory("graft-ivf-model").resolve("centroids").toString
+        val path = buildOnce(centroidModelPath, d) {
+          val p = newTempRoot("graft-ivf-model") + "/centroids"
           Similarity.saveIvfCentroids(Similarity.trainIvfCentroids(base, k = 8), p)
           p
-        })
+        }
         Similarity.ivfTopK(base, Similarity.loadIvfCentroids(s, path),
           queryVec(s, d), k = 10, nprobe = 6)
       }

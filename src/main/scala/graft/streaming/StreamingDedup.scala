@@ -59,10 +59,7 @@ object StreamingDedup {
   def latestEpoch(cfg: Config): Long = {
     val base = new java.io.File(s"${cfg.stateDir}/shingle_df")
     Option(base.listFiles()).toSeq.flatten
-      .flatMap(f => f.getName match {
-        case s if s.startsWith("epoch=") => Some(s.stripPrefix("epoch=").toLong)
-        case _ => None
-      })
+      .flatMap(f => StreamingStats.epochOf(f.getName))
       .foldLeft(-1L)(math.max)
   }
 
@@ -168,9 +165,8 @@ object StreamingDedup {
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dropped = scala.collection.mutable.SortedSet.empty[Long]
     if (fs.exists(base)) fs.listStatus(base).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("epoch=") && name.stripPrefix("epoch=").toLong < cutoff) {
-        dropped += name.stripPrefix("epoch=").toLong
+      StreamingStats.epochOf(st.getPath.getName).filter(_ < cutoff).foreach { ep =>
+        dropped += ep
         fs.delete(st.getPath, true)
       }
     }

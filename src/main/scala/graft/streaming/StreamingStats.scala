@@ -78,6 +78,13 @@ object StreamingStats {
   private def snapDir(cfg: Config, family: String, epoch: Long) =
     s"${cfg.stateDir}/$family/epoch=$epoch"
 
+  /** Parse an `epoch=N` snapshot dir name; None for anything else,
+    * including a malformed suffix (`epoch=tmp` from an interrupted
+    * write) — malformed names must never abort a GC sweep. */
+  private[streaming] def epochOf(name: String): Option[Long] =
+    if (name.startsWith("epoch=")) name.stripPrefix("epoch=").toLongOption
+    else None
+
   /** Highest epoch with a written stats snapshot; -1 before init. The
     * stats family is written LAST in [[processBatch]], so its presence
     * marks the whole epoch complete (a crash mid-epoch leaves the
@@ -86,10 +93,7 @@ object StreamingStats {
   def latestEpoch(cfg: Config): Long = {
     val base = new java.io.File(s"${cfg.stateDir}/stats")
     Option(base.listFiles()).toSeq.flatten
-      .flatMap(f => f.getName match {
-        case s if s.startsWith("epoch=") => Some(s.stripPrefix("epoch=").toLong)
-        case _ => None
-      })
+      .flatMap(f => epochOf(f.getName))
       .foldLeft(-1L)(math.max)
   }
 
@@ -245,13 +249,22 @@ object StreamingStats {
     val cutoff = latest - keepLast + 1
     val dropped = scala.collection.mutable.SortedSet.empty[Long]
     val conf = spark.sparkContext.hadoopConfiguration
-    families(cfg).foreach { family =>
+    // enumerate ON-DISK family dirs, not families(cfg): a family later
+    // disabled in the config (cms turned off) would otherwise never be
+    // GC'd; config-unknown dirs (`_applied`, stray files) are skipped
+    // because only `epoch=N` children are touched
+    val root = new org.apache.hadoop.fs.Path(cfg.stateDir)
+    val fs = root.getFileSystem(conf)
+    val onDisk =
+      if (fs.exists(root))
+        fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+          .filterNot(_.startsWith("_")).toSeq
+      else Seq.empty
+    (onDisk ++ families(cfg)).distinct.foreach { family =>
       val base = new org.apache.hadoop.fs.Path(s"${cfg.stateDir}/$family")
-      val fs = base.getFileSystem(conf)
       if (fs.exists(base)) fs.listStatus(base).foreach { st =>
-        val name = st.getPath.getName
-        if (name.startsWith("epoch=") && name.stripPrefix("epoch=").toLong < cutoff) {
-          dropped += name.stripPrefix("epoch=").toLong
+        epochOf(st.getPath.getName).filter(_ < cutoff).foreach { ep =>
+          dropped += ep
           fs.delete(st.getPath, true)
         }
       }
