@@ -796,4 +796,101 @@ object Merge {
       .filter(col("cnt") =!= 0)
       .drop("__d_cnt")
   }
+
+  /** Retract a delete slice's [[partialMomentState]] from a moment
+    * state: power sums are abelian, so all five fields subtract exactly
+    * — no rescan, and retract-then-finalize is bit-identical to a
+    * recompute over the survivors (the DECIMAL(38,0) carry makes the
+    * subtraction lossless). `deleteState` must be built by the same
+    * partial builder over rows previously accumulated into `state`; a
+    * key driven below zero rows, or a delete key absent from the state,
+    * trips the distributed guard. Cleanly-emptied keys disappear. */
+  def retractMomentState(state: DataFrame, deleteState: DataFrame,
+                         keys: Seq[String]): DataFrame = {
+    val del = deleteState
+      .withColumnRenamed("n", "__d_n").withColumnRenamed("s1", "__d_s1")
+      .withColumnRenamed("s2", "__d_s2").withColumnRenamed("s3", "__d_s3")
+      .withColumnRenamed("s4", "__d_s4")
+    val newN = coalesce(col("n"), lit(0L)) - coalesce(col("__d_n"), lit(0L))
+    def sub(s: String, d: String) = coalesce(col(s), lit(0)) - coalesce(col(d), lit(0))
+    state.join(del, keys, "full")
+      .withColumn("n", when(newN < 0 || col("n").isNull, raise_error(concat(
+          lit("retractMomentState: delete exceeds the state on key ("),
+          concat_ws(",", keys.map(col): _*), lit(")"))))
+        .otherwise(newN))
+      .withColumn("s1", sub("s1", "__d_s1"))
+      .withColumn("s2", sub("s2", "__d_s2"))
+      .withColumn("s3", sub("s3", "__d_s3"))
+      .withColumn("s4", sub("s4", "__d_s4"))
+      .filter(col("n") =!= 0)
+      .drop("__d_n", "__d_s1", "__d_s2", "__d_s3", "__d_s4")
+  }
+
+  /** Retract a delete slice's [[cmsState]] from a COUNT-MIN state.
+    * CMS is a LINEAR sketch — each cell counts occurrences, so
+    * cms(all) = cms(survivors) + cms(deletes) cell-wise — which makes it
+    * the one approximate state here that honors erasure EXACTLY from
+    * state alone: subtract per (keys, d, cell), drop zeroed cells, and
+    * the result is bit-identical to a sketch built over the surviving
+    * rows (pinned in MergeSpec). `deleteState` must use the same
+    * positions/(width, depth) over previously-accumulated rows; an
+    * overshot cell trips the distributed guard. Contrast [[bloomState]]
+    * (bit-or — retraction impossible, rebuild from survivors) and
+    * [[hllDistinctState]] (register-max — same). */
+  def retractCmsState(state: DataFrame, deleteState: DataFrame,
+                      keys: Seq[String]): DataFrame = {
+    val joinCols = keys :+ "d" :+ "cell"
+    val del = deleteState.withColumnRenamed("cnt", "__d_cnt")
+    val newCnt = coalesce(col("cnt"), lit(0L)) - coalesce(col("__d_cnt"), lit(0L))
+    state.join(del, joinCols, "full")
+      .withColumn("cnt", when(newCnt < 0, raise_error(concat(
+          lit("retractCmsState: delete sketch exceeds the state on ("),
+          concat_ws(",", joinCols.map(col): _*), lit(")"))))
+        .otherwise(newCnt))
+      .filter(col("cnt") =!= 0)
+      .drop("__d_cnt")
+  }
+
+  /** Retract deletes from an exact [[partialDistinctState]]: a deleted
+    * (key, value) pair leaves the state ONLY if no surviving row still
+    * carries it — multiplicity lives in the data, not the set-valued
+    * state, so the dirty pairs (distinct (key, v) of the delete slice)
+    * are checked against `remaining` with a semi-join and the state
+    * drops exactly the unconfirmed ones. Work ∝ state + the remaining
+    * rows under dirty keys (the [[retractStats]] sliver shape); the
+    * corpus is never re-aggregated. Result == a state built over the
+    * survivors (pinned in MergeSpec). */
+  def retractDistinctState(state: DataFrame, deletes: DataFrame,
+                           remaining: DataFrame, keys: Seq[String],
+                           valueCol: String): DataFrame = {
+    val joinCols = keys :+ "v"
+    val dirty = partialDistinctState(deletes, keys, valueCol)
+    val stillThere = partialDistinctState(
+      remaining.join(dirty.select(keys.map(col): _*).distinct(), keys, "leftsemi"),
+      keys, valueCol)
+      .join(dirty, joinCols, "leftsemi")
+    state.join(dirty.join(stillThere, joinCols, "left_anti"), joinCols, "left_anti")
+  }
+
+  /** Retract deletes from a bottom-k state — [[kmvState]] (priority a
+    * pure function of the value) or [[partialSampleState]] (priority of
+    * the row id). Bottom-k cannot retract from state alone: evicting a
+    * kept row needs the runner-up the state never recorded. The repair
+    * is the dirty-key sliver rebuild: every key the delete slice touches
+    * is re-sketched from `remaining` (one pass over the rows under those
+    * keys via semi-join — at scale, partition-pruned), untouched keys'
+    * rows pass through unread. `rebuild` is the same partial builder
+    * that made `state` (same priority, same k); dirty detection
+    * deliberately over-triggers (a delete below the kept bottom-k still
+    * rebuilds its key) — that costs sliver work, never correctness. */
+  def retractBottomKState(state: DataFrame, deletes: DataFrame,
+                          remaining: DataFrame, keys: Seq[String])(
+                          rebuild: DataFrame => DataFrame): DataFrame = {
+    val dirtyKeys = deletes.select(keys.map(col): _*).distinct()
+    val untouched = state.join(dirtyKeys, keys, "left_anti")
+    val rebuilt = rebuild(remaining.join(dirtyKeys, keys, "leftsemi"))
+    // USING joins surface the join columns first — restore the state's
+    // own column order so the snapshot schema is stable across epochs
+    untouched.unionByName(rebuilt).select(state.columns.map(col).toIndexedSeq: _*)
+  }
 }

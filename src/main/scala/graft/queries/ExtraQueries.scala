@@ -663,6 +663,60 @@ object ExtraQueries {
       }
     },
 
+    sql("gdpr2_forget_sketches",
+      "GDPR sketch erasure — COUNT-MIN is a LINEAR sketch, so a forgotten doc set's own sketch subtracts CELL-WISE from the persisted state (Merge.retractCmsState) and every post-forget estimate equals a sketch that never saw those docs; the oracle builds the cells from the surviving docs only. The round-9 membership-leak closure made oracle-checkable (bloom/hll need the rebuild path — spec-pinned in StreamStatsSpec/GdprSpec)",
+      """WITH d3 AS (SELECT unnest([0, 1, 2]) AS d),
+        | toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |   FROM documents WHERE doc_id % 7 <> 0),
+        | cells AS (SELECT source, d,
+        |   ('0x' || substr(md5(tok), 1 + 7*d, 7))::BIGINT % 1024 AS cell, COUNT(*) AS cnt
+        |  FROM toks, d3 GROUP BY 1, 2, 3),
+        | probes AS (SELECT source, tok FROM (SELECT DISTINCT source FROM documents),
+        |   (SELECT unnest(['the', 'data', 'value', 'table', 'zz_absent']) AS tok)),
+        | pp AS (SELECT source, tok, d,
+        |   ('0x' || substr(md5(tok), 1 + 7*d, 7))::BIGINT % 1024 AS cell FROM probes, d3)
+        | SELECT source, tok, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est_count
+        | FROM pp LEFT JOIN cells USING (source, d, cell)
+        | GROUP BY source, tok ORDER BY source, tok""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val width = 1024L; val depth = 3
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        def pos = graft.ops.Merge.bloomPositionsPortable(col("tok"), width, depth)
+        // the persisted full-corpus state honors the erasure by cell
+        // subtraction — work ∝ state + the forgotten slice's sketch,
+        // never a corpus rescan; at 100 TB this is the only way an
+        // always-on frequency monitor can forget a user on request
+        val state = graft.ops.Merge.retractCmsState(
+          graft.ops.Merge.cmsState(toks, Seq("source"), pos),
+          graft.ops.Merge.cmsState(toks.filter(col("doc_id") % 7 === 0),
+            Seq("source"), pos),
+          Seq("source"))
+        val probes = docs.select("source").distinct()
+          .withColumn("tok", explode(array(
+            Seq("the", "data", "value", "table", "zz_absent").map(lit): _*)))
+        graft.ops.Merge.cmsEstimate(state, probes, Seq("source"), pos)
+          .orderBy("source", "tok")
+      }
+    }.withBench { (s, d) =>
+      // production: xxhash64-seeded positions, no hex parsing, no sort
+      val width = 1024L; val depth = 3
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      def pos = graft.ops.Merge.bloomPositionsFast(col("tok"), width, depth)
+      val state = graft.ops.Merge.retractCmsState(
+        graft.ops.Merge.cmsState(toks, Seq("source"), pos),
+        graft.ops.Merge.cmsState(toks.filter(col("doc_id") % 7 === 0),
+          Seq("source"), pos),
+        Seq("source"))
+      val probes = docs.select("source").distinct()
+        .withColumn("tok", explode(array(
+          Seq("the", "data", "value", "table", "zz_absent").map(lit): _*)))
+      graft.ops.Merge.cmsEstimate(state, probes, Seq("source"), pos)
+    },
+
     sql("u17_retractable_quantiles",
       "U17: histogram-state RETRACTION — the u10 value-histogram quantile state honors a delete batch by per-bin count subtraction (emptied bins vanish, NO rescan ever — the histogram carries the full distribution); retract-then-finalize is bit-identical to recomputing quantiles over the survivors, which is exactly what the oracle does",
       """SELECT l_returnflag, l_linestatus,

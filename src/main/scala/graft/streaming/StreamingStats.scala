@@ -45,7 +45,8 @@ object StreamingStats {
                           valueCol: String, distinctCol: String, freqCol: String,
                           sampleIdCols: Seq[String] = Nil, sampleK: Int = 64,
                           kmvK: Int = 0, bloomBits: Long = 0L, bloomHashes: Int = 2,
-                          cmsWidth: Long = 0L, cmsDepth: Int = 3) {
+                          cmsWidth: Long = 0L, cmsDepth: Int = 3,
+                          hllLgK: Int = 0) {
     require(kmvK == 0 || keys.size == 1,
       "the kmv family (cross-key overlap) needs exactly one key column")
   }
@@ -59,13 +60,17 @@ object StreamingStats {
     * value overlap across batches by construction; +"cms" when
     * `cmsWidth` is set — point frequency estimates over `freqCol` with
     * grid-sized state, the U22 counting sketch: row-disjoint batches
-    * only, like freq/stats). */
+    * only, like freq/stats; +"hll" when `hllLgK` is set — the
+    * production distinct path for unbounded-cardinality `distinctCol`
+    * values, 2^lgK registers per key regardless of cardinality, overlap-
+    * tolerant like distinct/kmv/bloom). */
   def families(cfg: Config): Seq[String] =
     Families ++
       (if (cfg.sampleIdCols.nonEmpty) Seq("sample") else Nil) ++
       (if (cfg.kmvK > 0) Seq("kmv") else Nil) ++
       (if (cfg.bloomBits > 0) Seq("bloom") else Nil) ++
-      (if (cfg.cmsWidth > 0) Seq("cms") else Nil)
+      (if (cfg.cmsWidth > 0) Seq("cms") else Nil) ++
+      (if (cfg.hllLgK > 0) Seq("hll") else Nil)
 
   private def bloomPos(cfg: Config) =
     Merge.bloomPositionsFast(col(cfg.distinctCol).cast("string"),
@@ -111,6 +116,9 @@ object StreamingStats {
     else Nil) ++
     (if (cfg.cmsWidth > 0)
       Seq("cms" -> Merge.cmsState(df, cfg.keys, cmsPos(cfg)))
+    else Nil) ++
+    (if (cfg.hllLgK > 0)
+      Seq("hll" -> Merge.hllDistinctState(df, cfg.keys, cfg.distinctCol, cfg.hllLgK))
     else Nil) ++ Seq(
     "quantile" -> Merge.partialQuantileState(df, cfg.keys, cfg.valueCol),
     "distinct" -> Merge.partialDistinctState(df, cfg.keys, cfg.distinctCol),
@@ -130,6 +138,7 @@ object StreamingStats {
     case "kmv"      => Merge.mergeKmvStates(states, cfg.keys.head, cfg.kmvK)
     case "bloom"    => Merge.mergeBloomStates(states, cfg.keys)
     case "cms"      => Merge.mergeCmsStates(states, cfg.keys)
+    case "hll"      => Merge.mergeHllDistinctStates(states, cfg.keys)
   }
 
   /** Initialize state at epoch 0 from an (optionally empty) starting
@@ -231,6 +240,99 @@ object StreamingStats {
     * columns and the configured `freqCol`. */
   def estimateCounts(spark: SparkSession, cfg: Config, probes: DataFrame): DataFrame =
     Merge.cmsEstimate(state(spark, cfg, "cms"), probes, cfg.keys, cmsPos(cfg))
+
+  /** Per-key distinct-count ESTIMATES from the latest HLL snapshot —
+    * the production path when `distinctCol`'s cardinality outgrows the
+    * exact set state (state = 2^lgK registers per key, not one row per
+    * value). */
+  def estimateDistinct(spark: SparkSession, cfg: Config): DataFrame =
+    Merge.finalizeHllDistinct(state(spark, cfg, "hll"), cfg.keys)
+
+  /** Right-to-be-forgotten over EVERY state family, landing as the next
+    * epoch (so time travel, [[retain]], and crash recovery see erasure
+    * as one more fold). `forgotten` = the rows to erase (must be rows
+    * previously folded in); `survivors` = the retained corpus — in the
+    * composed ingest story, the post-forget `archive/` that
+    * [[graft.pipeline.IncrementalIngest.forget]] maintains.
+    *
+    * Retractability policy, per family (the honest-capacity-planning
+    * map of [[Merge]]'s retraction section, now EXECUTED not just
+    * documented):
+    *
+    *  - `stats`     — abelian count/sum subtract; min/max repaired by
+    *                  rescanning ONLY the dirty keys of `survivors`
+    *                  ([[Merge.retractStats]]);
+    *  - `quantile`/`freq` — per-bin subtraction, exact, no rescan
+    *                  ([[Merge.retractHistState]]);
+    *  - `moment`    — power sums subtract, exact, no rescan
+    *                  ([[Merge.retractMomentState]]);
+    *  - `cms`       — LINEAR sketch: cell-wise subtraction, exact from
+    *                  state alone — the forgotten value's counts leave
+    *                  every estimate ([[Merge.retractCmsState]]);
+    *  - `distinct`  — deleted (key, v) pairs leave iff no survivor
+    *                  carries them (dirty-pair sliver check,
+    *                  [[Merge.retractDistinctState]]);
+    *  - `sample`/`kmv` — bottom-k can't retract from state alone (no
+    *                  recorded runner-up): dirty KEYS are re-sketched
+    *                  from their `survivors` sliver
+    *                  ([[Merge.retractBottomKState]]);
+    *  - `bloom`/`hll` — IRREVERSIBLE by construction (bit-or /
+    *                  register-max cannot subtract): rebuilt from the
+    *                  full surviving corpus — the one family pair whose
+    *                  erasure costs a corpus pass. Without this rebuild
+    *                  a forgotten id keeps answering `maybe_member =
+    *                  true` and its cardinality contribution persists —
+    *                  a membership leak, not just staleness. Deployments
+    *                  that cannot afford the pass per request should
+    *                  batch erasures and rotate the epoch on a bounded
+    *                  schedule (the documented staleness trade).
+    *
+    * Post-forget, EVERY family serves exactly as if the surviving
+    * corpus had been folded from scratch (StreamStatsSpec pins each);
+    * erasure of rows never folded in trips the retraction guards. */
+  def forget(spark: SparkSession, cfg: Config,
+             forgotten: DataFrame, survivors: DataFrame): Long = {
+    val epoch = latestEpoch(cfg)
+    require(epoch >= 0, s"state at ${cfg.stateDir} not initialized")
+    val fg = forgotten.localCheckpoint()
+    def cur(family: String) = spark.read.parquet(snapDir(cfg, family, epoch))
+    val next: Seq[(String, DataFrame)] =
+      (if (cfg.sampleIdCols.nonEmpty)
+        Seq("sample" -> Merge.retractBottomKState(cur("sample"), fg, survivors, cfg.keys)(
+          Merge.partialSampleState(_, cfg.keys,
+            Merge.samplePriorityFast(cfg.sampleIdCols), cfg.sampleK)))
+      else Nil) ++
+      (if (cfg.kmvK > 0)
+        Seq("kmv" -> Merge.retractBottomKState(cur("kmv"), fg, survivors, Seq(cfg.keys.head))(
+          Merge.kmvState(_, cfg.keys.head,
+            Merge.samplePriorityFast(Seq(cfg.distinctCol)), cfg.kmvK)))
+      else Nil) ++
+      (if (cfg.bloomBits > 0)
+        Seq("bloom" -> Merge.bloomState(survivors, cfg.keys, bloomPos(cfg)))
+      else Nil) ++
+      (if (cfg.cmsWidth > 0)
+        Seq("cms" -> Merge.retractCmsState(cur("cms"),
+          Merge.cmsState(fg, cfg.keys, cmsPos(cfg)), cfg.keys))
+      else Nil) ++
+      (if (cfg.hllLgK > 0)
+        Seq("hll" -> Merge.hllDistinctState(survivors, cfg.keys, cfg.distinctCol, cfg.hllLgK))
+      else Nil) ++ Seq(
+      "quantile" -> Merge.retractHistState(cur("quantile"),
+        Merge.partialQuantileState(fg, cfg.keys, cfg.valueCol), cfg.keys),
+      "distinct" -> Merge.retractDistinctState(cur("distinct"), fg, survivors,
+        cfg.keys, cfg.distinctCol),
+      "moment"   -> Merge.retractMomentState(cur("moment"),
+        Merge.partialMomentState(fg, cfg.keys, cfg.valueCol), cfg.keys),
+      "freq"     -> Merge.retractHistState(cur("freq"),
+        Merge.partialFreqState(fg, cfg.keys, cfg.freqCol), cfg.keys),
+      // stats last — the epoch-completeness marker, as in processBatch
+      "stats"    -> Merge.retractStats(cur("stats"), fg, survivors,
+        cfg.keys, cfg.valueCol))
+    next.foreach { case (family, st) =>
+      graft.io.Sinks.parquet(st.repartition(1), snapDir(cfg, family, epoch + 1))
+    }
+    epoch + 1
+  }
 
   /** Epoch-snapshot GC: keep the newest `keepLast` epochs per family,
     * delete the rest. Snapshots are state-sized but one lands per family

@@ -290,4 +290,62 @@ class StreamStatsSpec extends AnyFunSuite {
     StreamingStats.init(spark, c, li.limit(10))
     intercept[IllegalArgumentException](StreamingStats.init(spark, c, li.limit(10)))
   }
+
+  test("forget: every family post-forget == from-scratch fold over the survivors; sketch serving leaks nothing") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ss-forget").toString
+    val c = cfg(s"$root/state").copy(hllLgK = 12)
+    val all = li
+    StreamingStats.init(spark, c, all.filter(col("l_orderkey") % 3 === 0))
+    StreamingStats.processBatch(spark, c, all.filter(col("l_orderkey") % 3 === 1))
+    StreamingStats.processBatch(spark, c, all.filter(col("l_orderkey") % 3 === 2))
+
+    // erase every row of a partkey slice — crosses all key groups, so
+    // the bottom-k dirty-key rebuild and the bloom/hll corpus rebuild
+    // both get exercised for real
+    val forgotten = all.filter(col("l_partkey") % 5 === 0)
+    val survivors = all.filter(col("l_partkey") % 5 =!= 0)
+    val ep = StreamingStats.forget(spark, c, forgotten, survivors)
+    assert(ep == 3L && StreamingStats.latestEpoch(c) == 3L)
+
+    // ground truth: the same config folded from scratch over survivors
+    val c2 = cfg(s"$root/rebuild").copy(hllLgK = 12)
+    StreamingStats.init(spark, c2, survivors)
+
+    // bit-identical state for every deterministic family (hll sketches
+    // are register-equivalent but byte-layout-sensitive to fold order —
+    // compared via their estimates below)
+    val got = stateSnapshot(c)
+    val want = stateSnapshot(c2)
+    StreamingStats.families(c).filterNot(_ == "hll").foreach { f =>
+      assert(got(f) == want(f), s"family '$f' != from-scratch fold over the survivors")
+    }
+    def estimates(cc: StreamingStats.Config) =
+      StreamingStats.estimateDistinct(spark, cc)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estimates(c) == estimates(c2), "hll estimates diverged post-forget")
+
+    // the membership-leak closure, end to end on the serving surface:
+    // bloom probes, cms estimates, and the kmv overlap matrix answer
+    // exactly as states that never saw the forgotten rows
+    val probes = all.select("l_returnflag", "l_partkey").distinct()
+    def probeSet(cc: StreamingStats.Config) =
+      StreamingStats.mightContain(spark, cc, probes)
+        .collect().map(_.toSeq: Seq[Any]).toSet
+    assert(probeSet(c) == probeSet(c2))
+    val cmsProbes = all.select("l_returnflag", "l_linestatus").distinct()
+    def cmsSet(cc: StreamingStats.Config) =
+      StreamingStats.estimateCounts(spark, cc, cmsProbes)
+        .collect().map(_.toSeq: Seq[Any]).toSet
+    assert(cmsSet(c) == cmsSet(c2))
+    def overlap(cc: StreamingStats.Config) =
+      StreamingStats.overlapMatrix(spark, cc)
+        .collect().map(_.toSeq: Seq[Any]).toSet
+    assert(overlap(c) == overlap(c2))
+
+    // erasure of rows never folded in fails loudly (retraction guards),
+    // and the stats marker was never written — the serving epoch holds
+    val bogus = all.limit(5).withColumn("l_quantity", lit(123456.0))
+    intercept[Exception](StreamingStats.forget(spark, c, bogus, survivors))
+    assert(StreamingStats.latestEpoch(c) == 3L)
+  }
 }
