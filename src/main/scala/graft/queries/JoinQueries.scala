@@ -406,6 +406,65 @@ object JoinQueries {
           .groupBy(col("n_name"))
           .agg(dsum(revenue).as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    sql("j17_below_avg_quantity",
+      "J1+: TPC-H Q17-shaped CORRELATED SCALAR SUBQUERY — lines whose quantity is below a fifth of their part's average quantity (small-lot revenue per brand). The decorrelation test: Catalyst must rewrite the per-row subquery into ONE aggregate over lineitem grouped by partkey joined back — a mis-decorrelated plan re-executes the subquery per row, the 100 TB disaster class; PlanSpec pins single-aggregate-build-no-nested-loop. Threshold uses 5·q < avg (exact integral-double arithmetic) so row membership is engine-portable",
+      s"""SELECT p_brand, COUNT(*) AS below_cnt,
+         | ${ssum("l_extendedprice")} AS below_revenue
+         | FROM lineitem JOIN part ON p_partkey = l_partkey
+         | WHERE 5 * l_quantity < (
+         |   SELECT AVG(l2.l_quantity) FROM lineitem l2
+         |   WHERE l2.l_partkey = p_partkey)
+         | GROUP BY p_brand ORDER BY p_brand""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("j17_lineitem")
+        Tables.part(s, d).createOrReplaceTempView("j17_part")
+        s.sql(
+          s"""SELECT p_brand, COUNT(*) AS below_cnt,
+             | ${ssum("l_extendedprice")} AS below_revenue
+             | FROM j17_lineitem JOIN j17_part ON p_partkey = l_partkey
+             | WHERE 5 * l_quantity < (
+             |   SELECT AVG(l2.l_quantity) FROM j17_lineitem l2
+             |   WHERE l2.l_partkey = p_partkey)
+             | GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+      }
+    },
+
+    sql("j18_exclusive_returns",
+      "J1+: TPC-H Q21-shaped EXISTS / NOT-EXISTS CHAIN — suppliers who were the ONLY supplier with returned lines on a finished multi-supplier order. Exercises Catalyst's rewrite of correlated exists into left-semi and not-exists into left-anti joins on the correlation key (never a per-row re-execution or a cartesian); PlanSpec pins the join kinds",
+      """SELECT s_name, COUNT(*) AS numwait
+        | FROM supplier
+        |  JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |  JOIN orders ON o_orderkey = l1.l_orderkey
+        | WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        | GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("j18_lineitem")
+        Tables.orders(s, d).createOrReplaceTempView("j18_orders")
+        Tables.supplier(s, d).createOrReplaceTempView("j18_supplier")
+        s.sql(
+          """SELECT s_name, COUNT(*) AS numwait
+            | FROM j18_supplier
+            |  JOIN j18_lineitem l1 ON s_suppkey = l1.l_suppkey
+            |  JOIN j18_orders ON o_orderkey = l1.l_orderkey
+            | WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+            |  AND EXISTS (
+            |    SELECT 1 FROM j18_lineitem l2
+            |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+            |  AND NOT EXISTS (
+            |    SELECT 1 FROM j18_lineitem l3
+            |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            |      AND l3.l_returnflag = 'R')
+            | GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin)
+      }
     }
   )
 }

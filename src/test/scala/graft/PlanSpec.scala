@@ -46,6 +46,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!q3.contains("CartesianProduct") && !q3.contains("BroadcastNestedLoop"), q3)
   }
 
+  test("j17 correlated scalar subquery decorrelates: ONE aggregated build side, no per-row loop") {
+    val p = plan(specs("j17_below_avg_quantity").run(spark, TestSpark.sfDir))
+    // decorrelation = the subquery becomes a single partkey-grouped
+    // aggregate joined back; a mis-decorrelated plan shows a nested-loop
+    // or cartesian node (per-row re-execution — the 100 TB disaster)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // exactly one avg aggregation pair (partial+final) over lineitem —
+    // the build side — besides the final COUNT/SUM group-by
+    val avgAggs = "partial_avg".r.findAllIn(p).length
+    assert(avgAggs == 1, s"expected one partial_avg build, got $avgAggs:\n$p")
+  }
+
+  test("j18 exists/not-exists chain plans as LeftSemi + LeftAnti on the correlation key") {
+    val p = plan(specs("j18_exclusive_returns").run(spark, TestSpark.sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not become an anti join:\n$p")
+  }
+
   test("semi/anti joins plan as LeftSemi/LeftAnti, not inner+distinct") {
     assert(plan(specs("j3_semi_join").run(spark, TestSpark.sfDir)).contains("LeftSemi"))
     assert(plan(specs("j4_anti_join").run(spark, TestSpark.sfDir)).contains("LeftAnti"))
