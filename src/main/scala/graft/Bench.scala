@@ -47,6 +47,29 @@ package graft
   * artifact alone: its `noise_factor` carries the inflation and
   * `value_idle_est` lands near the clean run's `value`. Per-query medians
   * remain RAW (un-discounted) — the factor is whole-run, not per-query.
+  *
+  * IO-CLASS SENTINEL (VERDICT r10 missing #1): the CPU probe runs entirely
+  * in registers and has twice failed to classify ambient inflation that
+  * hit only the SCAN-heavy queries (r9's 179-vs-210 s shadow; r10's
+  * phantom 9× join-block jitter at noise_factor 0.35) — co-tenant IO
+  * pressure inflates parquet reads while leaving a hash loop untouched.
+  * So each calibration point now has an IO twin: write a fixed 64 MiB
+  * slice of real parquet bytes to a FRESH temp file, fsync, read it back,
+  * delete. The fresh-file + fsync shape is the cache-bust — every probe
+  * pays the dirty-page writeback and filesystem path a co-tenant contends
+  * on, instead of re-reading a page-cache-hot buffer. The artifact carries
+  * `io_calibration` / `io_noise` / `io_noise_factor` beside the CPU
+  * fields; `contended` is true when EITHER factor crosses its threshold,
+  * and `value_idle_est` discounts by the LARGER of the two factors.
+  *
+  * CANONICAL-ARTIFACT GUARD (VERDICT r10 missing #2, three rounds of
+  * stale/wrong-scale commits): when writing to the DEFAULT output path,
+  * Bench refuses to overwrite an existing BENCH_full.json with a run at a
+  * DIFFERENT sf, or with a run whose CPU or IO noise factor exceeds the
+  * committed artifact's by >1.3× — such a run lands in
+  * BENCH_contended.json instead, with a `"guard"` field naming the
+  * reason, and the canonical artifact stays clean. An explicit
+  * SPARK_GRAFT_BENCH_OUT bypasses the guard (explicit intent).
   */
 object Bench {
 
@@ -64,6 +87,58 @@ object Bench {
     * what this constant discounts). If the machine class changes,
     * re-measure from an idle full-run artifact's calibration array. */
   val IdleProbeSec = 0.15
+
+  /** Recorded idle reference for one IO probe point (seconds): min-of-
+    * [[ProbeReps]] of write-64MiB+fsync+read-back, measured on the
+    * round-11 builder machine at load average 1.5/32 cores (observed
+    * steady-state points 0.179–0.205 across two calibration runs; the
+    * first pass after JVM start reads ~0.05 higher from allocator/page-
+    * table warm-up, which the per-pass median discards). Mid-run points
+    * ride the queries' own dirty-page pressure — that IS the signal.
+    * Re-measure from an idle artifact's io_calibration if the storage
+    * class changes. */
+  val IdleIoProbeSec = 0.19
+
+  /** IO probe payload: one fixed slice of REAL parquet bytes from the
+    * bench corpus (first lineitem part file, tiled to this size) so the
+    * probe writes/reads the same kind of data the queries scan. */
+  val IoProbeBytes: Int = 64 * 1024 * 1024
+
+  /** Thresholds: CPU factor ≥ 1.5 (unchanged) or IO factor ≥ 2.0 flags
+    * the run contended — IO floors are inherently noisier than a
+    * register-bound hash loop, so the IO trigger sits higher. */
+  val IoContendedFactor = 2.0
+
+  /** Canonical-artifact guard decision (object scaladoc) — pure so
+    * BenchGuardSpec can pin every branch without a 15-minute bench run.
+    * `priorJson` is the current BENCH_full.json text (None when absent),
+    * `subsetSize` is Some(n) when SPARK_GRAFT_BENCH_ONLY restricted the
+    * run. Returns the reason to divert, or None to write the canonical
+    * path. */
+  def guardReason(priorJson: Option[String], sfDir: String,
+                  subsetSize: Option[Int],
+                  noiseFactor: Double, ioNoiseFactor: Double): Option[String] =
+    subsetSize match {
+      case Some(n) =>
+        // a subset run is never canonical regardless of sf/noise — round
+        // 9's committed artifact was exactly such a smoke overwrite
+        Some(s"subset run (SPARK_GRAFT_BENCH_ONLY, $n queries)")
+      case None => priorJson.flatMap { txt =>
+        def field(name: String): Option[String] =
+          ("\"" + name + "\"\\s*:\\s*\"?([^\",}]+)").r
+            .findFirstMatchIn(txt).map(_.group(1))
+        val priorSf = field("sf")
+        val priorNoise = field("noise_factor").flatMap(_.toDoubleOption)
+        val priorIo = field("io_noise_factor").flatMap(_.toDoubleOption)
+        if (priorSf.exists(_ != sfDir))
+          Some(s"sf mismatch: artifact is ${priorSf.get}, this run is $sfDir")
+        else if (priorNoise.exists(n => noiseFactor > 1.3 * n))
+          Some(f"cpu noise_factor $noiseFactor%.2f > 1.3x artifact ${priorNoise.get}%.2f")
+        else if (priorIo.exists(n => ioNoiseFactor > 1.3 * n))
+          Some(f"io_noise_factor $ioNoiseFactor%.2f > 1.3x artifact ${priorIo.get}%.2f")
+        else None
+      }
+    }
 
   /** Fixed-size CPU-bound probe: hash+sum over an in-memory range, no
     * I/O, no shuffle variance — same work every invocation. ~0.1–0.3 s
@@ -132,6 +207,40 @@ object Bench {
       }.min
     calibrationJob() // codegen warm-up; first timed probe must not pay it
 
+    // IO probe payload: a fixed 64 MiB slice of real parquet bytes,
+    // loaded once (the load itself is untimed)
+    val ioPayload: Array[Byte] = {
+      val src = new java.io.File(s"$sfDir/lineitem.parquet")
+      val parts =
+        if (src.isFile) Array(src)
+        else Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val seed = parts.headOption.map(f => java.nio.file.Files.readAllBytes(f.toPath))
+        .filter(_.nonEmpty)
+        .getOrElse(Array.tabulate[Byte](1024 * 1024)(i => (i * 31).toByte))
+      val out = new Array[Byte](IoProbeBytes)
+      var off = 0
+      while (off < out.length) {
+        val n = math.min(seed.length, out.length - off)
+        System.arraycopy(seed, 0, out, off, n); off += n
+      }
+      out
+    }
+    def ioProbeOnce(): Double = {
+      val f = java.io.File.createTempFile("graft-ioprobe", ".bin")
+      val t0 = System.nanoTime()
+      val fos = new java.io.FileOutputStream(f)
+      try { fos.write(ioPayload); fos.getFD.sync() } finally fos.close()
+      val back = java.nio.file.Files.readAllBytes(f.toPath)
+      val dt = (System.nanoTime() - t0) / 1e9
+      f.delete()
+      // consume the read so it can't be optimized away
+      if (back.length != ioPayload.length) System.err.println("[bench] io probe short read")
+      dt
+    }
+    def ioCalibrate(): Double = (1 to ProbeReps).map(_ => ioProbeOnce()).min
+    ioProbeOnce() // JIT/page-table warm-up, untimed
+
     // INTERLEAVED passes: run the FULL query list Iterations times and take
     // each query's median ACROSS passes. Back-to-back per-query iterations
     // put all 3 samples of one query inside the same co-tenant contention
@@ -144,19 +253,22 @@ object Bench {
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
     val broken = scala.collection.mutable.Set.empty[String]
     val calibrations = scala.collection.mutable.ListBuffer.empty[Seq[Double]]
+    val ioCalibrations = scala.collection.mutable.ListBuffer.empty[Seq[Double]]
     for (_ <- 1 to Iterations) {
       val probes = scala.collection.mutable.ListBuffer.empty[Double]
-      probes += calibrate()
+      val ioProbes = scala.collection.mutable.ListBuffer.empty[Double]
+      probes += calibrate(); ioProbes += ioCalibrate()
       for ((spec, idx) <- ordered.zipWithIndex) {
-        if (idx == ordered.size / 2) probes += calibrate()
+        if (idx == ordered.size / 2) { probes += calibrate(); ioProbes += ioCalibrate() }
         if (!broken(spec.name)) {
           val (t, ok) = runOnce(spec)
           if (ok) times(spec.name) = t :: times.getOrElse(spec.name, Nil)
           else broken += spec.name
         }
       }
-      probes += calibrate()
+      probes += calibrate(); ioProbes += ioCalibrate()
       calibrations += probes.toSeq
+      ioCalibrations += ioProbes.toSeq
     }
     val results = ordered.map { spec =>
       if (broken(spec.name)) (spec.name, (-1.0, false))
@@ -181,21 +293,53 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    // per-pass contention factor vs the recorded idle reference, then the
-    // whole-run factor + discounted total (see object scaladoc)
+    // per-pass contention factors (CPU + IO) vs the recorded idle
+    // references, then the whole-run factors + discounted total (see
+    // object scaladoc) — the discount uses the LARGER factor, since
+    // whichever resource is contended bounds the whole run
     val noisePerPass = calibrations.toSeq.map(p => median(p) / IdleProbeSec)
     val noiseFactor = if (noisePerPass.nonEmpty) median(noisePerPass) else 1.0
-    val idleEst = total / math.max(1.0, noiseFactor)
+    val ioNoisePerPass = ioCalibrations.toSeq.map(p => median(p) / IdleIoProbeSec)
+    val ioNoiseFactor = if (ioNoisePerPass.nonEmpty) median(ioNoisePerPass) else 1.0
+    val contended = noiseFactor >= 1.5 || ioNoiseFactor >= IoContendedFactor
+    val idleEst = total / math.max(1.0, math.max(noiseFactor, ioNoiseFactor))
     val noise = noisePerPass.map(f => f"$f%.2f").mkString("[", ",", "]")
-    val json = f"""{"metric":"total","unit":"sec","iterations":$Iterations,"queries":$qs,"failed":$failed,"calibration":$calib,"noise":$noise,"noise_factor":$noiseFactor%.2f,"value_idle_est":$idleEst%.3f,"contended":${noiseFactor >= 1.5},"sf":"$sfDir","value":$total%.3f}"""
-    println(json)
-    // The stdout line above is tail-truncatable by log-capture harnesses
+    val ioCalib = ioCalibrations
+      .map(_.map(t => f"$t%.3f").mkString("[", ",", "]")).mkString("[", ",", "]")
+    val ioNoise = ioNoisePerPass.map(f => f"$f%.2f").mkString("[", ",", "]")
+    def jsonLine(guard: Option[String]): String = {
+      val guardField = guard.map(g => s""""guard":"$g",""").getOrElse("")
+      f"""{"metric":"total","unit":"sec","iterations":$Iterations,"queries":$qs,"failed":$failed,"calibration":$calib,"noise":$noise,"noise_factor":$noiseFactor%.2f,"io_calibration":$ioCalib,"io_noise":$ioNoise,"io_noise_factor":$ioNoiseFactor%.2f,${guardField}"value_idle_est":$idleEst%.3f,"contended":$contended,"sf":"$sfDir","value":$total%.3f}"""
+    }
+    // The stdout line below is tail-truncatable by log-capture harnesses
     // (round 6 lost every median alphabetically before f8 that way) — also
     // write the COMPLETE JSON to a file so per-query medians always survive.
     // Default path is RELATIVE to the working dir (override with
     // SPARK_GRAFT_BENCH_OUT) so running from another checkout writes next
     // to that checkout, not into a hardcoded absolute location.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    //
+    // CANONICAL-ARTIFACT GUARD (object scaladoc): only on the DEFAULT
+    // path, and only when a previous artifact exists — a wrong-sf or
+    // noisier-by->1.3× run is diverted to BENCH_contended.json so the
+    // committed canonical artifact can't be silently degraded by a smoke
+    // run or a contended pass.
+    val explicitOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    val defaultPath = "BENCH_full.json"
+    val reason: Option[String] = if (explicitOut.isDefined) None else {
+      val prior = new java.io.File(defaultPath)
+      val priorJson =
+        if (prior.isFile)
+          Some(new String(java.nio.file.Files.readAllBytes(prior.toPath), "UTF-8"))
+        else None
+      guardReason(priorJson, sfDir, only.map(_ => ordered.size),
+        noiseFactor, ioNoiseFactor)
+    }
+    val outPath = explicitOut.getOrElse(
+      if (reason.isDefined) "BENCH_contended.json" else defaultPath)
+    reason.foreach(r =>
+      System.err.println(s"[bench] guard: $r — writing $outPath, BENCH_full.json untouched"))
+    val json = jsonLine(reason)
+    println(json)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes("UTF-8"))
     catch { case e: Throwable =>

@@ -717,6 +717,79 @@ object ExtraQueries {
       graft.ops.Merge.cmsEstimate(state, probes, Seq("source"), pos)
     },
 
+    sql("gdpr3_forget_moments",
+      "GDPR moment-state erasure — forget-keys on CUSTOMER cascade two hops (customer→orders→lineitem via semi-joins), then the persisted power-sum moment state subtracts the forgotten slice's own partial state EXACTLY (DECIMAL(38,0) sums are abelian — Merge.retractMomentState); retract-then-finalize is bit-identical to recomputing mean/var/skew/kurt over the survivors, which is what the oracle does with NOT EXISTS",
+      """WITH b AS (SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS v
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND NOT EXISTS (
+        |    SELECT 1 FROM orders, customer WHERE o_orderkey = l_orderkey
+        |      AND c_custkey = o_custkey AND c_custkey % 97 = 0)),
+        |st AS (SELECT l_returnflag, l_linestatus, COUNT(v) AS n,
+        |  SUM(v) AS s1, SUM(v*v) AS s2, SUM(v*v*v) AS s3, SUM(v*v*v*v) AS s4
+        |  FROM b GROUP BY 1, 2),
+        |m AS (SELECT l_returnflag, l_linestatus, n,
+        |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+        |  CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+        |  CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+        |  CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+        |  FROM st)
+        |SELECT l_returnflag, l_linestatus, n, mu AS mean_v,
+        | ROUND(r2 - mu*mu, 6) AS var_pop,
+        | ROUND((r3 - 3*mu*r2 + 2*mu*mu*mu) / POWER(r2 - mu*mu, 1.5), 6) AS skew_v,
+        | ROUND((r4 - 4*mu*r3 + 6*mu*mu*r2 - 3*mu*mu*mu*mu)
+        |   / ((r2 - mu*mu) * (r2 - mu*mu)) - 3, 6) AS kurt_v
+        | FROM m ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // the erasure request is defined on the CUSTOMER table; the key
+        // sliver propagates through orders to lineitem (AQE broadcasts
+        // both hops), and the state honors it by exact subtraction —
+        // work ∝ delete slice + state rows, the archive is never
+        // re-aggregated
+        val keys = Seq("l_returnflag", "l_linestatus")
+        val forget = Tables.customer(s, d)
+          .filter(col("c_custkey") % 97 === 0).select("c_custkey")
+        val orders = Tables.orders(s, d)
+        val forgottenOrders = orders.join(forget,
+          orders("o_custkey") === forget("c_custkey"), "leftsemi")
+          .select("o_orderkey")
+        val li = Tables.lineitem(s, d)
+        val deletes = li.join(forgottenOrders,
+          li("l_orderkey") === forgottenOrders("o_orderkey"), "leftsemi")
+        val state = graft.ops.Merge.partialMomentState(li, keys, "l_quantity")
+        val dstate = graft.ops.Merge.partialMomentState(deletes, keys, "l_quantity")
+        graft.ops.Merge.finalizeMoments(
+          graft.ops.Merge.retractMomentState(state, dstate, keys), keys)
+          .orderBy("l_returnflag", "l_linestatus")
+      }
+    },
+
+    sql("gdpr4_forget_distinct",
+      "GDPR distinct-state erasure — same customer→orders→lineitem forget cascade against the exact distinct-set state: a deleted (key, partkey) pair leaves ONLY if no surviving row still carries it (Merge.retractDistinctState checks the dirty pairs against the remaining rows with a semi-join sliver — multiplicity lives in the data, not the set state); finalize == COUNT(DISTINCT) over the survivors, which is the oracle",
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_cnt
+        | FROM lineitem WHERE NOT EXISTS (
+        |   SELECT 1 FROM orders, customer WHERE o_orderkey = l_orderkey
+        |     AND c_custkey = o_custkey AND c_custkey % 97 = 0)
+        | GROUP BY 1 ORDER BY l_returnflag""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val keys = Seq("l_returnflag")
+        val forget = Tables.customer(s, d)
+          .filter(col("c_custkey") % 97 === 0).select("c_custkey")
+        val orders = Tables.orders(s, d)
+        val forgottenOrders = orders.join(forget,
+          orders("o_custkey") === forget("c_custkey"), "leftsemi")
+          .select("o_orderkey")
+        val li = Tables.lineitem(s, d)
+        val deletes = li.join(forgottenOrders,
+          li("l_orderkey") === forgottenOrders("o_orderkey"), "leftsemi")
+        val remaining = li.join(forgottenOrders,
+          li("l_orderkey") === forgottenOrders("o_orderkey"), "leftanti")
+        val state = graft.ops.Merge.partialDistinctState(li, keys, "l_partkey")
+        graft.ops.Merge.finalizeDistinct(
+          graft.ops.Merge.retractDistinctState(state, deletes, remaining,
+            keys, "l_partkey"), keys)
+          .orderBy("l_returnflag")
+      }
+    },
+
     sql("u17_retractable_quantiles",
       "U17: histogram-state RETRACTION — the u10 value-histogram quantile state honors a delete batch by per-bin count subtraction (emptied bins vanish, NO rescan ever — the histogram carries the full distribution); retract-then-finalize is bit-identical to recomputing quantiles over the survivors, which is exactly what the oracle does",
       """SELECT l_returnflag, l_linestatus,

@@ -112,6 +112,39 @@ object StreamingQueries {
         EventStreams.clickPurchaseJoinOuter(ev, Tables.events(s, d))
           .orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
       }
+    },
+
+    sql("st7_session_attribution",
+      "Streaming COMPOSITION: the st6 left-outer click->purchase attribution join feeding the st2 session-window aggregation — per 5-min-gap click session, attributed pairs vs unconverted clicks (the funnel-dashboard serving shape; two chained stateful operators on a stream). Batch = stream (StreamingSpec pins the replay behind the admission guard with a watermark sentinel)",
+      """WITH c AS (SELECT user_id, event_id AS click_id, date_trunc('second', ts) AS cts
+        |  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+        |x AS (SELECT user_id, click_id, cts,
+        |  CASE WHEN LAG(cts) OVER (PARTITION BY user_id ORDER BY cts, click_id) IS NULL
+        |         OR cts - LAG(cts) OVER (PARTITION BY user_id ORDER BY cts, click_id) >= INTERVAL 5 MINUTE
+        |       THEN 1 ELSE 0 END AS new_s FROM c),
+        |y AS (SELECT user_id, click_id, cts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY cts, click_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x),
+        |p AS (SELECT y.user_id, y.sid, y.cts, e.event_id AS purchase_id
+        |  FROM y LEFT JOIN events e ON e.user_id = y.user_id AND e.event_type = 'purchase'
+        |    AND date_trunc('second', e.ts) >= y.cts
+        |    AND date_trunc('second', e.ts) <= y.cts + INTERVAL 60 MINUTE)
+        |SELECT user_id, strftime(MIN(cts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       strftime(MAX(cts) + INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |       COUNT(purchase_id) AS n_attributions,
+        |       COUNT(CASE WHEN purchase_id IS NULL THEN 1 END) AS n_unconverted_clicks
+        | FROM p GROUP BY user_id, sid
+        | ORDER BY user_id, session_start""".stripMargin.replace("\n", "")) {
+      // oracle derivation: sessionize CLICKS gaps-and-islands style (same
+      // >= gap rule as st2's proven oracle — ties share a session), then
+      // hang each attribution pair / unconverted click off its click's
+      // session and aggregate. session_window over the join output sees
+      // the same click-ts set (duplicated click_ts rows don't move
+      // session boundaries), so boundaries agree by construction.
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        EventStreams.sessionAttribution(ev, Tables.events(s, d))
+          .orderBy("user_id", "session_start")
+      }
     }
   )
 }

@@ -134,6 +134,82 @@ object EventStreams {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("segment"), col("n_events"), col("avg_value"))
 
+  /** Composed funnel-dashboard shape (st7): the LEFT-OUTER click→purchase
+    * attribution join ([[clickPurchaseJoinOuter]]) feeding a per-user
+    * session-window aggregation — per 5-minute-gap click session, how many
+    * attributed (click, purchase-within-horizon) pairs and how many clicks
+    * converted to nothing. This is what a conversion dashboard actually
+    * serves: sessions, not raw pairs.
+    *
+    * Streaming shape: TWO chained stateful operators — a stream-stream
+    * time-interval outer join, then a session-window aggregation over the
+    * join output's click event time (watermark propagates through the
+    * join; Spark ≥3.5 plans chained stateful ops in append mode). Session
+    * rows finalize when the watermark passes the session's end; null-side
+    * join rows for unconverted clicks emit once the purchase watermark
+    * closes the click's horizon, so they reach the session agg strictly
+    * before that watermark can close the session — no unconverted click is
+    * ever counted late. Metrics avoid COUNT(DISTINCT) deliberately:
+    * streaming aggs can't plan it, and each unconverted click contributes
+    * exactly one null-completed row, so plain counts are exact.
+    *
+    * Works identically on batch inputs (oracle-verified as st7). */
+  def sessionAttribution(clicks: DataFrame, purchases: DataFrame,
+                         horizon: String = "60 minutes",
+                         gap: String = "5 minutes",
+                         watermark: String = "2 hours"): DataFrame =
+    sessionAttributionFrom(
+      clicks
+        .filter(col("user_id").isNotNull && col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          date_trunc("second", col("ts")).as("click_ts"))
+        .withWatermark("click_ts", watermark),
+      purchases
+        .filter(col("user_id").isNotNull && col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+          date_trunc("second", col("ts")).as("purchase_ts"))
+        .withWatermark("purchase_ts", watermark),
+      horizon, gap)
+
+  /** [[sessionAttribution]] over PRE-WATERMARKED inputs — the shape behind
+    * [[Admission.guard]], which already owns the stream's single watermark
+    * (Spark's watermark-propagation simulator rightly refuses a
+    * downstream redefinition: the guard's frontier is the one that
+    * already admitted the rows). Caller contract: `ts` is already
+    * second-truncated (truncate BEFORE the guard — a derived column
+    * would shed the watermark metadata, a plain alias preserves it) and
+    * carries the watermark. */
+  def sessionAttributionGuarded(clicks: DataFrame, purchases: DataFrame,
+                                horizon: String = "60 minutes",
+                                gap: String = "5 minutes"): DataFrame =
+    sessionAttributionFrom(
+      clicks
+        .filter(col("user_id").isNotNull && col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts")),
+      purchases
+        .filter(col("user_id").isNotNull && col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts")),
+      horizon, gap)
+
+  private def sessionAttributionFrom(c: DataFrame, p: DataFrame,
+                                     horizon: String, gap: String): DataFrame =
+    c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"),
+        "left_outer")
+      .groupBy(session_window(col("click_ts"), gap).as("w"), col("user_id"))
+      .agg(
+        count(col("purchase_id")).as("n_attributions"),
+        count(when(col("purchase_id").isNull, lit(1))).as("n_unconverted_clicks"))
+      .select(
+        col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_attributions"), col("n_unconverted_clicks"))
+
   /** Per-user sessionization with a gap timeout: events closer than `gap`
     * chain into one session. Built on session_window (no custom state). */
   def userSessions(events: DataFrame,

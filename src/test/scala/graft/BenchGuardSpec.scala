@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins every branch of [[Bench.guardReason]] — the canonical-artifact
+  * guard that keeps BENCH_full.json from being overwritten by a smoke
+  * subset, a wrong-scale run, or a contended pass (the three failure
+  * modes that produced stale/wrong committed bench artifacts in rounds
+  * 8–10). Pure-function tests: no Spark, no bench run. */
+class BenchGuardSpec extends AnyFunSuite {
+
+  private val sf01 = "/root/testdata/sf0.1"
+  private def artifact(sf: String, noise: Double, ioNoise: Double): String =
+    s"""{"metric":"total","queries":{"sf_fake_query":1.0},"noise_factor":$noise,"io_noise_factor":$ioNoise,"sf":"$sf","value":100.0}"""
+
+  test("subset run always diverts, even at matching sf and clean noise") {
+    val r = Bench.guardReason(Some(artifact(sf01, 0.5, 1.0)), sf01,
+      subsetSize = Some(3), noiseFactor = 0.5, ioNoiseFactor = 1.0)
+    assert(r.exists(_.contains("subset run")))
+    // and even with no prior artifact at all (nothing canonical to seed
+    // from a partial sweep)
+    assert(Bench.guardReason(None, sf01, Some(1), 0.5, 1.0)
+      .exists(_.contains("subset run")))
+  }
+
+  test("sf mismatch diverts: an sf0.001 smoke cannot replace the sf0.1 artifact") {
+    val r = Bench.guardReason(Some(artifact(sf01, 0.5, 1.0)),
+      "/root/testdata/sf0.001", None, 0.4, 0.9)
+    assert(r.exists(_.contains("sf mismatch")))
+  }
+
+  test("cpu noise factor >1.3x the artifact's diverts") {
+    val r = Bench.guardReason(Some(artifact(sf01, 0.5, 1.0)), sf01, None,
+      noiseFactor = 0.66, ioNoiseFactor = 1.0)
+    assert(r.exists(_.contains("cpu noise_factor")))
+    // at exactly 1.3x it does NOT divert (threshold is strict >)
+    assert(Bench.guardReason(Some(artifact(sf01, 0.5, 1.0)), sf01, None,
+      0.65, 1.0).isEmpty)
+  }
+
+  test("io noise factor >1.3x the artifact's diverts — the probe class the cpu sentinel missed") {
+    val r = Bench.guardReason(Some(artifact(sf01, 0.5, 1.0)), sf01, None,
+      noiseFactor = 0.5, ioNoiseFactor = 1.31)
+    assert(r.exists(_.contains("io_noise_factor")))
+  }
+
+  test("clean full run at the artifact's sf writes the canonical path") {
+    assert(Bench.guardReason(Some(artifact(sf01, 0.5, 1.0)), sf01, None,
+      0.55, 1.1).isEmpty)
+  }
+
+  test("no prior artifact: a full run seeds the canonical path at any sf/noise") {
+    assert(Bench.guardReason(None, "/root/testdata/sf0.001", None, 3.0, 3.0).isEmpty)
+  }
+
+  test("pre-round-11 artifact without io_noise_factor: io check is skipped, cpu check still applies") {
+    val legacy = s"""{"metric":"total","noise_factor":0.35,"sf":"$sf01","value":208.5}"""
+    assert(Bench.guardReason(Some(legacy), sf01, None, 0.40, 99.0).isEmpty)
+    assert(Bench.guardReason(Some(legacy), sf01, None, 0.50, 1.0)
+      .exists(_.contains("cpu noise_factor")))
+  }
+}

