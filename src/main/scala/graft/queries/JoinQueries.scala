@@ -465,6 +465,43 @@ object JoinQueries {
             |      AND l3.l_returnflag = 'R')
             | GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin)
       }
+    },
+
+    sql("j19_excess_stock_suppliers",
+      "J1+: TPC-H Q20-shaped NESTED correlated subquery — suppliers holding excess stock: an IN-subquery over supply relationships (distinct lineitem (partkey, suppkey) pairs standing in for partsupp) that itself contains a correlated SCALAR subquery on the two-column correlation key (stock proxy p_size*2 vs half the two-year shipped quantity; p_size*4 > SUM keeps the comparison integral). Two decorrelation levels must both rewrite — IN into a left-semi, the inner scalar into ONE (partkey, suppkey) aggregate joined back; PlanSpec pins no nested-loop/cartesian and a single aggregated build",
+      """SELECT s_suppkey, s_name, n_name
+        | FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        | WHERE s_suppkey IN (
+        |   SELECT ps.l_suppkey
+        |   FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |    JOIN part ON p_partkey = ps.l_partkey
+        |   WHERE p_size >= 25
+        |     AND p_size * 4 > (
+        |       SELECT SUM(CAST(l.l_quantity AS BIGINT)) FROM lineitem l
+        |       WHERE l.l_partkey = ps.l_partkey AND l.l_suppkey = ps.l_suppkey
+        |         AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |         AND l.l_shipdate < TIMESTAMP '1998-01-01'))
+        | ORDER BY s_suppkey""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("j19_lineitem")
+        Tables.part(s, d).createOrReplaceTempView("j19_part")
+        Tables.supplier(s, d).createOrReplaceTempView("j19_supplier")
+        Tables.nation(s, d).createOrReplaceTempView("j19_nation")
+        s.sql(
+          """SELECT s_suppkey, s_name, n_name
+            | FROM j19_supplier JOIN j19_nation ON s_nationkey = n_nationkey
+            | WHERE s_suppkey IN (
+            |   SELECT ps.l_suppkey
+            |   FROM (SELECT DISTINCT l_partkey, l_suppkey FROM j19_lineitem) ps
+            |    JOIN j19_part ON p_partkey = ps.l_partkey
+            |   WHERE p_size >= 25
+            |     AND p_size * 4 > (
+            |       SELECT SUM(CAST(l.l_quantity AS BIGINT)) FROM j19_lineitem l
+            |       WHERE l.l_partkey = ps.l_partkey AND l.l_suppkey = ps.l_suppkey
+            |         AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+            |         AND l.l_shipdate < TIMESTAMP '1998-01-01'))
+            | ORDER BY s_suppkey""".stripMargin)
+      }
     }
   )
 }

@@ -65,6 +65,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), s"NOT EXISTS did not become an anti join:\n$p")
   }
 
+  test("j19 nested correlation: both levels decorrelate — LeftSemi for IN, one summed build for the inner scalar") {
+    val p = plan(specs("j19_excess_stock_suppliers").run(spark, TestSpark.sfDir))
+    // two decorrelation levels: the IN-subquery must become a left-semi
+    // join and the inner two-column-correlated scalar must become ONE
+    // (partkey, suppkey)-grouped sum joined back — any per-row
+    // re-execution surfaces as a nested-loop/cartesian node
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("LeftSemi"), s"IN did not become a semi join:\n$p")
+    val sumAggs = "partial_sum".r.findAllIn(p).length
+    assert(sumAggs == 1, s"expected one partial_sum build for the inner scalar, got $sumAggs:\n$p")
+  }
+
   test("semi/anti joins plan as LeftSemi/LeftAnti, not inner+distinct") {
     assert(plan(specs("j3_semi_join").run(spark, TestSpark.sfDir)).contains("LeftSemi"))
     assert(plan(specs("j4_anti_join").run(spark, TestSpark.sfDir)).contains("LeftAnti"))
