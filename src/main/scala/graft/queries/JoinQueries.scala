@@ -502,6 +502,44 @@ object JoinQueries {
             |         AND l.l_shipdate < TIMESTAMP '1998-01-01'))
             | ORDER BY s_suppkey""".stripMargin)
       }
+    },
+
+    sql("j20_min_cost_supplier",
+      "J1+: TPC-H Q2-shaped correlated MIN over a MULTI-JOIN subquery — for each size-30 part, the EUROPE supplier(s) achieving the region's minimum cost (cost = the cheapest extendedprice that (part, supplier) pair ever shipped at, min-selection only so doubles stay exact). The correlated scalar spans a 4-table join (supply⋈supplier⋈nation⋈region) that must decorrelate into ONE partkey-grouped min build with the dim filters applied INSIDE it — re-running a 4-way join per part row is the disaster class (the supply CTE inlining once per REFERENCE, 2×, is linear and fine; PlanSpec pins exactly 3 min builds)",
+      """WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |            MIN(l_extendedprice) AS ps_cost FROM lineitem GROUP BY 1, 2)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+        | FROM part, ps, supplier, nation, region
+        | WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE' AND p_size = 30
+        |  AND ps_cost = (
+        |    SELECT MIN(ps2.ps_cost) FROM ps ps2, supplier s2, nation n2, region r2
+        |    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')
+        | ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("j20_lineitem")
+        Tables.part(s, d).createOrReplaceTempView("j20_part")
+        Tables.supplier(s, d).createOrReplaceTempView("j20_supplier")
+        Tables.nation(s, d).createOrReplaceTempView("j20_nation")
+        Tables.region(s, d).createOrReplaceTempView("j20_region")
+        s.sql(
+          """WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+            |            MIN(l_extendedprice) AS ps_cost FROM j20_lineitem GROUP BY 1, 2)
+            |SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+            | FROM j20_part, ps, j20_supplier, j20_nation, j20_region
+            | WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+            |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+            |  AND r_name = 'EUROPE' AND p_size = 30
+            |  AND ps_cost = (
+            |    SELECT MIN(ps2.ps_cost) FROM ps ps2, j20_supplier s2, j20_nation n2, j20_region r2
+            |    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+            |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+            |      AND r2.r_name = 'EUROPE')
+            | ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin)
+      }
     }
   )
 }

@@ -77,6 +77,20 @@ class PlanSpec extends AnyFunSuite {
     assert(sumAggs == 1, s"expected one partial_sum build for the inner scalar, got $sumAggs:\n$p")
   }
 
+  test("j20 correlated min over a multi-join subquery: one grouped-min build, dims broadcast, no per-part loop") {
+    val p = plan(specs("j20_min_cost_supplier").run(spark, TestSpark.sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the correlated 4-table MIN subquery must become ONE partkey-grouped
+    // min build (its supplier/nation/region filters applied inside), not
+    // a per-part re-execution of the join. Exactly 3 partial_min builds:
+    // the supply CTE's MIN(l_extendedprice) inlined once per reference
+    // (2× — linear, Spark's default CTE inlining) + the decorrelated
+    // MIN(ps_cost). More would mean the subquery re-executes.
+    val minAggs = "partial_min".r.findAllIn(p).length
+    assert(minAggs == 3, s"expected 3 partial_min builds (CTE x2 + decorrelated min), got $minAggs:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "nation/region dims should broadcast")
+  }
+
   test("semi/anti joins plan as LeftSemi/LeftAnti, not inner+distinct") {
     assert(plan(specs("j3_semi_join").run(spark, TestSpark.sfDir)).contains("LeftSemi"))
     assert(plan(specs("j4_anti_join").run(spark, TestSpark.sfDir)).contains("LeftAnti"))

@@ -215,4 +215,53 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(est.length == 1 && est.head.getLong(2) == 0L)
     assert(Merge.cmsEstimate(emptyC, cprobes.limit(0), Seq("g"), cpos).count() == 0)
   }
+
+  test("retraction edges: empty delete set is the identity; total forget empties the state") {
+    val rows = Seq(("A", 5L, 1L), ("A", 7L, 2L), ("B", 3L, 3L))
+      .toDF("k", "v", "id")
+    val empty = rows.limit(0)
+
+    // moment state: retract(state, partial(∅)) == state; retract everything → 0 rows
+    val mState = Merge.partialMomentState(rows, Seq("k"), "v")
+    val mKey = (df: DataFrame) => df.orderBy("k").collect().map(_.toSeq).toSeq
+    assert(mKey(Merge.retractMomentState(mState,
+      Merge.partialMomentState(empty, Seq("k"), "v"), Seq("k"))) == mKey(mState))
+    assert(Merge.retractMomentState(mState,
+      Merge.partialMomentState(rows, Seq("k"), "v"), Seq("k")).count() == 0)
+
+    // distinct state: same identities (deletes/remaining as ROW frames)
+    val dState = Merge.partialDistinctState(rows, Seq("k"), "v")
+    assert(mKey(Merge.retractDistinctState(dState, empty, rows, Seq("k"), "v"))
+      .toSet == mKey(dState).toSet)
+    assert(Merge.retractDistinctState(dState, rows, empty, Seq("k"), "v").count() == 0)
+
+    // bottom-k: empty delete set leaves every key untouched (no rebuild I/O
+    // beyond the dirty-key probe); full delete rebuilds to empty
+    val pri = Merge.samplePriorityFast(Seq("id"))
+    val sState = Merge.partialSampleState(rows, Seq("k"), pri, 2)
+    val rebuild = (df: DataFrame) => Merge.partialSampleState(df, Seq("k"), pri, 2)
+    assert(mKey(Merge.retractBottomKState(sState, empty, rows, Seq("k"))(rebuild))
+      .toSet == mKey(sState).toSet)
+    assert(Merge.retractBottomKState(sState, rows, empty, Seq("k"))(rebuild).count() == 0)
+  }
+
+  test("composed session attribution: empty event stream is total and correctly shaped") {
+    val emptyEvents = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType))))
+    val out = graft.streaming.EventStreams.sessionAttribution(emptyEvents, emptyEvents)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("user_id", "session_start", "session_end",
+      "n_attributions", "n_unconverted_clicks"))
+    // clicks with zero purchases anywhere: pure null-completed sessions
+    val clicksOnly = Seq((1L, java.sql.Timestamp.valueOf("2024-03-01 10:00:00"),
+      7L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.streaming.EventStreams
+      .sessionAttribution(clicksOnly, clicksOnly.limit(0)).collect()
+    assert(r.length == 1 && r.head.getLong(3) == 0L && r.head.getLong(4) == 1L)
+  }
 }
