@@ -540,6 +540,35 @@ object JoinQueries {
             |      AND r2.r_name = 'EUROPE')
             | ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin)
       }
+    },
+
+    sql("j21_lapsed_high_balance",
+      "J1+: TPC-H Q22-shaped composition — the last classic subquery shape: TWO uncorrelated scalar subqueries (the positive-balance population's count and cent-exact sum, composing the above-average test as cents*n > total so no engine-ordered double sum exists; ROUND before the BIGINT cast because Spark truncates double->int where DuckDB rounds) AND a NOT EXISTS anti-join (no orders since 2000) in one WHERE — the lapsed high-balance customer report. Catalyst must plan the scalars as two one-row broadcast subqueries and the NOT EXISTS as a LeftAnti, never a per-row loop",
+      s"""SELECT c_mktsegment, COUNT(*) AS numcust,
+         | ${ssum("c_acctbal")} AS totacctbal
+         | FROM customer
+         | WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) *
+         |   (SELECT COUNT(*) FROM customer c2 WHERE c2.c_acctbal > 0)
+         |   > (SELECT SUM(CAST(ROUND(c3.c_acctbal * 100) AS BIGINT))
+         |      FROM customer c3 WHERE c3.c_acctbal > 0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+         | GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("j21_customer")
+        Tables.orders(s, d).createOrReplaceTempView("j21_orders")
+        s.sql(
+          s"""SELECT c_mktsegment, COUNT(*) AS numcust,
+             | ${ssum("c_acctbal")} AS totacctbal
+             | FROM j21_customer
+             | WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) *
+             |   (SELECT COUNT(*) FROM j21_customer c2 WHERE c2.c_acctbal > 0)
+             |   > (SELECT SUM(CAST(ROUND(c3.c_acctbal * 100) AS BIGINT))
+             |      FROM j21_customer c3 WHERE c3.c_acctbal > 0)
+             |  AND NOT EXISTS (SELECT 1 FROM j21_orders
+             |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+             | GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      }
     }
   )
 }

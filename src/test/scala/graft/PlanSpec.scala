@@ -91,6 +91,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "nation/region dims should broadcast")
   }
 
+  test("j21 Q22 composition: scalar subqueries stay one-row, NOT EXISTS becomes LeftAnti") {
+    val p = plan(specs("j21_lapsed_high_balance").run(spark, TestSpark.sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not become an anti join:\n$p")
+    // the two population scalars ride as Subquery/scalar-subquery nodes
+    // (one-row broadcasts), never joined per customer row
+    assert(p.contains("scalar-subquery") || p.contains("Subquery"), p)
+  }
+
   test("semi/anti joins plan as LeftSemi/LeftAnti, not inner+distinct") {
     assert(plan(specs("j3_semi_join").run(spark, TestSpark.sfDir)).contains("LeftSemi"))
     assert(plan(specs("j4_anti_join").run(spark, TestSpark.sfDir)).contains("LeftAnti"))
