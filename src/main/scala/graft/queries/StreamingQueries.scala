@@ -114,6 +114,28 @@ object StreamingQueries {
       }
     },
 
+    sql("st8_stream_full_join",
+      "Streaming: stream-stream FULL OUTER click->purchase join — the complete funnel ledger: matched attributions + unconverted clicks (null purchase side) + unattributed organic purchases (null click side, the class both one-sided joins drop). Null-completed rows emit when the opposite watermark closes their horizon. Batch = stream (StreamingSpec replay with dual-sided sentinel)",
+      """WITH c AS (SELECT user_id, event_id AS click_id, date_trunc('second', ts) AS cts
+        |  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+        |p AS (SELECT user_id AS p_user_id, event_id AS purchase_id, date_trunc('second', ts) AS pts
+        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL)
+        |SELECT COALESCE(c.user_id, p.p_user_id) AS user_id,
+        | c.click_id, p.purchase_id,
+        | strftime(c.cts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        | strftime(p.pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+        | FROM c FULL JOIN p
+        |  ON c.user_id = p.p_user_id
+        |  AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 60 MINUTE
+        | ORDER BY user_id, click_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        EventStreams.clickPurchaseJoinFull(ev, Tables.events(s, d))
+          .orderBy(col("user_id"), col("click_id").asc_nulls_first,
+            col("purchase_id").asc_nulls_first)
+      }
+    },
+
     sql("st7_session_attribution",
       "Streaming COMPOSITION: the st6 left-outer click->purchase attribution join feeding the st2 session-window aggregation — per 5-min-gap click session, attributed pairs vs unconverted clicks (the funnel-dashboard serving shape; two chained stateful operators on a stream). Batch = stream (StreamingSpec pins the replay behind the admission guard with a watermark sentinel)",
       """WITH c AS (SELECT user_id, event_id AS click_id, date_trunc('second', ts) AS cts

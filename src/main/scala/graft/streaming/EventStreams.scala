@@ -89,6 +89,19 @@ object EventStreams {
                              watermark: String = "2 hours"): DataFrame =
     clickPurchaseJoinTyped(clicks, purchases, horizon, watermark, "left_outer")
 
+  /** FULL-OUTER form of [[clickPurchaseJoin]] — the complete funnel
+    * ledger: matched attributions, unconverted clicks (null purchase
+    * side), AND unattributed purchases (null click side — organic/direct
+    * conversions no click preceded, the rows both one-sided forms drop).
+    * Both null-completed classes emit once the OPPOSITE side's watermark
+    * closes their horizon, exactly as in the left-outer form; matched
+    * rows stream eagerly. Works identically on batch inputs
+    * (oracle-verified as st8). */
+  def clickPurchaseJoinFull(clicks: DataFrame, purchases: DataFrame,
+                            horizon: String = "60 minutes",
+                            watermark: String = "2 hours"): DataFrame =
+    clickPurchaseJoinTyped(clicks, purchases, horizon, watermark, "full_outer")
+
   private def clickPurchaseJoinTyped(clicks: DataFrame, purchases: DataFrame,
                                      horizon: String, watermark: String,
                                      joinType: String): DataFrame = {
@@ -107,7 +120,10 @@ object EventStreams {
           col("purchase_ts") >= col("click_ts") &&
           col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"),
         joinType)
-      .select(col("user_id"), col("click_id"), col("purchase_id"),
+      // coalesce is a no-op for inner/left (click side present) and
+      // surfaces the purchase's user on full-outer's click-less rows
+      .select(coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+        col("click_id"), col("purchase_id"),
         date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
         date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"))
   }

@@ -257,6 +257,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-stream FULL OUTER join: both null-completed classes emit after the watermark; equals batch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = Tables.events(spark, TestSpark.sfDir)
+    val batch = EventStreams
+      .clickPurchaseJoinFull(ev, Tables.events(spark, TestSpark.sfDir), watermark = "30 days")
+      .collect().toSet
+    // the class the one-sided joins drop must exist in the fixture:
+    // organic purchases (null click side) AND unconverted clicks
+    assert(batch.exists(_.isNullAt(1)), "fixture must contain unattributed purchases")
+    assert(batch.exists(_.isNullAt(2)), "fixture must contain unconverted clicks")
+    val dir = Files.createTempDirectory("graft-stream-full").toString
+    ev.write.mode("overwrite").parquet(dir)
+    val schema = ev.schema
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = EventStreams.clickPurchaseJoinFull(src, src, watermark = "30 days")
+      .writeStream.format("memory").queryName("stream_full").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+      val far = new java.sql.Timestamp(maxTs.getTime + 100L * 24 * 3600 * 1000)
+      Seq((-1L, far, -1L, "click", 0.0, "{}"), (-2L, far, -2L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("stream_full")
+      .filter(col("user_id") >= 0).collect().toSet
+    assert(streamed == batch)
+  }
+
   test("st7 composed session attribution behind the admission guard: replayed stream equals batch") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
