@@ -567,6 +567,31 @@ object StatsQueries {
       }
     },
 
+    sql("p11_k_anonymity",
+      "P11: k-anonymity audit — the pre-release re-identification check: group the table by its quasi-identifier combination (nation x segment x $100-balance-band; band = exact cent integer div, no float boundary ambiguity) and report the equivalence-class size distribution with every class of size < 5 flagged risky. The one-number governance readout is the risky-rows mass: people indistinguishable from fewer than k-1 others. One hash agg to class sizes + one agg on the class-size SLIVER — corpus-scale scan, metadata-scale everything after",
+      """WITH cls AS (SELECT COUNT(*) AS k_size
+        |  FROM customer
+        |  GROUP BY c_nationkey, c_mktsegment,
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) // 10000)
+        |SELECT k_size, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(k_size) AS BIGINT) AS n_rows,
+        |  k_size < 5 AS risky
+        | FROM cls GROUP BY k_size ORDER BY k_size""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // band from exact cents (ROUND first: Spark truncates double→int
+        // where DuckDB rounds), integer div so the $100 boundaries are
+        // bit-identical in both engines
+        val band = expr("CAST(ROUND(c_acctbal * 100) AS BIGINT) div 10000")
+        Tables.customer(s, d)
+          .groupBy(col("c_nationkey"), col("c_mktsegment"), band.as("band"))
+          .agg(count(lit(1)).as("k_size"))
+          .groupBy("k_size")
+          .agg(count(lit(1)).as("n_classes"), sum("k_size").as("n_rows"))
+          .withColumn("risky", col("k_size") < 5)
+          .orderBy("k_size")
+      }
+    },
+
     sql("p10_row_fingerprint",
       "P10: table integrity fingerprint — every order row canonically serialized (keys, codes, day-formatted date, exact centi-cents) and hashed; per-status SUM of the 28-bit row hashes is an ORDER-INDEPENDENT checksum two sides of a replication/migration can compare without moving a row (a vanished, duplicated, or bit-flipped row shifts the sum; commutative ⇒ partition- and shuffle-layout-agnostic). Map-side hash + one tiny keyed agg; production swaps md5 for codegen'd xxhash64",
       """SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n_rows,
