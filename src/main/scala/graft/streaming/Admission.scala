@@ -62,4 +62,32 @@ object Admission {
       .dropDuplicates(idCols :+ tsCol)
       .dropDuplicatesWithinWatermark(idCols)
   }
+
+  /** Metric names [[guardObserved]] registers (readable from each
+    * micro-batch's `StreamingQueryProgress.observedMetrics`). */
+  val InMetric = "admission_in"
+  val OutMetric = "admission_out"
+
+  /** [[guard]] with OBSERVABILITY: CollectMetrics nodes before and after
+    * the guard count `rows_in` / `rows_out` per micro-batch, so the
+    * guard's drop rate — silently absorbed otherwise — becomes a
+    * monitorable signal (`rows_in - rows_out` = redeliveries + stragglers
+    * killed that batch). A production funnel dashboard alarms on a drop
+    * spike (a stuck producer replaying history) and on a sustained ZERO
+    * (the guard wired to the wrong id columns — nothing ever dedups).
+    * `observe` is a metrics tap, not a transform: the emitted rows are
+    * bit-identical to [[guard]]'s (spec-pinned), and the counts ride the
+    * existing micro-batch execution — no extra pass over the stream.
+    * Works on batch frames too (Spark's Observation API). */
+  def guardObserved(stream: DataFrame, tsCol: String, delay: String,
+                    idCols: Seq[String]): DataFrame = {
+    require(idCols.nonEmpty, "admission guard needs at least one identity column")
+    import org.apache.spark.sql.functions.{count, lit}
+    Tables.normalizeEventTime(stream, tsCol)
+      .observe(InMetric, count(lit(1)).as("rows_in"))
+      .withWatermark(tsCol, delay)
+      .dropDuplicates(idCols :+ tsCol)
+      .dropDuplicatesWithinWatermark(idCols)
+      .observe(OutMetric, count(lit(1)).as("rows_out"))
+  }
 }

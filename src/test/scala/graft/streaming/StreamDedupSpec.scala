@@ -131,6 +131,46 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(snap() == (after1._1 + 1, after1._2 + 1))
   }
 
+  test("observed guard: per-batch in/out metrics account for every dropped redelivery; rows identical to the plain guard") {
+    // corpus + a full byte-identical redelivery: the observed guard must
+    // (a) emit exactly the plain guard's rows and (b) report
+    // Σrows_in = 2N, Σrows_out = N across micro-batches — the drop
+    // counter a production dashboard alarms on
+    val ev = Tables.events(spark, TestSpark.sfDir).limit(500)
+      .withColumn("ts", date_trunc("second", col("ts")))
+    val dir = Files.createTempDirectory("graft-guard-obs").toString
+    ev.write.mode("overwrite").parquet(dir)
+    ev.write.mode("append").parquet(dir)
+    val n = ev.count()
+    def src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val ins = scala.collection.mutable.ListBuffer.empty[Long]
+    val outs = scala.collection.mutable.ListBuffer.empty[Long]
+    val q = Admission.guardObserved(src, tsCol = "ts", delay = "30 days",
+        idCols = Seq("event_id"))
+      .writeStream.format("memory").queryName("guard_obs").outputMode("append")
+      .start()
+    try q.processAllAvailable() finally {
+      // drain observed metrics from every batch's progress BEFORE stop
+      q.recentProgress.foreach { p =>
+        Option(p.observedMetrics.get(Admission.InMetric))
+          .foreach(r => ins += r.getLong(0))
+        Option(p.observedMetrics.get(Admission.OutMetric))
+          .foreach(r => outs += r.getLong(0))
+      }
+      q.stop()
+    }
+    assert(ins.sum == 2 * n, s"rows_in should count both deliveries: ${ins.sum} vs ${2 * n}")
+    assert(outs.sum == n, s"rows_out should count the deduped survivors: ${outs.sum} vs $n")
+    // emitted rows == the un-observed guard's rows on the same source
+    val observedRows = spark.table("guard_obs").collect().toSet
+    val plainQ = Admission.guard(src, "ts", "30 days", Seq("event_id"))
+      .writeStream.format("memory").queryName("guard_plain").outputMode("append").start()
+    try plainQ.processAllAvailable() finally plainQ.stop()
+    assert(observedRows == spark.table("guard_plain").collect().toSet)
+    assert(observedRows.size == n)
+  }
+
   test("watermarked ingest guard: redelivered and too-late docs never reach the dedup state") {
     import spark.implicits._
     // at-least-once sources redeliver; Admission.guard upstream of the
