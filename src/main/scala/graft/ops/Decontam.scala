@@ -85,4 +85,27 @@ object Decontam {
       .select("doc_id")
       .dropDuplicates("doc_id")
   }
+
+  /** EVAL-side burn report — the mirror of [[contamination]]: per eval
+    * doc, how much of ITS OWN k-gram content exists anywhere in train
+    * (n_grams_own, n_shared, burn share in integer ppm). [[contamination]]
+    * answers "which train docs to drop"; this answers the question the
+    * benchmark owner asks — "which eval items are already memorizable and
+    * by how much", including the clean zero-burn rows (a left join, so
+    * every eval doc appears — an eval score is only trustworthy with the
+    * whole column visible). Same scale shape as the forward report: eval
+    * shingles broadcast, train scanned once map-side, only the distinct
+    * (eval_id, shingle) HIT sliver ever shuffles — the train side is
+    * never globally deduplicated. */
+  def evalBurn(train: DataFrame, evalSet: DataFrame, k: Int = 5): DataFrame = {
+    val evalSh = Dedup.shingleDF(evalSet, k = k).withColumnRenamed("doc_id", "eval_id")
+    val hits = Dedup.shingleDF(train, k = k)
+      .join(broadcast(evalSh), Seq("shingle"))
+      .select("eval_id", "shingle").distinct()
+      .groupBy("eval_id").agg(count(lit(1)).as("n_shared"))
+    evalSh.groupBy("eval_id").agg(count(lit(1)).as("n_grams_own"))
+      .join(hits, Seq("eval_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("burn_ppm", expr("n_shared * 1000000 div n_grams_own"))
+  }
 }

@@ -221,6 +221,78 @@ object DedupQueries {
         thr = 0.8, maxDf = Some(Dedup.DefaultMaxDf))
     },
 
+    sql("dd16_eval_burn",
+      "Dedup+: per-EVAL-doc burn report — the mirror of dd7: for every held-out eval doc, how much of its OWN 5-gram content already exists in train (n_grams_own, n_shared, burn share in integer ppm), INCLUDING the clean zero rows — the which-benchmark-items-are-memorizable view an eval owner needs before trusting a score. Eval shingles broadcast, train scanned once, only the distinct hit sliver shuffles",
+      s"""WITH tsh AS (SELECT DISTINCT shingle FROM (
+         |    SELECT UNNEST(${shingleListSql(5)}) AS shingle
+         |    FROM documents WHERE doc_id % 20 <> 7) u),
+         |esh AS (SELECT doc_id AS eval_id, UNNEST(${shingleListSql(5)}) AS shingle
+         |        FROM documents WHERE doc_id % 20 = 7),
+         |own AS (SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_grams_own FROM esh GROUP BY 1),
+         |hits AS (SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |         FROM esh JOIN tsh USING (shingle) GROUP BY 1)
+         |SELECT o.eval_id, o.n_grams_own,
+         |  COALESCE(h.n_shared, 0) AS n_shared,
+         |  COALESCE(h.n_shared, 0) * 1000000 // o.n_grams_own AS burn_ppm
+         | FROM own o LEFT JOIN hits h ON o.eval_id = h.eval_id
+         | ORDER BY o.eval_id""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Decontam.evalBurn(
+          docs.filter(col("doc_id") % 20 =!= 7),
+          docs.filter(col("doc_id") % 20 === 7), k = 5)
+          .orderBy("eval_id")
+      }
+    },
+
+    sql("dd15_lsh_tuning_curve",
+      "Dedup: LSH PARAMETER TUNING CURVE — for each 64-hash (bands x rows) split, the expected candidate recall 1-(1-s^r)^b evaluated on THIS corpus's own exact near-dup pairs (the S-curve answer to 'is 16x4 right for tau=0.8 here, or does 8x8 drop real pairs'); per config: pair count, mean and worst per-pair capture probability in integer ppm. Bit-portable by construction: every power is a squaring chain of correctly-rounded multiplies (no POWER() last-ulp divergence), per-pair probabilities floor to ppm BEFORE summing so no engine-ordered double sum exists; the math runs on the ~25-row pair sliver",
+      s"""WITH $jaccardCtes,
+         |curve AS (
+         | SELECT 32 AS bands, 2 AS rows_per_band,
+         |   CAST(FLOOR((1 - q16*q16) * 1000000) AS BIGINT) AS p_ppm
+         | FROM (SELECT q8*q8 AS q16 FROM (SELECT q4*q4 AS q8 FROM (SELECT q2*q2 AS q4
+         |   FROM (SELECT q*q AS q2 FROM (SELECT 1 - s*s AS q FROM (SELECT jaccard AS s FROM pairs))))))
+         | UNION ALL
+         | SELECT 16, 4, CAST(FLOOR((1 - q8*q8) * 1000000) AS BIGINT)
+         | FROM (SELECT q4*q4 AS q8 FROM (SELECT q2*q2 AS q4 FROM (SELECT q*q AS q2
+         |   FROM (SELECT 1 - s2*s2 AS q FROM (SELECT s*s AS s2 FROM (SELECT jaccard AS s FROM pairs))))))
+         | UNION ALL
+         | SELECT 8, 8, CAST(FLOOR((1 - q4*q4) * 1000000) AS BIGINT)
+         | FROM (SELECT q2*q2 AS q4 FROM (SELECT q*q AS q2 FROM (SELECT 1 - s4*s4 AS q
+         |   FROM (SELECT s2*s2 AS s4 FROM (SELECT s*s AS s2 FROM (SELECT jaccard AS s FROM pairs))))))
+         | UNION ALL
+         | SELECT 4, 16, CAST(FLOOR((1 - q2*q2) * 1000000) AS BIGINT)
+         | FROM (SELECT q*q AS q2 FROM (SELECT 1 - s8*s8 AS q FROM (SELECT s4*s4 AS s8
+         |   FROM (SELECT s2*s2 AS s4 FROM (SELECT s*s AS s2 FROM (SELECT jaccard AS s FROM pairs)))))))
+         |SELECT bands, rows_per_band, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(p_ppm) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS expected_recall_ppm,
+         |  CAST(MIN(p_ppm) AS BIGINT) AS min_p_ppm
+         | FROM curve GROUP BY bands, rows_per_band
+         | ORDER BY bands DESC""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        // exponents are powers of two, so x^e is a left-squaring chain of
+        // correctly-rounded multiplies — the SQL mirrors the exact same
+        // association, making each per-pair double bit-identical
+        def ipow(c: org.apache.spark.sql.Column, e: Int): org.apache.spark.sql.Column =
+          if (e == 1) c else { val h = ipow(c, e / 2); h * h }
+        val pairs = graft.ops.Dedup.exactJaccardPairs(
+          graft.ops.Dedup.shingleDF(Tables.documents(s, d)), minJaccard = 0.8)
+        val configs = Seq((32, 2), (16, 4), (8, 8), (4, 16))
+        configs.map { case (b, r) =>
+          val p = lit(1.0) - ipow(lit(1.0) - ipow(col("jaccard"), r), b)
+          pairs.select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+            floor(p * 1000000).cast("long").as("p_ppm"))
+        }.reduce(_.unionByName(_))
+          .groupBy("bands", "rows_per_band")
+          .agg(count(lit(1)).as("n_pairs"), sum("p_ppm").as("sum_ppm"),
+            min("p_ppm").as("min_p_ppm"))
+          .select(col("bands"), col("rows_per_band"), col("n_pairs"),
+            expr("sum_ppm div n_pairs").as("expected_recall_ppm"), col("min_p_ppm"))
+          .orderBy(col("bands").desc)
+      }
+    },
+
     sql("dd13_containment",
       "Dedup: ASYMMETRIC containment pairs — C(id→in_id) = |S(id)∩S(in_id)|/|S(id)| ≥ 0.9, the share of a doc's OWN 3-gram shingles found in the other doc; catches short-doc-embedded-in-long-doc reprints whose symmetric Jaccard is arbitrarily low. Directional: both orientations emitted when both clear the bar; production caps shingle document frequency (under-scores only)",
       """WITH sh AS (

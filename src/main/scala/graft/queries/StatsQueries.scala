@@ -664,6 +664,57 @@ object StatsQueries {
       }
     },
 
+    sql("a29_mann_whitney",
+      "A29: Mann–Whitney U test — the NONPARAMETRIC twin of a28's Welch t: rank-based, so a handful of crazy outliers or a skewed metric can't fake or mask a shift (the robust A/B primitive for revenue-like long-tail metrics). Rank-free plan: average ranks come from the VALUE SLIVER's cumulative counts (avg_rank(v) = prev_cum + (cnt+1)/2), never a corpus-wide row_number — one hash agg to ~5k distinct centi-quantities, one window + one fold on that sliver. Everything is doubled (2·rank) so U and the rank sums are exact BIGINT; the tie-corrected z comes out of one fixed IEEE shape both engines evaluate identically",
+      """WITH x AS (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS v,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |vals AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(g) AS BIGINT) AS cnt1
+        |  FROM x GROUP BY v),
+        |rk AS (SELECT v, cnt, cnt1,
+        |    COALESCE(CAST(SUM(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS prev_cum
+        |  FROM vals),
+        |agg AS (SELECT CAST(SUM(cnt1 * (2 * prev_cum + cnt + 1)) AS BIGINT) AS r1_2,
+        |    CAST(SUM(cnt1) AS BIGINT) AS n1, CAST(SUM(cnt - cnt1) AS BIGINT) AS n2,
+        |    CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term,
+        |    CAST(SUM(cnt) AS BIGINT) AS n
+        |  FROM rk)
+        |SELECT n1, n2, (r1_2 - n1 * (n1 + 1)) AS u2,
+        |  ROUND((CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 * n2 AS DOUBLE))
+        |    / (2.0 * SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+        |       * (CAST(n + 1 AS DOUBLE)
+        |          - CAST(tie_term AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))),
+        |    6) AS z
+        | FROM agg""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val x = Tables.lineitem(s, d)
+          .filter(col("l_returnflag").isin("A", "R"))
+          .select(round(col("l_quantity") * 100).cast("long").as("v"),
+            when(col("l_returnflag") === "R", 1L).otherwise(0L).as("g"))
+        val vals = x.groupBy("v")
+          .agg(count(lit(1)).as("cnt"), sum("g").as("cnt1"))
+        // global window runs on the ~5k-row value sliver (a22 discipline)
+        val rk = vals.withColumn("prev_cum",
+          coalesce(sum("cnt").over(Window.orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val agg = rk.agg(
+          sum(col("cnt1") * (lit(2L) * col("prev_cum") + col("cnt") + 1)).as("r1_2"),
+          sum("cnt1").as("n1"), sum(col("cnt") - col("cnt1")).as("n2"),
+          sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_term"),
+          sum("cnt").as("n"))
+        val u2 = col("r1_2") - col("n1") * (col("n1") + 1)
+        val sigma2 = col("n1").cast("double") * col("n2").cast("double") / lit(12.0) *
+          ((col("n") + 1).cast("double") -
+            col("tie_term").cast("double") /
+              (col("n").cast("double") * (col("n") - 1).cast("double")))
+        agg.select(col("n1"), col("n2"), u2.as("u2"),
+          round((u2.cast("double") - (col("n1") * col("n2")).cast("double")) /
+            (lit(2.0) * sqrt(sigma2)), 6).as("z"))
+      }
+    },
+
     sql("a28_welch_ttest",
       "A28: Welch two-sample t-test — does returned ('R') merchandise ship in different quantities than accepted ('A')? The unequal-variance A/B-test primitive behind every metrics dashboard. Quantities are exact 2-dp decimals scaled to integer centi-units, so n/Σx/Σx² are exact BIGINT power sums (map-side combine, two grand totals); t and the Welch–Satterthwaite df come out of one FIXED IEEE chain both engines evaluate identically — bit-portable without a stats library",
       """WITH q AS (SELECT l_returnflag AS f, CAST(round(l_quantity * 100) AS BIGINT) AS c
