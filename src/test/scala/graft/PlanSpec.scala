@@ -403,7 +403,8 @@ class PlanSpec extends AnyFunSuite {
     //                                   centroid model (K rows), probed cids (nprobe),
     //                                   PQ codebook + query LUT (m·k rows)
     //   ops/VectorIndex.scala (1)       probed cids (nprobe)
-    //   ops/Decontam.scala (3)          eval-set shingles ×2 (eval ≪ train),
+    //   ops/Decontam.scala (4)          eval-set shingles ×3 (eval ≪ train;
+    //                                   forward report, hashed flags, evalBurn),
     //                                   contaminated-id sliver
     //   ops/Dedup.scala (2)             candidate-doc id slivers (semi-join probes)
     //   ops/RangeJoin.scala (2)         interval dimension (point + overlap
@@ -429,7 +430,7 @@ class PlanSpec extends AnyFunSuite {
     val allowed = Map(
       "ops/Similarity.scala" -> 7,
       "ops/VectorIndex.scala" -> 1,
-      "ops/Decontam.scala" -> 3,
+      "ops/Decontam.scala" -> 4,
       "ops/Dedup.scala" -> 2,
       "ops/RangeJoin.scala" -> 2,
       "ops/Packing.scala" -> 1,
