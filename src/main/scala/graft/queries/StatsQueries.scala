@@ -715,6 +715,74 @@ object StatsQueries {
       }
     },
 
+    sql("a30_kruskal_wallis",
+      "A30: Kruskal–Wallis H test — the k-SAMPLE extension of a29 (one-way ANOVA on ranks): are quantities drawn from the same distribution across ALL THREE return flags, without normality assumptions. Same rank-free machinery: per-group doubled rank sums from the value sliver's cumulative counts (exact BIGINT), the three groups pivoted into FIXED columns so no engine-ordered float sum exists, tie-corrected H through one fixed IEEE shape",
+      """WITH x AS (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS v, l_returnflag AS f
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'N', 'R')),
+        |vals AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(CASE WHEN f = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN f = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cn,
+        |    CAST(SUM(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+        |  FROM x GROUP BY v),
+        |rk AS (SELECT v, cnt, ca, cn, cr,
+        |    COALESCE(CAST(SUM(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS prev_cum
+        |  FROM vals),
+        |agg AS (SELECT
+        |    CAST(SUM(ca * (2 * prev_cum + cnt + 1)) AS BIGINT) AS ra2,
+        |    CAST(SUM(cn * (2 * prev_cum + cnt + 1)) AS BIGINT) AS rn2,
+        |    CAST(SUM(cr * (2 * prev_cum + cnt + 1)) AS BIGINT) AS rr2,
+        |    CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cn) AS BIGINT) AS nn,
+        |    CAST(SUM(cr) AS BIGINT) AS nr,
+        |    CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_term,
+        |    CAST(SUM(cnt) AS BIGINT) AS n
+        |  FROM rk)
+        |SELECT na AS n_a, nn AS n_n, nr AS n_r,
+        |  ROUND((12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+        |     * (CAST(ra2 AS DOUBLE) * CAST(ra2 AS DOUBLE) / (4.0 * CAST(na AS DOUBLE))
+        |      + CAST(rn2 AS DOUBLE) * CAST(rn2 AS DOUBLE) / (4.0 * CAST(nn AS DOUBLE))
+        |      + CAST(rr2 AS DOUBLE) * CAST(rr2 AS DOUBLE) / (4.0 * CAST(nr AS DOUBLE)))
+        |     - 3.0 * CAST(n + 1 AS DOUBLE))
+        |   / (1.0 - CAST(tie_term AS DOUBLE)
+        |       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))),
+        |   6) AS h_stat
+        | FROM agg""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val x = Tables.lineitem(s, d)
+          .filter(col("l_returnflag").isin("A", "N", "R"))
+          .select(round(col("l_quantity") * 100).cast("long").as("v"),
+            col("l_returnflag").as("f"))
+        val vals = x.groupBy("v").agg(
+          count(lit(1)).as("cnt"),
+          sum(when(col("f") === "A", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("f") === "N", 1L).otherwise(0L)).as("cn"),
+          sum(when(col("f") === "R", 1L).otherwise(0L)).as("cr"))
+        val rk = vals.withColumn("prev_cum",
+          coalesce(sum("cnt").over(Window.orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val w = lit(2L) * col("prev_cum") + col("cnt") + 1
+        val agg = rk.agg(
+          sum(col("ca") * w).as("ra2"), sum(col("cn") * w).as("rn2"),
+          sum(col("cr") * w).as("rr2"),
+          sum("ca").as("na"), sum("cn").as("nn"), sum("cr").as("nr"),
+          sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_term"),
+          sum("cnt").as("n"))
+        // groups land in FIXED columns: the three R²/n terms add in one
+        // explicit order, so the double chain is identical both engines
+        val nd = col("n").cast("double")
+        def term(r2: String, nj: String) =
+          col(r2).cast("double") * col(r2).cast("double") /
+            (lit(4.0) * col(nj).cast("double"))
+        val h = (lit(12.0) / (nd * (col("n") + 1).cast("double")) *
+          (term("ra2", "na") + term("rn2", "nn") + term("rr2", "nr")) -
+          lit(3.0) * (col("n") + 1).cast("double")) /
+          (lit(1.0) - col("tie_term").cast("double") / (nd * nd * nd - nd))
+        agg.select(col("na").as("n_a"), col("nn").as("n_n"), col("nr").as("n_r"),
+          round(h, 6).as("h_stat"))
+      }
+    },
+
     sql("a28_welch_ttest",
       "A28: Welch two-sample t-test — does returned ('R') merchandise ship in different quantities than accepted ('A')? The unequal-variance A/B-test primitive behind every metrics dashboard. Quantities are exact 2-dp decimals scaled to integer centi-units, so n/Σx/Σx² are exact BIGINT power sums (map-side combine, two grand totals); t and the Welch–Satterthwaite df come out of one FIXED IEEE chain both engines evaluate identically — bit-portable without a stats library",
       """WITH q AS (SELECT l_returnflag AS f, CAST(round(l_quantity * 100) AS BIGINT) AS c
