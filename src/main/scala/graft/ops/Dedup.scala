@@ -336,6 +336,26 @@ object Dedup {
     incrementalNearDupWithCap(newDocs, corpus, index, identity,
       k, numPerm, bands, rows, thr)
 
+  /** [[incrementalNearDup]] SERVED entirely from persisted artifacts: the
+    * corpus side is its stored [[shingleDF]] substrate (doc_id, shingle —
+    * the table a deployment writes next to the band index), so the timed
+    * increment NEVER touches archive text — candidate verification
+    * semi-joins the candidate id sliver against the shingle parquet
+    * instead of re-shingling candidate documents. Output is bit-identical
+    * to [[incrementalNearDup]] ([[shingleDF]] is deterministic, pinned in
+    * DedupSpec); the difference is purely where the verify substrate
+    * comes from: recompute-from-text vs read-from-state. Caller contract
+    * as [[incrementalNearDup]], plus `corpusShingles` was built with the
+    * same k. */
+  def incrementalNearDupServed(newDocs: DataFrame, corpusShingles: DataFrame,
+                               index: DataFrame,
+                               k: Int = 3, numPerm: Int = 64,
+                               bands: Int = 16, rows: Int = 4,
+                               thr: Double = 0.8): DataFrame =
+    incrementalNearDupCore(newDocs, index,
+      candIds => corpusShingles.join(candIds, Seq("doc_id"), "left_semi"),
+      identity, k, numPerm, bands, rows, thr)
+
   /** [[incrementalNearDup]] with every shingle substrate (batch AND the
     * candidate slice of the archive) capped against the SAME persisted
     * [[shingleDfTable]] the index was built with. The capped batch
@@ -356,7 +376,21 @@ object Dedup {
                                         cap: DataFrame => DataFrame,
                                         k: Int, numPerm: Int,
                                         bands: Int, rows: Int,
-                                        thr: Double): DataFrame = {
+                                        thr: Double): DataFrame =
+    incrementalNearDupCore(newDocs, index,
+      candIds => cap(shingleDF(corpus.join(candIds, Seq("doc_id"), "left_semi"), k = k)),
+      cap, k, numPerm, bands, rows, thr)
+
+  /** Shared increment plan: `corpusCandShOf` supplies the corpus-side
+    * verify substrate for a given candidate-id sliver — recomputed from
+    * text ([[incrementalNearDup]]) or read from the persisted shingle
+    * artifact ([[incrementalNearDupServed]]). */
+  private def incrementalNearDupCore(newDocs: DataFrame, index: DataFrame,
+                                     corpusCandShOf: DataFrame => DataFrame,
+                                     cap: DataFrame => DataFrame,
+                                     k: Int, numPerm: Int,
+                                     bands: Int, rows: Int,
+                                     thr: Double): DataFrame = {
     // batch substrate feeds signatures AND verify — same lazy-recompute
     // tradeoff as minhashNearDupFromShingles' uncapped path
     val newSh = cap(shingleDF(newDocs, k = k))
@@ -377,7 +411,7 @@ object Dedup {
     // candidate-sized)
     val candIds = cand.select(col("id1").as("doc_id"))
       .union(cand.select(col("id2").as("doc_id"))).distinct()
-    val corpusCandSh = cap(shingleDF(corpus.join(candIds, Seq("doc_id"), "left_semi"), k = k))
+    val corpusCandSh = corpusCandShOf(candIds)
     val newShCand = newSh.join(candIds, Seq("doc_id"), "left_semi")
     val pairs = exactJaccardPairs(corpusCandSh.union(newShCand), thr)
     // keep pairs that involve a new doc; marker joins (not two semi-join

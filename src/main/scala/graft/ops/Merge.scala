@@ -494,6 +494,25 @@ object Merge {
       .drop("__rn")
   }
 
+  /** Per-(key, slice) KMV states from ONE scan — the multi-slice form of
+    * [[kmvState]] for feeds that arrive pre-sliced (history/batch shards,
+    * per-day partitions): one distinct + one window over the composite
+    * (key, slice) grouping instead of one full corpus pass PER slice.
+    * Feeding the result (slice column dropped) to [[mergeKmvStates]]
+    * exercises the exact same (key, priority)-dedup + re-cap merge law —
+    * every global bottom-k element is inside its own slice's bottom-k,
+    * so the merged state is bit-identical to [[kmvState]] over the
+    * unsliced input (pinned in MergeSpec). */
+  def kmvStateSliced(df: DataFrame, keyCol: String, sliceCol: String,
+                     priority: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    require(k > 0, s"sketch size k must be positive, got $k")
+    val w = Window.partitionBy(col(keyCol), col(sliceCol)).orderBy(col("__pri").asc)
+    df.select(col(keyCol), col(sliceCol), priority.as("__pri")).distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Merge KMV states (value-overlapping slices welcome): distinct by
     * (key, priority), re-cap at k. State-sized work only. */
   def mergeKmvStates(states: Seq[DataFrame], keyCol: String, k: Int): DataFrame = {

@@ -147,6 +147,10 @@ object DedupQueries {
         Dedup.connectedComponents(
             Dedup.minhashNearDupFromBands(Dedup.shingleDF(corpus), index))
           .write.mode("overwrite").parquet(s"$root/labels")
+        // corpus shingle substrate — the third artifact of the production
+        // layout, letting dd5b's increment verify candidates WITHOUT ever
+        // re-reading archive text (incrementalNearDupServed)
+        Dedup.shingleDF(corpus).write.mode("overwrite").parquet(s"$root/shingles")
         root
       })
 
@@ -333,6 +337,23 @@ object DedupQueries {
       Dedup.connectedComponents(
         Dedup.minhashNearDup(Tables.documents(s, d), maxDf = Some(Dedup.DefaultMaxDf)))
     },
+
+    sql("dd5b_dedup_clusters_served",
+      "Dedup: dd5's FULL cluster table at deployable cost — every persisted artifact of the production layout (band index, label table, corpus shingle substrate) read back from parquet (built untimed via QuerySpec.prepare), so the timed work is ONLY the steady-state increment a deployment pays per batch: batch shingle+sign, index-bucket probe, candidate verify against the SHINGLE ARTIFACT (archive text never re-read — the step dd8b still recomputes), one updateClusters fold. Same recursive-CTE oracle as dd5; output == full-recompute clusters bit-for-bit",
+      clusterOracle) {
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val split = batchSplit(docs)
+        val batch = docs.filter(col("doc_id") >= split)
+        val root = PersistedState.ensure(s, d)
+        val index = s.read.parquet(s"$root/index")
+        val labels = s.read.parquet(s"$root/labels")
+        val corpusSh = s.read.parquet(s"$root/shingles")
+        val newPairs = Dedup.incrementalNearDupServed(batch, corpusSh, index)
+          .select("id1", "id2")
+        Dedup.updateClusters(labels, newPairs).orderBy("doc_id")
+      }
+    }.withPrepare((s, d) => { PersistedState.ensure(s, d); () }),
 
     sql("o13_cluster_holdout",
       "O13: LEAKAGE-FREE train/test split — the split key is the near-dup CLUSTER (singleton docs are their own group), so every near-duplicate family lands wholly in one split and test can never contain a near-copy of a train doc (the contamination o11's per-doc hash split cannot rule out). Hash-prefix cut 'cc' ≈ 79.7% train; group assignment is a pure function of the cluster id, so corpus growth never migrates a family. Oracle: recursive-CTE cluster closure + identical md5-prefix rule",

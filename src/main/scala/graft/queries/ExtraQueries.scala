@@ -518,33 +518,32 @@ object ExtraQueries {
          | FROM r WHERE rn <= 256 GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin.replace("\n", "")) {
       (s, d) => {
         // history/batch slices (doc_id parity) share most shingles —
-        // exactly the value overlap the (key, pri) dedup merge absorbs;
-        // the corpus is read only by the two kmvState passes, everything
-        // downstream is sketch-sized (|sources|·k rows)
-        def sketch(slice: org.apache.spark.sql.DataFrame) =
-          graft.ops.Merge.kmvState(
-            slice.select(col("source"),
-              explode(graft.ops.Dedup.shingles(col("text"))).as("g")),
-            "source", md5(col("g")), k = 256)
+        // exactly the value overlap the (key, pri) dedup merge absorbs.
+        // Both slice states come from ONE corpus scan (kmvStateSliced
+        // keyed on (source, parity)); the old two-kmvState form re-read
+        // and re-exploded documents once per slice for the same rows.
+        // Everything downstream is sketch-sized (|sources|·k rows).
         val docs = Tables.documents(s, d)
-        val merged = graft.ops.Merge.mergeKmvStates(Seq(
-          sketch(docs.filter(col("doc_id") % 2 === 0)),
-          sketch(docs.filter(col("doc_id") % 2 =!= 0))), "source", k = 256)
+        val sliced = graft.ops.Merge.kmvStateSliced(
+          docs.select(col("source"), (col("doc_id") % 2).as("__slice"),
+            explode(graft.ops.Dedup.shingles(col("text"))).as("g")),
+          "source", "__slice", md5(col("g")), k = 256)
+        val merged = graft.ops.Merge.mergeKmvStates(
+          Seq(sliced.drop("__slice")), "source", k = 256)
         graft.ops.Merge.kmvPairwiseJaccard(merged, "source", k = 256)
           .orderBy("src_a", "src_b")
       }
     }.withBench { (s, d) =>
       // production: xxhash64 priorities (8-byte longs through every
-      // shuffle instead of 32-char md5 text), no oracle sort
-      def sketch(slice: org.apache.spark.sql.DataFrame) =
-        graft.ops.Merge.kmvState(
-          slice.select(col("source"),
-            explode(graft.ops.Dedup.shingles(col("text"))).as("g")),
-          "source", xxhash64(col("g")), k = 256)
+      // shuffle instead of 32-char md5 text), no oracle sort; same
+      // single-scan sliced-state + merge shape as the oracle form
       val docs = Tables.documents(s, d)
-      val merged = graft.ops.Merge.mergeKmvStates(Seq(
-        sketch(docs.filter(col("doc_id") % 2 === 0)),
-        sketch(docs.filter(col("doc_id") % 2 =!= 0))), "source", k = 256)
+      val sliced = graft.ops.Merge.kmvStateSliced(
+        docs.select(col("source"), (col("doc_id") % 2).as("__slice"),
+          explode(graft.ops.Dedup.shingles(col("text"))).as("g")),
+        "source", "__slice", xxhash64(col("g")), k = 256)
+      val merged = graft.ops.Merge.mergeKmvStates(
+        Seq(sliced.drop("__slice")), "source", k = 256)
       graft.ops.Merge.kmvPairwiseJaccard(merged, "source", k = 256)
     },
 

@@ -569,6 +569,62 @@ object JoinQueries {
              |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
              | GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
       }
+    },
+
+    sql("j22_priority_returns",
+      "J1+: TPC-H Q4-shaped EXISTS over a DATE-WINDOWED aggregate — per-priority count of H2-1996 orders with at least one returned line. The classic existence-test-feeding-an-agg shape: the date window must PUSH INTO the orders parquet scan (half a year of a 100 TB order archive is what gets read, not the archive), the EXISTS must plan as ONE LeftSemi on the correlation key (deduplicating multi-line matches for free — an inner join would double-count), never a per-order probe; PlanSpec pins both",
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        | FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |   AND o_orderdate < TIMESTAMP '1997-01-01'
+        |   AND EXISTS (SELECT 1 FROM lineitem
+        |     WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        | GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("j22_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("j22_lineitem")
+        s.sql(
+          """SELECT o_orderpriority, COUNT(*) AS order_count
+            | FROM j22_orders
+            | WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+            |   AND o_orderdate < TIMESTAMP '1997-01-01'
+            |   AND EXISTS (SELECT 1 FROM j22_lineitem
+            |     WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+            | GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      }
+    },
+
+    sql("j23_important_stock",
+      "J1+: TPC-H Q11-shaped GROUP-HAVING-GLOBAL-SCALAR — per-part NATION_7 shipment value keeping only parts above 1/2000 of the nation's total: the HAVING clause compares each group's aggregate to an UNCORRELATED scalar subquery over the same fact slice. Catalyst must plan the scalar as ONE reusable one-row subquery (not re-aggregated per group) and the nation filter must reach both scans through the broadcast dim joins. Money in cent-BIGINTs (ROUND before the cast — Spark truncates double→int where DuckDB rounds) and threshold as value*2000 > total, so no engine-ordered double sum exists anywhere",
+      """SELECT l_partkey,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        | FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        | WHERE n_name = 'NATION_7'
+        | GROUP BY l_partkey
+        | HAVING SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) * 2000 >
+        |   (SELECT SUM(CAST(ROUND(l2.l_extendedprice * 100) AS BIGINT))
+        |    FROM lineitem l2 JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        |     JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    WHERE n2.n_name = 'NATION_7')
+        | ORDER BY value_cents DESC, l_partkey""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("j23_lineitem")
+        Tables.supplier(s, d).createOrReplaceTempView("j23_supplier")
+        Tables.nation(s, d).createOrReplaceTempView("j23_nation")
+        s.sql(
+          """SELECT l_partkey, SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS value_cents
+            | FROM j23_lineitem JOIN j23_supplier ON s_suppkey = l_suppkey
+            |  JOIN j23_nation ON s_nationkey = n_nationkey
+            | WHERE n_name = 'NATION_7'
+            | GROUP BY l_partkey
+            | HAVING SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) * 2000 >
+            |   (SELECT SUM(CAST(ROUND(l2.l_extendedprice * 100) AS BIGINT))
+            |    FROM j23_lineitem l2 JOIN j23_supplier s2 ON s2.s_suppkey = l2.l_suppkey
+            |     JOIN j23_nation n2 ON s2.s_nationkey = n2.n_nationkey
+            |    WHERE n2.n_name = 'NATION_7')
+            | ORDER BY value_cents DESC, l_partkey""".stripMargin)
+      }
     }
   )
 }

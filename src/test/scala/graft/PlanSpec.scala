@@ -100,6 +100,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("scalar-subquery") || p.contains("Subquery"), p)
   }
 
+  test("j22 Q4 shape: date window pushed into the orders scan, EXISTS becomes one LeftSemi") {
+    val p = plan(specs("j22_priority_returns").run(spark, TestSpark.sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$p")
+    // the date window must reach the parquet scan as a pushed filter —
+    // at 100 TB this is the difference between reading six months and
+    // reading the archive
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), " +
+      "GreaterThanOrEqual(o_orderdate") || p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"o_orderdate window not pushed to the orders scan:\n$p")
+  }
+
+  test("j23 Q11 shape: HAVING's global scalar plans as one subquery, not re-aggregated per group") {
+    val p = plan(specs("j23_important_stock").run(spark, TestSpark.sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the threshold rides as a one-row scalar subquery broadcast into the
+    // HAVING filter — a per-group re-aggregation would surface as a join
+    // against a second aggregate of lineitem
+    assert(p.contains("scalar-subquery") || p.contains("Subquery"), p)
+    assert(p.contains("BroadcastHashJoin"), "supplier/nation dims should broadcast")
+  }
+
   test("semi/anti joins plan as LeftSemi/LeftAnti, not inner+distinct") {
     assert(plan(specs("j3_semi_join").run(spark, TestSpark.sfDir)).contains("LeftSemi"))
     assert(plan(specs("j4_anti_join").run(spark, TestSpark.sfDir)).contains("LeftAnti"))

@@ -199,6 +199,29 @@ class DedupSpec extends AnyFunSuite {
     assert(inc == full)
   }
 
+  test("incrementalNearDupServed (persisted shingle substrate) == incrementalNearDup bit-for-bit") {
+    // same corpus/batch as the increment-parity case; the served form
+    // verifies candidates against a stored shingleDF artifact instead of
+    // re-shingling corpus text — dd5b's zero-archive-reads claim
+    val corpus = Seq(
+      (10L, "a b c d e f g h i j"),
+      (11L, "a b c d e f g h i j"),
+      (12L, "z y x w v u t s r q")).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "a b c d e f g h i j"),
+      (101L, "a b c d e f g h i j"),
+      (102L, "m n o p q r s t u v")).toDF("doc_id", "text")
+    val index = Dedup.lshBandIndex(corpus)
+    val dir = java.nio.file.Files.createTempDirectory("graft-served").toString
+    Dedup.shingleDF(corpus).write.mode("overwrite").parquet(s"$dir/shingles")
+    val served = Dedup.incrementalNearDupServed(
+        batch, spark.read.parquet(s"$dir/shingles"), index)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val recomputed = Dedup.incrementalNearDup(batch, corpus, index)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served == recomputed)
+  }
+
   test("capped incremental == capped joint run when both cap with the SAME df table") {
     // Boilerplate block shared by 10, 11 (corpus) and 100 (batch): its
     // shingles have df = 3 > cap 2, so capping drops them. (12, 101) is a

@@ -427,6 +427,25 @@ class MergeSpec extends AnyFunSuite {
     assert(again.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
   }
 
+  test("kmv sliced states from one scan merge to exactly the direct sketch") {
+    // same overlapping-pool corpus, sliced by value parity: the single-scan
+    // (key, slice)-windowed form must merge (slice dropped, (key, pri)
+    // dedup + re-cap) to the bit-identical per-key sketch the unsliced
+    // kmvState computes — the u19 single-scan rewrite's parity claim
+    val rows = ((1L to 120L).map(v => ("a", v)) ++ (61L to 200L).map(v => ("b", v)))
+      .toDF("src", "v")
+    val pri = Merge.samplePriorityFast(Seq("v"))
+    val k = 16
+    val sliced = Merge.kmvStateSliced(
+      rows.withColumn("slice", $"v" % 2), "src", "slice", pri, k)
+    val merged = Merge.mergeKmvStates(Seq(sliced.drop("slice")), "src", k)
+    val direct = Merge.kmvState(rows, "src", pri, k)
+    assert(merged.collect().map(_.toSeq).toSet == direct.collect().map(_.toSeq).toSet)
+    // each (key, slice) state is itself capped at k
+    assert(sliced.groupBy("src", "slice").count()
+      .collect().map(_.getLong(2)).forall(_ <= k))
+  }
+
   test("kmv pairwise jaccard: exact when sets fit in k; estimate within tolerance when capped") {
     // |a ∪ b| = 200, |a ∩ b| = 60 → true J = 0.3
     val rows = ((1L to 120L).map(v => ("a", v)) ++ (61L to 200L).map(v => ("b", v))
