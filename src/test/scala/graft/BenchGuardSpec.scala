@@ -49,13 +49,50 @@ class BenchGuardSpec extends AnyFunSuite {
       0.55, 1.1).isEmpty)
   }
 
-  test("no prior artifact: a full run seeds the canonical path at any sf/noise") {
-    assert(Bench.guardReason(None, "/root/testdata/sf0.001", None, 3.0, 3.0).isEmpty)
+  test("no prior artifact: a CLEAN full run seeds the canonical path at any sf") {
+    assert(Bench.guardReason(None, "/root/testdata/sf0.001", None, 0.8, 1.2).isEmpty)
   }
 
-  test("pre-round-11 artifact without io_noise_factor: io check is skipped, cpu check still applies") {
+  test("absolutely contended run diverts even with no prior artifact (no contended seed)") {
+    // round-11 advice: the relative check alone let a contended run seed
+    // the canonical, or ratchet it 1.3x noisier per overwrite
+    assert(Bench.guardReason(None, sf01, None, 3.0, 3.0)
+      .exists(_.contains("contended")))
+    assert(Bench.guardReason(None, sf01, None, 1.5, 1.0)
+      .exists(_.contains("contended")))
+    assert(Bench.guardReason(None, sf01, None, 0.5, 2.0)
+      .exists(_.contains("contended")))
+    // and even when a prior artifact exists whose own noise would admit
+    // the run under the relative rule (the ratchet case)
+    assert(Bench.guardReason(Some(artifact(sf01, 1.4, 1.9)), sf01, None,
+      1.6, 1.0).exists(_.contains("contended")))
+    // just under both absolute thresholds with no prior: admitted
+    assert(Bench.guardReason(None, sf01, None, 1.49, 1.99).isEmpty)
+  }
+
+  test("normalizedSlowdown: sentinel-discounted ratio vs the prior canonical") {
+    // prior: 100s at clean sentinels (discount 1) -> idle 100
+    val prior = Some(artifact(sf01, 0.5, 1.0))
+    // this run: 260s at io 2.0 -> idle 130 -> ratio 1.3
+    val r = Bench.normalizedSlowdown(prior, total = 260.0,
+      noiseFactor = 0.5, ioNoiseFactor = 2.0)
+    assert(r.exists(v => math.abs(v - 1.3) < 1e-9), s"got $r")
+    // same-idle runs ratio 1.0 regardless of raw totals
+    assert(Bench.normalizedSlowdown(prior, 150.0, 0.5, 1.5)
+      .exists(v => math.abs(v - 1.0) < 1e-9))
+    // no prior -> no ratio
+    assert(Bench.normalizedSlowdown(None, 100.0, 0.5, 1.0).isEmpty)
+    // legacy artifact without io_noise_factor: cpu-only discount
+    val legacy = Some(s"""{"noise_factor":2.0,"sf":"$sf01","value":200.0}""")
+    assert(Bench.normalizedSlowdown(legacy, 100.0, 1.0, 1.0)
+      .exists(v => math.abs(v - 1.0) < 1e-9))
+  }
+
+  test("pre-round-11 artifact without io_noise_factor: relative io check is skipped, cpu check still applies") {
     val legacy = s"""{"metric":"total","noise_factor":0.35,"sf":"$sf01","value":208.5}"""
-    assert(Bench.guardReason(Some(legacy), sf01, None, 0.40, 99.0).isEmpty)
+    // io 1.9 would fail a relative >1.3x check against any plausible prior
+    // but is under the ABSOLUTE threshold — with no prior io field, admitted
+    assert(Bench.guardReason(Some(legacy), sf01, None, 0.40, 1.9).isEmpty)
     assert(Bench.guardReason(Some(legacy), sf01, None, 0.50, 1.0)
       .exists(_.contains("cpu noise_factor")))
   }

@@ -1,0 +1,182 @@
+#!/usr/bin/env python3
+"""Noise-normalized cross-round bench comparison (VERDICT r11 ask #1).
+
+Usage:
+  compare_bench.py OUT.json OLD_BENCH.json NEW_BENCH.json \
+      [--adjudicate name=noise|code:reason ...]
+
+Raw per-query ratios between two rounds' Bench artifacts are dominated by
+host variance (r10->r11 showed a flat ~1.33x median across every query
+class at CPU sentinel 0.44->0.51 / IO sentinel 1.07->1.24), so a raw
+ratio cannot attribute a regression to code. Each artifact carries its
+own contention sentinels (noise_factor = CPU probe vs idle reference,
+io_noise_factor = write+fsync+read probe vs idle reference); this tool
+divides them out.
+
+Per query (on the intersection of the two query sets):
+  raw_ratio   = t_new / t_old
+  cpu_norm    = (t_new / nf_new) / (t_old / nf_old)    # CPU-noise discounted
+  io_norm     = (t_new / io_new) / (t_old / io_old)    # IO-noise discounted
+  best_norm   = min(cpu_norm, io_norm)                 # most-favorable class
+
+Classes:
+  stable      raw_ratio <= FLAG_RATIO
+  noise-flat  raw_ratio > FLAG_RATIO but best_norm <= FLAG_RATIO -- the
+              whole-run sentinel movement alone explains it
+  residual    best_norm > FLAG_RATIO -- NOT explained by the sentinels;
+              needs adjudication: either the code changed (a real
+              regression) or the query hit a query-local contention burst
+              the whole-run sentinel median cannot see (the r11 u19 case:
+              2.2x raw with zero code changes since the old run). The
+              sentinels are whole-run medians by design -- a 30 s co-tenant
+              burst that lands on one query's 3 samples moves that query
+              without moving the run median.
+
+--adjudicate records the human/git adjudication for a residual query in
+the artifact itself (e.g. --adjudicate "u19_kmv_overlap=noise:git diff
+OLD..NEW -- ops/Merge.scala,queries/ExtraQueries.scala is empty"), so the
+committed delta is self-contained: every residual row is either
+adjudicated or an open regression, and `open_regressions` lists the rest.
+
+Headline fields:
+  raw_median        median raw ratio (what a naive diff would report)
+  normalized_median median best_norm ratio (the code-attributable signal)
+  explain_factor    max(nf_new/nf_old, io_new/io_old, 1) -- how much of a
+                    flat slowdown the sentinels alone license
+
+best_norm assumes a query's cost scales with ONE contended resource
+class; a query bound by the less-contended class is over-discounted, so
+normalized_median is a LOWER bound on real change and residual flags are
+conservative (few false alarms, by design).
+
+Accepts raw graft.Bench artifacts and the driver's BENCH_r{N}.json
+wrapper (uses its `parsed` payload when present). Dev tool only -- not
+part of the library.
+"""
+import json
+import sys
+
+FLAG_RATIO = 1.5   # best_norm above this => residual (unexplained)
+MIN_SEC = 0.05     # ignore sub-50ms queries: %.3f quantization dominates
+
+
+def load(path):
+    with open(path) as f:
+        art = json.load(f)
+    if isinstance(art.get("parsed"), dict):   # driver wrapper
+        art = art["parsed"]
+    nf = float(art.get("noise_factor") or 1.0)
+    io = float(art.get("io_noise_factor") or 1.0)
+    qs = {k: v for k, v in art["queries"].items()
+          if isinstance(v, (int, float)) and v > 0}
+    return art, qs, max(nf, 1e-9), max(io, 1e-9)
+
+
+def sf_key(art):
+    # "/root/testdata/sf0.1" and "sf0.1" and 0.1 all mean the same rung
+    sf = art.get("sf")
+    s = str(sf).rstrip("/").rsplit("/", 1)[-1]
+    return s if s.startswith("sf") else f"sf{s}"
+
+
+def median(xs):
+    s = sorted(xs)
+    if not s:
+        return None
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
+def main():
+    args = sys.argv[1:]
+    adjudications = {}
+    while "--adjudicate" in args:
+        i = args.index("--adjudicate")
+        spec = args[i + 1]
+        del args[i:i + 2]
+        name, verdict = spec.split("=", 1)
+        kind, _, reason = verdict.partition(":")
+        if kind not in ("noise", "code"):
+            sys.exit(f"adjudication kind must be noise|code, got {kind!r}")
+        adjudications[name] = {"kind": kind, "reason": reason}
+    out_path, old_path, new_path = args
+
+    old_art, old_q, old_nf, old_io = load(old_path)
+    new_art, new_q, new_nf, new_io = load(new_path)
+    if sf_key(old_art) != sf_key(new_art):
+        sys.exit(f"sf mismatch: {old_art.get('sf')} vs {new_art.get('sf')}")
+
+    common = sorted(set(old_q) & set(new_q))
+    cpu_disc = new_nf / old_nf
+    io_disc = new_io / old_io
+    explain = max(cpu_disc, io_disc, 1.0)
+
+    queries, raws, norms = {}, [], []
+    for name in common:
+        t0, t1 = old_q[name], new_q[name]
+        if t0 < MIN_SEC or t1 < MIN_SEC:
+            queries[name] = {"old": t0, "new": t1, "raw_ratio": None,
+                             "class": "sub-quantum"}
+            continue
+        raw = t1 / t0
+        cpu_norm = raw / cpu_disc
+        io_norm = raw / io_disc
+        best = min(cpu_norm, io_norm)
+        raws.append(raw)
+        norms.append(best)
+        cls = ("residual" if best > FLAG_RATIO
+               else "noise-flat" if raw > FLAG_RATIO
+               else "stable")
+        row = {
+            "old": t0, "new": t1,
+            "raw_ratio": round(raw, 3),
+            "cpu_norm_ratio": round(cpu_norm, 3),
+            "io_norm_ratio": round(io_norm, 3),
+            "best_norm_ratio": round(best, 3),
+            "class": cls,
+        }
+        if name in adjudications:
+            row["adjudicated"] = adjudications[name]
+        queries[name] = row
+
+    residual = sorted(
+        (n for n, q in queries.items() if q.get("class") == "residual"),
+        key=lambda n: -queries[n]["best_norm_ratio"])
+    open_regressions = [n for n in residual
+                        if queries[n].get("adjudicated", {}).get("kind") != "noise"]
+    unused = set(adjudications) - set(residual)
+    if unused:
+        print(f"note: adjudications for non-residual queries: {sorted(unused)}",
+              file=sys.stderr)
+
+    result = {
+        "old": {"path": old_path, "noise_factor": old_nf,
+                "io_noise_factor": old_io,
+                "total_common": round(sum(old_q[n] for n in common), 3)},
+        "new": {"path": new_path, "noise_factor": new_nf,
+                "io_noise_factor": new_io,
+                "total_common": round(sum(new_q[n] for n in common), 3)},
+        "sf": sf_key(new_art),
+        "n_common": len(common),
+        "only_old": sorted(set(old_q) - set(new_q)),
+        "only_new": sorted(set(new_q) - set(old_q)),
+        "cpu_discount": round(cpu_disc, 3),
+        "io_discount": round(io_disc, 3),
+        "explain_factor": round(explain, 3),
+        "raw_median": round(median(raws), 3) if raws else None,
+        "normalized_median": round(median(norms), 3) if norms else None,
+        "flag_ratio": FLAG_RATIO,
+        "residual": residual,
+        "open_regressions": open_regressions,
+        "queries": queries,
+    }
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"common={len(common)} raw_median={result['raw_median']} "
+          f"normalized_median={result['normalized_median']} "
+          f"explain_factor={result['explain_factor']} "
+          f"residual={residual} open_regressions={open_regressions}")
+
+
+if __name__ == "__main__":
+    main()

@@ -50,10 +50,16 @@ def main():
         steps, ok = [], True
         for (l0, a0, n0), (l1, a1, n1) in zip(rungs, rungs[1:]):
             t0, t1 = a0["queries"].get(name), a1["queries"].get(name)
-            if not t0 or not t1 or t0 < 0 or t1 < 0:
+            # missing (None) or failed (-1) rungs fail the query; a
+            # legitimate 0.000 median (sub-ms query quantized by the
+            # artifact's %.3f format at a small rung) is NOT missing --
+            # clamp it to the format quantum so the ratio stays finite
+            # and the trivially-fast rung passes (round-11 advice)
+            if t0 is None or t1 is None or t0 < 0 or t1 < 0:
                 ok = False
                 steps.append({"step": f"{l0}->{l1}", "ratio": None})
                 continue
+            t0, t1 = max(t0, 0.001), max(t1, 0.001)
             ratio = t1 / t0
             nlogn = (n1 * math.log(n1)) / (n0 * math.log(n0))
             step_ok = ratio <= nlogn * SLACK
