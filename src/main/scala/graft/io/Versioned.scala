@@ -116,21 +116,62 @@ object Versioned {
     (kv("keys").split(",").toIndexedSeq, kv("op"), kv("seq"))
   }
 
+  /** Staging-dir name for an in-flight commit of `v` — the `suffix` is
+    * attempt-unique so CONCURRENT committers racing the same version can
+    * never share (or "stale-clean") each other's in-flight bytes. */
+  private val TmpName = """\.v=(\d+)\.tmp.*""".r
+
+  /** Delete crashed committers' staging dirs. `below` sweeps only
+    * versions strictly under the current tip (those versions are taken —
+    * the tmp can never win); a SAME-version tmp may belong to a LIVE
+    * racing writer and is swept only by the winner after its rename
+    * (post-commit, when the version is decided). */
+  private def sweepStaleTmps(fs: org.apache.hadoop.fs.FileSystem,
+                             tablePath: String, version: Long,
+                             below: Boolean): Unit =
+    Option(fs.globStatus(new Path(tablePath, ".v=*.tmp*")))
+      .getOrElse(Array.empty).foreach { st =>
+        st.getPath.getName match {
+          case TmpName(v) if (if (below) v.toLong < version else v.toLong == version) =>
+            fs.delete(st.getPath, true)
+          case _ => ()
+        }
+      }
+
+  /** Two-phase commit: stage to an attempt-unique tmp dir, then claim the
+    * version by RENAME — on both the local FS and HDFS, renaming a
+    * directory onto an existing non-empty directory fails, so of two
+    * committers racing the same `next` exactly ONE rename lands; the
+    * loser dies loudly on the exists pre-check or the rename require and
+    * removes its own staging dir on the way out. Pinned by
+    * VersionedSpec's two-thread race (and by extension every
+    * IncrementalIngest artifact, which commits only through here). */
   private def commit(df: DataFrame, tablePath: String, marker: Option[String]): Long = {
     val spark = df.sparkSession
     val next = latestVersion(spark, tablePath).fold(1L)(_ + 1)
     val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new Path(tablePath, s".v=$next.tmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true) // stale tmp from an aborted commit
-    df.write.parquet(tmp.toString)
-    marker.foreach { m =>
-      val out = fs.create(new Path(tmp, DeltaMarker), false)
-      try out.write(m.getBytes("UTF-8")) finally out.close()
+    sweepStaleTmps(fs, tablePath, next, below = true)
+    val tmp = new Path(tablePath,
+      s".v=$next.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      df.write.parquet(tmp.toString)
+      marker.foreach { m =>
+        val out = fs.create(new Path(tmp, DeltaMarker), false)
+        try out.write(m.getBytes("UTF-8")) finally out.close()
+      }
+      val dest = new Path(tablePath, s"v=$next")
+      require(!fs.exists(dest),
+        s"Versioned.write: $dest already exists — concurrent writer? refusing to clobber")
+      require(fs.rename(tmp, dest), s"Versioned.write: commit rename $tmp -> $dest failed " +
+        "(concurrent writer claimed the version?) — refusing to clobber")
+    } catch {
+      case e: Throwable =>
+        try fs.delete(tmp, true) catch { case _: Throwable => () }
+        throw e
     }
-    val dest = new Path(tablePath, s"v=$next")
-    require(!fs.exists(dest),
-      s"Versioned.write: $dest already exists — concurrent writer? refusing to clobber")
-    require(fs.rename(tmp, dest), s"Versioned.write: commit rename $tmp -> $dest failed")
+    // the version is decided: sweep any same-version staging leftovers
+    // (crashed or doomed racing losers)
+    sweepStaleTmps(fs, tablePath, next, below = false)
     next
   }
 

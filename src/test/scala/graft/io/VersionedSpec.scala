@@ -114,6 +114,52 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.versions(spark, dir) == Seq(1L))
   }
 
+  test("two concurrent committers racing the same version: exactly one wins, loser fails loudly, no orphan tmp") {
+    // Deterministic interleaving (VERDICT r11 next-round #6): each
+    // writer's frame blocks inside its parquet stage on a shared barrier,
+    // so BOTH committers are guaranteed to have read latestVersion (and
+    // computed the same next=2) before EITHER can claim it — the exact
+    // lost-update window the rename protocol must close. Every
+    // IncrementalIngest artifact commits through this same path.
+    val dir = Files.createTempDirectory("graft-versioned-race").toString + "/t"
+    Versioned.write(Seq((1L, "base")).toDF("id", "v"), dir)
+    VersionedRaceBarrier.reset()
+    def racing(tag: String) =
+      spark.range(0, 2, 1, 1).mapPartitions { it =>
+        VersionedRaceBarrier.await(); it
+      }(org.apache.spark.sql.Encoders.LONG)
+        .toDF("id").withColumn("v", lit(tag))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val attempts = Seq("writer_a", "writer_b").map { tag =>
+        pool.submit(new java.util.concurrent.Callable[scala.util.Try[Long]] {
+          def call(): scala.util.Try[Long] =
+            scala.util.Try(Versioned.write(racing(tag), dir))
+        })
+      }.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      val (wins, losses) = attempts.partition(_.isSuccess)
+      assert(wins.size == 1, s"expected exactly one winner, got $attempts")
+      assert(wins.head.get == 2L)
+      assert(losses.size == 1 && losses.head.isFailure,
+        s"loser must fail loudly, got $attempts")
+      // the committed table is intact: v=2 is exactly ONE writer's rows
+      assert(Versioned.versions(spark, dir) == Seq(1L, 2L))
+      val tags = Versioned.read(spark, dir, Some(2L))
+        .select("v").distinct().collect().map(_.getString(0)).toSeq
+      assert(tags.size == 1 && Set("writer_a", "writer_b")(tags.head), tags)
+      assert(Versioned.read(spark, dir, Some(2L)).count() == 2)
+      // no orphan staging dir survives: the loser cleaned its own tmp and
+      // the winner swept same-version leftovers post-commit
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val tmps = Option(fs.globStatus(new org.apache.hadoop.fs.Path(dir, ".v=*.tmp*")))
+        .getOrElse(Array.empty)
+      assert(tmps.isEmpty, s"orphan tmps: ${tmps.map(_.getPath.getName).mkString(", ")}")
+      // the table still accepts commits after the contention
+      assert(Versioned.write(Seq((3L, "after")).toDF("id", "v"), dir) == 3L)
+    } finally pool.shutdownNow()
+  }
+
   test("missing versions and empty tables fail loudly; aborted tmp never surfaces as a version") {
     val dir = Files.createTempDirectory("graft-versioned3").toString + "/t"
     intercept[IllegalArgumentException](Versioned.read(spark, dir))
@@ -128,4 +174,15 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.write(Seq((2L, "b")).toDF("id", "v"), dir) == 2L)
     assert(Versioned.read(spark, dir, Some(2L)).count() == 1)
   }
+}
+
+/** Shared barrier for the two-writer race: referenced from executor tasks
+  * as an object (static access — nothing serialized), releasing only when
+  * BOTH writers' parquet stages are in flight. A 60 s timeout keeps a
+  * broken interleaving from hanging the suite. */
+object VersionedRaceBarrier {
+  @volatile private var barrier = new java.util.concurrent.CyclicBarrier(2)
+  def reset(): Unit = { barrier = new java.util.concurrent.CyclicBarrier(2) }
+  def await(): Unit =
+    barrier.await(60, java.util.concurrent.TimeUnit.SECONDS)
 }
