@@ -50,12 +50,18 @@ def main():
         steps, ok = [], True
         for (l0, a0, n0), (l1, a1, n1) in zip(rungs, rungs[1:]):
             t0, t1 = a0["queries"].get(name), a1["queries"].get(name)
-            # missing (None) or failed (-1) rungs fail the query; a
-            # legitimate 0.000 median (sub-ms query quantized by the
-            # artifact's %.3f format at a small rung) is NOT missing --
-            # clamp it to the format quantum so the ratio stays finite
-            # and the trivially-fast rung passes (round-11 advice)
-            if t0 is None or t1 is None or t0 < 0 or t1 < 0:
+            # a query ABSENT from a rung's artifact was not attempted there
+            # (e.g. only the top-5 heaviest run at the biggest rung) -- the
+            # step is skipped, not failed; an attempted-and-failed query
+            # (-1) still fails. A legitimate 0.000 median (sub-ms query
+            # quantized by the artifact's %.3f format at a small rung) is
+            # neither: clamp it to the format quantum so the ratio stays
+            # finite and the trivially-fast rung passes (round-11 advice)
+            if t0 is None or t1 is None:
+                steps.append({"step": f"{l0}->{l1}", "ratio": None,
+                              "skipped": True})
+                continue
+            if t0 < 0 or t1 < 0:
                 ok = False
                 steps.append({"step": f"{l0}->{l1}", "ratio": None})
                 continue
