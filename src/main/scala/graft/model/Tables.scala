@@ -16,8 +16,58 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (WidenTables(name)) widenSmallScan(spark, df, s"$dir/$name.parquet")
+    else df
+  }
+
+  /** Tables whose consumers are MAP-HEAVY per input row — shingle/word
+    * explodes, 64-hash MinHash signing, per-dimension vector math — where
+    * a single-task scan starves the whole stage. The row-store tables
+    * (lineitem/orders/events) are deliberately NOT here: their queries
+    * are scan+filter+agg shapes where single-task whole-stage codegen
+    * over ≤1M rows already saturates, and an A/B at sf0.1 showed the
+    * repartition is a pure ~0.3–1 s tax on each of the ~100 cheap
+    * queries (grand total 246 s → 302 s floored-everything) while the
+    * documents-substrate family win stands (u19 6.0 → 2.7 s). */
+  private val WidenTables = Set("documents", "embeddings")
+
+  /** Parallelism floor for small single-file corpora (round 12).
+    *
+    * The driver's tables are ONE parquet file with ONE row group each, so
+    * a scan yields ONE task no matter how it is split (a split only
+    * processes row groups whose midpoint it contains) — and every
+    * downstream map-heavy stage (shingle explode, 64-hash MinHash
+    * signatures, regexp passes) runs on a single core of local[32]
+    * (measured: u19's state build 4.4 s single-task vs 1.1 s widened).
+    * A ROUND-ROBIN repartition of the raw rows right above the scan
+    * restores the session's parallelism at the cheapest possible point
+    * (pre-explode, narrow rows).
+    *
+    * Scale honesty: the floor triggers only when the table is too small
+    * to reach parallelism from file splits (bytes < 4 MB/split × target,
+    * capped at 512 MB) and big enough to matter (> 64 KB — broadcast-side
+    * dims gain nothing from 32 empty tasks). A cluster-scale corpus is
+    * past the cap, so this NEVER adds a shuffle at 100 TB. Catalyst
+    * pushes filters and column pruning THROUGH the repartition into the
+    * scan (pinned in PlanSpec), and every compared result is a keyed
+    * aggregation/exact arithmetic per the §7.5 determinism contract, so
+    * partition layout cannot change any oracle hash. */
+  private val widenCache = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private def widenSmallScan(spark: SparkSession, df: DataFrame,
+                             path: String): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    val widen = widenCache.getOrElseUpdate(s"$path@$target", {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val bytes = scala.util.Try(
+        p.getFileSystem(spark.sessionState.newHadoopConf())
+          .getContentSummary(p).getLength).getOrElse(Long.MaxValue)
+      val ceiling = math.min(4L * 1024 * 1024 * target, 512L * 1024 * 1024)
+      bytes > 64L * 1024 && bytes < ceiling
+    })
+    if (widen) df.repartition(target) else df
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

@@ -61,11 +61,12 @@ object CoreQueries {
       "P1: chained range-predicate cleaning (pushed into the parquet scan)",
       s"""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax
          | FROM lineitem WHERE $cleanWhere
-         | ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", "")) {
+         | ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax""".stripMargin.replace("\n", "")) {
       (s, d) =>
         Cleaning.applyRules(Tables.lineitem(s, d), cleanRules)
           .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
-          .orderBy("l_orderkey", "l_linenumber")
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax")
     }.withBench { (s, d) =>
       // production: cleaned data is written unsorted (the total ORDER BY
       // exists only for oracle determinism — a 100 TB global sort killer)
@@ -82,11 +83,11 @@ object CoreQueries {
         | FROM lineitem l, q
         | WHERE l.l_extendedprice >= q.q1 - 1.5 * (q.q3 - q.q1)
         |   AND l.l_extendedprice <= q.q3 + 1.5 * (q.q3 - q.q1)
-        | ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", "")) {
+        | ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin.replace("\n", "")) {
       (s, d) =>
         Cleaning.iqrFilter(Tables.lineitem(s, d), "l_extendedprice", k = 1.5, exact = true)
           .select("l_orderkey", "l_linenumber", "l_extendedprice")
-          .orderBy("l_orderkey", "l_linenumber")
+          .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
     }.withBench { (s, d) =>
       // production: single-pass mergeable quantile sketch, unsorted output
       Cleaning.iqrFilter(Tables.lineitem(s, d), "l_extendedprice", k = 1.5, exact = false)
@@ -98,7 +99,7 @@ object CoreQueries {
       """SELECT l_orderkey AS order_id, CAST(l_linenumber AS INT) AS line_no,
         | CAST(l_quantity AS REAL) AS quantity, CAST(l_extendedprice AS REAL) AS price,
         | l_returnflag AS return_flag
-        | FROM lineitem ORDER BY order_id, line_no""".stripMargin.replace("\n", "")) {
+        | FROM lineitem ORDER BY order_id, line_no, quantity, price, return_flag""".stripMargin.replace("\n", "")) {
       (s, d) =>
         Tables.lineitem(s, d).select(
           col("l_orderkey").as("order_id"),
@@ -106,7 +107,7 @@ object CoreQueries {
           col("l_quantity").cast("float").as("quantity"),
           col("l_extendedprice").cast("float").as("price"),
           col("l_returnflag").as("return_flag"))
-          .orderBy("order_id", "line_no")
+          .orderBy("order_id", "line_no", "quantity", "price", "return_flag")
     }.withBench { (s, d) =>
       Tables.lineitem(s, d).select(
         col("l_orderkey").as("order_id"),
@@ -121,14 +122,15 @@ object CoreQueries {
       s"""SELECT l_orderkey, l_linenumber, $bucketSql AS quantity_bucket,
          | CASE WHEN l_quantity > 0 THEN l_extendedprice / l_quantity ELSE 0.0 END AS price_per_unit,
          | CASE WHEN l_extendedprice > 0 THEN (l_extendedprice * l_discount) / l_extendedprice * 100 ELSE 0.0 END AS discount_pct
-         | FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", "")) {
+         | FROM lineitem ORDER BY l_orderkey, l_linenumber, quantity_bucket, price_per_unit, discount_pct""".stripMargin.replace("\n", "")) {
       (s, d) =>
         Tables.lineitem(s, d).select(
           col("l_orderkey"), col("l_linenumber"),
           bucket.as("quantity_bucket"),
           Features.guardedDiv(col("l_extendedprice"), col("l_quantity")).as("price_per_unit"),
           Features.guardedPct(col("l_extendedprice") * col("l_discount"), col("l_extendedprice")).as("discount_pct"))
-          .orderBy("l_orderkey", "l_linenumber")
+          .orderBy("l_orderkey", "l_linenumber", "quantity_bucket",
+            "price_per_unit", "discount_pct")
     }.withBench { (s, d) =>
       Tables.lineitem(s, d).select(
         col("l_orderkey"), col("l_linenumber"),

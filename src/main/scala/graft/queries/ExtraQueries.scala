@@ -895,7 +895,7 @@ object ExtraQueries {
         |       CAST(CAST(hi AS DECIMAL(12,2)) - CAST(lo AS DECIMAL(12,2)) AS DOUBLE) AS range_w,
         |       n AS n_rows
         | FROM lineitem, g
-        | ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", "")) {
+        | ORDER BY l_orderkey, l_linenumber, z_num_xn, minmax_num""".stripMargin.replace("\n", "")) {
       (s, d) => {
         import org.apache.spark.sql.types.DecimalType
         val li = Tables.lineitem(s, d)
@@ -916,7 +916,7 @@ object ExtraQueries {
             sqrt((col("sumsq") - mu * mu * col("n")) / (col("n") - 1)).as("sigma"),
             (col("hi").cast(DecimalType(12, 2)) - loD).cast("double").as("range_w"),
             col("n").as("n_rows"))
-          .orderBy("l_orderkey", "l_linenumber")
+          .orderBy("l_orderkey", "l_linenumber", "z_num_xn", "minmax_num")
       }
     }.withBench {
       // production keeps the user-facing plain-double z/minmax (nothing
@@ -1032,7 +1032,8 @@ object ExtraQueries {
         | CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS flag_n,
         | CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS flag_r,
         | CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END AS status_f
-        | FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin.replace("\n", "")) {
+        | FROM lineitem
+        | ORDER BY l_orderkey, l_linenumber, flag_a, flag_n, flag_r, status_f""".stripMargin.replace("\n", "")) {
       (s, d) => {
         // explicit category values (like a17's PIVOT) — a distinct-scan to
         // discover them would be an extra pass and a nondeterministic
@@ -1044,7 +1045,8 @@ object ExtraQueries {
           ind("l_returnflag", "N").as("flag_n"),
           ind("l_returnflag", "R").as("flag_r"),
           ind("l_linestatus", "F").as("status_f"))
-          .orderBy("l_orderkey", "l_linenumber")
+          .orderBy("l_orderkey", "l_linenumber", "flag_a", "flag_n", "flag_r",
+            "status_f")
       }
     },
 

@@ -16,9 +16,9 @@ object StreamingQueries {
   val all: Seq[QuerySpec] = Seq(
 
     sql("st1_tumbling_window",
-      "Streaming: tumbling 1h windowed counts + mean value (watermarked; batch = stream)",
+      "Streaming: tumbling 1h windowed counts + mean value (watermarked; batch = stream; mean in the exact-decimal davg discipline — value is 2dp by fixture contract, so the sum is exact and partition-order-independent)",
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-        | event_type, COUNT(*) AS n_events, ROUND(AVG(value), 4) AS avg_value
+        | event_type, COUNT(*) AS n_events, ROUND((CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value)), 4) AS avg_value
         | FROM events WHERE user_id IS NOT NULL
         | GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin.replace("\n", "")) {
       (s, d) =>
@@ -48,7 +48,7 @@ object StreamingQueries {
     sql("st5_enriched_segments",
       "Streaming: stream-static enrichment — events ⋈ broadcast customer-segment dim, then 1h windowed counts per segment (batch = stream)",
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-        | c_mktsegment AS segment, COUNT(*) AS n_events, ROUND(AVG(value), 4) AS avg_value
+        | c_mktsegment AS segment, COUNT(*) AS n_events, ROUND((CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value)), 4) AS avg_value
         | FROM events JOIN customer ON user_id = c_custkey
         | WHERE user_id IS NOT NULL
         | GROUP BY 1, 2 ORDER BY window_start, segment""".stripMargin.replace("\n", "")) {
@@ -68,7 +68,7 @@ object StreamingQueries {
         |w AS (SELECT event_type, value, tb - i * INTERVAL 15 MINUTE AS ws
         |      FROM e, range(0, 4) t(i))
         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
-        |       COUNT(*) AS n_events, ROUND(AVG(value), 4) AS avg_value
+        |       COUNT(*) AS n_events, ROUND((CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value)), 4) AS avg_value
         | FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin.replace("\n", "")) {
       // oracle derivation: a 1h/15min hopping window contains ts iff its
       // start is one of the 4 slide-aligned marks in (ts-1h, ts] — i.e.

@@ -29,7 +29,7 @@ object EventStreams {
     events.filter(col("user_id").isNotNull)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(avg("value"), 4).as("avg_value"))
+      .agg(count(lit(1)).as("n_events"), round(graft.ops.Det.davg(col("value")), 4).as("avg_value"))
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("avg_value"))
@@ -47,7 +47,7 @@ object EventStreams {
     events.filter(col("user_id").isNotNull)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur, slide).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(avg("value"), 4).as("avg_value"))
+      .agg(count(lit(1)).as("n_events"), round(graft.ops.Det.davg(col("value")), 4).as("avg_value"))
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("avg_value"))
@@ -145,7 +145,7 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .join(broadcast(dim), Seq("user_id"))
       .groupBy(window(col("ts"), windowDur).as("w"), col("segment"))
-      .agg(count(lit(1)).as("n_events"), round(avg("value"), 4).as("avg_value"))
+      .agg(count(lit(1)).as("n_events"), round(graft.ops.Det.davg(col("value")), 4).as("avg_value"))
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("segment"), col("n_events"), col("avg_value"))
