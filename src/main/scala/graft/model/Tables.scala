@@ -16,47 +16,34 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (WidenTables(name)) widenSmallScan(spark, df, s"$dir/$name.parquet")
-    else df
-  }
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Tables whose consumers are MAP-HEAVY per input row — shingle/word
-    * explodes, 64-hash MinHash signing, per-dimension vector math — where
-    * a single-task scan starves the whole stage. The row-store tables
-    * (lineitem/orders/events) are deliberately NOT here: their queries
-    * are scan+filter+agg shapes where single-task whole-stage codegen
-    * over ≤1M rows already saturates, and an A/B at sf0.1 showed the
-    * repartition is a pure ~0.3–1 s tax on each of the ~100 cheap
-    * queries (grand total 246 s → 302 s floored-everything) while the
-    * documents-substrate family win stands (u19 6.0 → 2.7 s). */
-  private val WidenTables = Set("documents", "embeddings")
-
-  /** Parallelism floor for small single-file corpora (round 12).
+  /** Size-gated scan-parallelism floor for MAP-HEAVY substrate consumers
+    * (round 12) — opt-in per CALL SITE, never the loader default.
     *
     * The driver's tables are ONE parquet file with ONE row group each, so
     * a scan yields ONE task no matter how it is split (a split only
-    * processes row groups whose midpoint it contains) — and every
-    * downstream map-heavy stage (shingle explode, 64-hash MinHash
-    * signatures, regexp passes) runs on a single core of local[32]
-    * (measured: u19's state build 4.4 s single-task vs 1.1 s widened).
-    * A ROUND-ROBIN repartition of the raw rows right above the scan
-    * restores the session's parallelism at the cheapest possible point
-    * (pre-explode, narrow rows).
+    * processes row groups whose midpoint it contains). For a stage whose
+    * per-input-row work is large (u19's md5-per-shingle KMV distinct:
+    * state build 4.4 s single-task vs 1.1 s widened, same JVM), a
+    * ROUND-ROBIN repartition of the narrow pre-explode rows restores the
+    * session's parallelism. But it is NOT free: two full-suite A/Bs at
+    * sf0.1 showed flooring scans at the LOADER is a net tax — every
+    * sub-second scan+agg query pays ~0.2–0.5 s of exchange/stage overhead
+    * its single-task whole-stage codegen never needed (246→302 s with
+    * every table floored; ~60 cheap documents queries doubled with
+    * documents floored). So the floor is a per-call-site decision for
+    * operators that have MEASURED a win.
     *
-    * Scale honesty: the floor triggers only when the table is too small
-    * to reach parallelism from file splits (bytes < 4 MB/split × target,
-    * capped at 512 MB) and big enough to matter (> 64 KB — broadcast-side
-    * dims gain nothing from 32 empty tasks). A cluster-scale corpus is
-    * past the cap, so this NEVER adds a shuffle at 100 TB. Catalyst
-    * pushes filters and column pruning THROUGH the repartition into the
-    * scan (pinned in PlanSpec), and every compared result is a keyed
-    * aggregation/exact arithmetic per the §7.5 determinism contract, so
-    * partition layout cannot change any oracle hash. */
-  private val widenCache = scala.collection.concurrent.TrieMap.empty[String, Boolean]
-  private def widenSmallScan(spark: SparkSession, df: DataFrame,
-                             path: String): DataFrame = {
+    * Scale honesty: gated to (64 KB, min(4 MB·parallelism, 512 MB)) — a
+    * cluster-scale corpus is past the cap, so this never shuffles 100 TB
+    * of text; filters and column pruning push through the repartition
+    * into the scan (PlanSpec-pinned); results are partition-layout-
+    * independent per the §7.5 determinism contract. */
+  def widened(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = load(spark, dir, name)
+    val path = s"$dir/$name.parquet"
     val target = spark.sparkContext.defaultParallelism
     val widen = widenCache.getOrElseUpdate(s"$path@$target", {
       val p = new org.apache.hadoop.fs.Path(path)
@@ -68,6 +55,7 @@ object Tables {
     })
     if (widen) df.repartition(target) else df
   }
+  private val widenCache = scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

@@ -139,6 +139,39 @@ object CoreQueries {
         Features.guardedPct(col("l_extendedprice") * col("l_discount"), col("l_extendedprice")).as("discount_pct"))
     },
 
+    sql("p12_expectation_suite",
+      "P6+: DECLARATIVE EXPECTATION SUITE evaluated in ONE pass — the reference DECLARES a Great-Expectations bounds suite (data_validator.py:20-34) but never evaluates it (dead code behind an absent GX context); here the same vocabulary (not_null / between / in_set / match_regex, with GX's `mostly` threshold and ignore-nulls value semantics) compiles onto a single conditional-sum aggregate: a 50-expectation suite over 100 TB costs exactly one scan, not one job per expectation. Pass flags are exact BIGINT arithmetic ((evaluated-violations)*1e6 >= mostly_ppm*evaluated) — no double division anywhere. The in_set expectation carries mostly=0.9 and FAILS on this corpus (~1/3 'R' rows), proving the threshold machinery is live",
+      """WITH m AS (SELECT
+        |  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |  CAST(COUNT(*) AS BIGINT) AS e1,
+        |  CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |  CAST(SUM(CASE WHEN l_quantity IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS e2,
+        |  CAST(SUM(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.1) THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |  CAST(SUM(CASE WHEN l_discount IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS e3,
+        |  CAST(SUM(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N') THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+        |  CAST(SUM(CASE WHEN l_returnflag IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS e4,
+        |  CAST(SUM(CASE WHEN l_linestatus IS NOT NULL AND NOT regexp_matches(l_linestatus, '^[OF]$') THEN 1 ELSE 0 END) AS BIGINT) AS v5,
+        |  CAST(SUM(CASE WHEN l_linestatus IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS e5
+        | FROM lineitem)
+        |SELECT * FROM (
+        | SELECT 'l_quantity_not_null' AS expectation, 'l_quantity' AS col_name, v1 AS violations, e1 AS evaluated, (e1-v1)*1000000 >= 1000000*e1 AS passed FROM m
+        | UNION ALL SELECT 'l_quantity_between', 'l_quantity', v2, e2, (e2-v2)*1000000 >= 1000000*e2 FROM m
+        | UNION ALL SELECT 'l_discount_between', 'l_discount', v3, e3, (e3-v3)*1000000 >= 1000000*e3 FROM m
+        | UNION ALL SELECT 'l_returnflag_in_set', 'l_returnflag', v4, e4, (e4-v4)*1000000 >= 900000*e4 FROM m
+        | UNION ALL SELECT 'l_linestatus_matches', 'l_linestatus', v5, e5, (e5-v5)*1000000 >= 1000000*e5 FROM m)
+        |ORDER BY expectation""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        import graft.ops.Expectations._
+        evaluateDF(Tables.lineitem(s, d), Seq(
+          NotNull("l_quantity"),
+          Between("l_quantity", 1, 50),
+          Between("l_discount", 0, 0.1),
+          InSet("l_returnflag", Seq("A", "N"), mostly = 0.9),
+          Matches("l_linestatus", "^[OF]$")))
+          .orderBy("expectation")
+      }
+    },
+
     sql("a1_supplier_stats",
       "A1: keyed hash aggregation (vendor-stats analog), partial+final agg",
       s"""SELECT l_suppkey, COUNT(*) AS total_lines,

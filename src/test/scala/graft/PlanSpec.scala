@@ -398,6 +398,9 @@ class PlanSpec extends AnyFunSuite {
     //   ops/VectorIndex.scala     forget's affected/kept cid lists (×2) —
     //     ≤ K values each (the quantizer is frozen at K centroids):
     //     dim-bounded partition PLANNING, never row data
+    //   ops/Expectations.scala    suite report row — the whole suite is
+    //     ONE conditional-sum aggregate; .head() reads its single row
+    //     (Quality.report's class; the DataFrame form is evaluateDF)
     // Scala-collection .head/.take on arrays/strings don't match these
     // patterns; a new DataFrame action anywhere else fails this test.
     val actionPattern = """\.collect\(\)|\.head\(\)|\.head\.|\.first\(\)|\.toLocalIterator|collectAsList|toPandas""".r
@@ -407,6 +410,7 @@ class PlanSpec extends AnyFunSuite {
       "ops/Manifest.scala" -> 3,
       "pipeline/IncrementalIngest.scala" -> 1,
       "ops/VectorIndex.scala" -> 2,
+      "ops/Expectations.scala" -> 1,
       "queries/DedupQueries.scala" -> 1)
     val found = mainSourceLines
       .filter { case (_, line) => actionPattern.findFirstIn(line).isDefined }
