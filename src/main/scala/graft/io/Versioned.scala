@@ -36,6 +36,13 @@ object Versioned {
 
   private val VersionRe = "^v=(\\d+)$".r
   private val DeltaMarker = "_DELTA"
+  private val CommitMarker = "_COMMIT"
+
+  /** Test seam for the commit race: runs between the exists pre-check and
+    * the rename, so a spec can HOLD two committers inside the TOCTOU
+    * window and prove the post-rename verification (not timing) decides
+    * the winner. Production value is a no-op. */
+  private[io] var preRenameHook: () => Unit = () => ()
 
   /** All committed versions under `tablePath`, ascending. */
   def versions(spark: SparkSession, tablePath: String): Seq[Long] = {
@@ -139,41 +146,81 @@ object Versioned {
       }
 
   /** Two-phase commit: stage to an attempt-unique tmp dir, then claim the
-    * version by RENAME — on both the local FS and HDFS, renaming a
-    * directory onto an existing non-empty directory fails, so of two
-    * committers racing the same `next` exactly ONE rename lands; the
-    * loser dies loudly on the exists pre-check or the rename require and
-    * removes its own staging dir on the way out. Pinned by
-    * VersionedSpec's two-thread race (and by extension every
-    * IncrementalIngest artifact, which commits only through here). */
+    * version by RENAME and VERIFY the claim by marker.
+    *
+    * rename alone is NOT a safe claim primitive: renaming a directory
+    * onto an existing one does not reliably fail — HDFS legacy rename
+    * moves src INTO dst, and RawLocalFileSystem falls back to
+    * FileUtil.copy(deleteSource=true) into the existing dst, both
+    * returning true. So of two committers racing the same `next`, BOTH
+    * exists-check→rename sequences can "succeed" inside the TOCTOU
+    * window, the loser's bytes landing as a hidden `v=N/.v=N.tmp-*`
+    * nested dir — a lost update reported as success.
+    *
+    * The claim is therefore decided by an attempt-UUID `_COMMIT` marker
+    * staged inside the tmp dir: after rename returns, the committer reads
+    * `dest/_COMMIT` — only the attempt whose rename placed tmp AT dest
+    * (not INTO it) sees its own UUID there. A mismatch means this attempt
+    * lost; it deletes its nested dir from inside the winner's snapshot
+    * and fails loudly. Underscore files are invisible to parquet readers
+    * (like `_SUCCESS`), so the marker rides in the committed snapshot for
+    * free. Pinned by VersionedSpec's barrier-in-the-TOCTOU-window race
+    * (and by extension every IncrementalIngest artifact, which commits
+    * only through here). */
   private def commit(df: DataFrame, tablePath: String, marker: Option[String]): Long = {
     val spark = df.sparkSession
     val next = latestVersion(spark, tablePath).fold(1L)(_ + 1)
     val fs = new Path(tablePath).getFileSystem(spark.sessionState.newHadoopConf())
     sweepStaleTmps(fs, tablePath, next, below = true)
-    val tmp = new Path(tablePath,
-      s".v=$next.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val attempt = java.util.UUID.randomUUID().toString
+    val tmp = new Path(tablePath, s".v=$next.tmp-${attempt.take(8)}")
+    val dest = new Path(tablePath, s"v=$next")
     try {
       df.write.parquet(tmp.toString)
       marker.foreach { m =>
         val out = fs.create(new Path(tmp, DeltaMarker), false)
         try out.write(m.getBytes("UTF-8")) finally out.close()
       }
-      val dest = new Path(tablePath, s"v=$next")
+      val out = fs.create(new Path(tmp, CommitMarker), false)
+      try out.write(attempt.getBytes("UTF-8")) finally out.close()
       require(!fs.exists(dest),
         s"Versioned.write: $dest already exists — concurrent writer? refusing to clobber")
+      preRenameHook()
       require(fs.rename(tmp, dest), s"Versioned.write: commit rename $tmp -> $dest failed " +
         "(concurrent writer claimed the version?) — refusing to clobber")
+      // rename returned true — but that is not yet a claim (see scaladoc).
+      // Only the attempt whose UUID is at dest/_COMMIT owns the version.
+      val committed = readText(fs, new Path(dest, CommitMarker))
+      if (!committed.contains(attempt)) {
+        // lost the race: our tmp was moved INTO the winner's dest as a
+        // nested dir — remove our bytes from their snapshot, fail loudly
+        try fs.delete(new Path(dest, tmp.getName), true) catch { case _: Throwable => () }
+        throw new IllegalStateException(
+          s"Versioned.write: lost commit race for $dest — a concurrent writer's " +
+            s"marker ${committed.getOrElse("<missing>")} is committed, not this " +
+            s"attempt's $attempt; this attempt's rows were NOT committed")
+      }
     } catch {
       case e: Throwable =>
         try fs.delete(tmp, true) catch { case _: Throwable => () }
         throw e
     }
     // the version is decided: sweep any same-version staging leftovers
-    // (crashed or doomed racing losers)
+    // (crashed or doomed racing losers) — both at the table level and
+    // nested INSIDE the committed dir (a loser whose rename copied it in
+    // but crashed before its own cleanup)
     sweepStaleTmps(fs, tablePath, next, below = false)
+    Option(fs.globStatus(new Path(dest, ".v=*.tmp*"))).getOrElse(Array.empty)
+      .foreach(st => try fs.delete(st.getPath, true) catch { case _: Throwable => () })
     next
   }
+
+  private def readText(fs: org.apache.hadoop.fs.FileSystem, p: Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString) finally in.close()
+    }
 
   /** Read a pinned version, or latest when `version` is None. A full
     * snapshot is one dir scan; a delta version resolves as the nearest

@@ -45,11 +45,20 @@ object Tables {
     val df = load(spark, dir, name)
     val path = s"$dir/$name.parquet"
     val target = spark.sparkContext.defaultParallelism
-    val widen = widenCache.getOrElseUpdate(s"$path@$target", {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val bytes = scala.util.Try(
-        p.getFileSystem(spark.sessionState.newHadoopConf())
-          .getContentSummary(p).getLength).getOrElse(Long.MaxValue)
+    // cache key carries the path's (modTime, length) so a dataset
+    // regenerated or appended at the same path in a long-lived session
+    // re-derives its widen decision (r12 advice: a JVM-lifetime key kept a
+    // stale repartition choice for a grown/shrunk table). The per-call
+    // cost is one getFileStatus — a single driver metadata op; the
+    // recursive getContentSummary still runs only on a key miss.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val stamp = scala.util.Try {
+      val st = fs.getFileStatus(p)
+      s"${st.getModificationTime}:${st.getLen}"
+    }.getOrElse("absent")
+    val widen = widenCache.getOrElseUpdate(s"$path@$target@$stamp", {
+      val bytes = scala.util.Try(fs.getContentSummary(p).getLength).getOrElse(Long.MaxValue)
       val ceiling = math.min(4L * 1024 * 1024 * target, 512L * 1024 * 1024)
       bytes > 64L * 1024 && bytes < ceiling
     })

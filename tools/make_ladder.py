@@ -72,8 +72,16 @@ def main():
             ok = ok and step_ok
             steps.append({"step": f"{l0}->{l1}", "ratio": round(ratio, 2),
                           "nlogn_ratio": round(nlogn, 2), "ok": step_ok})
-        growth[name] = {"steps": steps, "ok": ok}
-        all_ok = all_ok and ok
+        # a query with ZERO measured (non-skipped) steps was never
+        # attempted across consecutive rungs: mark it "unmeasured" rather
+        # than letting it ride all_ok as a silent pass (r12 advice)
+        measured = [s for s in steps if not s.get("skipped")]
+        if not measured:
+            growth[name] = {"steps": steps, "ok": None, "unmeasured": True}
+            all_ok = False
+        else:
+            growth[name] = {"steps": steps, "ok": ok}
+            all_ok = all_ok and ok
 
     result = {
         "metric": "ladder",
@@ -91,7 +99,9 @@ def main():
         json.dump(result, f, indent=1, sort_keys=True)
     print(f"{out_path}: {len(names)} queries, all_ok={all_ok}")
     for name in names:
-        if not growth[name]["ok"]:
+        if growth[name].get("unmeasured"):
+            print(f"  UNMEASURED {name}: no rung pair carries a measurement")
+        elif not growth[name]["ok"]:
             print(f"  OVER-BOUND {name}: {growth[name]['steps']}")
 
 
