@@ -322,6 +322,16 @@ object Bench {
     val qs = results.map { case (k, (v, ok)) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1")
     }.mkString("{", ",", "}")
+    // PER-PASS SAMPLES (VERDICT r12 ask #1): the raw per-pass timings
+    // behind each median, in CHRONOLOGICAL pass order, so a cross-run
+    // delta can classify a query-local burst (one inflated pass, clean
+    // whole-run sentinels — u19's 3.2↔6.6 s swing) from the artifact
+    // alone via intra-run spread, with no manual isolated re-run. A
+    // failed query carries its successful samples before the failure.
+    val samples = results.map { case (k, _) =>
+      "\"" + k + "\":" +
+        times.getOrElse(k, Nil).reverse.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, (v, true)) => v }.sum
@@ -360,7 +370,7 @@ object Bench {
     }
     def jsonLine(guard: Option[String]): String = {
       val guardField = guard.map(g => s""""guard":"${jstr(g)}",""").getOrElse("")
-      f"""{"metric":"total","unit":"sec","iterations":$Iterations,"queries":$qs,"failed":$failed,"calibration":$calib,"noise":$noise,"noise_factor":$noiseFactor%.2f,"io_calibration":$ioCalib,"io_noise":$ioNoise,"io_noise_factor":$ioNoiseFactor%.2f,${guardField}"value_idle_est":$idleEst%.3f,"contended":$contended,"sf":"${jstr(sfDir)}","value":$total%.3f}"""
+      f"""{"metric":"total","unit":"sec","iterations":$Iterations,"queries":$qs,"samples":$samples,"failed":$failed,"calibration":$calib,"noise":$noise,"noise_factor":$noiseFactor%.2f,"io_calibration":$ioCalib,"io_noise":$ioNoise,"io_noise_factor":$ioNoiseFactor%.2f,${guardField}"value_idle_est":$idleEst%.3f,"contended":$contended,"sf":"${jstr(sfDir)}","value":$total%.3f}"""
     }
     // The stdout line below is tail-truncatable by log-capture harnesses
     // (round 6 lost every median alphabetically before f8 that way) — also

@@ -23,14 +23,21 @@ Classes:
   stable      raw_ratio <= FLAG_RATIO
   noise-flat  raw_ratio > FLAG_RATIO but best_norm <= FLAG_RATIO -- the
               whole-run sentinel movement alone explains it
-  residual    best_norm > FLAG_RATIO -- NOT explained by the sentinels;
-              needs adjudication: either the code changed (a real
-              regression) or the query hit a query-local contention burst
-              the whole-run sentinel median cannot see (the r11 u19 case:
-              2.2x raw with zero code changes since the old run). The
-              sentinels are whole-run medians by design -- a 30 s co-tenant
-              burst that lands on one query's 3 samples moves that query
-              without moving the run median.
+  burst       best_norm > FLAG_RATIO, but the PER-PASS SAMPLES (the
+              "samples" field Bench emits since r13) show the regression
+              vanishes at each run's fastest pass: a code regression
+              slows EVERY pass including the floor, while a query-local
+              co-tenant burst inflates only the passes it lands on. When
+              min(new samples)/min(old samples), sentinel-discounted, is
+              within FLAG_RATIO, the query is auto-classified burst --
+              no manual isolated re-run needed (r12 ask #1; the r11 u19
+              case: 2.2x raw, floor ratio ~1.0).
+  residual    best_norm > FLAG_RATIO and the floor ratio does NOT clear
+              it (or no samples available) -- needs adjudication: either
+              the code changed (a real regression) or an artifact predates
+              per-pass samples. The sentinels are whole-run medians by
+              design -- a 30 s co-tenant burst that lands on one query's 3
+              samples moves that query without moving the run median.
 
 --adjudicate records the human/git adjudication for a residual query in
 the artifact itself (e.g. --adjudicate "u19_kmv_overlap=noise:git diff
@@ -69,7 +76,10 @@ def load(path):
     io = float(art.get("io_noise_factor") or 1.0)
     qs = {k: v for k, v in art["queries"].items()
           if isinstance(v, (int, float)) and v > 0}
-    return art, qs, max(nf, 1e-9), max(io, 1e-9)
+    samples = {k: [s for s in v if isinstance(s, (int, float)) and s > 0]
+               for k, v in (art.get("samples") or {}).items()
+               if isinstance(v, list)}
+    return art, qs, max(nf, 1e-9), max(io, 1e-9), samples
 
 
 def sf_key(art):
@@ -101,8 +111,8 @@ def main():
         adjudications[name] = {"kind": kind, "reason": reason}
     out_path, old_path, new_path = args
 
-    old_art, old_q, old_nf, old_io = load(old_path)
-    new_art, new_q, new_nf, new_io = load(new_path)
+    old_art, old_q, old_nf, old_io, old_s = load(old_path)
+    new_art, new_q, new_nf, new_io, new_s = load(new_path)
     if sf_key(old_art) != sf_key(new_art):
         sys.exit(f"sf mismatch: {old_art.get('sf')} vs {new_art.get('sf')}")
 
@@ -135,12 +145,30 @@ def main():
             "best_norm_ratio": round(best, 3),
             "class": cls,
         }
+        o_samp, n_samp = old_s.get(name) or [], new_s.get(name) or []
+        if o_samp or n_samp:
+            row["old_samples"], row["new_samples"] = o_samp, n_samp
+        if cls == "residual" and (o_samp or n_samp):
+            # intra-run spread adjudication (docstring "burst" class):
+            # compare each run at its fastest pass -- the best available
+            # burst-free floor -- with the same sentinel discount
+            o_floor = min(o_samp) if o_samp else t0
+            n_floor = min(n_samp) if n_samp else t1
+            fr = max(n_floor, 0.001) / max(o_floor, 0.001)
+            floor_best = min(fr / cpu_disc, fr / io_disc)
+            row["floor_ratio"] = round(fr, 3)
+            row["floor_norm_ratio"] = round(floor_best, 3)
+            if floor_best <= FLAG_RATIO:
+                row["class"] = cls = "burst"
         if name in adjudications:
             row["adjudicated"] = adjudications[name]
         queries[name] = row
 
     residual = sorted(
         (n for n, q in queries.items() if q.get("class") == "residual"),
+        key=lambda n: -queries[n]["best_norm_ratio"])
+    burst = sorted(
+        (n for n, q in queries.items() if q.get("class") == "burst"),
         key=lambda n: -queries[n]["best_norm_ratio"])
     open_regressions = [n for n in residual
                         if queries[n].get("adjudicated", {}).get("kind") != "noise"]
@@ -167,6 +195,7 @@ def main():
         "normalized_median": round(median(norms), 3) if norms else None,
         "flag_ratio": FLAG_RATIO,
         "residual": residual,
+        "burst": burst,
         "open_regressions": open_regressions,
         "queries": queries,
     }
@@ -175,7 +204,7 @@ def main():
     print(f"common={len(common)} raw_median={result['raw_median']} "
           f"normalized_median={result['normalized_median']} "
           f"explain_factor={result['explain_factor']} "
-          f"residual={residual} open_regressions={open_regressions}")
+          f"burst={burst} residual={residual} open_regressions={open_regressions}")
 
 
 if __name__ == "__main__":
