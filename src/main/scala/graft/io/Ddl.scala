@@ -37,4 +37,43 @@ object Ddl {
 
   def createAnalyticsTables(spark: SparkSession, location: String): Seq[Either[String, Unit]] =
     execute(spark, analyticsTableDdl(location))
+
+  /** The reference's two reporting VIEWS (scripts/create_tables.sql:60-78:
+    * `CREATE OR REPLACE VIEW distance_summary / vendor_summary` — COUNT(*)
+    * plus three averages of the processed table, grouped by
+    * distance_category / vendor_id), re-shaped for the engine's corpus:
+    * vendor_id → l_suppkey, distance_category → the D1 quantity bucket,
+    * fare/tip/distance → price/discount/quantity. The aggregate SQL is the
+    * exact-decimal form the A1/A2 oracles use ([[graft.ops.Det.Sql]]), so
+    * querying each view reproduces the corresponding oracle-verified
+    * query's values bit-for-bit (PipelineSpec pins this).
+    *
+    * TEMPORARY views: the corpus tables are session temp views
+    * ([[graft.model.Tables.registerAll]]) and Spark refuses a persistent
+    * view over a temporary one — the reference's Postgres views are
+    * likewise scoped to its one reporting database. At 100 TB the view is
+    * still just a stored query: each read plans the same single
+    * scan+partial-agg the A1/A2 queries run, with pruning/pushdown intact. */
+  def summaryViewDdl: Seq[String] = {
+    import graft.ops.Det.Sql.{davg => savg, ravg => sravg}
+    Seq(
+      s"""CREATE OR REPLACE TEMPORARY VIEW vendor_summary AS
+         |SELECT l_suppkey, COUNT(*) AS trip_count,
+         | ${savg("l_extendedprice")} AS avg_fare,
+         | ${savg("l_discount")} AS avg_tip,
+         | ${savg("l_quantity")} AS avg_distance
+         |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+      s"""CREATE OR REPLACE TEMPORARY VIEW distance_summary AS
+         |SELECT ${graft.queries.CoreQueries.bucketSql} AS distance_category,
+         | COUNT(*) AS trip_count,
+         | ${savg("l_extendedprice")} AS avg_fare,
+         | ${sravg("CASE WHEN l_quantity > 0 THEN l_extendedprice / l_quantity ELSE 0.0 END")} AS avg_tip,
+         | ${savg("l_quantity")} AS avg_distance
+         |FROM lineitem GROUP BY 1""".stripMargin)
+  }
+
+  /** Create the reference-mirroring summary views; requires the corpus
+    * views registered ([[graft.model.Tables.registerAll]]). */
+  def createSummaryViews(spark: SparkSession): Seq[Either[String, Unit]] =
+    execute(spark, summaryViewDdl)
 }

@@ -44,7 +44,9 @@ object CoreQueries {
   val bucketLabels = Seq("low", "mid", "high", "very_high")
 
   private def bucket = Features.bucketize(col("l_quantity"), bucketSplits, bucketLabels)
-  private val bucketSql =
+  // private[graft]: Ddl.summaryViewDdl mirrors the reference's
+  // distance_summary view over the same bucket expression
+  private[graft] val bucketSql =
     """CASE WHEN l_quantity < 10 THEN 'low' WHEN l_quantity < 25 THEN 'mid'
       | WHEN l_quantity < 40 THEN 'high' ELSE 'very_high' END""".stripMargin.replace("\n", "")
 
