@@ -625,6 +625,92 @@ object JoinQueries {
             |    WHERE n2.n_name = 'NATION_7')
             | ORDER BY value_cents DESC, l_partkey""".stripMargin)
       }
+    },
+
+    sql("j24_crossnation_volume",
+      "J1+: TPC-H Q7-shaped VOLUME SHIPPING — revenue shipped between two specific nations by year, both directions. The classic dual-nation reporting join: the supplier's and customer's nation dims join INDEPENDENTLY (nation broadcast twice under different aliases) with the direction disjunction riding as a post-join filter, the ship-date window must push into the lineitem scan, and the only fact-fact shuffle is lineitem⋈orders — at 100 TB the two-nation filter prunes the output to a sliver but the plan must never cartesian the nation pair. Year extraction as a string (date_format/strftime) — the proven f8-portable shape; money through the exact-decimal sum",
+      s"""SELECT supp_nation, cust_nation, l_year, ${ssum("volume")} AS revenue
+         | FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |   strftime(l_shipdate, '%Y') AS l_year,
+         |   l_extendedprice * (1.0 - l_discount) AS volume
+         |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+         |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+         |   AND c_custkey = o_custkey
+         |   AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+         |   AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         |     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+         |   AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |   AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+         | GROUP BY 1, 2, 3
+         | ORDER BY supp_nation, cust_nation, l_year""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("j24_lineitem")
+        Tables.orders(s, d).createOrReplaceTempView("j24_orders")
+        Tables.customer(s, d).createOrReplaceTempView("j24_customer")
+        Tables.supplier(s, d).createOrReplaceTempView("j24_supplier")
+        Tables.nation(s, d).createOrReplaceTempView("j24_nation")
+        s.sql(
+          s"""SELECT supp_nation, cust_nation, l_year, ${ssum("volume")} AS revenue
+             | FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |   date_format(l_shipdate, 'yyyy') AS l_year,
+             |   l_extendedprice * (1.0 - l_discount) AS volume
+             |  FROM j24_supplier, j24_lineitem, j24_orders, j24_customer,
+             |   j24_nation n1, j24_nation n2
+             |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+             |   AND c_custkey = o_custkey
+             |   AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+             |   AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+             |     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+             |   AND l_shipdate >= TIMESTAMP '1996-01-01'
+             |   AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+             | GROUP BY 1, 2, 3
+             | ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+      }
+    },
+
+    sql("j25_market_share",
+      "J1+: TPC-H Q8-shaped MARKET SHARE — one nation's share of yearly PROMO-part revenue among EUROPE customers: a conditional sum over a grouped total, the second classic multi-join reporting shape. 7-table join where part/supplier/nation/region broadcast, lineitem⋈orders is the one fact shuffle, and the share divides TWO exact-decimal sums in one IEEE double division (numerator = CASE-gated volume, denominator = all volume) so no engine-ordered double accumulation exists; the p_type filter must push into the part scan before its broadcast",
+      s"""SELECT o_year,
+         |  ${ssum("CASE WHEN nation = 'NATION_7' THEN volume ELSE 0.0 END")} /
+         |  ${ssum("volume")} AS mkt_share
+         | FROM (SELECT strftime(o_orderdate, '%Y') AS o_year,
+         |   l_extendedprice * (1.0 - l_discount) AS volume,
+         |   n2.n_name AS nation
+         |  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+         |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+         |   AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |   AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+         |   AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+         |   AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |   AND o_orderdate < TIMESTAMP '1998-01-01'
+         |   AND p_type = 'PROMO') all_nations
+         | GROUP BY o_year ORDER BY o_year""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("j25_lineitem")
+        Tables.orders(s, d).createOrReplaceTempView("j25_orders")
+        Tables.customer(s, d).createOrReplaceTempView("j25_customer")
+        Tables.supplier(s, d).createOrReplaceTempView("j25_supplier")
+        Tables.nation(s, d).createOrReplaceTempView("j25_nation")
+        Tables.region(s, d).createOrReplaceTempView("j25_region")
+        Tables.part(s, d).createOrReplaceTempView("j25_part")
+        s.sql(
+          s"""SELECT o_year,
+             |  ${ssum("CASE WHEN nation = 'NATION_7' THEN volume ELSE 0.0 END")} /
+             |  ${ssum("volume")} AS mkt_share
+             | FROM (SELECT date_format(o_orderdate, 'yyyy') AS o_year,
+             |   l_extendedprice * (1.0 - l_discount) AS volume,
+             |   n2.n_name AS nation
+             |  FROM j25_part, j25_supplier, j25_lineitem, j25_orders, j25_customer,
+             |   j25_nation n1, j25_nation n2, j25_region
+             |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+             |   AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+             |   AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+             |   AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+             |   AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |   AND o_orderdate < TIMESTAMP '1998-01-01'
+             |   AND p_type = 'PROMO') all_nations
+             | GROUP BY o_year ORDER BY o_year""".stripMargin)
+      }
     }
   )
 }

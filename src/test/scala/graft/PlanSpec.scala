@@ -122,6 +122,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "supplier/nation dims should broadcast")
   }
 
+  test("j24/j25 Q7/Q8 reporting joins: dims broadcast, no cartesian, filters pushed to the scans") {
+    val q7 = plan(specs("j24_crossnation_volume").run(spark, TestSpark.sfDir))
+    // the dual-nation disjunction must ride the broadcast nation joins as
+    // a filter, never a cartesian of the nation pair
+    assert(!q7.contains("CartesianProduct") && !q7.contains("BroadcastNestedLoop"), q7)
+    assert(q7.contains("BroadcastHashJoin"), "nation/supplier dims should broadcast")
+    // the ship-date window reads two years of the archive, not all of it
+    assert(q7.contains("GreaterThanOrEqual(l_shipdate"),
+      s"l_shipdate window not pushed to the lineitem scan:\n$q7")
+    val q8 = plan(specs("j25_market_share").run(spark, TestSpark.sfDir))
+    assert(!q8.contains("CartesianProduct") && !q8.contains("BroadcastNestedLoop"), q8)
+    assert(q8.contains("BroadcastHashJoin"), "part/supplier/nation/region dims should broadcast")
+    // the PROMO filter prunes the part dim BEFORE its broadcast
+    assert(q8.contains("EqualTo(p_type,PROMO)"),
+      s"p_type filter not pushed to the part scan:\n$q8")
+  }
+
   test("semi/anti joins plan as LeftSemi/LeftAnti, not inner+distinct") {
     assert(plan(specs("j3_semi_join").run(spark, TestSpark.sfDir)).contains("LeftSemi"))
     assert(plan(specs("j4_anti_join").run(spark, TestSpark.sfDir)).contains("LeftAnti"))
