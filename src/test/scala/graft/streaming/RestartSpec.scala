@@ -1,0 +1,157 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.model.Tables
+
+/** Restart-from-checkpoint parity (VERDICT r12 next-round #3): the crash
+  * story a 100 TB deployment exercises weekly. A running query is STOPPED
+  * mid-corpus — after at least one committed micro-batch, with most of the
+  * corpus still unread, at whatever point the stop lands (possibly inside
+  * an uncommitted batch) — and a NEW query restarts from the same
+  * `checkpointLocation`. The resumed run's end state must be bit-identical
+  * to a one-shot run that never stopped:
+  *
+  *   - [[StreamingStats]]: the foreachBatch state-fold path — restart
+  *     recovery composes the checkpoint's offset log (which batch ids the
+  *     replayed query replans, with the same files) with the `_applied`
+  *     marker discipline (a batch whose fold committed but whose offset
+  *     didn't is skipped, not double-folded) and the epoch-complete rule
+  *     (stats written last; a half-written epoch is overwritten).
+  *   - st7 chained dedup→join→session composition under ROCKSDB with a
+  *     fault-tolerant PARQUET sink: dedup + join + session state all
+  *     recover from the RocksDB checkpoint, and the file sink's
+  *     `_spark_metadata` commits exactly-once output across the restart.
+  *
+  * Both legs read the same source files in the same order (file-source
+  * listing is deterministic per directory), so any divergence is recovery
+  * itself, not batching. */
+class RestartSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  /** Busy-wait until the query has committed at least `minBatches`
+    * micro-batches carrying rows, then stop it — a mid-corpus stop whose
+    * exact landing point (batch boundary or mid-batch) is intentionally
+    * uncontrolled: recovery must be exact regardless. */
+  private def stopAfterProgress(q: org.apache.spark.sql.streaming.StreamingQuery,
+                                minBatches: Int): Unit = {
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (q.recentProgress.count(_.numInputRows > 0) < minBatches &&
+           q.isActive && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= minBatches,
+      s"query never committed $minBatches batches: ${q.recentProgress.length} progress events")
+    q.stop()
+    q.awaitTermination()
+  }
+
+  test("StreamingStats: stop mid-corpus, restart from the same checkpoint — state == one-shot run, bit-for-bit") {
+    val root = Files.createTempDirectory("graft-restart-stats").toString
+    val src = s"$root/src"
+    // 8 files -> 8 micro-batches at maxFilesPerTrigger=1; both legs read
+    // this one directory so their batch plans are identical
+    val li = Tables.lineitem(spark, TestSpark.sfDir)
+      .select("l_returnflag", "l_linestatus", "l_quantity", "l_partkey",
+        "l_orderkey", "l_linenumber")
+    li.repartition(8).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    def cfg(dir: String) = StreamingStats.Config(
+      dir, keys = Seq("l_returnflag"),
+      valueCol = "l_quantity", distinctCol = "l_partkey", freqCol = "l_linestatus",
+      sampleIdCols = Seq("l_orderkey", "l_linenumber"), sampleK = 3,
+      kmvK = 16, bloomBits = 4096L, cmsWidth = 512L)
+    def snapshot(c: StreamingStats.Config): Map[String, Set[Seq[Any]]] =
+      StreamingStats.families(c).map(f =>
+        f -> StreamingStats.state(spark, c, f).collect().map(_.toSeq: Seq[Any]).toSet).toMap
+
+    // leg 1 — RESTARTED: stop after >=2 committed batches, resume
+    val cR = cfg(s"$root/state_restart")
+    val ckR = s"$root/ck_restart"
+    StreamingStats.init(spark, cR, li.filter(lit(false)))
+    val q1 = StreamingStats.attach(stream, cR)
+      .option("checkpointLocation", ckR).start()
+    stopAfterProgress(q1, minBatches = 2)
+    val epochAtStop = StreamingStats.latestEpoch(cR)
+    assert(epochAtStop >= 2, s"stop landed before any fold: epoch $epochAtStop")
+    val q2 = StreamingStats.attach(stream, cR)
+      .option("checkpointLocation", ckR).start()
+    try q2.processAllAvailable() finally { q2.stop(); q2.awaitTermination() }
+    assert(StreamingStats.latestEpoch(cR) > epochAtStop,
+      "restart never folded the rest of the corpus")
+
+    // leg 2 — ONE-SHOT: fresh state + checkpoint, never stopped
+    val cO = cfg(s"$root/state_oneshot")
+    StreamingStats.init(spark, cO, li.filter(lit(false)))
+    val q3 = StreamingStats.attach(stream, cO)
+      .option("checkpointLocation", s"$root/ck_oneshot").start()
+    try q3.processAllAvailable() finally { q3.stop(); q3.awaitTermination() }
+
+    val restarted = snapshot(cR)
+    val oneShot = snapshot(cO)
+    assert(restarted == oneShot, {
+      val diffs = StreamingStats.families(cR).filter(f => restarted(f) != oneShot(f))
+      s"state families diverge after restart: ${diffs.mkString(", ")}"
+    })
+    // and both legs folded every file exactly once: 8 data epochs + init
+    assert(StreamingStats.latestEpoch(cR) == StreamingStats.latestEpoch(cO))
+  }
+
+  test("st7 chained dedup->join->session under RocksDB + file sink: stop mid-corpus, restart — output == batch, exactly once") {
+    import spark.implicits._
+    val prior = scala.util.Try(spark.conf.get(ProviderKey)).toOption
+    spark.conf.set(ProviderKey, RocksDb)
+    try {
+      val root = Files.createTempDirectory("graft-restart-st7").toString
+      val ev = Tables.events(spark, TestSpark.sfDir)
+      val srcDir = s"$root/src"
+      // several files so the stop lands mid-corpus; plus a full
+      // at-least-once redelivery the admission guard must absorb
+      ev.repartition(4).write.mode("overwrite").parquet(srcDir)
+      ev.repartition(4).write.mode("append").parquet(srcDir)
+      val schema = ev.schema
+      def src = Admission.guard(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          .withColumn("ts", date_trunc("second", col("ts"))),
+        tsCol = "ts", delay = "30 days", idCols = Seq("event_id"))
+      val outDir = s"$root/out"
+      val ck = s"$root/ck"
+      def start() = EventStreams.sessionAttributionGuarded(src, src)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ck).outputMode("append").start()
+
+      val q1 = start()
+      stopAfterProgress(q1, minBatches = 2)
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        // watermark-advancing sentinels so every session finalizes
+        val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+        val far = new java.sql.Timestamp(maxTs.getTime + 100L * 24 * 3600 * 1000)
+        Seq((-1L, far, -1L, "click", 0.0, "{}"), (-2L, far, -2L, "purchase", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.mode("append").parquet(srcDir)
+        q2.processAllAvailable()
+      } finally { q2.stop(); q2.awaitTermination() }
+
+      val batch = EventStreams.sessionAttribution(ev, ev, watermark = "30 days")
+        .collect().toSet
+      val resumed = spark.read.parquet(outDir)
+        .filter(col("user_id") >= 0).collect().toSet
+      assert(resumed == batch && batch.nonEmpty,
+        s"resumed run diverges from batch: ${(resumed diff batch).take(3)} vs " +
+          s"${(batch diff resumed).take(3)}")
+    } finally prior match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None    => spark.conf.unset(ProviderKey)
+    }
+  }
+}
