@@ -76,6 +76,23 @@ package graft
   * admitted run that is still >1.2× sentinel-normalized slower than the
   * prior canonical prints a WARNING pointing at tools/compare_bench.py
   * (the per-query noise-vs-code adjudicator).
+  *
+  * PER-QUERY BURST RESISTANCE (VERDICT r13 ask #2): the whole-run
+  * sentinels are medians by design, so a co-tenant burst that lands on
+  * one query's 3 samples inflates that query's admitted median without
+  * moving the run-level factors — u19's canonical drifted 3.2→6.6→23.8 s
+  * across three rounds at identical code this way. After the interleaved
+  * passes, any query whose max/min per-pass spread exceeds
+  * [[BurstSpreadRatio]] is RE-MEASURED (that query alone, up to
+  * [[MaxBurstReruns]] extra runs) until its two FASTEST samples agree
+  * within [[BurstAgreeRatio]]; its admitted value is then the
+  * SECOND-SMALLEST sample (robust to one lucky pass, discards every
+  * burst-inflated sample above the agreed floor). Flagged queries are
+  * listed under `"burst"`; queries whose floor never converged under
+  * `"burst_unresolved"` — and the canonical guard REFUSES a run whose
+  * top-10 heavy tail is >50% unresolved-burst time ([[burstTailReason]]),
+  * so a burst that re-measurement couldn't outlast can't poison the
+  * committed artifact.
   */
 object Bench {
 
@@ -173,6 +190,64 @@ object Bench {
         priorIdle = pv / math.max(1.0, math.max(pn, pi)) if priorIdle > 0
       } yield (total / math.max(1.0, math.max(noiseFactor, ioNoiseFactor))) / priorIdle
     }
+
+  /** Per-pass max/min spread above which a query is burst-flagged and
+    * re-measured (object scaladoc). 2.5× is outside plan variance for a
+    * fixed-size query at local[32] (steady queries sit within ~1.3× on an
+    * idle run) and inside every observed burst case — chosen specifically
+    * to catch u19's r13 shape (32.9/12.0/23.8 s = 2.74×, the canonical
+    * drift case), where a 3× cut would have missed it (u20 10×, dd2 12×
+    * clear either). On a contended run this flags more queries — which is
+    * exactly when per-query re-measurement earns its cost. */
+  val BurstSpreadRatio = 2.5
+
+  /** Stop condition for burst re-measurement: the two FASTEST samples
+    * agree within this ratio — two independent passes both landing near
+    * the floor pin it as the query's real cost (the same noise band the
+    * cross-round adjudicator tools/compare_bench.py flags at). */
+  val BurstAgreeRatio = 1.5
+
+  /** Extra single-query runs a burst-flagged query may consume before
+    * being declared unresolved — bounds worst-case added wall-clock to
+    * MaxBurstReruns × the query's own cost. */
+  val MaxBurstReruns = 4
+
+  /** Max/min spread across a query's per-pass samples (1.0 when fewer
+    * than two samples — nothing to compare). Pure for BenchGuardSpec. */
+  def burstSpread(samples: Seq[Double]): Double =
+    if (samples.size < 2) 1.0
+    else samples.max / math.max(samples.min, 1e-9)
+
+  /** True when the two fastest samples agree within [[BurstAgreeRatio]]. */
+  def floorAgreed(samples: Seq[Double]): Boolean =
+    samples.size >= 2 && {
+      val s = samples.sorted
+      s(1) <= BurstAgreeRatio * math.max(s(0), 1e-9)
+    }
+
+  /** Admitted value for a burst-flagged query: the SECOND-smallest
+    * sample — robust to one lucky outlier-fast pass (a single anomalous
+    * floor can't under-report the query) while discarding every
+    * burst-inflated sample above the agreed floor. */
+  def robustFloorValue(samples: Seq[Double]): Double = {
+    val s = samples.sorted
+    if (s.size < 2) s.headOption.getOrElse(-1.0) else s(1)
+  }
+
+  /** Heavy-tail burst guard (object scaladoc): divert the run when the
+    * top-10 queries by admitted value carry >50% unresolved-burst time —
+    * such a canonical's headline total is dominated by numbers that
+    * re-measurement could not stabilize. Pure for BenchGuardSpec. */
+  def burstTailReason(values: Seq[(String, Double)],
+                      unresolved: Set[String]): Option[String] = {
+    val top = values.filter(_._2 > 0).sortBy { case (n, v) => (-v, n) }.take(10)
+    val tot = top.map(_._2).sum
+    val burstSum = top.collect { case (n, v) if unresolved(n) => v }.sum
+    if (tot > 0 && burstSum > 0.5 * tot)
+      Some(f"heavy tail burst-dominated: unresolved-burst queries carry " +
+        f"$burstSum%.1f s of the top-10's $tot%.1f s")
+    else None
+  }
 
   /** Fixed-size CPU-bound probe: hash+sum over an in-memory range, no
     * I/O, no shuffle variance — same work every invocation. ~0.1–0.3 s
@@ -312,11 +387,38 @@ object Bench {
       calibrations += probes.toSeq
       ioCalibrations += ioProbes.toSeq
     }
+    // PER-QUERY BURST RESOLUTION (object scaladoc / VERDICT r13 ask #2):
+    // a query whose per-pass spread exceeds BurstSpreadRatio is re-run —
+    // that query alone — until its two fastest samples agree within the
+    // noise band (or MaxBurstReruns is exhausted → unresolved). Re-run
+    // samples append to the chronological "samples" record like any pass.
+    val burstFlagged = scala.collection.mutable.Set.empty[String]
+    val burstUnresolved = scala.collection.mutable.Set.empty[String]
+    for (spec <- ordered if !broken(spec.name)) {
+      if (burstSpread(times.getOrElse(spec.name, Nil)) > BurstSpreadRatio) {
+        burstFlagged += spec.name
+        var reruns = 0
+        while (reruns < MaxBurstReruns && !broken(spec.name) &&
+               !floorAgreed(times(spec.name))) {
+          val (t, ok) = runOnce(spec)
+          if (ok) times(spec.name) = t :: times(spec.name)
+          else broken += spec.name
+          reruns += 1
+        }
+        if (!broken(spec.name) && !floorAgreed(times(spec.name))) {
+          burstUnresolved += spec.name
+          System.err.println(s"[bench] burst UNRESOLVED after $reruns reruns: " +
+            s"${spec.name} samples ${times(spec.name).reverse.map(t => f"$t%.2f").mkString(",")}")
+        }
+      }
+    }
     val results = ordered.map { spec =>
       if (broken(spec.name)) (spec.name, (-1.0, false))
       else {
         val ts = times(spec.name).sorted
-        (spec.name, (ts(ts.size / 2), true))
+        val v = if (burstFlagged(spec.name)) robustFloorValue(ts)
+                else ts(ts.size / 2)
+        (spec.name, (v, true))
       }
     }
     val qs = results.map { case (k, (v, ok)) =>
@@ -334,6 +436,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val burstJson = burstFlagged.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val burstUnresolvedJson = burstUnresolved.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, (v, true)) => v }.sum
     // "value" is emitted LAST: consumers that keep only the final N chars of
     // the run log (tail truncation) still see the headline total; JSON key
@@ -370,7 +476,7 @@ object Bench {
     }
     def jsonLine(guard: Option[String]): String = {
       val guardField = guard.map(g => s""""guard":"${jstr(g)}",""").getOrElse("")
-      f"""{"metric":"total","unit":"sec","iterations":$Iterations,"queries":$qs,"samples":$samples,"failed":$failed,"calibration":$calib,"noise":$noise,"noise_factor":$noiseFactor%.2f,"io_calibration":$ioCalib,"io_noise":$ioNoise,"io_noise_factor":$ioNoiseFactor%.2f,${guardField}"value_idle_est":$idleEst%.3f,"contended":$contended,"sf":"${jstr(sfDir)}","value":$total%.3f}"""
+      f"""{"metric":"total","unit":"sec","iterations":$Iterations,"queries":$qs,"samples":$samples,"failed":$failed,"burst":$burstJson,"burst_unresolved":$burstUnresolvedJson,"calibration":$calib,"noise":$noise,"noise_factor":$noiseFactor%.2f,"io_calibration":$ioCalib,"io_noise":$ioNoise,"io_noise_factor":$ioNoiseFactor%.2f,${guardField}"value_idle_est":$idleEst%.3f,"contended":$contended,"sf":"${jstr(sfDir)}","value":$total%.3f}"""
     }
     // The stdout line below is tail-truncatable by log-capture harnesses
     // (round 6 lost every median alphabetically before f8 that way) — also
@@ -396,6 +502,8 @@ object Bench {
       if (explicitOut.isDefined) None
       else guardReason(priorJson, sfDir, only.map(_ => ordered.size),
         noiseFactor, ioNoiseFactor)
+        .orElse(burstTailReason(
+          results.map { case (k, (v, _)) => (k, v) }, burstUnresolved.toSet))
     // Normalized-slowdown heads-up (VERDICT r11 ask #1): even when the
     // guard admits this run, warn if its sentinel-discounted total is
     // >1.2× the prior canonical's — the operator should run

@@ -88,6 +88,48 @@ class BenchGuardSpec extends AnyFunSuite {
       .exists(v => math.abs(v - 1.0) < 1e-9))
   }
 
+  test("burst detection + robust floor: the r13 u19/u20 sample shapes") {
+    // u19's r13 samples: 2.74x spread — flagged (the threshold sits at
+    // 2.5 precisely so this canonical-drift shape is caught), and the two
+    // fastest (12.0 vs 23.8) do NOT agree, so re-measurement is required
+    val u19 = Seq(32.9, 12.0, 23.8)
+    assert(Bench.burstSpread(u19) > Bench.BurstSpreadRatio)
+    assert(!Bench.floorAgreed(u19))
+    // u20's shape: 10x spread — flagged
+    val u20 = Seq(6.7, 16.1, 1.6)
+    assert(Bench.burstSpread(u20) > Bench.BurstSpreadRatio)
+    assert(!Bench.floorAgreed(u20)) // 1.6 vs 6.7
+    // one re-run landing near the floor resolves it and pins the value
+    val resolved = u20 :+ 1.7
+    assert(Bench.floorAgreed(resolved))
+    assert(Bench.robustFloorValue(resolved) == 1.7) // second-smallest
+    // a single lucky fast pass can NOT drag the admitted value down:
+    // second-smallest of the unresolved u20 shape is 6.7, not 1.6
+    assert(Bench.robustFloorValue(u20) == 6.7)
+    // steady query: no flag, nothing to resolve
+    assert(Bench.burstSpread(Seq(1.0, 1.2, 1.1)) < Bench.BurstSpreadRatio)
+    assert(Bench.floorAgreed(Seq(1.0, 1.2, 1.1)))
+    // degenerate inputs
+    assert(Bench.burstSpread(Seq(1.0)) == 1.0)
+    assert(!Bench.floorAgreed(Seq(1.0)))
+    assert(Bench.robustFloorValue(Seq(1.0)) == 1.0)
+    assert(Bench.robustFloorValue(Nil) == -1.0)
+  }
+
+  test("burstTailReason: refuses a canonical whose top-10 is >50% unresolved-burst time") {
+    val values = (1 to 20).map(i => (f"q$i%02d", i.toDouble))
+    // top-10 = q11..q20, total 155; q16..q20 sum 90 > 77.5 -> divert
+    assert(Bench.burstTailReason(values, Set("q16", "q17", "q18", "q19", "q20"))
+      .exists(_.contains("burst-dominated")))
+    // one 20 s unresolved burst in a 155 s tail: admitted (adjudicate
+    // cross-round via compare_bench.py instead of blocking the refresh)
+    assert(Bench.burstTailReason(values, Set("q20")).isEmpty)
+    // unresolved bursts OUTSIDE the top-10 never block
+    assert(Bench.burstTailReason(values, Set("q01", "q02", "q03")).isEmpty)
+    assert(Bench.burstTailReason(values, Set.empty).isEmpty)
+    assert(Bench.burstTailReason(Nil, Set("x")).isEmpty)
+  }
+
   test("pre-round-11 artifact without io_noise_factor: relative io check is skipped, cpu check still applies") {
     val legacy = s"""{"metric":"total","noise_factor":0.35,"sf":"$sf01","value":208.5}"""
     // io 1.9 would fail a relative >1.3x check against any plausible prior

@@ -25,19 +25,26 @@ Classes:
               whole-run sentinel movement alone explains it
   burst       best_norm > FLAG_RATIO, but the PER-PASS SAMPLES (the
               "samples" field Bench emits since r13) show the regression
-              vanishes at each run's fastest pass: a code regression
+              vanishes at each run's robust floor: a code regression
               slows EVERY pass including the floor, while a query-local
-              co-tenant burst inflates only the passes it lands on. When
-              min(new samples)/min(old samples), sentinel-discounted, is
-              within FLAG_RATIO, the query is auto-classified burst --
-              no manual isolated re-run needed (r12 ask #1; the r11 u19
-              case: 2.2x raw, floor ratio ~1.0).
-  residual    best_norm > FLAG_RATIO and the floor ratio does NOT clear
-              it (or no samples available) -- needs adjudication: either
-              the code changed (a real regression) or an artifact predates
-              per-pass samples. The sentinels are whole-run medians by
-              design -- a 30 s co-tenant burst that lands on one query's 3
-              samples moves that query without moving the run median.
+              co-tenant burst inflates only the passes it lands on.
+              Auto-classification requires samples on BOTH sides (ADVICE
+              r13: one-sided comparisons pit a floor against a median --
+              min<=median bias dismisses real regressions), and each
+              side's floor is the SECOND-smallest sample, so one lucky
+              outlier-fast pass can't fake a burst-free floor. When
+              floor_new/floor_old, sentinel-discounted, is within
+              FLAG_RATIO, the query is auto-classified burst -- no manual
+              isolated re-run needed (r12 ask #1).
+  residual    best_norm > FLAG_RATIO and the robust floor ratio does NOT
+              clear it, or either artifact lacks >=2 per-pass samples
+              (pre-r13 artifacts) -- needs adjudication: either the code
+              changed (a real regression) or the evidence for noise is
+              external (empty git diff on the query's path + a same-code
+              re-measure), recorded via --adjudicate. The sentinels are
+              whole-run medians by design -- a 30 s co-tenant burst that
+              lands on one query's 3 samples moves that query without
+              moving the run median.
 
 --adjudicate records the human/git adjudication for a residual query in
 the artifact itself (e.g. --adjudicate "u19_kmv_overlap=noise:git diff
@@ -87,6 +94,13 @@ def sf_key(art):
     sf = art.get("sf")
     s = str(sf).rstrip("/").rsplit("/", 1)[-1]
     return s if s.startswith("sf") else f"sf{s}"
+
+
+def robust_floor(samples):
+    """Second-smallest sample, or None with fewer than 2 samples -- the
+    burst-free floor estimate that one lucky fast pass cannot fake."""
+    s = sorted(samples)
+    return s[1] if len(s) >= 2 else None
 
 
 def median(xs):
@@ -148,12 +162,13 @@ def main():
         o_samp, n_samp = old_s.get(name) or [], new_s.get(name) or []
         if o_samp or n_samp:
             row["old_samples"], row["new_samples"] = o_samp, n_samp
-        if cls == "residual" and (o_samp or n_samp):
+        o_floor, n_floor = robust_floor(o_samp), robust_floor(n_samp)
+        if cls == "residual" and o_floor is not None and n_floor is not None:
             # intra-run spread adjudication (docstring "burst" class):
-            # compare each run at its fastest pass -- the best available
-            # burst-free floor -- with the same sentinel discount
-            o_floor = min(o_samp) if o_samp else t0
-            n_floor = min(n_samp) if n_samp else t1
+            # compare each run at its robust (second-smallest) floor --
+            # ADVICE r13: BOTH sides must carry >=2 samples (a one-sided
+            # floor-vs-median comparison is biased toward dismissal), and
+            # second-smallest is immune to a single outlier-fast pass
             fr = max(n_floor, 0.001) / max(o_floor, 0.001)
             floor_best = min(fr / cpu_disc, fr / io_disc)
             row["floor_ratio"] = round(fr, 3)
