@@ -629,62 +629,20 @@ object JoinQueries {
 
     sql("j24_crossnation_volume",
       "J1+: TPC-H Q7-shaped VOLUME SHIPPING — revenue shipped between two specific nations by year, both directions. The classic dual-nation reporting join: the supplier's and customer's nation dims join INDEPENDENTLY (nation broadcast twice under different aliases) with the direction disjunction riding as a post-join filter, the ship-date window must push into the lineitem scan, and the only fact-fact shuffle is lineitem⋈orders — at 100 TB the two-nation filter prunes the output to a sliver but the plan must never cartesian the nation pair. Year extraction as a string (date_format/strftime) — the proven f8-portable shape; money through the exact-decimal sum",
-      s"""SELECT supp_nation, cust_nation, l_year, ${ssum("volume")} AS revenue
-         | FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-         |   strftime(l_shipdate, '%Y') AS l_year,
-         |   l_extendedprice * (1.0 - l_discount) AS volume
-         |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
-         |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
-         |   AND c_custkey = o_custkey
-         |   AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
-         |   AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
-         |     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
-         |   AND l_shipdate >= TIMESTAMP '1996-01-01'
-         |   AND l_shipdate < TIMESTAMP '1998-01-01') shipping
-         | GROUP BY 1, 2, 3
-         | ORDER BY supp_nation, cust_nation, l_year""".stripMargin.replace("\n", "")) {
+      q7Text(identity, DuckDialect)) {
       (s, d) => {
         Tables.lineitem(s, d).createOrReplaceTempView("j24_lineitem")
         Tables.orders(s, d).createOrReplaceTempView("j24_orders")
         Tables.customer(s, d).createOrReplaceTempView("j24_customer")
         Tables.supplier(s, d).createOrReplaceTempView("j24_supplier")
         Tables.nation(s, d).createOrReplaceTempView("j24_nation")
-        s.sql(
-          s"""SELECT supp_nation, cust_nation, l_year, ${ssum("volume")} AS revenue
-             | FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-             |   date_format(l_shipdate, 'yyyy') AS l_year,
-             |   l_extendedprice * (1.0 - l_discount) AS volume
-             |  FROM j24_supplier, j24_lineitem, j24_orders, j24_customer,
-             |   j24_nation n1, j24_nation n2
-             |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
-             |   AND c_custkey = o_custkey
-             |   AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
-             |   AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
-             |     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
-             |   AND l_shipdate >= TIMESTAMP '1996-01-01'
-             |   AND l_shipdate < TIMESTAMP '1998-01-01') shipping
-             | GROUP BY 1, 2, 3
-             | ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+        s.sql(q7Text(t => s"j24_$t", SparkDialect))
       }
     },
 
     sql("j25_market_share",
       "J1+: TPC-H Q8-shaped MARKET SHARE — one nation's share of yearly PROMO-part revenue among EUROPE customers: a conditional sum over a grouped total, the second classic multi-join reporting shape. 7-table join where part/supplier/nation/region broadcast, lineitem⋈orders is the one fact shuffle, and the share divides TWO exact-decimal sums in one IEEE double division (numerator = CASE-gated volume, denominator = all volume) so no engine-ordered double accumulation exists; the p_type filter must push into the part scan before its broadcast",
-      s"""SELECT o_year,
-         |  ${ssum("CASE WHEN nation = 'NATION_7' THEN volume ELSE 0.0 END")} /
-         |  ${ssum("volume")} AS mkt_share
-         | FROM (SELECT strftime(o_orderdate, '%Y') AS o_year,
-         |   l_extendedprice * (1.0 - l_discount) AS volume,
-         |   n2.n_name AS nation
-         |  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
-         |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
-         |   AND l_orderkey = o_orderkey AND o_custkey = c_custkey
-         |   AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
-         |   AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
-         |   AND o_orderdate >= TIMESTAMP '1996-01-01'
-         |   AND o_orderdate < TIMESTAMP '1998-01-01'
-         |   AND p_type = 'PROMO') all_nations
-         | GROUP BY o_year ORDER BY o_year""".stripMargin.replace("\n", "")) {
+      q8Text(identity, DuckDialect)) {
       (s, d) => {
         Tables.lineitem(s, d).createOrReplaceTempView("j25_lineitem")
         Tables.orders(s, d).createOrReplaceTempView("j25_orders")
@@ -693,24 +651,105 @@ object JoinQueries {
         Tables.nation(s, d).createOrReplaceTempView("j25_nation")
         Tables.region(s, d).createOrReplaceTempView("j25_region")
         Tables.part(s, d).createOrReplaceTempView("j25_part")
-        s.sql(
-          s"""SELECT o_year,
-             |  ${ssum("CASE WHEN nation = 'NATION_7' THEN volume ELSE 0.0 END")} /
-             |  ${ssum("volume")} AS mkt_share
-             | FROM (SELECT date_format(o_orderdate, 'yyyy') AS o_year,
-             |   l_extendedprice * (1.0 - l_discount) AS volume,
-             |   n2.n_name AS nation
-             |  FROM j25_part, j25_supplier, j25_lineitem, j25_orders, j25_customer,
-             |   j25_nation n1, j25_nation n2, j25_region
-             |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
-             |   AND l_orderkey = o_orderkey AND o_custkey = c_custkey
-             |   AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
-             |   AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
-             |   AND o_orderdate >= TIMESTAMP '1996-01-01'
-             |   AND o_orderdate < TIMESTAMP '1998-01-01'
-             |   AND p_type = 'PROMO') all_nations
-             | GROUP BY o_year ORDER BY o_year""".stripMargin)
+        s.sql(q8Text(t => s"j25_$t", SparkDialect))
+      }
+    },
+
+    sql("j26_cust_order_counts",
+      "J1+: TPC-H Q13-shaped CUSTOMER ORDER-COUNT DISTRIBUTION — how many customers placed N qualifying orders, INCLUDING the zero bucket. The one classic shape j1–j25 didn't cover: a LEFT OUTER join whose non-equi predicate (the order-priority analog of Q13's o_comment NOT LIKE) must ride the JOIN CONDITION — written as a WHERE it would null-drop exactly the zero-order customers the histogram exists to count. Scale: the fact side shuffles once on custkey (orders is the big side at 100 TB; customer⋈orders is the one real shuffle), the per-customer counts are one row per customer, and the final histogram groups those ~millions of count rows into a few dozen buckets — COUNT(o_orderkey) (not *) so unmatched rows count 0",
+      """SELECT c_count, COUNT(*) AS custdist
+        | FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |   ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '%URGENT%'
+        |  GROUP BY c_custkey) c_orders
+        | GROUP BY c_count
+        | ORDER BY custdist DESC, c_count DESC""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d),
+            col("c_custkey") === col("o_custkey") &&
+              !col("o_orderpriority").like("%URGENT%"),
+            "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    sql("j27_large_orders",
+      "J1+: TPC-H Q18-shaped LARGE VOLUME CUSTOMER — orders whose total quantity clears a threshold, with customer detail. The HAVING-IN composition: an aggregate-gated IN subquery (SUM(l_quantity) HAVING > 300) feeding a 3-way customer⋈orders⋈lineitem join, re-aggregated per order. Scale: the IN decorrelates to a LEFT SEMI join against ONE orderkey-grouped partial-aggregated build (map-side combine shrinks it to one row per order BEFORE its shuffle) — never a per-order re-scan; the semi join prunes orders to the large sliver before customer and lineitem join it, so the detail join moves only qualifying rows. Quantities through the exact-decimal sum; order date surfaced as a day string (raw timestamps never compared)",
+      s"""SELECT c_name, c_custkey, o_orderkey,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice,
+         |  ${ssum("l_quantity")} AS total_qty
+         | FROM customer, orders, lineitem
+         | WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+         |   GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+         |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+         | GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
+         | ORDER BY o_totalprice DESC, o_orderkey""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val large = li.groupBy("l_orderkey")
+          .agg(dsum(col("l_quantity")).as("big_qty"))
+          .filter(col("big_qty") > 300.0)
+          .select(col("l_orderkey").as("big_orderkey"))
+        Tables.orders(s, d)
+          .join(large, col("o_orderkey") === col("big_orderkey"), "left_semi")
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+            col("o_totalprice"))
+          .agg(dsum(col("l_quantity")).as("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       }
     }
   )
+
+  /** Dialect seams for the Q7/Q8 twin texts (VERDICT r13 ask #7): the two
+    * renderings differ ONLY in year-of-timestamp extraction. Table
+    * references are the other seam, passed per call site (bare names for
+    * the DuckDB oracle, prefixed temp views for the Spark side) — one
+    * shared body makes oracle/Spark drift a compile-time impossibility. */
+  private def DuckDialect(c: String): String = s"strftime($c, '%Y')"
+  private def SparkDialect(c: String): String = s"date_format($c, 'yyyy')"
+
+  /** Q7 body — `t` renders a table reference, `year` the dialect's
+    * year-of-timestamp (see [[DuckDialect]]/[[SparkDialect]]). */
+  private def q7Text(t: String => String, year: String => String): String =
+    s"""SELECT supp_nation, cust_nation, l_year, ${ssum("volume")} AS revenue
+       | FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |   ${year("l_shipdate")} AS l_year,
+       |   l_extendedprice * (1.0 - l_discount) AS volume
+       |  FROM ${t("supplier")}, ${t("lineitem")}, ${t("orders")}, ${t("customer")},
+       |   ${t("nation")} n1, ${t("nation")} n2
+       |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+       |   AND c_custkey = o_custkey
+       |   AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+       |   AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       |     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+       |   AND l_shipdate >= TIMESTAMP '1996-01-01'
+       |   AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+       | GROUP BY 1, 2, 3
+       | ORDER BY supp_nation, cust_nation, l_year""".stripMargin.replace("\n", "")
+
+  /** Q8 body — same seams as [[q7Text]]. */
+  private def q8Text(t: String => String, year: String => String): String =
+    s"""SELECT o_year,
+       |  ${ssum("CASE WHEN nation = 'NATION_7' THEN volume ELSE 0.0 END")} /
+       |  ${ssum("volume")} AS mkt_share
+       | FROM (SELECT ${year("o_orderdate")} AS o_year,
+       |   l_extendedprice * (1.0 - l_discount) AS volume,
+       |   n2.n_name AS nation
+       |  FROM ${t("part")}, ${t("supplier")}, ${t("lineitem")}, ${t("orders")}, ${t("customer")},
+       |   ${t("nation")} n1, ${t("nation")} n2, ${t("region")}
+       |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+       |   AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+       |   AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+       |   AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+       |   AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |   AND o_orderdate < TIMESTAMP '1998-01-01'
+       |   AND p_type = 'PROMO') all_nations
+       | GROUP BY o_year ORDER BY o_year""".stripMargin.replace("\n", "")
 }

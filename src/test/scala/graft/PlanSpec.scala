@@ -139,6 +139,38 @@ class PlanSpec extends AnyFunSuite {
       s"p_type filter not pushed to the part scan:\n$q8")
   }
 
+  test("j26 Q13 shape: the priority predicate rides the outer join (never a post-join filter)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val qe = specs("j26_cust_order_counts").run(spark, TestSpark.sfDir).queryExecution
+    val opt = qe.optimizedPlan
+    val outer = opt.collect { case j: Join if j.joinType.toString == "LeftOuter" => j }
+    assert(outer.nonEmpty, s"expected a LeftOuter join:\n$opt")
+    val j = outer.head
+    // the NOT LIKE must constrain the orders side — pushed into the right
+    // subtree (legal for a right-side-only predicate under LEFT OUTER) or
+    // still in the join condition. A post-join Filter would ALSO null-drop
+    // the zero-order customers the histogram's zero bucket counts, so
+    // every occurrence of the predicate must live at/below the join.
+    val inJoin = j.right.toString.contains("URGENT") ||
+      j.condition.exists(_.toString.contains("URGENT"))
+    assert(inJoin, s"priority predicate not on the join's build side:\n$opt")
+    val total = "URGENT".r.findAllIn(opt.toString).length
+    val below = "URGENT".r.findAllIn(j.toString).length
+    assert(total == below, s"priority predicate appears above the outer join:\n$opt")
+  }
+
+  test("j27 Q18 shape: HAVING-IN decorrelates to one LeftSemi over a pre-aggregated build") {
+    val p = plan(specs("j27_large_orders").run(spark, TestSpark.sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("LeftSemi"), s"IN did not become a semi join:\n$p")
+    // exactly two partial_sum builds: the orderkey-grouped threshold
+    // aggregate (map-side combined BEFORE its shuffle — one row per order
+    // crosses the wire) and the final per-order quantity re-aggregation.
+    // More would mean the subquery re-executes per probe row.
+    val sums = "partial_sum".r.findAllIn(p).length
+    assert(sums == 2, s"expected 2 partial_sum builds (threshold + final), got $sums:\n$p")
+  }
+
   test("semi/anti joins plan as LeftSemi/LeftAnti, not inner+distinct") {
     assert(plan(specs("j3_semi_join").run(spark, TestSpark.sfDir)).contains("LeftSemi"))
     assert(plan(specs("j4_anti_join").run(spark, TestSpark.sfDir)).contains("LeftAnti"))
