@@ -135,7 +135,7 @@ object Versioned {
     * (post-commit, when the version is decided). */
   private def sweepStaleTmps(fs: org.apache.hadoop.fs.FileSystem,
                              tablePath: String, version: Long,
-                             below: Boolean): Unit =
+                             below: Boolean): Unit = {
     Option(fs.globStatus(new Path(tablePath, ".v=*.tmp*")))
       .getOrElse(Array.empty).foreach { st =>
         st.getPath.getName match {
@@ -144,6 +144,19 @@ object Versioned {
           case _ => ()
         }
       }
+    // Nested leftovers inside DECIDED (below-tip) version dirs: a racing
+    // loser whose rename copied its tmp INTO the winner's v=N can crash
+    // after the winner's post-commit sweep already ran but before its own
+    // nested delete — that hidden v=N/.v=N.tmp-* dir would otherwise leak
+    // forever, since the post-commit sweep only looks inside the NEW dest.
+    // Those versions are decided, so the nested bytes can never win;
+    // dot-prefixed dirs are invisible to parquet readers (storage-leak
+    // cleanup only, no correctness effect).
+    if (below)
+      Option(fs.globStatus(new Path(tablePath, "v=*/.v=*.tmp*")))
+        .getOrElse(Array.empty)
+        .foreach(st => try fs.delete(st.getPath, true) catch { case _: Throwable => () })
+  }
 
   /** Two-phase commit: stage to an attempt-unique tmp dir, then claim the
     * version by RENAME and VERIFY the claim by marker.

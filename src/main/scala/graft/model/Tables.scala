@@ -45,17 +45,30 @@ object Tables {
     val df = load(spark, dir, name)
     val path = s"$dir/$name.parquet"
     val target = spark.sparkContext.defaultParallelism
-    // cache key carries the path's (modTime, length) so a dataset
-    // regenerated or appended at the same path in a long-lived session
-    // re-derives its widen decision (r12 advice: a JVM-lifetime key kept a
-    // stale repartition choice for a grown/shrunk table). The per-call
-    // cost is one getFileStatus — a single driver metadata op; the
-    // recursive getContentSummary still runs only on a key miss.
+    // cache key carries a staleness stamp so a dataset regenerated or
+    // appended at the same path in a long-lived session re-derives its
+    // widen decision (r12 advice: a JVM-lifetime key kept a stale
+    // repartition choice for a grown/shrunk table). For a FILE the stamp
+    // is (modTime, length) — one getFileStatus, and getContentSummary
+    // runs only on a key miss. For a DIRECTORY (partitioned layout)
+    // getFileStatus is useless — a dir's getLen is 0 and its mtime moves
+    // only on direct-child add/remove, so a rewrite inside partition
+    // subdirs would keep the stale decision (r13 advice) — the stamp is
+    // the recursive content summary (total length + file count) instead,
+    // paying the walk per call; acceptable because widened() is a
+    // per-call-site opt-in on measured winners, and the walk is the same
+    // metadata op the miss path already does. Residual limitation: a
+    // byte-patch rewrite preserving total length AND file count is not
+    // detected — parquet convention is replace-not-patch, so that write
+    // pattern doesn't occur.
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val stamp = scala.util.Try {
       val st = fs.getFileStatus(p)
-      s"${st.getModificationTime}:${st.getLen}"
+      if (st.isDirectory) {
+        val cs = fs.getContentSummary(p)
+        s"dir:${cs.getLength}:${cs.getFileCount}"
+      } else s"${st.getModificationTime}:${st.getLen}"
     }.getOrElse("absent")
     val widen = widenCache.getOrElseUpdate(s"$path@$target@$stamp", {
       val bytes = scala.util.Try(fs.getContentSummary(p).getLength).getOrElse(Long.MaxValue)

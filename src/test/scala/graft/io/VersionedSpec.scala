@@ -23,6 +23,28 @@ class VersionedSpec extends AnyFunSuite {
       .collect().map(_.getString(1)).toSeq == Seq("a", "b"))
   }
 
+  test("commit sweeps orphaned loser tmps nested inside DECIDED version dirs") {
+    // a racing loser whose rename copied its tmp INTO the winner's v=N can
+    // crash after the winner's post-commit sweep already ran but before
+    // its own nested delete — plant that leftover shape and assert the
+    // NEXT commit's pre-commit sweep clears it (r13 advice: it previously
+    // leaked forever, since the post-commit sweep only looks in new dests)
+    val dir = Files.createTempDirectory("graft-versioned-sweep").toString + "/t"
+    Versioned.write(Seq((1L, "a")).toDF("id", "v"), dir)
+    Versioned.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val orphan = new org.apache.hadoop.fs.Path(dir, "v=1/.v=1.tmp-deadbeef")
+    fs.mkdirs(orphan)
+    val out = fs.create(new org.apache.hadoop.fs.Path(orphan, "part-zombie.parquet"), false)
+    try out.write(Array[Byte](1, 2, 3)) finally out.close()
+    Versioned.write(Seq((3L, "c")).toDF("id", "v"), dir)
+    assert(!fs.exists(orphan), "nested loser tmp in a decided version dir was not swept")
+    // the decided versions themselves are untouched
+    assert(Versioned.read(spark, dir, Some(1L)).count() == 1)
+    assert(Versioned.read(spark, dir, Some(2L)).count() == 2)
+  }
+
   test("diff between versions classifies added/removed/changed") {
     val dir = Files.createTempDirectory("graft-versioned2").toString + "/t"
     Versioned.write(Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("id", "v"), dir)

@@ -59,7 +59,14 @@ class RestartSpec extends AnyFunSuite {
     val li = Tables.lineitem(spark, TestSpark.sfDir)
       .select("l_returnflag", "l_linestatus", "l_quantity", "l_partkey",
         "l_orderkey", "l_linenumber")
-    li.repartition(8).write.mode("overwrite").parquet(src)
+    // ~3/4 of the corpus lands up front; the rest is appended only AFTER
+    // leg 1's stop, so the restarted query ALWAYS has unread work — on a
+    // fast machine the initial files can fully drain before stop() lands
+    // (legal; recovery must be exact either way), which used to fail the
+    // "restart folded more" assertion spuriously (r13 advice)
+    val liHead = li.filter(pmod(col("l_orderkey"), lit(4)) =!= 0)
+    val liTail = li.filter(pmod(col("l_orderkey"), lit(4)) === 0)
+    liHead.repartition(8).write.mode("overwrite").parquet(src)
     val schema = spark.read.parquet(src).schema
     def stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
@@ -81,6 +88,8 @@ class RestartSpec extends AnyFunSuite {
     stopAfterProgress(q1, minBatches = 2)
     val epochAtStop = StreamingStats.latestEpoch(cR)
     assert(epochAtStop >= 2, s"stop landed before any fold: epoch $epochAtStop")
+    // the held-back tail arrives only now — unread work for the restart
+    liTail.repartition(4).write.mode("append").parquet(src)
     val q2 = StreamingStats.attach(stream, cR)
       .option("checkpointLocation", ckR).start()
     try q2.processAllAvailable() finally { q2.stop(); q2.awaitTermination() }
@@ -100,7 +109,7 @@ class RestartSpec extends AnyFunSuite {
       val diffs = StreamingStats.families(cR).filter(f => restarted(f) != oneShot(f))
       s"state families diverge after restart: ${diffs.mkString(", ")}"
     })
-    // and both legs folded every file exactly once: 8 data epochs + init
+    // and both legs folded every file exactly once: 12 data epochs + init
     assert(StreamingStats.latestEpoch(cR) == StreamingStats.latestEpoch(cO))
   }
 
