@@ -1,0 +1,155 @@
+package graft.tools
+
+import java.lang.management.ManagementFactory
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+import graft.model.Tables
+import graft.streaming.{Admission, EventStreams}
+
+/** Large-state streaming soak (VERDICT r13 ask #4): replay a scaled event
+  * corpus through the st7 chained composition — admission guard (dedup ×2)
+  * → stream-stream left-outer join → session-window aggregation — under
+  * the ROCKSDB state store with a BOUNDED block cache, and measure whether
+  * executor heap stays flat while operator state grows to millions of
+  * rows. This is the memory story that justifies shipping the RocksDB
+  * provider at all: the HDFS-backed store pins every state row in executor
+  * heap (state ∝ watermark window can exceed heap at 100 TB ingest rates),
+  * while RocksDB keeps state off-heap/on-disk behind a fixed-size cache.
+  *
+  * The watermark delay is deliberately LONGER than the corpus's event-time
+  * span, so no state is evicted until the final sentinel rows arrive —
+  * the soak holds the maximum state the corpus can generate, the
+  * worst case a bounded-memory claim must survive.
+  *
+  * Usage: runMain graft.tools.StreamSoak <sfDir> <outJson> [heapBudgetMB]
+  *
+  * Emits one JSON artifact: per-batch retained-heap samples (forced GC at
+  * each batch boundary), per-batch total state rows, RocksDB's own memory
+  * usage, and ok=false (exit 1) if the soak failed to complete or peak
+  * retained heap broke the budget.
+  */
+object StreamSoak {
+
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** RocksDB block-cache cap for the soak — small enough that sf1 state
+    * (~1M events across 4 stateful operators) cannot fit a naive
+    * everything-in-cache layout, so the bound is actually exercised. */
+  private val RocksCacheMb = 256L
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: StreamSoak <sfDir> <outJson> [heapBudgetMB]")
+    val sfDir = args(0)
+    val outJson = args(1)
+    val heapBudgetMb = if (args.length > 2) args(2).toLong else 3000L
+
+    val spark = graft.engine.Sessions.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDb)
+    spark.conf.set("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+    spark.conf.set("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB",
+      RocksCacheMb.toString)
+
+    val t0 = System.nanoTime()
+    val root = Files.createTempDirectory("graft-soak").toString
+    val srcDir = s"$root/src"
+    val outDir = s"$root/out"
+    val ck = s"$root/ck"
+
+    val ev = Tables.events(spark, sfDir)
+    val nEvents = ev.count()
+    val nFiles = 16
+    ev.repartition(nFiles).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+
+    // st7 composition, exactly as RestartSpec drives it: ts pre-truncated
+    // BEFORE the guard (re-deriving it downstream would drop the watermark
+    // metadata), horizon/gap defaults, parquet sink + checkpoint
+    def src = Admission.guard(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .withColumn("ts", date_trunc("second", col("ts"))),
+      tsCol = "ts", delay = "3650 days", idCols = Seq("event_id"))
+
+    // per-batch series, filled by the listener: retained heap (after a
+    // forced GC — allocation noise excluded), total state rows, state
+    // memory as the provider reports it (RocksDB: block cache + memtable
+    // + pinned blocks), input rows
+    val heapMb = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val stateRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val stateMemMb = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val inputRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var rawPeakMb = 0L
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        synchronized {
+          val mem = ManagementFactory.getMemoryMXBean
+          rawPeakMb = math.max(rawPeakMb, mem.getHeapMemoryUsage.getUsed >> 20)
+          System.gc()
+          heapMb += (mem.getHeapMemoryUsage.getUsed >> 20)
+          val ops = e.progress.stateOperators
+          stateRows += ops.map(_.numRowsTotal).sum
+          stateMemMb += (ops.map(_.memoryUsedBytes).sum >> 20)
+          inputRows += e.progress.numInputRows
+        }
+    }
+    spark.streams.addListener(listener)
+
+    var failure: Option[String] = None
+    try {
+      val q = EventStreams.sessionAttributionGuarded(src, src)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ck).outputMode("append").start()
+      q.processAllAvailable()
+      // watermark-advancing sentinels so every session finalizes and the
+      // guard/join/session state actually evicts (the eviction path is
+      // part of what the soak certifies)
+      import spark.implicits._
+      val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+      val far = new java.sql.Timestamp(maxTs.getTime + 4000L * 24 * 3600 * 1000)
+      Seq((-1L, far, -1L, "click", 0.0, "{}"), (-2L, far, -2L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination()
+    } catch {
+      case e: Throwable => failure = Some(e.toString.take(500))
+    } finally spark.streams.removeListener(listener)
+
+    val outputRows =
+      if (failure.isDefined) -1L
+      else scala.util.Try(spark.read.parquet(outDir).count()).getOrElse(-1L)
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    val totalInput = inputRows.sum
+    val peakHeap = if (heapMb.isEmpty) -1L else heapMb.max
+    val completed = failure.isEmpty && outputRows > 0 && totalInput >= nEvents
+    val heapOk = peakHeap >= 0 && peakHeap < heapBudgetMb
+    val ok = completed && heapOk
+
+    def arr(xs: Seq[Long]) = xs.mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"stream_soak","sf":"$sfDir","events":$nEvents,""" +
+        s""""files":$nFiles,"batches":${heapMb.size},"input_rows":$totalInput,""" +
+        s""""rocksdb_bounded_mb":$RocksCacheMb,"heap_budget_mb":$heapBudgetMb,""" +
+        s""""peak_heap_after_gc_mb":$peakHeap,"peak_heap_raw_mb":$rawPeakMb,""" +
+        s""""heap_mb":${arr(heapMb.toSeq)},"state_rows":${arr(stateRows.toSeq)},""" +
+        s""""state_mem_mb":${arr(stateMemMb.toSeq)},""" +
+        s""""max_state_rows":${if (stateRows.isEmpty) -1 else stateRows.max},""" +
+        s""""max_state_mem_mb":${if (stateMemMb.isEmpty) -1 else stateMemMb.max},""" +
+        s""""output_rows":$outputRows,""" +
+        failure.fold("")(f => s""""failure":"${f.replace("\"", "'").replace("\n", " ")}",""") +
+        f""""wall_sec":$wallSec%.1f,"ok":$ok}"""
+    Files.write(Paths.get(outJson), json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}
