@@ -677,6 +677,33 @@ object JoinQueries {
           .orderBy(col("custdist").desc, col("c_count").desc)
     },
 
+    sql("j28_returned_revenue",
+      "J1+: TPC-H Q10-shaped RETURNED-ITEM REVENUE — the top 20 customers by revenue lost to returns in a half-year window: 4-way customer⋈orders⋈lineitem⋈nation join where the returnflag and order-date filters push into their parquet scans (the scan reads one flag sliver of one half-year, not the archive), nation broadcasts, the facts shuffle once each, and the top-20 over grouped revenue plans as TakeOrderedAndProject — a per-partition heap of 20 rows, never a full sort of the customer dimension. Revenue through the exact-decimal sum; custkey tiebreak makes the cut deterministic",
+      s"""SELECT c_custkey, c_name, ${ssum(revenueSql)} AS revenue, c_acctbal, n_name
+         | FROM customer, orders, lineitem, nation
+         | WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-07-01'
+         |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+         | GROUP BY c_custkey, c_name, c_acctbal, n_name
+         | ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d)
+              .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-07-01").cast("timestamp")),
+            col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+          .agg(dsum(revenue).as("revenue"))
+          .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+    },
+
     sql("j27_large_orders",
       "J1+: TPC-H Q18-shaped LARGE VOLUME CUSTOMER — orders whose total quantity clears a threshold, with customer detail. The HAVING-IN composition: an aggregate-gated IN subquery (SUM(l_quantity) HAVING > 300) feeding a 3-way customer⋈orders⋈lineitem join, re-aggregated per order. Scale: the IN decorrelates to a LEFT SEMI join against ONE orderkey-grouped partial-aggregated build (map-side combine shrinks it to one row per order BEFORE its shuffle) — never a per-order re-scan; the semi join prunes orders to the large sliver before customer and lineitem join it, so the detail join moves only qualifying rows. Quantities through the exact-decimal sum; order date surfaced as a day string (raw timestamps never compared)",
       s"""SELECT c_name, c_custkey, o_orderkey,

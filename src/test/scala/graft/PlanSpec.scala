@@ -159,6 +159,21 @@ class PlanSpec extends AnyFunSuite {
     assert(total == below, s"priority predicate appears above the outer join:\n$opt")
   }
 
+  test("j28 Q10 shape: filters pushed to the scans, top-20 as TakeOrderedAndProject") {
+    val p = plan(specs("j28_returned_revenue").run(spark, TestSpark.sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the returnflag sliver and the half-year window must reach the
+    // parquet scans — at 100 TB this reads one flag of one half-year
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"l_returnflag not pushed to the lineitem scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"o_orderdate window not pushed to the orders scan:\n$p")
+    // top-20 must be a per-partition heap, never a full sort of the
+    // grouped customer revenue
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject for ORDER BY ... LIMIT 20:\n$p")
+  }
+
   test("j27 Q18 shape: HAVING-IN decorrelates to one LeftSemi over a pre-aggregated build") {
     val p = plan(specs("j27_large_orders").run(spark, TestSpark.sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
@@ -450,6 +465,9 @@ class PlanSpec extends AnyFunSuite {
     //   ops/Expectations.scala    suite report row — the whole suite is
     //     ONE conditional-sum aggregate; .head() reads its single row
     //     (Quality.report's class; the DataFrame form is evaluateDF)
+    //   tools/StreamSoak.scala    max-event-ts scalar for the watermark
+    //     sentinel rows — a 1-row aggregate in the soak HARNESS (the
+    //     measured streaming pipeline itself collects nothing)
     // Scala-collection .head/.take on arrays/strings don't match these
     // patterns; a new DataFrame action anywhere else fails this test.
     val actionPattern = """\.collect\(\)|\.head\(\)|\.head\.|\.first\(\)|\.toLocalIterator|collectAsList|toPandas""".r
@@ -460,6 +478,7 @@ class PlanSpec extends AnyFunSuite {
       "pipeline/IncrementalIngest.scala" -> 1,
       "ops/VectorIndex.scala" -> 2,
       "ops/Expectations.scala" -> 1,
+      "tools/StreamSoak.scala" -> 1,
       "queries/DedupQueries.scala" -> 1)
     val found = mainSourceLines
       .filter { case (_, line) => actionPattern.findFirstIn(line).isDefined }
@@ -488,7 +507,7 @@ class PlanSpec extends AnyFunSuite {
     //   ops/Packing.scala (1)           per-range-partition offsets (#partitions rows)
     //   ops/Mixture.scala (2)           1-row weight total; per-source quota dim
     //   streaming/EventStreams.scala (1) user dimension (stream-static enrich)
-    //   queries/JoinQueries.scala (3)   nation/region/part dims
+    //   queries/JoinQueries.scala (4)   nation/region/part dims (incl. j28's nation)
     //   queries/ExtraQueries.scala (8)  1-row global-stats frames (4);
     //                                   d7's per-group median/MAD stat
     //                                   frames ×2 oracle + ×2 bench (≤3
@@ -511,7 +530,7 @@ class PlanSpec extends AnyFunSuite {
       "ops/Packing.scala" -> 1,
       "ops/Mixture.scala" -> 2,
       "streaming/EventStreams.scala" -> 1,
-      "queries/JoinQueries.scala" -> 3,
+      "queries/JoinQueries.scala" -> 4,
       "queries/ExtraQueries.scala" -> 8,
       "queries/StatsQueries.scala" -> 6,
       "queries/SimilarityQueries.scala" -> 3,
