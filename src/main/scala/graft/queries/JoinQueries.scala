@@ -711,7 +711,7 @@ object JoinQueries {
          |  ${ssum("l_quantity")} AS total_qty
          | FROM customer, orders, lineitem
          | WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
-         |   GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+         |   GROUP BY l_orderkey HAVING ${ssum("l_quantity")} > 300)
          |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
          | GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
          | ORDER BY o_totalprice DESC, o_orderkey""".stripMargin.replace("\n", "")) {
@@ -730,6 +730,82 @@ object JoinQueries {
             col("o_totalprice"))
           .agg(dsum(col("l_quantity")).as("total_qty"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      }
+    },
+
+    sql("j29_clean_suppliers",
+      "J1+: TPC-H Q16-shaped NOT IN — the NULL-AWARE ANTI JOIN, the last classic join plan class: per-brand distinct supplier counts excluding a complaint population via NOT IN. Unlike j4's NOT EXISTS (plain LeftAnti), NOT IN over a nullable key must plan as a null-aware anti join (BroadcastHashJoin isNullAwareAntiJoin=true, never the BroadcastNestedLoop fallback) because one NULL in the subquery legally empties the result. Both legs are exercised: the main branch excludes the 6 negative-balance suppliers (null-free population, meaningful rows), and the '(null-trap)' branch runs the SAME shape against a population that deliberately CONTAINS a NULL — its count must be 0 in any engine that implements three-valued NOT IN correctly, and would be a large number under the naive anti-join rewrite. Scale: the exclusion populations are dimension-sized broadcasts; the fact side never shuffles for them",
+      q16Text(identity)) {
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("j29_lineitem")
+        Tables.part(s, d).createOrReplaceTempView("j29_part")
+        Tables.supplier(s, d).createOrReplaceTempView("j29_supplier")
+        s.sql(q16Text(t => s"j29_$t"))
+      }
+    },
+
+    sql("j30_disjunctive_revenue",
+      "J1+: TPC-H Q19-shaped DISJUNCTIVE JOIN PREDICATE — revenue from three brand/size/quantity bundles OR-ed together, each bundle repeating the p_partkey = l_partkey equi-key. The plan trap: taken literally the ON clause is a disjunction (no single conjunct equi-condition), which degrades to a nested-loop join; Catalyst must factor the common equi-key OUT of the OR (extractCommonFactors in the optimizer) and plan ONE hash join carrying the residual disjunction as a join filter — and infer per-side slivers from the OR (the brand IN-set prunes the part build, the quantity envelope prunes the fact scan) so at 100 TB the scan reads three quantity bands of three brands, not the archive. PlanSpec refuses the nested-loop plan",
+      q19Text(identity)) {
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("j30_lineitem")
+        Tables.part(s, d).createOrReplaceTempView("j30_part")
+        s.sql(q19Text(t => s"j30_$t"))
+      }
+    },
+
+    sql("j31_top_supplier",
+      "J1+: TPC-H Q15-shaped TOP SUPPLIER — the supplier(s) achieving the maximum revenue band over a half-year ship window: the per-supplier aggregate is consumed TWICE, once under MAX and once as the join detail. The plan trap this query pins: written as the classic uncorrelated scalar subquery, Spark RE-SCANS the fact table for the MAX (the join-inferred isnotnull breaks canonical plan equality, so ReuseExchange never fires — verified empirically), recomputing a 100 TB scan to find a max the plan already built. The engine's plan instead computes the per-supplier aggregate ONCE and takes the max with an empty-frame window over the aggregate sliver (~one row per supplier — single-partition is free at that cardinality), giving ONE lineitem scan by construction; PlanSpec pins the single scan. The oracle keeps the classic scalar-subquery text. Revenue is banded (exact cent sum, integer-divided by 12M) so the fixture carries a genuine 3-way TIE at the max — all tied suppliers must surface, pinning that max-selection doesn't arbitrarily pick one. ROUND before the cent cast (Spark truncates double→int where DuckDB rounds)",
+      q15Text(identity, "//")) {
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val rev = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+          .groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(expr(
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) div 12000000")
+            .as("rev_band"))
+        rev
+          .withColumn("max_band", max(col("rev_band")).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .filter(col("rev_band") === col("max_band"))
+          .join(Tables.supplier(s, d), col("s_suppkey") === col("supplier_no"))
+          .select("s_suppkey", "s_name", "rev_band")
+          .orderBy("s_suppkey")
+      }
+    },
+
+    sql("j32_profit_by_nation",
+      "J1+: TPC-H Q9-shaped PRODUCT-TYPE PROFIT — per-nation-per-year profit on red parts across the full 5-table join (part⋈supplier⋈lineitem⋈orders⋈nation), profit = revenue minus a retail-derived unit cost (p_retailprice·0.5 stands in for ps_supplycost; 0.5 is dyadic so the cost product is exact in double). The classic expression-heavy reporting join: the p_name LIKE filter must prune the part dim BEFORE its broadcast, the year extraction groups the fact sliver, and the whole amount expression is evaluated identically on both sides (one shared body) then accumulated in exact decimal — no engine-ordered double sum exists. Year through the same dialect seam as j24",
+      q9Text(identity, DuckDialect)) {
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("j32_lineitem")
+        Tables.orders(s, d).createOrReplaceTempView("j32_orders")
+        Tables.part(s, d).createOrReplaceTempView("j32_part")
+        Tables.supplier(s, d).createOrReplaceTempView("j32_supplier")
+        Tables.nation(s, d).createOrReplaceTempView("j32_nation")
+        s.sql(q9Text(t => s"j32_$t", SparkDialect))
+      }
+    },
+
+    sql("j33_priority_shipping",
+      "J1+: TPC-H Q12-shaped TWO-CLASS CASE AGGREGATE — per-returnflag counts of high- vs low-priority lines shipped within 1996 and at/after their order date. The classic pivot-in-place shape: ONE pass over the fact⋈fact join produces both classes as CASE-gated sums (a naive engine runs two filtered joins), the ship-date window pushes into the lineitem scan, and the cross-table l_shipdate >= o_orderdate predicate rides the join as a post-join filter it cannot push. Counts cast to BIGINT in the shared body (DuckDB SUM(int) widens to HUGEINT; Spark is already BIGINT — the cast makes the schemas agree)",
+      q12Text(identity)) {
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("j33_lineitem")
+        Tables.orders(s, d).createOrReplaceTempView("j33_orders")
+        s.sql(q12Text(t => s"j33_$t"))
+      }
+    },
+
+    sql("j34_promo_revenue",
+      "J1+: TPC-H Q14-shaped PROMO RATIO — the share of March-1997 revenue earned by PROMO parts: a CASE-gated exact-decimal numerator over an exact-decimal denominator in ONE double multiply-divide (the j25 discipline — no engine-ordered double accumulation anywhere). One month of one type class: both the ship window and nothing else reach the lineitem scan, part broadcasts, and the single output row carries the line count so the sliver size itself is verified",
+      q14Text(identity)) {
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("j34_lineitem")
+        Tables.part(s, d).createOrReplaceTempView("j34_part")
+        s.sql(q14Text(t => s"j34_$t"))
       }
     }
   )
@@ -760,6 +836,93 @@ object JoinQueries {
        |   AND l_shipdate < TIMESTAMP '1998-01-01') shipping
        | GROUP BY 1, 2, 3
        | ORDER BY supp_nation, cust_nation, l_year""".stripMargin.replace("\n", "")
+
+  /** Q16-shaped body (j29) — table-ref seam only. Two NOT IN legs: the
+    * main branch's population is null-free (meaningful per-brand counts),
+    * the '(null-trap)' branch's population deliberately contains a NULL so
+    * its count pins the empty-result three-valued semantics. */
+  private def q16Text(t: String => String): String =
+    s"""SELECT p_brand AS grp, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+       | FROM ${t("lineitem")} JOIN ${t("part")} ON p_partkey = l_partkey
+       | WHERE p_size >= 40 AND p_brand <> 'Brand#5'
+       |  AND l_suppkey NOT IN (
+       |    SELECT s_suppkey FROM ${t("supplier")} WHERE s_acctbal < 0)
+       | GROUP BY p_brand
+       | UNION ALL
+       | SELECT '(null-trap)' AS grp, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+       | FROM ${t("lineitem")}
+       | WHERE l_suppkey NOT IN (
+       |   SELECT CASE WHEN s_acctbal < 0 THEN NULL ELSE s_suppkey END
+       |   FROM ${t("supplier")} WHERE s_acctbal < 1000)
+       | ORDER BY grp""".stripMargin.replace("\n", "")
+
+  /** Q19-shaped body (j30) — the whole disjunction lives in the ON clause;
+    * each bundle repeats the equi-key so the optimizer can factor it out. */
+  private def q19Text(t: String => String): String =
+    s"""SELECT p_brand, COUNT(*) AS n_lines, ${ssum(revenueSql)} AS revenue
+       | FROM ${t("lineitem")} JOIN ${t("part")}
+       |  ON (p_partkey = l_partkey AND p_brand = 'Brand#12'
+       |      AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       |  OR (p_partkey = l_partkey AND p_brand = 'Brand#23'
+       |      AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+       |  OR (p_partkey = l_partkey AND p_brand = 'Brand#14'
+       |      AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+       | GROUP BY p_brand ORDER BY p_brand""".stripMargin.replace("\n", "")
+
+  /** Q15-shaped body (j31) — `div` is the integer-division operator seam
+    * (Spark `div`, DuckDB `//`). The 12M-cent band width is chosen so the
+    * sf0.01 fixture ties 3 suppliers at the max band. */
+  private def q15Text(t: String => String, div: String): String =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no,
+       |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+       |      $div 12000000 AS rev_band
+       |  FROM ${t("lineitem")}
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1996-07-01'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, rev_band
+       | FROM ${t("supplier")} JOIN revenue ON s_suppkey = supplier_no
+       | WHERE rev_band = (SELECT MAX(rev_band) FROM revenue)
+       | ORDER BY s_suppkey""".stripMargin.replace("\n", "")
+
+  /** Q9-shaped body (j32) — same seams as [[q7Text]]. The amount expression
+    * is shared verbatim so both engines evaluate the identical IEEE ops
+    * before the exact-decimal accumulation. */
+  private def q9Text(t: String => String, year: String => String): String =
+    s"""SELECT nation, o_year,
+       | ${ssum("l_extendedprice * (1.0 - l_discount) - p_retailprice * 0.5 * l_quantity")} AS sum_profit
+       | FROM (SELECT n_name AS nation, ${year("o_orderdate")} AS o_year,
+       |   l_extendedprice, l_discount, p_retailprice, l_quantity
+       |  FROM ${t("part")}, ${t("supplier")}, ${t("lineitem")}, ${t("orders")}, ${t("nation")}
+       |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+       |   AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+       |   AND p_name LIKE '%red%') profit
+       | GROUP BY nation, o_year
+       | ORDER BY nation, o_year DESC""".stripMargin.replace("\n", "")
+
+  /** Q12-shaped body (j33) — table-ref seam only. */
+  private def q12Text(t: String => String): String =
+    s"""SELECT l_returnflag,
+       |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       | FROM ${t("orders")} JOIN ${t("lineitem")} ON o_orderkey = l_orderkey
+       | WHERE l_shipdate >= o_orderdate
+       |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01'
+       | GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin.replace("\n", "")
+
+  /** Q14-shaped body (j34) — table-ref seam only; the j25 exact-numerator /
+    * exact-denominator / one-double-division discipline. */
+  private def q14Text(t: String => String): String =
+    s"""SELECT COUNT(*) AS n_lines,
+       | ${ssum(s"CASE WHEN p_type = 'PROMO' THEN $revenueSql ELSE 0.0 END")}
+       |   * 100.0 / ${ssum(revenueSql)} AS promo_pct
+       | FROM ${t("lineitem")} JOIN ${t("part")} ON l_partkey = p_partkey
+       | WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+       |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin.replace("\n", "")
 
   /** Q8 body — same seams as [[q7Text]]. */
   private def q8Text(t: String => String, year: String => String): String =

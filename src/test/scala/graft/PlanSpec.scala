@@ -186,6 +186,46 @@ class PlanSpec extends AnyFunSuite {
     assert(sums == 2, s"expected 2 partial_sum builds (threshold + final), got $sums:\n$p")
   }
 
+  test("j29 Q16 shape: both NOT IN legs plan as null-aware anti joins, never the nested-loop fallback") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val phys = specs("j29_clean_suppliers").run(spark, TestSpark.sfDir)
+      .queryExecution.sparkPlan
+    val naaj = phys.collect {
+      case b: BroadcastHashJoinExec if b.isNullAwareAntiJoin => b
+    }
+    assert(naaj.size == 2,
+      s"expected 2 null-aware anti joins (main + null-trap branch), got ${naaj.size}:\n$phys")
+    val p = phys.toString
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"NOT IN fell back to a nested-loop plan:\n$p")
+  }
+
+  test("j30 Q19 shape: the equi-key is factored out of the disjunction — one hash join, slivers inferred") {
+    val p = plan(specs("j30_disjunctive_revenue").run(spark, TestSpark.sfDir))
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"the disjunctive ON clause degraded to a nested-loop join:\n$p")
+    assert(p.contains("BroadcastHashJoin [l_partkey"),
+      s"common equi-key not extracted from the OR bundles:\n$p")
+    // Catalyst infers per-side slivers from the disjunction and pushes them
+    // into the scans: the quantity envelope prunes the fact side, the
+    // brand/size disjunction prunes the part build
+    assert(p.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      s"quantity envelope not pushed to the lineitem scan:\n$p")
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"),
+      s"brand/size disjunction not pushed to the part scan:\n$p")
+  }
+
+  test("j31 Q15 shape: one lineitem scan feeds both the MAX and the detail join") {
+    val p = plan(specs("j31_top_supplier").run(spark, TestSpark.sfDir))
+    val scans = "lineitem\\.parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected exactly 1 lineitem scan, got $scans:\n$p")
+    // the classic scalar-subquery form re-scans the fact table (ReuseExchange
+    // can't fire across the join-inferred isnotnull) — the engine's plan
+    // must not carry a scalar subquery at all
+    assert(!p.contains("scalar-subquery"),
+      s"MAX re-executes as a scalar subquery over a second scan:\n$p")
+  }
+
   test("semi/anti joins plan as LeftSemi/LeftAnti, not inner+distinct") {
     assert(plan(specs("j3_semi_join").run(spark, TestSpark.sfDir)).contains("LeftSemi"))
     assert(plan(specs("j4_anti_join").run(spark, TestSpark.sfDir)).contains("LeftAnti"))
