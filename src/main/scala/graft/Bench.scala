@@ -398,11 +398,21 @@ object Bench {
       if (burstSpread(times.getOrElse(spec.name, Nil)) > BurstSpreadRatio) {
         burstFlagged += spec.name
         var reruns = 0
-        while (reruns < MaxBurstReruns && !broken(spec.name) &&
+        var rerunFailed = false
+        while (reruns < MaxBurstReruns && !rerunFailed &&
                !floorAgreed(times(spec.name))) {
           val (t, ok) = runOnce(spec)
+          // a transient rerun failure must not discard the three valid
+          // interleaved-pass samples the query already earned (r14 advice:
+          // the OPTIONAL re-measurement can only refine, never break, an
+          // otherwise-complete measurement) — keep the samples and let the
+          // query fall through to burst_unresolved
           if (ok) times(spec.name) = t :: times(spec.name)
-          else broken += spec.name
+          else {
+            rerunFailed = true
+            System.err.println(s"[bench] burst rerun failed for ${spec.name}; " +
+              "keeping the interleaved-pass samples (burst_unresolved)")
+          }
           reruns += 1
         }
         if (!broken(spec.name) && !floorAgreed(times(spec.name))) {

@@ -63,15 +63,22 @@ object Tables {
     // pattern doesn't occur.
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val stamp = scala.util.Try {
+    // one metadata pass derives BOTH the stamp and the byte count (r14
+    // advice: the dir branch walked getContentSummary twice per miss)
+    val (stamp, bytes) = scala.util.Try {
       val st = fs.getFileStatus(p)
       if (st.isDirectory) {
         val cs = fs.getContentSummary(p)
-        s"dir:${cs.getLength}:${cs.getFileCount}"
-      } else s"${st.getModificationTime}:${st.getLen}"
-    }.getOrElse("absent")
-    val widen = widenCache.getOrElseUpdate(s"$path@$target@$stamp", {
-      val bytes = scala.util.Try(fs.getContentSummary(p).getLength).getOrElse(Long.MaxValue)
+        (s"dir:${cs.getLength}:${cs.getFileCount}", cs.getLength)
+      } else (s"${st.getModificationTime}:${st.getLen}", st.getLen)
+    }.getOrElse(("absent", Long.MaxValue))
+    val prefix = s"$path@$target@"
+    val key = prefix + stamp
+    val widen = widenCache.getOrElseUpdate(key, {
+      // churned stamps for the same path@target would otherwise accumulate
+      // forever in a long-lived session — evict the superseded keys
+      widenCache.keys.filter(k => k.startsWith(prefix) && k != key)
+        .foreach(widenCache.remove)
       val ceiling = math.min(4L * 1024 * 1024 * target, 512L * 1024 * 1024)
       bytes > 64L * 1024 && bytes < ceiling
     })

@@ -34,6 +34,16 @@ import graft.streaming.{Admission, EventStreams}
   */
 object StreamSoak {
 
+  /** JSON string escape (Bench's jstr discipline): quotes, backslashes and
+    * control characters all encode, so an arbitrary exception message can
+    * never produce an unparseable artifact. */
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'          => "\\\""
+    case '\\'         => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c            => c.toString
+  }
+
   private val RocksDb =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
@@ -145,7 +155,10 @@ object StreamSoak {
         s""""max_state_rows":${if (stateRows.isEmpty) -1 else stateRows.max},""" +
         s""""max_state_mem_mb":${if (stateMemMb.isEmpty) -1 else stateMemMb.max},""" +
         s""""output_rows":$outputRows,""" +
-        failure.fold("")(f => s""""failure":"${f.replace("\"", "'").replace("\n", " ")}",""") +
+        // full JSON-escape (r14 advice: quote/newline-only escaping emitted
+        // an invalid artifact exactly when a failure message carried a
+        // backslash or control char — the one case the field exists for)
+        failure.fold("")(f => s""""failure":"${jsonEscape(f)}",""") +
         f""""wall_sec":$wallSec%.1f,"ok":$ok}"""
     Files.write(Paths.get(outJson), json.getBytes("UTF-8"))
     println(json)
