@@ -94,6 +94,10 @@ object StreamSoak {
     val stateRows = scala.collection.mutable.ArrayBuffer.empty[Long]
     val stateMemMb = scala.collection.mutable.ArrayBuffer.empty[Long]
     val inputRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // per-batch wall time: the series that shows the latency step (if any)
+    // when state crosses the RocksDB cache cap and the provider starts
+    // evicting/paging — the 100 TB steady state this soak certifies
+    val batchMs = scala.collection.mutable.ArrayBuffer.empty[Long]
     var rawPeakMb = 0L
     val listener = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -108,6 +112,7 @@ object StreamSoak {
           stateRows += ops.map(_.numRowsTotal).sum
           stateMemMb += (ops.map(_.memoryUsedBytes).sum >> 20)
           inputRows += e.progress.numInputRows
+          batchMs += e.progress.batchDuration
         }
     }
     spark.streams.addListener(listener)
@@ -137,12 +142,23 @@ object StreamSoak {
     val outputRows =
       if (failure.isDefined) -1L
       else scala.util.Try(spark.read.parquet(outDir).count()).getOrElse(-1L)
+    // stream==batch parity IN the soak harness (not just the small-scale
+    // RocksDbParitySpec): the streamed sessions must set-equal the batch
+    // twin at THIS state scale — eviction/paging past the cache cap is
+    // only certified if the results it served are still exactly right.
+    // exceptAll both ways keeps the comparison distributed (no driver
+    // funnel of the ~1M-row output).
+    val parityOk = failure.isEmpty && scala.util.Try {
+      val streamed = spark.read.parquet(outDir).filter(col("user_id") >= 0)
+      val batch = EventStreams.sessionAttribution(ev, Tables.events(spark, sfDir))
+      batch.exceptAll(streamed).isEmpty && streamed.exceptAll(batch).isEmpty
+    }.getOrElse(false)
     val wallSec = (System.nanoTime() - t0) / 1e9
     val totalInput = inputRows.sum
     val peakHeap = if (heapMb.isEmpty) -1L else heapMb.max
     val completed = failure.isEmpty && outputRows > 0 && totalInput >= nEvents
     val heapOk = peakHeap >= 0 && peakHeap < heapBudgetMb
-    val ok = completed && heapOk
+    val ok = completed && heapOk && parityOk
 
     def arr(xs: Seq[Long]) = xs.mkString("[", ",", "]")
     val json =
@@ -154,7 +170,8 @@ object StreamSoak {
         s""""state_mem_mb":${arr(stateMemMb.toSeq)},""" +
         s""""max_state_rows":${if (stateRows.isEmpty) -1 else stateRows.max},""" +
         s""""max_state_mem_mb":${if (stateMemMb.isEmpty) -1 else stateMemMb.max},""" +
-        s""""output_rows":$outputRows,""" +
+        s""""batch_ms":${arr(batchMs.toSeq)},""" +
+        s""""output_rows":$outputRows,"parity":$parityOk,""" +
         // full JSON-escape (r14 advice: quote/newline-only escaping emitted
         // an invalid artifact exactly when a failure message carried a
         // backslash or control char — the one case the field exists for)
