@@ -30,6 +30,49 @@ object Skew {
     saltedBig.join(saltedSmall, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** TARGETED salting for fact⋈fact joins: only the enumerated `hotKeys`
+    * are split across `salts` partitions; every other key joins unsalted
+    * (salt 0 on both sides). The other side replicates `salts`× ONLY its
+    * hot-key rows, so the replication cost is bounded by the hot-row
+    * count, not the table size — the form that survives fact⋈fact at
+    * 100 TB, where [[saltedJoin]]'s whole-side replication would multiply
+    * the shuffle by the salt count. Semantics identical to the unsalted
+    * join (pinned in SkewSpec). */
+  def saltedJoinHot(big: DataFrame, other: DataFrame, key: String,
+                    hotKeys: Seq[Long], salts: Int,
+                    joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    if (hotKeys.isEmpty) return big.join(other, Seq(key), joinType)
+    def isHot = col(key).isInCollection(hotKeys)
+    val saltedBig = big.withColumn("__salt",
+      when(isHot,
+        pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*)), lit(salts.toLong)).cast("int"))
+        .otherwise(lit(0)))
+    val saltedOther = other.withColumn("__salts",
+        when(isHot, sequence(lit(0), lit(salts - 1))).otherwise(array(lit(0))))
+      .withColumn("__salt", explode(col("__salts"))).drop("__salts")
+    saltedBig.join(saltedOther, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Hot-key detection from a deterministic sample: keys whose sampled
+    * share exceeds `minShare`, heaviest first, at most `maxKeys`. One
+    * sampled pass + a sample-sized aggregate; the collect is bounded by
+    * `maxKeys` (metadata-scale, audit-allowlisted). At 100 TB this is the
+    * cheap pre-pass that decides whether [[saltedJoinHot]] is needed at
+    * all — statistics, never the data. */
+  def hotKeys(df: DataFrame, key: String, minShare: Double,
+              sampleFraction: Double = 0.01, seed: Long = 42,
+              maxKeys: Int = 100): Seq[Long] = {
+    val s = df.select(col(key)).sample(withReplacement = false, sampleFraction, seed)
+      .groupBy(col(key)).agg(count(lit(1)).as("__n"))
+    val total = s.agg(coalesce(sum("__n"), lit(0L))).head.getLong(0)
+    if (total == 0) return Seq.empty
+    s.filter(col("__n") > total * minShare && col(key).isNotNull)
+      .orderBy(col("__n").desc, col(key))
+      .limit(maxKeys)
+      .collect().map(_.getLong(0)).toSeq
+  }
+
   /** Skew-safe two-phase aggregation: partial aggregate on (key, salt),
     * final on key. For decomposable aggregates Spark's map-side partial
     * agg already does this; the explicit form exists for the reduce-side

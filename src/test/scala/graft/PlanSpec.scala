@@ -508,6 +508,11 @@ class PlanSpec extends AnyFunSuite {
     //   tools/StreamSoak.scala    max-event-ts scalar for the watermark
     //     sentinel rows — a 1-row aggregate in the soak HARNESS (the
     //     measured streaming pipeline itself collects nothing)
+    //   ops/Skew.scala            hotKeys: 1-row sampled-total scalar +
+    //     ≤ maxKeys hot-key list — the statistics pre-pass that decides
+    //     whether to salt; bounded by maxKeys, never row data
+    //   tools/SkewBench.scala     5-row priority aggregate for the
+    //     cross-scenario parity gate in the skew HARNESS
     // Scala-collection .head/.take on arrays/strings don't match these
     // patterns; a new DataFrame action anywhere else fails this test.
     val actionPattern = """\.collect\(\)|\.head\(\)|\.head\.|\.first\(\)|\.toLocalIterator|collectAsList|toPandas""".r
@@ -519,6 +524,8 @@ class PlanSpec extends AnyFunSuite {
       "ops/VectorIndex.scala" -> 2,
       "ops/Expectations.scala" -> 1,
       "tools/StreamSoak.scala" -> 1,
+      "ops/Skew.scala" -> 2,
+      "tools/SkewBench.scala" -> 1,
       "queries/DedupQueries.scala" -> 1)
     val found = mainSourceLines
       .filter { case (_, line) => actionPattern.findFirstIn(line).isDefined }
