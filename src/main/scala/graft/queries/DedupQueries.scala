@@ -519,6 +519,37 @@ object DedupQueries {
         .limit(20)
     },
 
+    sql("g6_reachability",
+      "Graph: RECURSIVE-CTE reachability — how many versions derive (transitively, ≤3 copy-steps) from each document along the DIRECTED lo→hi near-dup pair DAG, via Spark's own WITH RECURSIVE (UnionLoop execution — the one iteration primitive g1–g5 hand-unroll in Scala, here expressed declaratively and planned by the engine). The DAG orientation (id1 < id2 everywhere) makes UNION ALL recursion terminate without cycle detection; COUNT(DISTINCT) collapses path multiplicity. Scale: the pair substrate is MATERIALIZED once (localCheckpoint) before the recursion — an inlined view would re-derive the full minhash pair join EVERY iteration, the disaster class; PlanSpec pins the recursion scanning the checkpoint, never the parquet. Oracle = the same recursion over DuckDB's exact-Jaccard pair CTE",
+      s"""WITH RECURSIVE $jaccardCtes,
+         |reach(src, dst, depth) AS (
+         |  SELECT id1, id2, 1 FROM pairs
+         |  UNION ALL
+         |  SELECT r.src, p.id2, r.depth + 1
+         |  FROM reach r JOIN pairs p ON r.dst = p.id1
+         |  WHERE r.depth < 3)
+         |SELECT src, COUNT(DISTINCT dst) AS n_reachable,
+         |  CAST(MAX(depth) AS INT) AS max_depth
+         | FROM reach GROUP BY src
+         | ORDER BY n_reachable DESC, src LIMIT 20""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        Dedup.minhashNearDup(Tables.documents(s, d))
+          .select("id1", "id2").localCheckpoint()
+          .createOrReplaceTempView("g6_pairs")
+        s.sql(
+          """WITH RECURSIVE reach(src, dst, depth) AS (
+            |  SELECT id1, id2, 1 FROM g6_pairs
+            |  UNION ALL
+            |  SELECT r.src, p.id2, r.depth + 1
+            |  FROM reach r JOIN g6_pairs p ON r.dst = p.id1
+            |  WHERE r.depth < 3)
+            |SELECT src, COUNT(DISTINCT dst) AS n_reachable,
+            |  CAST(MAX(depth) AS INT) AS max_depth
+            | FROM reach GROUP BY src
+            | ORDER BY n_reachable DESC, src LIMIT 20""".stripMargin)
+      }
+    },
+
     sql("dd10_cluster_sizes",
       "Dedup: cluster-size histogram over the near-dup CC clusters — the duplication dashboard (n clusters per size + member mass); two tiny hash aggs over the label sliver",
       clusterSizeOracle) {

@@ -807,6 +807,15 @@ object JoinQueries {
         Tables.part(s, d).createOrReplaceTempView("j34_part")
         s.sql(q14Text(t => s"j34_$t"))
       }
+    },
+
+    sql("j35_lateral_topn",
+      "J1+: correlated LATERAL subquery with ORDER BY + LIMIT — the top-2 parts by retail price per brand, written as the per-row lateral every SQL user reaches for. The plan trap this pins: executed literally, the lateral re-scans and re-sorts the part table once PER BRAND (the disaster class at 100 TB); Catalyst must DECORRELATE the limited-ordered subquery into ONE row_number window over a single scan filtered to rn <= 2, joined back on the correlation key — PlanSpec pins the window plan, exactly two part scans (brand list + detail), and no nested loop. Deterministic: the LIMIT's ORDER BY tie-breaks on p_partkey, so the cut is total in both engines",
+      q35Text(identity)) {
+      (s, d) => {
+        Tables.part(s, d).createOrReplaceTempView("j35_part")
+        s.sql(q35Text(t => s"j35_$t"))
+      }
     }
   )
 
@@ -923,6 +932,16 @@ object JoinQueries {
        | FROM ${t("lineitem")} JOIN ${t("part")} ON l_partkey = p_partkey
        | WHERE l_shipdate >= TIMESTAMP '1997-03-01'
        |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin.replace("\n", "")
+
+  /** LATERAL top-n body (j35) — table-ref seam only. The inner ORDER BY
+    * carries the p_partkey tie-break so the LIMIT cut is total. */
+  private def q35Text(t: String => String): String =
+    s"""SELECT p.p_brand, t.p_partkey, t.p_retailprice
+       | FROM (SELECT DISTINCT p_brand FROM ${t("part")}) p,
+       | LATERAL (SELECT p_partkey, p_retailprice FROM ${t("part")} i
+       |          WHERE i.p_brand = p.p_brand
+       |          ORDER BY p_retailprice DESC, p_partkey LIMIT 2) t
+       | ORDER BY p.p_brand, t.p_retailprice DESC, t.p_partkey""".stripMargin.replace("\n", "")
 
   /** Q8 body — same seams as [[q7Text]]. */
   private def q8Text(t: String => String, year: String => String): String =

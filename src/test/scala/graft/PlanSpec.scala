@@ -226,6 +226,28 @@ class PlanSpec extends AnyFunSuite {
       s"MAX re-executes as a scalar subquery over a second scan:\n$p")
   }
 
+  test("g6 recursive CTE: UnionLoop over a MATERIALIZED pair substrate, never re-deriving per iteration") {
+    val p = plan(specs("g6_reachability").run(spark, TestSpark.sfDir))
+    assert(p.contains("UnionLoop"),
+      s"WITH RECURSIVE did not plan as UnionLoop:\n$p")
+    // the recursion must scan the checkpointed pair RDD — an inlined view
+    // would re-run the full minhash pair join every iteration
+    assert(!p.contains("documents.parquet"),
+      s"pair substrate inlined into the recursion (re-derived per iteration):\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 should be a per-partition heap:\n$p")
+  }
+
+  test("j35 lateral ORDER BY+LIMIT decorrelates to a row_number window, never a per-group re-scan") {
+    val p = plan(specs("j35_lateral_topn").run(spark, TestSpark.sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"lateral executed as a nested loop:\n$p")
+    assert(p.contains("row_number()"),
+      s"limited-ordered lateral did not decorrelate to a window:\n$p")
+    val scans = "part\\.parquet".r.findAllIn(p).length
+    assert(scans == 2, s"expected 2 part scans (brand list + detail), got $scans:\n$p")
+  }
+
   test("semi/anti joins plan as LeftSemi/LeftAnti, not inner+distinct") {
     assert(plan(specs("j3_semi_join").run(spark, TestSpark.sfDir)).contains("LeftSemi"))
     assert(plan(specs("j4_anti_join").run(spark, TestSpark.sfDir)).contains("LeftAnti"))
