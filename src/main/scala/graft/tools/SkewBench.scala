@@ -11,24 +11,35 @@ import graft.ops.{Det, Skew}
 
 /** Skew-rung measurement (VERDICT r14 ask #7): materialize a deliberately
   * hub-skewed variant of a ladder rung — ONE hot orderkey owning ~25% of
-  * lineitem rows — and measure the same fact⋈fact join+agg under three
-  * plans:
+  * lineitem rows — and measure the same fact⋈fact join+agg under four
+  * plans, instrumenting the per-task SHUFFLE-READ ROW distribution of the
+  * join's reduce stage (rows, not task durations: scan-stage file layout
+  * can't pollute it, and rows are what the hot task's CPU actually pays):
   *
-  *  - `aqe_skew`:      AQE skew-join splitting ON (thresholds tuned to the
-  *                     rung size; at 100 TB the defaults already engage)
-  *  - `no_mitigation`: AQE skew-join OFF — the hot shuffle partition lands
-  *                     on one task (the pathology being demonstrated)
-  *  - `salted_hot`:    [[graft.ops.Skew.saltedJoinHot]] with the hot keys
-  *                     detected by [[graft.ops.Skew.hotKeys]] — the manual
-  *                     mitigation for engines/stages where AQE can't help
+  *  - `aqe_bytes_blind`: AQE skew-join ON at thresholds sized to the rung
+  *        (16 MB / 2× median). Does NOT split: detection is BYTES-based
+  *        and the hot partition compresses ~35:1 (constant join key +
+  *        replicated payloads → 3.38M rows report ~3 MB against a 1.56 MB
+  *        median), so a 9×-rows CPU hotspot hides below the byte factor.
+  *  - `aqe_tuned`: thresholds pushed under the compressed sizes so the
+  *        split FIRES — and barely helps (9.0→7.8): the split partitions
+  *        by map BYTE ranges, and bytes:rows varies inside the partition
+  *        too. Byte-proportional splitting cannot fix row skew under
+  *        non-uniform compression.
+  *  - `no_mitigation`: AQE skew-join OFF — the 9×-rows tail, undisguised.
+  *  - `salted_hot`: [[graft.ops.Skew.saltedJoinHot]] with hot keys
+  *        detected by the ROW-frequency sample [[graft.ops.Skew.hotKeys]]
+  *        — row-aware, so it bounds the row tail (measured 1.6×)
+  *        regardless of how the payload compresses.
   *
-  * Broadcast is disabled in every scenario (the orders side is ~100 MB at
-  * sf2 and fact-sized at 100 TB — the scenarios exist precisely for joins
-  * where neither side broadcasts). Each scenario records wall time and the
-  * per-task duration distribution of its heaviest stage; the claim under
-  * test is a bounded max-task/median-task ratio for the two mitigations,
-  * with identical results across all three plans (parity-gated).
+  * Plus the j26-shaped DIMENSION-join pair (`dim_scenarios`): a hot
+  * custkey on the right side of customer LEFT JOIN orders, where AQE may
+  * not split at all (stream side of an outer join) — join-then-agg pays
+  * the 5× row tail, the [[graft.queries.JoinQueries]] j2-style
+  * aggregate-before-join rewrite collapses the hot key map-side (1.0×).
   *
+  * Broadcast is disabled in the fact scenarios (neither side broadcasts at
+  * 100 TB). Every scenario pair is parity-gated to identical results.
   * Emits one JSON artifact (SKEW_BENCH.json). Dev/evidence tool — not part
   * of the library surface.
   */
@@ -81,19 +92,34 @@ object SkewBench {
     }
 
     // ---- per-task stage stats via listener ----------------------------
-    val taskMs = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    // The skew instrument is the per-task SHUFFLE-READ RECORD distribution
+    // of the biggest shuffle consumer (the join/agg reduce stage): key skew
+    // shows as a records imbalance there, while scan stages (whose task
+    // durations vary with parquet file layout, not keys) read no shuffle
+    // data and so can't pollute the measurement.
+    val taskStats = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     val listener = new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
-        taskMs.synchronized { taskMs += ((e.stageId, e.taskInfo.duration)) }
+        taskStats.synchronized {
+          val recs = Option(e.taskMetrics)
+            .map(_.shuffleReadMetrics.recordsRead).getOrElse(0L)
+          taskStats += ((e.stageId, e.taskInfo.duration, recs))
+        }
     }
     spark.sparkContext.addSparkListener(listener)
 
-    def heaviestStage(): (Int, Int, Long, Long, Double) = taskMs.synchronized {
-      val byStage = taskMs.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted)
-      val (sid, ds) = byStage.maxBy(_._2.sum)
-      val med = math.max(ds(ds.size / 2), 1L)
-      (sid, ds.size, ds.max, med, ds.max.toDouble / med)
-    }
+    /** Stats of the stage consuming the most shuffle records:
+      * (stage, tasks, maxRecs, medRecs, recsRatio, maxMs, medMs). */
+    def shuffleStage(): (Int, Int, Long, Long, Double, Long, Long) =
+      taskStats.synchronized {
+        val byStage = taskStats.groupBy(_._1)
+        val (sid, ts) = byStage.maxBy(_._2.map(_._3).sum)
+        val recs = ts.map(_._3).toSeq.sorted
+        val durs = ts.map(_._2).toSeq.sorted
+        val medR = math.max(recs(recs.size / 2), 1L)
+        (sid, ts.size, recs.max, medR, recs.max.toDouble / medR,
+          durs.max, math.max(durs(durs.size / 2), 1L))
+      }
 
     def runScenario(name: String, confs: Map[String, String],
                     plain: Boolean, hot: Seq[Long]): (String, Set[String], Double) = {
@@ -102,23 +128,24 @@ object SkewBench {
       val saved = confs.keys.map(k =>
         k -> scala.util.Try(spark.conf.get(k)).toOption.filter(_ != null)).toSeq
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
-      taskMs.synchronized(taskMs.clear())
+      taskStats.synchronized(taskStats.clear())
       val t0 = System.nanoTime()
       val rows = joined(plain, hot).collect()
         .map(_.toSeq.mkString("|")).toSet
       val wall = (System.nanoTime() - t0) / 1e9
       // wait for straggler task-end events before reading the buffer
       Thread.sleep(500)
-      val (sid, n, maxMs, medMs, ratio) = heaviestStage()
+      val (sid, n, maxR, medR, ratio, maxMs, medMs) = shuffleStage()
       saved.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None)    => spark.conf.unset(k)
       }
       val stats = s""""$name":{"wall_sec":${f"$wall%.2f"},"stage":$sid,""" +
-        s""""tasks":$n,"max_task_ms":$maxMs,"median_task_ms":$medMs,""" +
-        s""""max_over_median":${f"$ratio%.2f"}}"""
+        s""""tasks":$n,"max_task_rows":$maxR,"median_task_rows":$medR,""" +
+        s""""rows_max_over_median":${f"$ratio%.2f"},""" +
+        s""""max_task_ms":$maxMs,"median_task_ms":$medMs}"""
       println(s"[skew] $name wall=${f"$wall%.1f"}s stage=$sid tasks=$n " +
-        s"max=${maxMs}ms med=${medMs}ms ratio=${f"$ratio%.1f"}")
+        s"rows max=$maxR med=$medR ratio=${f"$ratio%.1f"} (ms $maxMs/$medMs)")
       (stats, rows, ratio)
     }
 
@@ -130,12 +157,34 @@ object SkewBench {
       .as("o_orderkey")), "o_orderkey", minShare = 0.05)
     println(s"[skew] detected hot keys: ${hot.mkString(",")}")
 
-    val (sAqe, rAqe, ratioAqe) = runScenario("aqe_skew",
+    // TWO AQE scenarios because they demonstrate different facts.
+    // aqe_bytes_blind: skew-join ON with byte thresholds sized for the
+    // rung (16 MB / 2× median) does NOT split this partition — detection
+    // is BYTES-based and the hot partition compresses ~35:1 (constant
+    // join key + replicated values: 3.38M rows report ~3.0 MB vs the
+    // 1.56 MB median), so a 9×-rows CPU hotspot hides below the byte
+    // factor. Row skew with compressible payloads is invisible to AQE —
+    // the case that keeps row-aware targeted salting necessary.
+    val (sAqeBlind, rAqeBlind, ratioAqeBlind) = runScenario("aqe_bytes_blind",
       noBroadcast ++ Map(
         "spark.sql.adaptive.skewJoin.enabled" -> "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16m",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m"),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true"),
+      plain = true, hot = Nil)
+    // aqe_tuned: thresholds pushed under the compressed sizes (factor 1.5,
+    // 2 MB threshold, 1 MB advisory) — the split FIRES but splits by map
+    // BYTE ranges, and bytes:rows varies inside the partition too, so the
+    // row tail barely moves (9.0→7.8 measured). Byte-proportional
+    // splitting cannot fix row skew under non-uniform compression.
+    val (sAqe, rAqe, ratioAqe) = runScenario("aqe_tuned",
+      noBroadcast ++ Map(
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.5",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1m",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true"),
       plain = true, hot = Nil)
     val (sNone, rNone, ratioNone) = runScenario("no_mitigation",
       noBroadcast ++ Map("spark.sql.adaptive.skewJoin.enabled" -> "false"),
@@ -144,17 +193,84 @@ object SkewBench {
       noBroadcast ++ Map("spark.sql.adaptive.skewJoin.enabled" -> "false"),
       plain = false, hot = hot)
 
+    // ---- j26-shaped DIMENSION-join skew (hot custkey) -----------------
+    // The case AQE cannot fix: in customer LEFT JOIN orders the skewed
+    // side is the RIGHT side of a LeftOuter, which OptimizeSkewedJoin may
+    // not split (splitting the stream side of an outer join duplicates
+    // unmatched rows). The engineering answer is the j2/j26 rewrite:
+    // PRE-AGGREGATE orders by custkey — map-side combine absorbs the hot
+    // key before the shuffle, one row per customer crosses the wire.
+    val ordHotPath = s"$skewDir/orders_hotcust.parquet"
+    if (!Files.exists(Paths.get(ordHotPath))) {
+      val ord = Tables.orders(spark, baseDir)
+      ord.withColumn("o_custkey",
+          when(pmod(xxhash64(col("o_orderkey")), lit(HotShare)) === 0, lit(1L))
+            .otherwise(col("o_custkey")))
+        .write.mode("overwrite").parquet(ordHotPath)
+    }
+    def custHistogram(preAgg: Boolean): DataFrame = {
+      val cust = Tables.customer(spark, baseDir).select("c_custkey")
+      val ord = spark.read.parquet(ordHotPath)
+        .filter(!col("o_orderpriority").like("%URGENT%"))
+        .select("o_custkey", "o_orderkey")
+      val counts =
+        if (preAgg)
+          cust.join(ord.groupBy("o_custkey").agg(count(lit(1)).as("n")),
+              col("c_custkey") === col("o_custkey"), "left")
+            .select(coalesce(col("n"), lit(0L)).as("c_count"))
+        else
+          cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+            .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+            .select("c_count")
+      counts.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+    }
+    def runDim(name: String, preAgg: Boolean): (String, Set[String], Double) = {
+      taskStats.synchronized(taskStats.clear())
+      val t0 = System.nanoTime()
+      val rows = custHistogram(preAgg).collect().map(_.toSeq.mkString("|")).toSet
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      val (sid, n, maxR, medR, ratio, maxMs, medMs) = shuffleStage()
+      val stats = s""""$name":{"wall_sec":${f"$wall%.2f"},"stage":$sid,""" +
+        s""""tasks":$n,"max_task_rows":$maxR,"median_task_rows":$medR,""" +
+        s""""rows_max_over_median":${f"$ratio%.2f"},""" +
+        s""""max_task_ms":$maxMs,"median_task_ms":$medMs}"""
+      println(s"[skew] $name wall=${f"$wall%.1f"}s stage=$sid tasks=$n " +
+        s"rows max=$maxR med=$medR ratio=${f"$ratio%.1f"} (ms $maxMs/$medMs)")
+      (stats, rows, ratio)
+    }
+    // both dim scenarios under no-broadcast + AQE skew ON: show that AQE
+    // alone does NOT bound the outer-join right-side skew, pre-agg does
+    val dimConfs = noBroadcast ++ Map("spark.sql.adaptive.skewJoin.enabled" -> "true")
+    val savedDim = dimConfs.keys.map(k =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption.filter(_ != null)).toSeq
+    dimConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val (sJoinAgg, rJoinAgg, ratioJoinAgg) = runDim("dim_join_then_agg", preAgg = false)
+    val (sPreAgg, rPreAgg, ratioPreAgg) = runDim("dim_agg_before_join", preAgg = true)
+    savedDim.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+
     spark.sparkContext.removeSparkListener(listener)
 
-    val parity = rAqe == rNone && rNone == rSalt && rAqe.nonEmpty
-    // the mitigations must bound the tail the unmitigated plan exhibits
-    val ok = parity && hot.nonEmpty &&
-      ratioAqe < ratioNone && ratioSalt < ratioNone
+    val parity = rAqe == rNone && rNone == rSalt && rAqeBlind == rNone && rAqe.nonEmpty
+    val dimParity = rJoinAgg == rPreAgg && rJoinAgg.nonEmpty
+    // the ROW-AWARE mitigations must bound the rows tail the unmitigated
+    // plan exhibits. The two AQE scenarios are recorded, not gated — they
+    // exist to demonstrate the byte-based detection/split gap (blind: no
+    // split at realistic thresholds; tuned: fires but the byte-range
+    // split barely moves the row tail), which is precisely why the
+    // row-aware forms below stay necessary.
+    val ok = parity && dimParity && hot.nonEmpty &&
+      ratioSalt < ratioNone / 2 &&
+      ratioPreAgg < ratioJoinAgg / 2
 
     val json =
       s"""{"metric":"skew_bench","base":"$baseDir","skew_dir":"$skewDir",""" +
         s""""hot_keys":[${hot.mkString(",")}],"hot_share":"1/$HotShare",""" +
-        s""""scenarios":{$sAqe,$sNone,$sSalt},""" +
+        s""""scenarios":{$sAqeBlind,$sAqe,$sNone,$sSalt},""" +
+        s""""dim_scenarios":{$sJoinAgg,$sPreAgg},"dim_parity":$dimParity,""" +
         s""""parity":$parity,"ok":$ok}"""
     Files.write(Paths.get(outJson), json.getBytes("UTF-8"))
     println(json)

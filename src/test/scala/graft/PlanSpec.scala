@@ -533,8 +533,9 @@ class PlanSpec extends AnyFunSuite {
     //   ops/Skew.scala            hotKeys: 1-row sampled-total scalar +
     //     ≤ maxKeys hot-key list — the statistics pre-pass that decides
     //     whether to salt; bounded by maxKeys, never row data
-    //   tools/SkewBench.scala     5-row priority aggregate for the
-    //     cross-scenario parity gate in the skew HARNESS
+    //   tools/SkewBench.scala     5-row priority aggregate + ~40-row
+    //     count-histogram for the cross-scenario parity gates in the
+    //     skew HARNESS (×2)
     // Scala-collection .head/.take on arrays/strings don't match these
     // patterns; a new DataFrame action anywhere else fails this test.
     val actionPattern = """\.collect\(\)|\.head\(\)|\.head\.|\.first\(\)|\.toLocalIterator|collectAsList|toPandas""".r
@@ -547,7 +548,7 @@ class PlanSpec extends AnyFunSuite {
       "ops/Expectations.scala" -> 1,
       "tools/StreamSoak.scala" -> 1,
       "ops/Skew.scala" -> 2,
-      "tools/SkewBench.scala" -> 1,
+      "tools/SkewBench.scala" -> 2,
       "queries/DedupQueries.scala" -> 1)
     val found = mainSourceLines
       .filter { case (_, line) => actionPattern.findFirstIn(line).isDefined }
