@@ -1434,6 +1434,20 @@ object ExtraQueries {
           .orderBy("vec_id")
     },
 
+    sql("f12_variant_json",
+      "F9+: VARIANT semi-structured ingestion (Spark 4) — the events props JSON parsed ONCE into the binary VARIANT form (parse_json), a typed field extracted with variant_get, and the corpus aggregated per extracted key. The open-schema path a 100 TB ingest needs: unlike per-query string re-parsing (get_json_object), VARIANT parses at ingest and every downstream extraction reads the binary encoding codegen-side. Oracle extracts the same field with DuckDB's JSON functions",
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        | COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+        | FROM events GROUP BY k ORDER BY k""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("f12_events")
+        s.sql(
+          """SELECT variant_get(parse_json(props), '$.k', 'int') AS k,
+            | COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+            | FROM f12_events GROUP BY k ORDER BY k""".stripMargin)
+      }
+    },
+
     sql("f8_monthly_revenue",
       "F8: date/time helpers — the EP3 monthly time dimension the reference dropped",
       s"""SELECT strftime(o_orderdate, '%Y-%m') AS order_month, COUNT(*) AS n_orders,

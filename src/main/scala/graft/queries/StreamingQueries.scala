@@ -167,6 +167,19 @@ object StreamingQueries {
         EventStreams.sessionAttribution(ev, Tables.events(s, d))
           .orderBy("user_id", "session_start")
       }
+    },
+
+    sql("st9_custom_state_tws",
+      "Streaming: CUSTOM KEYED STATE via transformWithState — Spark 4's arbitrary-state API (named ValueState handles + TTL + timers, the successor to flatMapGroupsWithState) running per-user running totals. Money as cent-BIGINTs (ROUND before the cast) so the running sum is exact integer arithmetic — order-independent across micro-batch replays and engine-portable. Batch mode processes each key's rows in ONE handleInputRows call, so the emission IS the final aggregate the DuckDB oracle computes; the stream==batch and RocksDB-parity pins live in RocksDbParitySpec alongside the flatMapGroupsWithState twin",
+      """SELECT user_id, COUNT(*) AS n_events,
+        | CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+        | CAST(SUM(CAST(ROUND(COALESCE(value, 0.0) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        | FROM events WHERE user_id IS NOT NULL
+        | GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        graft.streaming.StatefulOps.runningUserStatsTws(
+          graft.streaming.StatefulOps.asUserEventsCents(Tables.events(s, d)))
+          .toDF().orderBy("user_id")
     }
   )
 }

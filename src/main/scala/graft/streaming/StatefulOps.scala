@@ -48,4 +48,82 @@ object StatefulOps {
         coalesce(col("value"), lit(0.0)).as("value"))
       .as[UserEvent]
   }
+
+  // ---- transformWithState (Spark 4's arbitrary-state API) -------------
+
+  final case class UserEventCents(user_id: Long, event_type: String, cents: Long)
+  final case class UserStatsCents(user_id: Long, n_events: Long,
+                                  n_purchases: Long, total_cents: Long)
+
+  /** [[runningUserStats]] re-expressed on `transformWithState` — Spark 4's
+    * successor to flatMapGroupsWithState: explicit named state handles
+    * (`ValueState`/`ListState`/`MapState`), TTL per state, and timers
+    * instead of a single opaque blob + one timeout. Money as cent-BIGINTs
+    * (ROUND before the cast) so the running sum is exact integer
+    * arithmetic — order-independent across micro-batch replays AND
+    * engine-portable for the batch oracle. State here is one ValueState
+    * row per user; at an unbounded key population the TTLConfig seam is
+    * where eviction policy plugs in. */
+  class RunningStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserEventCents, UserStatsCents] {
+    @transient private var stats:
+      org.apache.spark.sql.streaming.ValueState[UserStatsCents] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      stats = getHandle.getValueState[UserStatsCents]("stats",
+        org.apache.spark.sql.Encoders.product[UserStatsCents],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEventCents],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserStatsCents] = {
+      val prev = if (stats.exists()) stats.get() else UserStatsCents(key, 0L, 0L, 0L)
+      var n = prev.n_events; var p = prev.n_purchases; var c = prev.total_cents
+      rows.foreach { e =>
+        n += 1
+        if (e.event_type == "purchase") p += 1
+        c += e.cents
+      }
+      val next = UserStatsCents(key, n, p, c)
+      stats.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Running per-user totals via [[RunningStatsProcessor]]. Works in batch
+    * mode too (each key's rows arrive in one handleInputRows call, so the
+    * emission IS the final aggregate) — which is what makes the operator
+    * DuckDB-oracle-verifiable like every other st* query. */
+  def runningUserStatsTws(events: Dataset[UserEventCents]): Dataset[UserStatsCents] = {
+    import events.sparkSession.implicits._
+    ensureStateStoreCoordinator(events.sparkSession)
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** Typed cent-exact view over the events table. */
+  def asUserEventsCents(events: DataFrame): Dataset[UserEventCents] = {
+    import events.sparkSession.implicits._
+    events.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        expr("CAST(ROUND(coalesce(value, 0.0) * 100) AS BIGINT)").as("cents"))
+      .as[UserEventCents]
+  }
+
+  private val coordinatorKicked = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** BATCH transformWithState needs the driver-side StateStoreCoordinator,
+    * which Spark only instantiates when a streaming query starts
+    * (RpcEndpointNotFoundException otherwise — verified on 4.1.2). Kick a
+    * no-op rate→noop AvailableNow stream once per JVM to create it. */
+  def ensureStateStoreCoordinator(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (coordinatorKicked.compareAndSet(false, true)) {
+      val q = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .writeStream.format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
 }

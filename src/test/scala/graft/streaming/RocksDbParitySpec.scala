@@ -124,6 +124,40 @@ class RocksDbParitySpec extends AnyFunSuite {
     assert(r == batch.map { case (k, s) => k -> (s.n_events, s.n_purchases, s.total_value) })
   }
 
+  test("transformWithState (Spark 4 arbitrary-state API): rocksdb stream == batch == flatMapGroupsWithState twin") {
+    import spark.implicits._
+    val ev = Tables.events(spark, TestSpark.sfDir)
+    val batch = StatefulOps.runningUserStatsTws(StatefulOps.asUserEventsCents(ev))
+      .collect().map(s => s.user_id -> s).toMap
+    // streaming transformWithState requires the RocksDB provider (HDFS is
+    // rejected by operator validation — no HDFS leg here by design)
+    def finalPerUser(table: String): Map[Long, (Long, Long, Long)] =
+      spark.table(table).groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("n_purchases"), col("total_cents"))).as("s"))
+        .collect()
+        .map(row => row.getLong(0) -> {
+          val s = row.getStruct(1)
+          (s.getLong(0), s.getLong(1), s.getLong(2))
+        }).toMap
+    run(RocksDb,
+      StatefulOps.runningUserStatsTws(StatefulOps.asUserEventsCents(streamEvents)).toDF(),
+      "rp_tws_r", "update")
+    val r = finalPerUser("rp_tws_r")
+    assert(r.nonEmpty)
+    assert(r == batch.map { case (k, s) => k -> (s.n_events, s.n_purchases, s.total_cents) })
+    // cross-API parity: the cent-exact totals must agree with the
+    // flatMapGroupsWithState twin's double totals (value is 2dp by fixture
+    // contract, so cents == round(total_value*100) exactly)
+    val fmg = StatefulOps.runningUserStats(StatefulOps.asUserEvents(ev))
+      .collect().map(s => s.user_id -> s).toMap
+    assert(r.keySet == fmg.keySet)
+    r.foreach { case (k, (n, p, c)) =>
+      val t = fmg(k)
+      assert(n == t.n_events && p == t.n_purchases &&
+        c == math.round(t.total_value * 100))
+    }
+  }
+
   test("chained dedup->join->session state (st7): rocksdb == hdfs == batch") {
     import spark.implicits._
     val ev = Tables.events(spark, TestSpark.sfDir)
