@@ -57,7 +57,60 @@ object CoreQueries {
   import Det.{davg, dsum, ravg, rstddev}
   import Det.Sql.{davg => savg, dsum => ssum, ravg => sravg, rstddev => srstddev}
 
+  /** Q1's charge expression carries SIX meaningful decimal digits
+    * (2dp price × 2dp discount complement × 2dp tax gross-up), past
+    * [[Det]]'s DECIMAL(18,4) — accumulate it in DECIMAL(20,6). Shared
+    * body, so both engines evaluate the identical IEEE product before
+    * the identical exact cast. */
+  private def ssum6(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(20,6))) AS DOUBLE)"
+
+  /** Q1 body — table-ref seam only (bare name for the oracle, temp view
+    * for the Spark side). */
+  private def q1Text(t: String => String): String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${Det.Sql.dsum("l_quantity")} AS sum_qty,
+       |  ${Det.Sql.dsum("l_extendedprice")} AS sum_base_price,
+       |  ${Det.Sql.dsum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |  ${ssum6("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+       |  ${Det.Sql.davg("l_quantity")} AS avg_qty,
+       |  ${Det.Sql.davg("l_extendedprice")} AS avg_price,
+       |  ${Det.Sql.davg("l_discount")} AS avg_disc,
+       |  COUNT(*) AS count_order
+       | FROM ${t("lineitem")}
+       | WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       | GROUP BY l_returnflag, l_linestatus
+       | ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", "")
+
   val all: Seq[QuerySpec] = Seq(
+
+    sql("a31_pricing_summary",
+      "A1+: TPC-H Q1-shaped PRICING SUMMARY — the classic full-scan report: per (returnflag, linestatus), eight aggregates over one lineitem pass including the three-factor charge expression (price × discount complement × tax gross-up, SIX meaningful decimal digits → DECIMAL(20,6) accumulation, one notch past Det's 4dp money discipline). One scan, one hash aggregate, map-side combined — the shape that reads 100 TB once and moves a dozen rows. Shared body both sides so the IEEE products are identical before the exact casts",
+      q1Text(identity)) {
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("a31_lineitem")
+        s.sql(q1Text(t => s"a31_$t"))
+      }
+    },
+
+    sql("a32_forecast_revenue",
+      "A1+: TPC-H Q6-shaped FORECASTING REVENUE CHANGE — the pure pushed-filter aggregate: one year of shipments in a discount band under a quantity cap, revenue = sum(extendedprice × discount) in exact decimal. Every predicate reaches the parquet scan (PushedFilters carries the date window, the discount band and the quantity cap — at 100 TB the scan reads one year's row groups, and min/max stats skip most of those); the aggregate is one map-side-combined row. The discount-band literals compare against the same stored doubles in both engines, so band membership is bit-identical",
+      s"""SELECT COUNT(*) AS n_lines,
+         | ${ssum("l_extendedprice * l_discount")} AS revenue
+         | FROM lineitem
+         | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07
+         |  AND l_quantity < 24""".stripMargin.replace("\n", "")) {
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24)
+          .agg(count(lit(1)).as("n_lines"),
+            Det.dsum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+    },
 
     sql("p1_clean_filter",
       "P1: chained range-predicate cleaning (pushed into the parquet scan)",
