@@ -292,4 +292,25 @@ object InvariantProps extends Properties("graft") {
       graft.ops.Merge.bloomProbe(state, rows, Seq("g"), pos)
         .filter(!col("maybe_member")).count() == 0L
     }
+
+  property("saltedJoinHot == plain join on random skewed tables, any hot-key set") =
+    forAll(
+      // a skew-prone key domain (0-3) so duplicates and hot keys occur,
+      // plus an arbitrary subset of keys declared hot — INCLUDING keys
+      // absent from either side and sets that are wrong about the skew
+      Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0, 99))),
+      Gen.listOfN(6, Gen.zip(Gen.chooseNum(0L, 4L), Gen.identifier)),
+      Gen.someOf(0L, 1L, 2L, 3L, 4L),
+      Gen.chooseNum(1, 7)) { (bigRows, smallRows, hot, salts) =>
+      val big = bigRows.toDF("k", "payload")
+      val small = smallRows.toDF("k", "name")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "payload", "name").collect()
+          .map(_.toSeq.mkString("|")).sorted.toSeq
+      val inner = rows(graft.ops.Skew.saltedJoinHot(big, small, "k", hot.toSeq, salts)) ==
+        rows(big.join(small, Seq("k")))
+      val left = rows(graft.ops.Skew.saltedJoinHot(big, small, "k", hot.toSeq, salts,
+        joinType = "left")) == rows(big.join(small, Seq("k"), "left"))
+      inner && left
+    }
 }
