@@ -226,6 +226,29 @@ class PlanSpec extends AnyFunSuite {
       s"MAX re-executes as a scalar subquery over a second scan:\n$p")
   }
 
+  test("a31/a32 Q1/Q6 shapes: one scan, pushed predicates, map-side-combined aggregate") {
+    val q1 = plan(specs("a31_pricing_summary").run(spark, TestSpark.sfDir))
+    assert("lineitem\\.parquet".r.findAllIn(q1).length == 1, s"Q1 must be ONE scan:\n$q1")
+    assert(q1.contains("partial_sum"), s"Q1 aggregate not map-side combined:\n$q1")
+    assert(q1.contains("LessThanOrEqual(l_shipdate"),
+      s"Q1 date bound not pushed to the scan:\n$q1")
+    val q6 = plan(specs("a32_forecast_revenue").run(spark, TestSpark.sfDir))
+    // the whole predicate set reaches the parquet scan: date window,
+    // discount band, quantity cap — at 100 TB row-group stats skip on
+    // these. Plan text TRUNCATES long PushedFilters lists (the p1 gotcha),
+    // so assert the untruncated list prefix plus the Filter-node echo of
+    // each predicate (DataFilters mirror what reached the scan).
+    assert(q6.contains(
+      "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " +
+        "IsNotNull(l_quantity), GreaterThanOrEqual(l_shipda"),
+      s"Q6 scan predicates not pushed:\n$q6")
+    for (f <- Seq(">= 1996-01-01 00:00:00", "< 1997-01-01 00:00:00",
+      ">= 0.05)", "<= 0.07)", "< 24.0)"))
+      assert(q6.contains(f), s"Q6 predicate $f missing from the scan filter:\n$q6")
+    assert(q6.contains("partial_count") || q6.contains("partial_sum"),
+      s"Q6 aggregate not map-side combined:\n$q6")
+  }
+
   test("g6 recursive CTE: UnionLoop over a MATERIALIZED pair substrate, never re-deriving per iteration") {
     val p = plan(specs("g6_reachability").run(spark, TestSpark.sfDir))
     assert(p.contains("UnionLoop"),
