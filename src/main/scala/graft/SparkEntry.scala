@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.ReportQueries.all ++
     graft.queries.StreamingQueries.all ++
     graft.queries.MultimodalQueries.all ++
-    graft.queries.LlmPipelineQueries.all
+    graft.queries.LlmPipelineQueries.all ++
+    graft.queries.DsQueries.all
 
   /** Flagship on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the REAL EP1 pipeline end-to-end (schema gate → quality →

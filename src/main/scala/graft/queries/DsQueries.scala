@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+import graft.QuerySpec.sql
+import graft.model.Tables
+import graft.ops.Det
+import graft.ops.Det.{dsum}
+
+/** TPC-DS-shaped plan classes the TPC-H family (a31/a32, j15–j35) does not
+  * exercise: multi-band conditional aggregation collapsing N filtered scans
+  * into ONE (Q88), a window function consuming ROLLUP output with
+  * GROUPING()-derived partition keys (Q36), a full-outer alignment of two
+  * cumulative series built from one fact (Q51), and a year-over-year
+  * self-join of a keyed aggregate with itself (Q74). Like the TPC-H fills,
+  * these are query *shapes* re-expressed over the test corpus — the point is
+  * the PLAN CLASS (what Catalyst must produce for the query to survive
+  * 100 TB), not the benchmark's literal schema.
+  *
+  * Determinism: money through [[graft.ops.Det]] exact-decimal accumulation
+  * (SURVEY.md §7.5); cumulative sums accumulate in decimal BEFORE the
+  * double surface so running totals are order-independent; every oracle
+  * output carries a total ORDER BY.
+  */
+object DsQueries {
+  private def ssum(e: String): String = Det.Sql.dsum(e)
+
+  val all: Seq[QuerySpec] = Seq(
+
+    sql("ds1_quantity_bands",
+      "DS1: TPC-DS Q88-shaped MULTI-BAND COUNTS — eight conditional aggregates (count + exact revenue per quantity band) that a naive engine runs as four separate filtered scans and a correct one collapses into ONE pass: a single pushed base predicate (discount window) reaches the parquet scan, the band split happens in the aggregate via CASE, and the output is one row. The shape that turns N dashboard tiles into one 100 TB read instead of N",
+      s"""SELECT
+         |  COUNT(*) FILTER (WHERE l_quantity < 13) AS n_band1,
+         |  ${ssum("CASE WHEN l_quantity < 13 THEN l_extendedprice END")} AS rev_band1,
+         |  COUNT(*) FILTER (WHERE l_quantity >= 13 AND l_quantity < 25) AS n_band2,
+         |  ${ssum("CASE WHEN l_quantity >= 13 AND l_quantity < 25 THEN l_extendedprice END")} AS rev_band2,
+         |  COUNT(*) FILTER (WHERE l_quantity >= 25 AND l_quantity < 37) AS n_band3,
+         |  ${ssum("CASE WHEN l_quantity >= 25 AND l_quantity < 37 THEN l_extendedprice END")} AS rev_band3,
+         |  COUNT(*) FILTER (WHERE l_quantity >= 37) AS n_band4,
+         |  ${ssum("CASE WHEN l_quantity >= 37 THEN l_extendedprice END")} AS rev_band4
+         | FROM lineitem
+         | WHERE l_discount >= 0.02 AND l_discount <= 0.08""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        def band(cond: org.apache.spark.sql.Column, tag: String) = Seq(
+          count(when(cond, lit(1))).as(s"n_$tag"),
+          dsum(when(cond, col("l_extendedprice"))).as(s"rev_$tag"))
+        val q = col("l_quantity")
+        val aggs = band(q < 13, "band1") ++ band(q >= 13 && q < 25, "band2") ++
+          band(q >= 25 && q < 37, "band3") ++ band(q >= 37, "band4")
+        Tables.lineitem(s, d)
+          .filter(col("l_discount") >= 0.02 && col("l_discount") <= 0.08)
+          .agg(aggs.head, aggs.tail: _*)
+      }
+    },
+
+    sql("ds2_rollup_rank",
+      "DS2: TPC-DS Q36-shaped RANK WITHIN PARENT over ROLLUP — per-(nation, mktsegment) spend rolled up through nation subtotals to a grand total, then RANK() partitioned by the GROUPING()-derived level (segments ranked within their nation, nations ranked overall): a window function consuming grouping-sets output, the plan class where the window's partition key is itself computed by the aggregate. Scale: dims broadcast into the orders scan, the rollup is one map-side-combined hash aggregate, and the window runs on the ~130-row rollup sliver — never the fact",
+      s"""WITH base AS (
+         |  SELECT COALESCE(n_name, 'ALL') AS nat, COALESCE(c_mktsegment, 'ALL') AS seg,
+         |    GROUPING(n_name) + GROUPING(c_mktsegment) AS lvl,
+         |    ${ssum("o_totalprice")} AS spend
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |    JOIN nation ON c_nationkey = n_nationkey
+         |  GROUP BY ROLLUP(n_name, c_mktsegment))
+         |SELECT nat, seg, lvl, spend,
+         |  RANK() OVER (PARTITION BY lvl, CASE WHEN lvl = 0 THEN nat END
+         |               ORDER BY spend DESC) AS rnk
+         | FROM base
+         | ORDER BY lvl, nat, rnk, seg""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val base = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .rollup(col("n_name"), col("c_mktsegment"))
+          .agg((grouping(col("n_name")) + grouping(col("c_mktsegment"))).cast("long").as("lvl"),
+            dsum(col("o_totalprice")).as("spend"))
+          .select(coalesce(col("n_name"), lit("ALL")).as("nat"),
+            coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
+            col("lvl"), col("spend"))
+        base.withColumn("rnk", rank().over(
+            Window.partitionBy(col("lvl"), when(col("lvl") === 0, col("nat")))
+              .orderBy(col("spend").desc)).cast("long"))
+          .select("nat", "seg", "lvl", "spend", "rnk")
+          .orderBy("lvl", "nat", "rnk", "seg")
+      }
+    },
+
+    sql("ds3_cumulative_returns",
+      "DS3: TPC-DS Q51-shaped CUMULATIVE-SERIES COMPARE — two daily revenue series carved from one fact (returned vs kept lines), full-outer-aligned on day, cumulated AFTER the alignment (a missing day on one side must inherit that side's prior cumulative, which pre-join cumulation would get wrong), then filtered where the returned share of cumulative revenue crosses a threshold. Scale: both series are day-grain aggregates (map-side combined) BEFORE the join and window, so the full-outer join and the running sums touch ~2.5k rows, not the fact; cumulative totals accumulate in exact decimal so the running doubles are order-independent",
+      s"""WITH ret AS (SELECT strftime(l_shipdate, '%Y-%m-%d') AS day,
+         |    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+         |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+         |kept AS (SELECT strftime(l_shipdate, '%Y-%m-%d') AS day,
+         |    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+         |  FROM lineitem WHERE l_returnflag <> 'R' GROUP BY 1),
+         |joined AS (SELECT COALESCE(ret.day, kept.day) AS day,
+         |    COALESCE(ret.rev, 0) AS ret_rev, COALESCE(kept.rev, 0) AS kept_rev
+         |  FROM ret FULL OUTER JOIN kept ON ret.day = kept.day),
+         |cum AS (SELECT day,
+         |    CAST(SUM(ret_rev)  OVER (ORDER BY day) AS DOUBLE) AS cum_ret,
+         |    CAST(SUM(kept_rev) OVER (ORDER BY day) AS DOUBLE) AS cum_kept
+         |  FROM joined)
+         |SELECT day, cum_ret, cum_kept FROM cum
+         | WHERE cum_ret > 0.52 * cum_kept
+         | ORDER BY day""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+        def daily(cond: org.apache.spark.sql.Column, out: String) =
+          li.filter(cond)
+            .groupBy(date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"))
+            .agg(sum(col("l_extendedprice").cast(dec)).as(out))
+        val ret = daily(col("l_returnflag") === "R", "ret_rev")
+        val kept = daily(col("l_returnflag") =!= "R", "kept_rev")
+        val joined = ret.join(kept, Seq("day"), "full_outer")
+          .select(col("day"),
+            coalesce(col("ret_rev"), lit(0).cast(dec)).as("ret_rev"),
+            coalesce(col("kept_rev"), lit(0).cast(dec)).as("kept_rev"))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        joined
+          .select(col("day"),
+            sum(col("ret_rev")).over(w).cast("double").as("cum_ret"),
+            sum(col("kept_rev")).over(w).cast("double").as("cum_kept"))
+          .filter(col("cum_ret") > lit(0.52) * col("cum_kept"))
+          .orderBy("day")
+      }
+    },
+
+    sql("ds4_yoy_spend",
+      "DS4: TPC-DS Q74-shaped YEAR-OVER-YEAR growth — per-customer yearly spend compared against itself shifted one year, keeping customers whose spend grew by more than half. The oracle keeps the classic aggregate-vs-itself self-join text; the engine plan refuses it (a year-shift self-join can never reuse its exchange — the two sides hash DIFFERENT expressions, y vs y+1, over the same aggregate, so Spark re-scans the fact for the shifted copy — verified empirically) and instead reads the adjacent year with lag() OVER (PARTITION BY custkey ORDER BY y): ONE fact scan, one map-side-combined aggregate, one custkey-partitioned window on the (customer × year) sliver, no join at all; the y = lag(y)+1 gate reproduces the join's adjacency semantics exactly. Growth is one IEEE division of two exact-decimal doubles, bit-portable",
+      s"""WITH yr AS (SELECT o_custkey, year(o_orderdate) AS y,
+         |    ${ssum("o_totalprice")} AS spend
+         |  FROM orders GROUP BY 1, 2)
+         |SELECT a.o_custkey AS custkey, b.y AS yr,
+         |  a.spend AS prev_spend, b.spend AS cur_spend,
+         |  b.spend / a.spend AS growth
+         | FROM yr a JOIN yr b ON a.o_custkey = b.o_custkey AND b.y = a.y + 1
+         | WHERE b.spend > 1.5 * a.spend
+         | ORDER BY custkey, yr""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val yr = Tables.orders(s, d)
+          .groupBy(col("o_custkey"), year(col("o_orderdate")).cast("long").as("y"))
+          .agg(dsum(col("o_totalprice")).as("spend"))
+        val w = Window.partitionBy("o_custkey").orderBy("y")
+        yr.select(col("o_custkey").as("custkey"), col("y").as("yr"),
+            lag("y", 1).over(w).as("py"),
+            lag("spend", 1).over(w).as("prev_spend"),
+            col("spend").as("cur_spend"))
+          .filter(col("yr") === col("py") + 1 &&
+            col("cur_spend") > lit(1.5) * col("prev_spend"))
+          .select(col("custkey"), col("yr"), col("prev_spend"), col("cur_spend"),
+            (col("cur_spend") / col("prev_spend")).as("growth"))
+          .orderBy("custkey", "yr")
+      }
+    }
+  )
+}

@@ -249,6 +249,56 @@ class PlanSpec extends AnyFunSuite {
       s"Q6 aggregate not map-side combined:\n$q6")
   }
 
+  test("ds1-ds4 TPC-DS shapes: banded single scan, window-over-rollup, sliver-grain cumulatives, reused YoY aggregate") {
+    // ds1 (Q88 class): four band tiles collapse into ONE lineitem pass —
+    // a single scan with the base predicate pushed, no join, map-side
+    // combined conditional aggregates
+    val p1 = plan(specs("ds1_quantity_bands").run(spark, TestSpark.sfDir))
+    assert("lineitem\\.parquet".r.findAllIn(p1).length == 1,
+      s"ds1 must be ONE scan:\n$p1")
+    assert(!p1.contains("Join"), s"ds1 must not join:\n$p1")
+    assert(p1.contains("PushedFilters: [IsNotNull(l_discount), " +
+      "GreaterThanOrEqual(l_discount,0.02), LessThanOrEqual(l_discount,0.08)]"),
+      s"ds1 discount window not pushed:\n$p1")
+    assert(p1.contains("partial_count") && p1.contains("partial_sum"),
+      s"ds1 bands not map-side combined:\n$p1")
+
+    // ds2 (Q36 class): rollup = Expand feeding ONE hash aggregate, dims
+    // broadcast before it, and the rank window runs on the rollup output
+    // (Window above the aggregate, never against a raw scan)
+    val p2 = plan(specs("ds2_rollup_rank").run(spark, TestSpark.sfDir))
+    assert(p2.contains("Expand"), s"ds2 rollup lost its Expand:\n$p2")
+    assert(p2.contains("BroadcastHashJoin"), s"ds2 dims not broadcast:\n$p2")
+    assert(p2.contains("Window"), s"ds2 rank window missing:\n$p2")
+    assert("orders\\.parquet".r.findAllIn(p2).length == 1,
+      s"ds2 must scan orders once:\n$p2")
+
+    // ds3 (Q51 class): the two series aggregate to day grain BEFORE the
+    // full-outer alignment and the running sums — both scans carry the
+    // pushed returnflag predicate, the join is full-outer, and the window
+    // sits above partial+final day aggregates (sliver grain)
+    val p3 = plan(specs("ds3_cumulative_returns").run(spark, TestSpark.sfDir))
+    assert("lineitem\\.parquet".r.findAllIn(p3).length == 2,
+      s"ds3 needs exactly the two series scans:\n$p3")
+    assert(p3.contains("EqualTo(l_returnflag,R)"),
+      s"ds3 returned-series flag not pushed:\n$p3")
+    assert(p3.contains("FullOuter"), s"ds3 alignment must be full-outer:\n$p3")
+    assert(p3.contains("Window") && p3.contains("partial_sum"),
+      s"ds3 cumulatives must run over day-grain aggregates:\n$p3")
+
+    // ds4 (Q74 class): the year-shift comparison must NOT execute as the
+    // oracle's self-join (which re-scans the fact for the shifted copy —
+    // the exchange can never be reused across y vs y+1 hash keys); the
+    // engine reads the adjacent year via lag() — ONE scan, a custkey-
+    // partitioned window on the aggregate sliver, no join node at all
+    val p4 = plan(specs("ds4_yoy_spend").run(spark, TestSpark.sfDir))
+    assert("orders\\.parquet".r.findAllIn(p4).length == 1,
+      s"ds4 must scan orders once:\n$p4")
+    assert(!p4.contains("Join"), s"ds4 must not self-join:\n$p4")
+    assert(p4.contains("Window") && p4.contains("partial_sum"),
+      s"ds4 needs the lag window over a map-side-combined aggregate:\n$p4")
+  }
+
   test("g6 recursive CTE: UnionLoop over a MATERIALIZED pair substrate, never re-deriving per iteration") {
     val p = plan(specs("g6_reachability").run(spark, TestSpark.sfDir))
     assert(p.contains("UnionLoop"),
@@ -613,6 +663,8 @@ class PlanSpec extends AnyFunSuite {
     //   queries/LlmPipelineQueries.scala (1) llm4 eval-driven contaminated-id
     //                                   sliver (eval-sized — sanctioned, unlike
     //                                   llm1's removed corpus-fraction hint)
+    //   queries/DsQueries.scala (2)     ds2's customer + nation dims into the
+    //                                   orders scan (classic star-dim hints)
     // A new hint (or a removed one) fails this test until re-justified here.
     val allowed = Map(
       "ops/Similarity.scala" -> 7,
@@ -628,7 +680,8 @@ class PlanSpec extends AnyFunSuite {
       "queries/StatsQueries.scala" -> 6,
       "queries/SimilarityQueries.scala" -> 3,
       "queries/TextQueries.scala" -> 6,
-      "queries/LlmPipelineQueries.scala" -> 1)
+      "queries/LlmPipelineQueries.scala" -> 1,
+      "queries/DsQueries.scala" -> 2)
     val found = mainSourceLines
       .filter { case (_, line) => line.contains("broadcast(") }
       .groupBy(_._1).view.mapValues(_.size).toMap
