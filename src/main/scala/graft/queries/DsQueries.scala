@@ -26,6 +26,20 @@ import graft.ops.Det.{dsum}
 object DsQueries {
   private def ssum(e: String): String = Det.Sql.dsum(e)
 
+  /** Q10/Q35 body — shared between the DuckDB oracle (bare table names)
+    * and the Spark run (prefixed temp views), the j24/j29 single-source
+    * discipline: the two sides can never drift. */
+  private def q10Text(t: String => String): String =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_customers
+       | FROM ${t("customer")}
+       | WHERE EXISTS (SELECT 1 FROM ${t("orders")}
+       |         WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+       |    OR EXISTS (SELECT 1 FROM ${t("orders")} o JOIN ${t("lineitem")} l
+       |         ON o.o_orderkey = l.l_orderkey
+       |         WHERE o.o_custkey = c_custkey AND l.l_returnflag = 'R')
+       | GROUP BY c_mktsegment
+       | ORDER BY c_mktsegment""".stripMargin.replace("\n", "")
+
   val all: Seq[QuerySpec] = Seq(
 
     sql("ds1_quantity_bands",
@@ -125,6 +139,17 @@ object DsQueries {
             sum(col("kept_rev")).over(w).cast("double").as("cum_kept"))
           .filter(col("cum_ret") > lit(0.52) * col("cum_kept"))
           .orderBy("day")
+      }
+    },
+
+    sql("ds5_either_exists",
+      "DS5: TPC-DS Q10/Q35-shaped OR-of-EXISTS — per-segment counts of customers with an urgent order OR a returned line (the second EXISTS is itself a 2-way join). A disjunction of existence tests can NOT decorrelate to LeftSemi (a semi join models one conjunct only) — each EXISTS must become an ExistenceJoin producing a boolean column, with the OR evaluated as a plain filter over the two flags; the naive per-customer re-execution or a cartesian fallback is exactly what the PlanSpec pin refuses. Scale: both probe sides reduce to distinct custkey slivers before touching the customer table, and the returned-line flag pushes into the lineitem scan",
+      q10Text(identity)) {
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("ds5_customer")
+        Tables.orders(s, d).createOrReplaceTempView("ds5_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("ds5_lineitem")
+        s.sql(q10Text(t => s"ds5_$t"))
       }
     },
 

@@ -297,6 +297,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p4.contains("Join"), s"ds4 must not self-join:\n$p4")
     assert(p4.contains("Window") && p4.contains("partial_sum"),
       s"ds4 needs the lag window over a map-side-combined aggregate:\n$p4")
+
+    // ds5 (Q10/Q35 class): a DISJUNCTION of existence tests cannot become
+    // LeftSemi — each EXISTS must plan as an ExistenceJoin producing a
+    // boolean flag with the OR as a plain filter; per-row re-execution
+    // would surface as a nested-loop/cartesian node
+    val p5 = plan(specs("ds5_either_exists").run(spark, TestSpark.sfDir))
+    assert(!p5.contains("CartesianProduct") && !p5.contains("BroadcastNestedLoop"),
+      s"ds5 OR-of-EXISTS fell back to a nested loop:\n$p5")
+    assert("ExistenceJoin".r.findAllIn(p5).length == 2,
+      s"ds5 needs one ExistenceJoin per EXISTS branch:\n$p5")
+    assert(p5.contains("EqualTo(l_returnflag,R)"),
+      s"ds5 returned-line flag not pushed into the lineitem scan:\n$p5")
   }
 
   test("g6 recursive CTE: UnionLoop over a MATERIALIZED pair substrate, never re-deriving per iteration") {
