@@ -40,8 +40,13 @@ object Pipeline {
     * every artifact it had just written: a full second pass per stage at
     * 100 TB, purely to produce a report number the write already knew. */
   private def parquetCounted(df: DataFrame, path: String): Long = {
+    // every pipeline artifact passes the batch admission guard before its
+    // write is submitted: a plan carrying a non-sliver nested loop fails
+    // its stage (PlanRejected → StageResult ok=false) instead of running
+    // the 100 TB-fatal job. Plan-only analysis — no extra Spark job.
+    val admitted = graft.engine.PlanGuard.admit(df)
     val obs = Observation()
-    Sinks.parquet(df.observe(obs, count(lit(1)).as("rows")), path)
+    Sinks.parquet(admitted.observe(obs, count(lit(1)).as("rows")), path)
     obs.get("rows").asInstanceOf[Long]
   }
 
