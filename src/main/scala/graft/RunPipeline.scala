@@ -26,7 +26,7 @@ object RunPipeline {
       case Left(err) => throw new IllegalArgumentException(s"bad GRAFT_* config: $err")
     }
     val (reports, metrics) = pipeline.Pipeline.runInstrumented(spark, dirs, outDir,
-      jdbc = cfg.jdbc, jdbcBatchSize = cfg.batchSize)
+      jdbc = cfg.jdbc, jdbcBatchSize = cfg.batchSize, guard = cfg.guard)
     reports.find(_.ok).foreach { r =>
       val name = r.dir.replaceAll(".*/", "")
       pipeline.Reports.generate(spark, r.dir, s"$outDir/$name", s"$outDir/reports")

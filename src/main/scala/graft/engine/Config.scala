@@ -33,7 +33,8 @@ object Config {
       batchSize: Int,
       dataDir: String,
       outDir: String,
-      jdbc: Option[Jdbc])
+      jdbc: Option[Jdbc],
+      guard: PlanGuard.Policy = PlanGuard.Policy.default)
 
   /** Parse + validate. Pass a custom map in tests; defaults mirror the
     * reference's (batch 100000 — .env.example:15; shuffle partitions
@@ -63,11 +64,39 @@ object Config {
           env.get("GRAFT_JDBC_URL")))
       }
 
+    // PlanGuard thresholds, env-tunable per deployment (MiB units — the
+    // values are logical-plan size estimates, see PlanGuard's scaladoc);
+    // GRAFT_GUARD_FORBID_UDFS holds ad-hoc queries to the engine's own
+    // zero-UDF bar.
+    def mib(key: String, dfltBytes: Long): Either[String, Long] =
+      env.get(key) match {
+        case None => Right(dfltBytes)
+        case Some(v) => v.toLongOption.filter(_ > 0).map(_ << 20)
+          .toRight(s"$key must be a positive integer (MiB), got '$v'")
+      }
+    def bool(key: String, dflt: Boolean): Either[String, Boolean] =
+      env.get(key) match {
+        case None => Right(dflt)
+        case Some(v) => v.toLowerCase match {
+          case "true" | "1"  => Right(true)
+          case "false" | "0" => Right(false)
+          case other => Left(s"$key must be true/false, got '$other'")
+        }
+      }
+    val dflt = PlanGuard.Policy.default
+    val guard: Either[String, PlanGuard.Policy] = for {
+      loop <- mib("GRAFT_GUARD_MAX_LOOP_BUILD_MB", dflt.maxLoopBuildBytes)
+      win <- mib("GRAFT_GUARD_MAX_GLOBAL_WINDOW_MB", dflt.maxGlobalWindowBytes)
+      sort <- mib("GRAFT_GUARD_MAX_GLOBAL_SORT_MB", dflt.maxGlobalSortBytes)
+      udfs <- bool("GRAFT_GUARD_FORBID_UDFS", dflt.forbidUdfs)
+    } yield PlanGuard.Policy(loop, win, sort, udfs)
+
     for {
       parts <- int("GRAFT_SHUFFLE_PARTITIONS",
         Runtime.getRuntime.availableProcessors())
       batch <- int("GRAFT_BATCH_SIZE", 100000)
       j <- jdbc
+      g <- guard
     } yield Engine(
       master = env.getOrElse("GRAFT_MASTER", s"local[*]"),
       appName = env.getOrElse("GRAFT_APP_NAME", "graft"),
@@ -75,6 +104,7 @@ object Config {
       batchSize = batch,
       dataDir = env.getOrElse("GRAFT_DATA_DIR", "/root/testdata/sf0.001"),
       outDir = env.getOrElse("GRAFT_OUT_DIR", "/tmp/graft-out"),
-      jdbc = j)
+      jdbc = j,
+      guard = g)
   }
 }

@@ -39,12 +39,14 @@ object Pipeline {
     * `spark.read.parquet(path).count()` for the stage report — re-scanned
     * every artifact it had just written: a full second pass per stage at
     * 100 TB, purely to produce a report number the write already knew. */
-  private def parquetCounted(df: DataFrame, path: String): Long = {
+  private def parquetCounted(df: DataFrame, path: String,
+                             guard: graft.engine.PlanGuard.Policy): Long = {
     // every pipeline artifact passes the batch admission guard before its
     // write is submitted: a plan carrying a non-sliver nested loop fails
     // its stage (PlanRejected → StageResult ok=false) instead of running
-    // the 100 TB-fatal job. Plan-only analysis — no extra Spark job.
-    val admitted = graft.engine.PlanGuard.admit(df)
+    // the 100 TB-fatal job. Plan-only analysis — no extra Spark job. The
+    // policy is env-tunable (GRAFT_GUARD_* via Config.fromEnv).
+    val admitted = graft.engine.PlanGuard.admit(df, guard)
     val obs = Observation()
     Sinks.parquet(admitted.observe(obs, count(lit(1)).as("rows")), path)
     obs.get("rows").asInstanceOf[Long]
@@ -53,7 +55,8 @@ object Pipeline {
   def processDir(spark: SparkSession, dir: String, outDir: String,
                  exactPercentiles: Boolean = false,
                  jdbc: Option[graft.engine.Config.Jdbc] = None,
-                 jdbcBatchSize: Int = 1000): DirReport = {
+                 jdbcBatchSize: Int = 1000,
+                 guard: graft.engine.PlanGuard.Policy = graft.engine.PlanGuard.Policy.default): DirReport = {
     val stages = scala.collection.mutable.ArrayBuffer.empty[StageResult]
     def stage(name: String)(f: => (Long, String)): Boolean = {
       val r =
@@ -111,7 +114,7 @@ object Pipeline {
       // (src/main.py:147-188) with a parquet destination
       stage("sample_load") {
         val sampled = enriched.sample(withReplacement = false, 0.01, seed = 42).limit(1000)
-        (parquetCounted(sampled, s"$outDir/sample_load"), "1% seeded sample, 1000-row cap")
+        (parquetCounted(sampled, s"$outDir/sample_load", guard), "1% seeded sample, 1000-row cap")
       }
 
       stage("supplier_stats") {
@@ -121,7 +124,7 @@ object Pipeline {
           Det.davg(col("l_quantity")).as("avg_quantity"),
           Det.davg(col("l_extendedprice")).as("avg_price"),
           Det.davg(col("l_discount")).as("avg_discount"))
-        (parquetCounted(agg, s"$outDir/supplier_stats"), "A1 analog")
+        (parquetCounted(agg, s"$outDir/supplier_stats", guard), "A1 analog")
       }
 
       stage("bucket_stats") {
@@ -130,7 +133,7 @@ object Pipeline {
           Det.davg(col("l_extendedprice")).as("avg_price"),
           Det.davg(col("l_quantity")).as("avg_quantity"),
           Det.ravg(col("price_per_unit")).as("avg_price_per_unit"))
-        (parquetCounted(agg, s"$outDir/bucket_stats"), "A2 analog")
+        (parquetCounted(agg, s"$outDir/bucket_stats", guard), "A2 analog")
       }
 
       stage("quality_csv") {
@@ -172,10 +175,12 @@ object Pipeline {
     * switch on the warehouse summary append per directory. */
   def run(spark: SparkSession, dirs: Seq[String], outRoot: String,
           jdbc: Option[graft.engine.Config.Jdbc] = None,
-          jdbcBatchSize: Int = 1000): Seq[DirReport] =
+          jdbcBatchSize: Int = 1000,
+          guard: graft.engine.PlanGuard.Policy = graft.engine.PlanGuard.Policy.default): Seq[DirReport] =
     dirs.map { dir =>
       val name = dir.replaceAll(".*/", "")
-      processDir(spark, dir, s"$outRoot/$name", jdbc = jdbc, jdbcBatchSize = jdbcBatchSize)
+      processDir(spark, dir, s"$outRoot/$name", jdbc = jdbc, jdbcBatchSize = jdbcBatchSize,
+        guard = guard)
     }
 
   /** [[run]] with a [[PipelineMetrics]] listener attached: every stage the
@@ -188,7 +193,8 @@ object Pipeline {
                       settleMs: Long = 500, maxWaitMs: Long = 15000,
                       writeMetrics: Boolean = true,
                       jdbc: Option[graft.engine.Config.Jdbc] = None,
-                      jdbcBatchSize: Int = 1000)
+                      jdbcBatchSize: Int = 1000,
+                      guard: graft.engine.PlanGuard.Policy = graft.engine.PlanGuard.Policy.default)
       : (Seq[DirReport], Seq[StageMetricsRow]) = {
     val listener = new PipelineMetrics
     spark.sparkContext.addSparkListener(listener)
@@ -196,7 +202,8 @@ object Pipeline {
       val reports = dirs.map { dir =>
         val name = dir.replaceAll(".*/", "")
         spark.sparkContext.setJobGroup(s"graft-pipeline-$name", s"EP1 $dir")
-        try processDir(spark, dir, s"$outRoot/$name", jdbc = jdbc, jdbcBatchSize = jdbcBatchSize)
+        try processDir(spark, dir, s"$outRoot/$name", jdbc = jdbc, jdbcBatchSize = jdbcBatchSize,
+          guard = guard)
         finally spark.sparkContext.clearJobGroup()
       }
       val deadline = System.currentTimeMillis() + maxWaitMs

@@ -32,6 +32,20 @@ class ConfigSpec extends AnyFunSuite {
     assert(Config.fromEnv(Map("GRAFT_SHUFFLE_PARTITIONS" -> "0")).isLeft)
   }
 
+  test("GRAFT_GUARD_* family parses into a PlanGuard policy; defaults otherwise") {
+    val dflt = Config.fromEnv(Map.empty).toOption.get.guard
+    assert(dflt == PlanGuard.Policy.default)
+    val c = Config.fromEnv(Map(
+      "GRAFT_GUARD_MAX_LOOP_BUILD_MB" -> "1",
+      "GRAFT_GUARD_MAX_GLOBAL_WINDOW_MB" -> "16",
+      "GRAFT_GUARD_MAX_GLOBAL_SORT_MB" -> "128",
+      "GRAFT_GUARD_FORBID_UDFS" -> "true")).toOption.get.guard
+    assert(c == PlanGuard.Policy(1L << 20, 16L << 20, 128L << 20, forbidUdfs = true))
+    val bad = Config.fromEnv(Map("GRAFT_GUARD_MAX_LOOP_BUILD_MB" -> "big"))
+    assert(bad.swap.toOption.get.contains("GRAFT_GUARD_MAX_LOOP_BUILD_MB"))
+    assert(Config.fromEnv(Map("GRAFT_GUARD_FORBID_UDFS" -> "maybe")).isLeft)
+  }
+
   test("config wires into the session factory (the settings->builder link the reference dropped)") {
     val c = Config.fromEnv(Map("GRAFT_SHUFFLE_PARTITIONS" -> "8",
       "GRAFT_APP_NAME" -> "cfg-smoke")).toOption.get
