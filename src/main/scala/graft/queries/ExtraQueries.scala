@@ -14,6 +14,23 @@ object ExtraQueries {
 
   import Det.Sql.{dsum => ssum}
 
+  /** Shared a13-family substrate: the fact aggregated ONCE to the
+    * (flag, status) sliver with exact-decimal revenue partials. ROLLUP/
+    * CUBE/GROUPING SETS then Expand ~6 rows instead of the fact — Spark's
+    * grouping-sets plan otherwise replicates EVERY input row once per
+    * grouping set before any aggregation (ds2's sf10 rung measured the
+    * direct form at 2.4× the sliver form). Decimal sums and counts
+    * re-aggregate associatively, so results are bit-identical. */
+  private def a13Base(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_part"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec))
+          .as("rev_part"))
+  }
+
   /** d4 PRODUCTION plan: plain-double z-score + min-max against broadcast
     * global stats — a feature pass feeds the next stage, so nothing is
     * rounded and nothing is sorted. The ORACLE variant below restructures
@@ -1115,22 +1132,22 @@ object ExtraQueries {
     },
 
     sql("a13_rollup",
-      "A13: ROLLUP grouping sets (per-flag-and-status, per-flag, grand total)",
+      "A13: ROLLUP grouping sets (per-flag-and-status, per-flag, grand total). Scale: the rollup runs over a pre-aggregated (flag, status) sliver, not the fact — Spark's rollup-over-fact plan Expands every input row (levels+1)× BEFORE partial aggregation (the defect ds2's sf10 rung measured at 2.4×); count and decimal-sum partials re-aggregate associatively, so the sliver form is bit-identical",
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS total_lines,
          | ${ssum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
          | FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          | ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin.replace("\n", "")) {
       (s, d) =>
-        Tables.lineitem(s, d)
+        a13Base(s, d)
           .rollup("l_returnflag", "l_linestatus")
           .agg(
-            count(lit(1)).as("total_lines"),
-            Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+            sum(col("n_part")).as("total_lines"),
+            sum(col("rev_part")).cast("double").as("total_revenue"))
           .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
     sql("a13b_cube",
-      "A13: CUBE grouping sets + GROUPING_ID (all four aggregation levels, disambiguated)",
+      "A13: CUBE grouping sets + GROUPING_ID (all four aggregation levels, disambiguated) — over the a13 pre-aggregated sliver (CUBE Expands 4×: the worst of the family to run fact-grain)",
       s"""SELECT l_returnflag, l_linestatus,
          | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
          | COUNT(*) AS total_lines,
@@ -1140,18 +1157,18 @@ object ExtraQueries {
       (s, d) =>
         // grouping_id distinguishes "NULL because aggregated away" from a
         // genuine NULL key — the piece ROLLUP/CUBE consumers need
-        Tables.lineitem(s, d)
+        a13Base(s, d)
           .cube("l_returnflag", "l_linestatus")
           .agg(
             grouping_id().as("gid"),
-            count(lit(1)).as("total_lines"),
-            Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+            sum(col("n_part")).as("total_lines"),
+            sum(col("rev_part")).cast("double").as("total_revenue"))
           .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
             col("l_linestatus").asc_nulls_first)
     },
 
     sql("a13c_grouping_sets",
-      "A13: explicit GROUPING SETS ((flag),(status),()) — arbitrary set list, the ROLLUP/CUBE variant neither subsumes",
+      "A13: explicit GROUPING SETS ((flag),(status),()) — arbitrary set list, the ROLLUP/CUBE variant neither subsumes; Expand replicates only the pre-aggregated sliver",
       s"""SELECT l_returnflag, l_linestatus,
          | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
          | COUNT(*) AS total_lines,
@@ -1159,17 +1176,14 @@ object ExtraQueries {
          | FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
          | ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin.replace("\n", "")) {
       (s, d) =>
-        // per-flag + per-status + grand total in ONE scan (the Expand
-        // operator replicates each input row once per set) — three separate
-        // groupBys would be three scans and three shuffles
-        Tables.lineitem(s, d)
+        a13Base(s, d)
           .groupingSets(
             Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
             col("l_returnflag"), col("l_linestatus"))
           .agg(
             grouping_id().as("gid"),
-            count(lit(1)).as("total_lines"),
-            Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+            sum(col("n_part")).as("total_lines"),
+            sum(col("rev_part")).cast("double").as("total_revenue"))
           .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
             col("l_linestatus").asc_nulls_first)
     },

@@ -263,15 +263,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p1.contains("partial_count") && p1.contains("partial_sum"),
       s"ds1 bands not map-side combined:\n$p1")
 
-    // ds2 (Q36 class): rollup = Expand feeding ONE hash aggregate, dims
-    // broadcast before it, and the rank window runs on the rollup output
-    // (Window above the aggregate, never against a raw scan)
+    // ds2 (Q36 class): rollup = Expand, dims broadcast, rank window over
+    // the rollup output — and the Expand must sit ABOVE the per-group
+    // aggregate (the sliver), never directly on the joined fact: Spark's
+    // rollup-over-fact plan multiplies the fact (levels+1)× through
+    // Expand before any aggregation (34.2× vs 11.4× on the sf10 rung)
     val p2 = plan(specs("ds2_rollup_rank").run(spark, TestSpark.sfDir))
     assert(p2.contains("Expand"), s"ds2 rollup lost its Expand:\n$p2")
     assert(p2.contains("BroadcastHashJoin"), s"ds2 dims not broadcast:\n$p2")
     assert(p2.contains("Window"), s"ds2 rank window missing:\n$p2")
     assert("orders\\.parquet".r.findAllIn(p2).length == 1,
       s"ds2 must scan orders once:\n$p2")
+    val ei = p2.indexOf("Expand")
+    val ji = p2.indexOf("BroadcastHashJoin")
+    assert(ei >= 0 && ji > ei &&
+      "HashAggregate".r.findAllMatchIn(p2).exists(m => m.start > ei && m.start < ji),
+      s"ds2 Expand feeds on the joined fact instead of the aggregated sliver:\n$p2")
+
+    // the whole grouping-sets family holds the same discipline: Expand
+    // replicates the pre-aggregated sliver, never the fact scan — an
+    // aggregate must sit between Expand and the parquet scan
+    for (name <- Seq("a13_rollup", "a13b_cube", "a13c_grouping_sets")) {
+      val pa = plan(specs(name).run(spark, TestSpark.sfDir))
+      val e = pa.indexOf("Expand")
+      val sc = pa.indexOf("lineitem.parquet")
+      assert(e >= 0 && sc > e &&
+        "HashAggregate".r.findAllMatchIn(pa).exists(m => m.start > e && m.start < sc),
+        s"$name Expand feeds on the fact instead of the aggregated sliver:\n$pa")
+    }
 
     // ds3 (Q51 class): the two series aggregate to day grain BEFORE the
     // full-outer alignment and the running sums — both scans carry the
