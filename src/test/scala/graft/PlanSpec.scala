@@ -249,7 +249,7 @@ class PlanSpec extends AnyFunSuite {
       s"Q6 aggregate not map-side combined:\n$q6")
   }
 
-  test("ds1-ds4 TPC-DS shapes: banded single scan, window-over-rollup, sliver-grain cumulatives, reused YoY aggregate") {
+  test("ds1-ds5 TPC-DS shapes: banded single scan, window-over-sliver-rollup, sliver-grain cumulatives, lag-window YoY, double ExistenceJoin") {
     // ds1 (Q88 class): four band tiles collapse into ONE lineitem pass —
     // a single scan with the base predicate pushed, no join, map-side
     // combined conditional aggregates
