@@ -68,11 +68,14 @@ object Config {
     // values are logical-plan size estimates, see PlanGuard's scaladoc);
     // GRAFT_GUARD_FORBID_UDFS holds ad-hoc queries to the engine's own
     // zero-UDF bar.
+    // bounded above so `_ << 20` can't wrap: a silently-negative threshold
+    // would reject every plan with no configuration error to explain why
     def mib(key: String, dfltBytes: Long): Either[String, Long] =
       env.get(key) match {
         case None => Right(dfltBytes)
-        case Some(v) => v.toLongOption.filter(_ > 0).map(_ << 20)
-          .toRight(s"$key must be a positive integer (MiB), got '$v'")
+        case Some(v) => v.toLongOption
+          .filter(n => n > 0 && n <= (Long.MaxValue >> 20)).map(_ << 20)
+          .toRight(s"$key must be a positive integer (MiB, ≤ ${Long.MaxValue >> 20}), got '$v'")
       }
     def bool(key: String, dflt: Boolean): Either[String, Boolean] =
       env.get(key) match {
@@ -88,8 +91,11 @@ object Config {
       loop <- mib("GRAFT_GUARD_MAX_LOOP_BUILD_MB", dflt.maxLoopBuildBytes)
       win <- mib("GRAFT_GUARD_MAX_GLOBAL_WINDOW_MB", dflt.maxGlobalWindowBytes)
       sort <- mib("GRAFT_GUARD_MAX_GLOBAL_SORT_MB", dflt.maxGlobalSortBytes)
+      expand <- mib("GRAFT_GUARD_MAX_EXPAND_MB", dflt.maxExpandBytes)
       udfs <- bool("GRAFT_GUARD_FORBID_UDFS", dflt.forbidUdfs)
-    } yield PlanGuard.Policy(loop, win, sort, udfs)
+      expandFatal <- bool("GRAFT_GUARD_EXPAND_FATAL", dflt.expandFatal)
+      aggSlivers <- bool("GRAFT_GUARD_ASSUME_AGG_SLIVERS", dflt.assumeAggSlivers)
+    } yield PlanGuard.Policy(loop, win, sort, expand, udfs, expandFatal, aggSlivers)
 
     for {
       parts <- int("GRAFT_SHUFFLE_PARTITIONS",

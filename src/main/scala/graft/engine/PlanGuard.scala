@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression, ScalaUDF}
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Sort, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Generate, Join, LogicalPlan, Sort, Window}
 
 /** Batch-plan ADMISSION GUARD — the compile-time twin of
   * [[graft.streaming.Admission]]: lint a DataFrame's OPTIMIZED plan for the
@@ -21,10 +21,33 @@ import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Sort, Win
   * parquet footer totals propagated through filters/projects), so the
   * guard's verdict scales with the data the way the hazard does.
   *
+  * Subqueries are linted too: every rule walks the plan with
+  * `collectWithSubqueries`, so a cross join or ScalaUDF hiding inside a
+  * scalar subquery (`WHERE x > (SELECT udf(max(y)) ...)`) is found exactly
+  * as if it sat in the main plan — ad-hoc SQL loves that hiding spot.
+  *
+  * Estimate quality with CBO off (Spark's default): Catalyst's
+  * size-only visitor does NOT shrink grouped Aggregates — a day-grain or
+  * customer-grain sliver inherits its fact-scale child estimate. Byte
+  * thresholds alone would therefore spuriously flag (or fatally refuse)
+  * plans whose hazardous node sits on a POST-AGGREGATION sliver — the
+  * engine's own discipline. So when CBO is off and
+  * `assumeAggSlivers` holds (the default), a subtree whose every
+  * leaf-ward path passes through an Aggregate before reaching a relation
+  * is treated as group-cardinality, i.e. exempt from byte thresholds.
+  * `Generate` (explode) breaks the exemption — its multiplier is
+  * unbounded; `Expand`'s is the projection count, bounded, so a rollup
+  * over a sliver stays a sliver. Accepted pessimism, documented: grouping
+  * by a near-unique key yields a fact-scale "sliver" the exemption
+  * admits — a deployment that needs byte-true post-aggregate estimates
+  * enables `spark.sql.cbo.enabled` (+ ANALYZE), and the guard then trusts
+  * Catalyst's row-count-aware stats instead of the exemption.
+  *
   * Rules:
   *   - `loop-join` (fatal): a Join with NO equi-join conjunct — cross, or a
-  *     condition Spark can only evaluate as a nested loop — where the
-  *     SMALLER side exceeds `maxLoopBuildBytes`. Per-row re-probe of a
+  *     condition Spark can only evaluate as a nested loop — where BOTH
+  *     sides exceed `maxLoopBuildBytes` (either side small enough to
+  *     broadcast-build keeps the probe streaming). Per-row re-probe of a
   *     non-sliver build is the single worst 100 TB plan shape.
   *   - `global-window` (warn): a Window with an EMPTY partitionSpec over a
   *     child above `maxGlobalWindowBytes` — every row moves to ONE task
@@ -33,6 +56,17 @@ import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Sort, Win
   *   - `global-sort` (warn): a total Sort over a child above
   *     `maxGlobalSortBytes` — legitimate for oracle determinism and top-k
   *     reports on aggregate slivers, a full-corpus range shuffle otherwise.
+  *   - `expand-over-fact` (warn; fatal when `expandFatal` — strict default):
+  *     an Expand whose child exceeds `maxExpandBytes` — Spark plans
+  *     rollup/cube/grouping-sets (and multi-distinct aggregates) as an
+  *     Expand that replicates its input once per grouping set BEFORE the
+  *     partial aggregate; over a joined fact that is a (levels+1)× copy of
+  *     the 100 TB row stream (measured: 32.1 s vs 13.4 s at the sf10 rung
+  *     for ds2). Aggregate to the group sliver first — decimal partials
+  *     re-aggregate associatively — and Expand touches only the sliver.
+  *     Expands from Catalyst's multi-distinct rewrite are exempt (see
+  *     `lint` — that replication has no single-pass alternative and is
+  *     absorbed map-side by its capping dedup aggregate).
   *   - `udf` (warn; fatal when `forbidUdfs`): any ScalaUDF in the plan —
   *     opaque to codegen, filter pushdown, and null-safety inference; the
   *     engine's own surface is UDF-free (SURVEY §2.11) and a deployment
@@ -53,7 +87,10 @@ object PlanGuard {
       maxLoopBuildBytes: Long = 8L << 20,
       maxGlobalWindowBytes: Long = 64L << 20,
       maxGlobalSortBytes: Long = 256L << 20,
-      forbidUdfs: Boolean = false)
+      maxExpandBytes: Long = 64L << 20,
+      forbidUdfs: Boolean = false,
+      expandFatal: Boolean = false,
+      assumeAggSlivers: Boolean = true)
 
   object Policy {
     val default: Policy = Policy()
@@ -65,7 +102,9 @@ object PlanGuard {
       maxLoopBuildBytes = 1L << 20,
       maxGlobalWindowBytes = 4L << 20,
       maxGlobalSortBytes = 32L << 20,
-      forbidUdfs = true)
+      maxExpandBytes = 4L << 20,
+      forbidUdfs = true,
+      expandFatal = true)
   }
 
   final class PlanRejected(val findings: Seq[Finding])
@@ -98,36 +137,76 @@ object PlanGuard {
 
   private def mb(n: BigInt): String = f"${n.toDouble / (1 << 20)}%.1f MiB"
 
-  /** Lint the optimized logical plan. Pure analysis — never executes. */
+  /** Every leaf-ward path from `p` crosses an Aggregate before a relation,
+    * with no unbounded row multiplier (Generate) above it: the subtree's
+    * cardinality is group-scale, not fact-scale. Expand's multiplier is
+    * its projection count (bounded — a rollup over a sliver is a sliver);
+    * a Join of two group-scale sides is accepted as group-scale (the
+    * pessimal many-to-many inflation is the documented residual risk). */
+  private def aggregateRooted(p: LogicalPlan): Boolean = p match {
+    case _: Aggregate => true
+    case _: Generate  => false
+    case o            => o.children.nonEmpty && o.children.forall(aggregateRooted)
+  }
+
+  /** Lint the optimized logical plan (main plan AND every subquery plan).
+    * Pure analysis — never executes. */
   def lint(df: DataFrame, policy: Policy = Policy.default): Seq[Finding] = {
     val plan = df.queryExecution.optimizedPlan
-    val joins = plan.collect {
-      case j: Join if j.condition.forall(c => !hasEquiConjunct(c, j.left, j.right)) =>
-        val build = bytes(j.left).min(bytes(j.right))
-        (j, build)
-    }.collect { case (j, build) if build > policy.maxLoopBuildBytes =>
-      Finding("loop-join", fatal = true, j.joinType.sql,
-        s"${j.joinType.sql} join with no equi-key: smaller side ~${mb(build)} " +
-          s"exceeds maxLoopBuildBytes=${mb(policy.maxLoopBuildBytes)} — per-row nested-loop probe")
+    val cbo = df.sparkSession.sessionState.conf.cboEnabled
+    // over the byte threshold AND not covered by the CBO-off aggregate
+    // sliver exemption (with CBO on, Catalyst's row-count stats already
+    // shrink aggregates, so the bytes are trusted as-is)
+    def overBudget(p: LogicalPlan, threshold: Long): Boolean =
+      bytes(p) > threshold &&
+        !(policy.assumeAggSlivers && !cbo && aggregateRooted(p))
+    val joins = plan.collectWithSubqueries {
+      case j: Join if j.condition.forall(c => !hasEquiConjunct(c, j.left, j.right)) &&
+          overBudget(j.left, policy.maxLoopBuildBytes) &&
+          overBudget(j.right, policy.maxLoopBuildBytes) =>
+        Finding("loop-join", fatal = true, j.joinType.sql,
+          s"${j.joinType.sql} join with no equi-key: smaller side " +
+            s"~${mb(bytes(j.left).min(bytes(j.right)))} exceeds " +
+            s"maxLoopBuildBytes=${mb(policy.maxLoopBuildBytes)} — per-row nested-loop probe")
     }
-    val windows = plan.collect {
-      case w: Window if w.partitionSpec.isEmpty && bytes(w.child) > policy.maxGlobalWindowBytes =>
+    val windows = plan.collectWithSubqueries {
+      case w: Window if w.partitionSpec.isEmpty && overBudget(w.child, policy.maxGlobalWindowBytes) =>
         Finding("global-window", fatal = false, "Window",
           s"unpartitioned window over ~${mb(bytes(w.child))} collapses to ONE task " +
             s"(> maxGlobalWindowBytes=${mb(policy.maxGlobalWindowBytes)})")
     }
-    val sorts = plan.collect {
-      case s: Sort if s.global && bytes(s.child) > policy.maxGlobalSortBytes =>
+    val sorts = plan.collectWithSubqueries {
+      case s: Sort if s.global && overBudget(s.child, policy.maxGlobalSortBytes) =>
         Finding("global-sort", fatal = false, "Sort",
           s"total sort over ~${mb(bytes(s.child))} " +
             s"(> maxGlobalSortBytes=${mb(policy.maxGlobalSortBytes)}) — full range shuffle")
     }
-    val udfs = plan.collect {
+    // Expands introduced by Catalyst's multi-distinct rewrite
+    // (RewriteDistinctAggregates) are exempt: they are ALWAYS capped by a
+    // pure-dedup Aggregate (grouping-only, no aggregate functions) that
+    // absorbs the replication map-side, and no single-pass sliver-first
+    // equivalent exists for `count(DISTINCT a), count(DISTINCT b)` — the
+    // guard flags what a user can FIX, and the fixable class is
+    // rollup/cube/grouping-sets over an unaggregated fact.
+    val dedupCapped: Set[LogicalPlan] = plan.collectWithSubqueries {
+      case a: Aggregate if a.child.isInstanceOf[Expand] &&
+          !a.aggregateExpressions.exists(_.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression])) =>
+        a.child
+    }.toSet
+    val expands = plan.collectWithSubqueries {
+      case e: Expand if !dedupCapped.contains(e) && overBudget(e.child, policy.maxExpandBytes) =>
+        Finding("expand-over-fact", fatal = policy.expandFatal, "Expand",
+          s"Expand replicates its ~${mb(bytes(e.child))} input ${e.projections.size}× " +
+            s"BEFORE any aggregation (> maxExpandBytes=${mb(policy.maxExpandBytes)}) — " +
+            "aggregate to the group sliver first; decimal partials re-aggregate associatively")
+    }
+    val udfs = plan.collectWithSubqueries {
       case node if node.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])) =>
         Finding("udf", fatal = policy.forbidUdfs, node.nodeName,
           "ScalaUDF in the plan: opaque to codegen and pushdown")
     }
-    joins ++ windows ++ sorts ++ udfs
+    joins ++ windows ++ sorts ++ expands ++ udfs
   }
 
   /** Pass-through admission: returns `df` unchanged when no FATAL finding

@@ -29,6 +29,15 @@ object Decontam {
     val evalSh = shingle(evalSet).withColumnRenamed("doc_id", "eval_id")
     trainSh
       .join(broadcast(evalSh), Seq("shingle"))
+      // plan note: the two-distinct aggregate becomes Catalyst's
+      // RewriteDistinctAggregates shape — Expand (2× the hit sliver)
+      // capped by a pure-dedup partial aggregate that absorbs the
+      // replication map-side before any shuffle. No single-pass
+      // sliver-first alternative exists for two distinct dimensions (an
+      // explicit pre-distinct is absorbed by the optimizer — verified);
+      // PlanGuard's expand-over-fact rule exempts exactly this capped
+      // shape, and the hit triples are already repeat-free because
+      // shinglesFromTokens dedupes per doc (array_distinct).
       .groupBy("doc_id")
       .agg(
         countDistinct(col("eval_id")).as("n_eval_docs"),

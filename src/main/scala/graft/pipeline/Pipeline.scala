@@ -139,8 +139,11 @@ object Pipeline {
       stage("quality_csv") {
         import spark.implicits._
         val q = quality.get
-        val df = Seq((dir, q.totalRows, q.duplicateCount, q.qualityScore))
-          .toDF("dir", "total_rows", "duplicate_count", "quality_score")
+        // admit like every other pipeline write (trivially: a 1-row local
+        // frame) so "every EP1 write passes the guard" holds literally
+        val df = graft.engine.PlanGuard.admit(
+          Seq((dir, q.totalRows, q.duplicateCount, q.qualityScore))
+            .toDF("dir", "total_rows", "duplicate_count", "quality_score"), guard)
         Sinks.csv(df, s"$outDir/quality_report", singleFile = true)
         // parquet copy backs the Ddl.pipeline_quality catalog table
         Sinks.parquet(df, s"$outDir/pipeline_quality")
@@ -153,12 +156,12 @@ object Pipeline {
       // config is supplied; failure isolates like any stage.
       jdbc.foreach { j =>
         stage("summary_jdbc") {
-          val summary = enriched.agg(
+          val summary = graft.engine.PlanGuard.admit(enriched.agg(
             count(lit(1)).as("total_lines"),
             Det.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"),
             Det.davg(col("l_quantity")).as("avg_quantity"),
             Det.davg(col("l_extendedprice")).as("avg_price"))
-            .withColumn("dir", lit(dir))
+            .withColumn("dir", lit(dir)), guard)
           Sinks.jdbc(summary, j.url, "PIPELINE_SUMMARY", j.user, j.password,
             batchsize = jdbcBatchSize, columnTypes = Some("dir VARCHAR(256)"))
           (1L, s"summary appended to ${j.host}:${j.port}/${j.database}")

@@ -47,9 +47,32 @@ object PlanGuardProps extends Properties("graft.planguard") {
       val physical = joined.queryExecution.sparkPlan.toString
       val plannerLoops = physical.contains("BroadcastNestedLoop") ||
         physical.contains("CartesianProduct")
-      val zeroThreshold = PlanGuard.Policy(maxLoopBuildBytes = 0)
+      val zeroThreshold = PlanGuard.Policy(maxLoopBuildBytes = 0, assumeAggSlivers = false)
       val guardFlags = PlanGuard.lint(joined, zeroThreshold)
         .exists(_.rule == "loop-join")
       guardFlags == plannerLoops
+    }
+
+  /** Grouping-set shapes spanning the Expand-producing classes (rollup,
+    * cube, sliver-first rollup) and the Expand-free ones (plain group-by,
+    * single distinct — planned without Expand). The multi-distinct class
+    * (physical Expand, deliberately NOT flagged: its replication is
+    * unavoidable and dedup-capped) is pinned in PlanGuardSpec instead. */
+  private def aggShapes: Gen[org.apache.spark.sql.DataFrame] = Gen.oneOf(
+    Gen.const(left.groupBy("va").agg(sum("ka").as("s"))),
+    Gen.const(left.rollup("va", "ka").agg(sum("ka").as("s"))),
+    Gen.const(left.cube("va", "ka").agg(count(lit(1)).as("n"))),
+    Gen.const(left.groupBy("va").agg(countDistinct("ka").as("d"))),
+    Gen.const(left.groupBy("va").agg(sum("ka").as("s"))
+      .rollup("va").agg(sum("s").as("t"))))
+
+  property("expand-over-fact flags exactly when Catalyst's physical plan contains an Expand") =
+    forAll(aggShapes) { df =>
+      val physical = df.queryExecution.sparkPlan.toString
+      val plannerExpands = physical.contains("Expand")
+      val zeroThreshold = PlanGuard.Policy(maxExpandBytes = 0, assumeAggSlivers = false)
+      val guardFlags = PlanGuard.lint(df, zeroThreshold)
+        .exists(_.rule == "expand-over-fact")
+      guardFlags == plannerExpands
     }
 }

@@ -83,13 +83,112 @@ class PlanGuardSpec extends AnyFunSuite {
     PlanGuard.admit(df, tiny.copy(forbidUdfs = false))
   }
 
+  test("expand-over-fact: rollup directly over a joined fact flags; fatal under expandFatal") {
+    // the ds2 defect, reconstructed: Spark plans ROLLUP as an Expand that
+    // replicates the JOINED FACT (levels+1)× before partial aggregation
+    val cust = Tables.customer(spark, d)
+    val offender = Tables.orders(spark, d)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .rollup(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(sum(col("o_totalprice")).as("spend"))
+    val expandTiny = PlanGuard.Policy.default.copy(maxExpandBytes = 1L)
+    val warn = PlanGuard.lint(offender, expandTiny)
+    assert(warn.exists(f => f.rule == "expand-over-fact" && !f.fatal), warn.mkString("; "))
+    PlanGuard.admit(offender, expandTiny) // warn severity: still admits
+    val strict = expandTiny.copy(expandFatal = true)
+    val e = intercept[PlanGuard.PlanRejected](PlanGuard.admit(offender, strict))
+    assert(e.getMessage.contains("expand-over-fact"))
+  }
+
+  test("expand-over-fact: aggregate-before-Expand (the engine's own discipline) admits at any threshold") {
+    // sliver-first form: fact → (segment, priority) decimal partials ONCE,
+    // rollup over the sliver — Expand's child is aggregate-rooted
+    val cust = Tables.customer(spark, d)
+    val sliverFirst = Tables.orders(spark, d)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(sum(col("o_totalprice")).as("part"))
+      .rollup(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(sum(col("part")).as("spend"))
+    val strict = PlanGuard.Policy.default.copy(maxExpandBytes = 1L, expandFatal = true)
+    val fs = PlanGuard.lint(sliverFirst, strict)
+    assert(!fs.exists(_.rule == "expand-over-fact"), fs.mkString("; "))
+    PlanGuard.admit(sliverFirst, strict)
+  }
+
+  test("expand-over-fact: the multi-distinct rewrite's Expand is exempt — unavoidable and dedup-capped") {
+    // `count(DISTINCT a), count(DISTINCT b)` plans as Expand 2× capped by a
+    // pure-dedup partial aggregate (RewriteDistinctAggregates); no
+    // single-pass sliver-first equivalent exists, so the guard must not
+    // flag Spark's best plan — even at a zero threshold
+    val df = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("d1"),
+        countDistinct(col("l_partkey")).as("d2"))
+    assert(df.queryExecution.sparkPlan.toString.contains("Expand"),
+      "precondition: multi-distinct must plan an Expand")
+    val zero = PlanGuard.Policy.default.copy(
+      maxExpandBytes = 0L, expandFatal = true, assumeAggSlivers = false)
+    val fs = PlanGuard.lint(df, zero)
+    assert(!fs.exists(_.rule == "expand-over-fact"), fs.mkString("; "))
+  }
+
+  test("subquery traversal: a ScalaUDF hiding inside a scalar subquery is found") {
+    spark.udf.register("graft_guard_test_udf", (x: Double) => x + 1.0)
+    li.createOrReplaceTempView("guard_li")
+    val df = spark.sql(
+      """SELECT l_orderkey FROM guard_li
+        | WHERE l_quantity > (SELECT graft_guard_test_udf(avg(l_quantity)) FROM guard_li)""".stripMargin)
+    val fs = PlanGuard.lint(df, tiny)
+    assert(fs.exists(f => f.rule == "udf" && f.fatal), fs.mkString("; "))
+    intercept[PlanGuard.PlanRejected](PlanGuard.admit(df, tiny))
+  }
+
+  test("subquery traversal: a fact×fact cross join inside a scalar subquery is a fatal loop-join") {
+    li.createOrReplaceTempView("guard_li")
+    val df = spark.sql(
+      """SELECT l_orderkey FROM guard_li
+        | WHERE l_quantity > (SELECT max(a.l_quantity * b.l_quantity)
+        |                       FROM guard_li a CROSS JOIN guard_li b)""".stripMargin)
+    val fs = PlanGuard.lint(df, tiny.copy(forbidUdfs = false))
+    assert(fs.exists(f => f.rule == "loop-join" && f.fatal), fs.mkString("; "))
+  }
+
+  test("CBO-off sliver exemption: hazards over aggregate-rooted children don't flag; disabling the exemption restores the byte rule") {
+    import org.apache.spark.sql.expressions.Window
+    // day-grain cumulative series (the ds3 shape): with CBO off Catalyst
+    // estimates the grouped Aggregate at fact size, but the subtree is
+    // group-cardinality — must not warn even at a 1-byte threshold
+    val daily = li.groupBy("l_shipdate").agg(sum("l_quantity").as("q"))
+    val cum = daily.withColumn("c", sum("q").over(
+      Window.orderBy("l_shipdate").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val oneByte = PlanGuard.Policy.default.copy(
+      maxLoopBuildBytes = 1L, maxGlobalWindowBytes = 1L, maxGlobalSortBytes = 1L)
+    assert(!PlanGuard.lint(cum, oneByte).exists(_.rule == "global-window"),
+      PlanGuard.lint(cum, oneByte).mkString("; "))
+    assert(PlanGuard.lint(cum, oneByte.copy(assumeAggSlivers = false))
+      .exists(_.rule == "global-window"),
+      "with the exemption off, the 1-byte threshold must flag — else the exemption isn't load-bearing")
+    // a legitimate non-equi join over two aggregated slivers must admit
+    val a = daily.select(col("l_shipdate").as("da"), col("q").as("qa"))
+    val b = daily.select(col("l_shipdate").as("db"), col("q").as("qb"))
+    val bandJoin = a.join(b, col("qa") < col("qb"))
+    assert(!PlanGuard.lint(bandJoin, oneByte).exists(_.rule == "loop-join"))
+    assert(PlanGuard.lint(bandJoin, oneByte.copy(assumeAggSlivers = false))
+      .exists(f => f.rule == "loop-join" && f.fatal))
+    // explode above the aggregate breaks the exemption: Generate's row
+    // multiplier is unbounded, so the subtree is no longer group-scale
+    val exploded = daily.select(explode(array(col("q"), col("q"))).as("q2"))
+      .withColumn("rn", row_number().over(Window.orderBy("q2")))
+    assert(PlanGuard.lint(exploded, oneByte).exists(_.rule == "global-window"))
+  }
+
   test("registry audit: every registered production plan admits under the default policy") {
     // the engine holds its own surface to the bar it offers deployments:
     // no registered query plans a non-sliver nested loop or a ScalaUDF
     val bad = SparkEntry.specs.flatMap { s =>
       val findings =
         try PlanGuard.lint(s.production(spark, d),
-          PlanGuard.Policy.default.copy(forbidUdfs = true))
+          PlanGuard.Policy.default.copy(forbidUdfs = true, expandFatal = true))
         catch { case e: Throwable => Seq(PlanGuard.Finding(
           "lint-error", fatal = true, s.name, e.toString)) }
       findings.filter(_.fatal).map(f => s.name -> f)
