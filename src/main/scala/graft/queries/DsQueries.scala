@@ -12,8 +12,13 @@ import graft.ops.Det.{dsum}
   * exercise: multi-band conditional aggregation collapsing N filtered scans
   * into ONE (Q88), a window function consuming ROLLUP output with
   * GROUPING()-derived partition keys (Q36), a full-outer alignment of two
-  * cumulative series built from one fact (Q51), and a year-over-year
-  * self-join of a keyed aggregate with itself (Q74). Like the TPC-H fills,
+  * cumulative series built from one fact (Q51), a year-over-year
+  * self-join of a keyed aggregate with itself (Q74), an OR-of-EXISTS
+  * disjunction (Q10/Q35), a multi-way INTERSECT of grouped key sets
+  * (Q38/Q87 — must plan as a LeftSemi chain, never a distinct-union), and
+  * a union of two conformed fact families under one rollup (Q5/Q77 —
+  * filters/projections pushed through the Union, aggregate-before-Expand
+  * held across it). Like the TPC-H fills,
   * these are query *shapes* re-expressed over the test corpus — the point is
   * the PLAN CLASS (what Catalyst must produce for the query to survive
   * 100 TB), not the benchmark's literal schema.
@@ -157,6 +162,73 @@ object DsQueries {
         Tables.orders(s, d).createOrReplaceTempView("ds5_orders")
         Tables.lineitem(s, d).createOrReplaceTempView("ds5_lineitem")
         s.sql(q10Text(t => s"ds5_$t"))
+      }
+    },
+
+    sql("ds6_repeat_buyers",
+      "DS6: TPC-DS Q38/Q87-shaped MULTI-WAY INTERSECT — customers present in ALL THREE differently-filtered fact slices (an urgent order; a returned line, itself a 2-way semi join; a >100k order). INTERSECT of grouped key sets must plan as per-branch filtered scans feeding a LeftSemi chain with ONE distinct aggregate on top (Catalyst's ReplaceIntersectWithSemiJoin), never a fact-scale distinct-union blowup: each semi join only streams keys that survive the previous branch, and the final dedup touches the surviving sliver. Scale: every branch filter pushes into its own parquet scan; the returned-line membership test is a LeftSemi against the flagged lineitem slice (never materializing the join), and no Union node appears anywhere in the plan",
+      s"""SELECT custkey FROM (
+         |  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         |  INTERSECT
+         |  SELECT o.o_custkey AS custkey FROM orders o
+         |    WHERE EXISTS (SELECT 1 FROM lineitem l
+         |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+         |  INTERSECT
+         |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000
+         |) ORDER BY custkey""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("custkey"))
+        val returned = o.join(
+            Tables.lineitem(s, d).filter(col("l_returnflag") === "R").select("l_orderkey"),
+            col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .select(col("o_custkey").as("custkey"))
+        val bigSpend = o.filter(col("o_totalprice") > 100000)
+          .select(col("o_custkey").as("custkey"))
+        urgent.intersect(returned).intersect(bigSpend).orderBy("custkey")
+      }
+    },
+
+    sql("ds7_channel_rollup",
+      "DS7: TPC-DS Q5/Q77-shaped UNION-OF-FACTS ROLLUP — two differently-shaped fact families (order-grain totalprice, line-grain discounted extendedprice) conformed to one (channel, yr, amt) schema by per-branch projections, unioned, and rolled up to per-channel-and-year, per-channel, and grand-total revenue. Scale: the Union itself is free (no shuffle — each branch's tasks feed the partial aggregate map-side); per-branch filters and the 3-column conformance projection push THROUGH the Union into both parquet scans (PushProjectionThroughUnion — neither fact is read wider than its branch needs); and the a13/ds2 aggregate-before-Expand discipline holds ACROSS the union: one keyed decimal aggregate reduces both fact streams to the (channel, yr) sliver and ROLLUP's Expand replicates only that sliver, never either fact",
+      s"""WITH chan AS (
+         |  SELECT 'orders' AS channel, year(o_orderdate) AS yr,
+         |         CAST(o_totalprice AS DECIMAL(18,4)) AS amt
+         |    FROM orders WHERE o_orderstatus <> 'P'
+         |  UNION ALL
+         |  SELECT 'lineitem' AS channel, year(l_shipdate) AS yr,
+         |         CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS amt
+         |    FROM lineitem WHERE l_quantity >= 5),
+         |g AS (SELECT channel, yr, SUM(amt) AS part FROM chan GROUP BY 1, 2)
+         |SELECT channel, yr, CAST(GROUPING(channel, yr) AS BIGINT) AS gid,
+         |       CAST(SUM(part) AS DOUBLE) AS revenue
+         |  FROM g GROUP BY ROLLUP(channel, yr)
+         | ORDER BY gid, channel NULLS FIRST, yr NULLS FIRST""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+        val ordersChan = Tables.orders(s, d)
+          .filter(col("o_orderstatus") =!= "P")
+          .select(lit("orders").as("channel"),
+            year(col("o_orderdate")).cast("long").as("yr"),
+            col("o_totalprice").cast(dec).as("amt"))
+        val linesChan = Tables.lineitem(s, d)
+          .filter(col("l_quantity") >= 5)
+          .select(lit("lineitem").as("channel"),
+            year(col("l_shipdate")).cast("long").as("yr"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(dec).as("amt"))
+        // ONE keyed aggregate over the union reduces both fact streams to
+        // the (channel, yr) sliver (partials combine map-side per branch);
+        // the rollup's Expand then touches only that sliver — decimal
+        // partials re-aggregate associatively, bit-identical to direct
+        val sliver = ordersChan.unionByName(linesChan)
+          .groupBy(col("channel"), col("yr"))
+          .agg(sum(col("amt")).as("part"))
+        sliver.rollup(col("channel"), col("yr"))
+          .agg(grouping_id().as("gid"),
+            sum(col("part")).cast("double").as("revenue"))
+          .select(col("channel"), col("yr"), col("gid"), col("revenue"))
+          .orderBy(col("gid"), col("channel").asc_nulls_first, col("yr").asc_nulls_first)
       }
     },
 

@@ -330,6 +330,48 @@ class PlanSpec extends AnyFunSuite {
       s"ds5 returned-line flag not pushed into the lineitem scan:\n$p5")
   }
 
+  test("ds6/ds7: INTERSECT as semi-join chain (never a distinct-union), union-of-facts rollup over ONE shared sliver") {
+    // ds6 (Q38/Q87 class): multi-way INTERSECT of grouped key sets must
+    // plan as per-branch filtered scans feeding a LeftSemi chain with one
+    // distinct aggregate on top (ReplaceIntersectWithSemiJoin) — a
+    // distinct-union blowup would surface as a Union node; per-row
+    // re-execution as a nested loop
+    val p6 = plan(specs("ds6_repeat_buyers").run(spark, TestSpark.sfDir))
+    assert("LeftSemi".r.findAllIn(p6).length == 3,
+      s"ds6 needs the 2 intersect semis + the returned-line semi:\n$p6")
+    assert(!p6.contains("Union"), s"ds6 INTERSECT fell back to a distinct-union:\n$p6")
+    assert(!p6.contains("CartesianProduct") && !p6.contains("BroadcastNestedLoop"),
+      s"ds6 planned a nested loop:\n$p6")
+    assert(p6.contains("EqualTo(o_orderpriority,1-URGENT)"),
+      s"ds6 urgent-branch filter not pushed into its orders scan:\n$p6")
+    assert(p6.contains("EqualTo(l_returnflag,R)"),
+      s"ds6 returned-line filter not pushed into the lineitem scan:\n$p6")
+    assert(p6.contains("GreaterThan(o_totalprice,100000.0)"),
+      s"ds6 spend filter not pushed into its orders scan:\n$p6")
+
+    // ds7 (Q5/Q77 class): per-branch filters and the 3-column conformance
+    // projection must push THROUGH the Union into both scans
+    // (PushProjectionThroughUnion), and the rollup's Expand must sit
+    // above the ONE keyed aggregate that reduces the unioned fact
+    // streams to the (channel, yr) sliver — never on a raw fact
+    val p7 = plan(specs("ds7_channel_rollup").run(spark, TestSpark.sfDir))
+    assert(p7.contains("Union"), s"ds7 lost its Union:\n$p7")
+    assert(p7.contains("Not(EqualTo(o_orderstatus,P))"),
+      s"ds7 orders-branch filter not pushed:\n$p7")
+    assert(p7.contains("GreaterThanOrEqual(l_quantity,5.0)") ||
+      p7.contains("GreaterThanOrEqual(l_quantity,5)"),
+      s"ds7 lineitem-branch filter not pushed:\n$p7")
+    // column pruning through the Union: each scan reads only its branch's
+    // 3 conformance inputs
+    assert(p7.contains("ReadSchema: struct<o_orderstatus:string,o_totalprice:double,o_orderdate:timestamp_ntz>"),
+      s"ds7 orders scan not pruned to its 3 branch columns:\n$p7")
+    val e7 = p7.indexOf("Expand")
+    val u7 = p7.indexOf("Union")
+    assert(e7 >= 0 && u7 > e7 &&
+      "HashAggregate".r.findAllMatchIn(p7).exists(m => m.start > e7 && m.start < u7),
+      s"ds7 Expand feeds on the unioned facts instead of the shared sliver:\n$p7")
+  }
+
   test("g6 recursive CTE: UnionLoop over a MATERIALIZED pair substrate, never re-deriving per iteration") {
     val p = plan(specs("g6_reachability").run(spark, TestSpark.sfDir))
     assert(p.contains("UnionLoop"),
