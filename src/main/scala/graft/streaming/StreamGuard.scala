@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, EventTimeWatermark, Join, LogicalPlan}
+
+/** STREAMING-plan admission guard — [[graft.engine.PlanGuard]]'s twin for
+  * the ingest side (r15 verdict ask #9): lint a streaming DataFrame
+  * BEFORE `start()` for the state shapes Spark happily plans but that
+  * grow without bound at production ingest rates. Spark's own analyzer
+  * refuses SOME of these (append-mode aggregation without a watermark),
+  * but deliberately permits the rest — an unwatermarked stream-stream
+  * INNER join, update/complete-mode keyed aggregation, and plain
+  * `dropDuplicates` all run forever while their state grows with every
+  * event ever seen. On a laptop replay that is invisible; at 100 TB/day
+  * it is the pager at 3am. The guard turns the engine's own watermark
+  * discipline (every registry stream bounds its state — the soak series
+  * proves eviction actually happens) into a machine check on AD-HOC
+  * streams.
+  *
+  * Rules (on the ANALYZED plan — `EventTimeWatermark` survives there):
+  *   - `unbounded-agg` (fatal): a streaming Aggregate with no watermark
+  *     anywhere below it — per-key state is created on first sight of a
+  *     key and never expires.
+  *   - `unbounded-dedup` (fatal): a streaming Deduplicate with no
+  *     watermark below — the dedup set IS the stream's history.
+  *     (`dropDuplicatesWithinWatermark` plans its own node and carries
+  *     its bound by construction.)
+  *   - `unbounded-join` (fatal): a stream-stream Join where either side
+  *     lacks a watermark, or whose condition carries no cross-side
+  *     time-range conjunct — without both, neither side's buffered rows
+  *     can ever be discarded. (Stream-static joins are stateless and
+  *     pass untouched.)
+  *
+  * All rules are fatal: unlike the batch guard's byte thresholds there
+  * is no "small enough" unbounded state — growth is a function of
+  * uptime, not data size. `lint` returns findings; `admit` throws
+  * [[graft.engine.PlanGuard.PlanRejected]] and otherwise returns the
+  * frame unchanged, so it drops in front of any writeStream:
+  * `StreamGuard.admit(df).writeStream...start()`.
+  */
+object StreamGuard {
+  import graft.engine.PlanGuard.{Finding, PlanRejected}
+
+  private def hasWatermark(p: LogicalPlan): Boolean =
+    p.exists { case _: EventTimeWatermark => true; case _ => false }
+
+  /** A conjunct comparing expressions from both sides with a range
+    * operator — the time bound that lets a stream-stream join discard
+    * buffered rows once the opposite watermark passes. */
+  private def hasCrossSideRange(cond: Expression, left: LogicalPlan, right: LogicalPlan): Boolean = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case other => Seq(other)
+    }
+    val l = left.outputSet
+    val r = right.outputSet
+    def spans(a: Expression, b: Expression): Boolean =
+      (a.references.nonEmpty && b.references.nonEmpty) &&
+        ((a.references.subsetOf(l) && b.references.subsetOf(r)) ||
+          (a.references.subsetOf(r) && b.references.subsetOf(l)))
+    conjuncts(cond).exists {
+      case GreaterThan(a, b)        => spans(a, b)
+      case GreaterThanOrEqual(a, b) => spans(a, b)
+      case LessThan(a, b)           => spans(a, b)
+      case LessThanOrEqual(a, b)    => spans(a, b)
+      case _                        => false
+    }
+  }
+
+  /** Lint the analyzed plan of a (streaming) DataFrame. A batch frame
+    * lints empty — the rules only fire on streaming state. */
+  def lint(df: DataFrame): Seq[Finding] = {
+    val plan = df.queryExecution.analyzed
+    if (!plan.isStreaming) return Seq.empty
+    val aggs = plan.collect {
+      case a: Aggregate if a.isStreaming && !hasWatermark(a.child) =>
+        Finding("unbounded-agg", fatal = true, "Aggregate",
+          "streaming aggregate with no watermark below it: per-key state never expires " +
+            "— withWatermark the event-time column upstream")
+    }
+    val dedups = plan.collect {
+      case d: Deduplicate if d.isStreaming && !hasWatermark(d.child) =>
+        Finding("unbounded-dedup", fatal = true, "Deduplicate",
+          "streaming dropDuplicates with no watermark below it: the dedup set grows with " +
+            "the stream's whole history — watermark upstream or use dropDuplicatesWithinWatermark")
+    }
+    val joins = plan.collect {
+      case j: Join if j.left.isStreaming && j.right.isStreaming &&
+          (!hasWatermark(j.left) || !hasWatermark(j.right)) =>
+        Finding("unbounded-join", fatal = true, j.joinType.sql,
+          "stream-stream join without watermarks on both sides: buffered rows can never be discarded")
+      case j: Join if j.left.isStreaming && j.right.isStreaming &&
+          !j.condition.exists(hasCrossSideRange(_, j.left, j.right)) =>
+        Finding("unbounded-join", fatal = true, j.joinType.sql,
+          "stream-stream join without a cross-side time-range conjunct: watermarks alone " +
+            "cannot bound the buffer — add the event-time interval condition")
+    }
+    aggs ++ dedups ++ joins
+  }
+
+  /** Pass-through admission: returns `df` unchanged when clean, throws
+    * [[graft.engine.PlanGuard.PlanRejected]] otherwise. */
+  def admit(df: DataFrame): DataFrame = {
+    val findings = lint(df)
+    if (findings.exists(_.fatal)) throw new PlanRejected(findings)
+    df
+  }
+}

@@ -1,0 +1,203 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN recall rung at sf1 (10× the frozen quantizer's training sample) —
+  * the vector-family counterpart of the dedup scale ladder (VERDICT r15
+  * missing #3): ss8's FAISS-style segment discipline trains the coarse
+  * quantizer ONCE and freezes it, which is exactly the part whose recall
+  * degrades as the corpus grows AWAY from the training sample. This tool
+  * measures that degradation instead of asserting it.
+  *
+  * Corpus construction — deliberately NOT GenScale's embedding clones
+  * (GenScale replicates embeddings bit-identically, which its own scaladoc
+  * marks unusable for similarity RESULT checks: clones sit exactly where
+  * the quantizer was trained, so recall could never degrade BY
+  * CONSTRUCTION). Here each replica r ≥ 1 drifts deterministically:
+  *
+  *   e'[i] = e[i] + ShiftStep·r·u_r[i] + Jitter·n(vec,r,i)
+  *
+  * where u_r is a per-replica pseudo-random direction (pmod(xxhash64)
+  * noise in [-1,1]) — a SYSTEMATIC mean shift growing linearly with the
+  * replica index, the "new data mode the frozen centroids don't cover"
+  * failure — and n is small per-vector jitter so no two rows are clones.
+  * ShiftStep = 0.02 per replica against a component σ of ~0.125, so the
+  * far replica (r=9) sits ~1.4σ off the training distribution — strong
+  * drift; intermediate replicas grade the curve. No RNG anywhere: two
+  * runs produce byte-identical corpora.
+  *
+  * Measurement: quantizer trained on replica 0 ONLY (= the original
+  * corpus, 1/factor of the served index), every replica ingested against
+  * the frozen model (VectorIndex.ingest — the ss8 production path), then
+  * recall@10 vs exact brute-force cosine over the SAME corpus, averaged
+  * over 3 query vectors per replica (queries drawn from each replica, so
+  * the query distribution drifts with the data, as production queries
+  * do). nprobe sweeps {4, 6, 8=K}: 6 is ss8's production setting, 8 = K
+  * probes everything (exact; a 1.0 sanity row). Per-replica recall bands
+  * locate the retrain threshold: the replica band where production-nprobe
+  * recall first drops below 0.9 is where the segment discipline needs a
+  * quantizer refresh (offline re-init + atomic swap, per VectorIndex's
+  * scaladoc).
+  *
+  * Usage: runMain graft.tools.AnnRecall <srcDir(sf0.1)> <factor> <out.json> [shiftStep]
+  * The optional shiftStep (default 0.02) scales the systematic per-replica
+  * drift: the default models realistic corpus growth; a stress value
+  * (e.g. 0.06 → ~4.3σ at the far band) exists to PROVE the instrument
+  * detects degradation — an all-green rung from an insensitive instrument
+  * would be worthless.
+  */
+object AnnRecall {
+
+  val Stride = 100000000L
+  private var ShiftStep = 0.02
+  private val Jitter = 0.01
+  private val K = 8
+  private val TopK = 10
+
+  /** Deterministic noise in [-1, 1] from the given columns. */
+  private def noise(cols: Column*): Column =
+    pmod(xxhash64(cols: _*), lit(1001)).cast("double") / 500.0 - 1.0
+
+  /** factor× corpus with per-replica systematic drift + per-vector jitter
+    * (replica 0 verbatim). */
+  def driftedCorpus(src: DataFrame, factor: Int): DataFrame =
+    src.withColumn("__r", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("embedding",
+        when(col("__r") === 0, col("embedding"))
+          .otherwise(transform(col("embedding"), (x, i) =>
+            (x.cast("double")
+              + noise(lit("shift"), col("__r"), i) * (lit(ShiftStep) * col("__r"))
+              + noise(col("vec_id"), col("__r"), i) * lit(Jitter)).cast("float"))))
+      .withColumn("vec_id", col("vec_id") + col("__r").cast("long") * lit(Stride))
+      .drop("__r")
+
+  private def topIds(df: DataFrame): Set[Long] =
+    df.select("vec_id").collect().map(_.getLong(0)).toSet
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: AnnRecall <srcDir> <factor> <out.json> [shiftStep]")
+    val src = args(0); val factorS = args(1); val outPath = args(2)
+    if (args.length > 3) ShiftStep = args(3).toDouble
+    val factor = factorS.toInt
+    val spark = graft.engine.Sessions.local()
+    try {
+      val corpus = driftedCorpus(
+        spark.read.parquet(s"$src/embeddings.parquet"), factor)
+        .localCheckpoint() // pin the drifted rows: index build and ground
+                           // truth must score the identical corpus
+      val corpusRows = corpus.count()
+
+      // ss8's cycle: train+freeze on the original slice, ingest the rest
+      val root = java.nio.file.Files.createTempDirectory("graft-annrecall")
+        .toString + "/idx"
+      val train = corpus.filter(col("vec_id") < Stride)
+      graft.ops.VectorIndex.init(spark, train, root, k = K)
+      graft.ops.VectorIndex.ingest(
+        spark, corpus.filter(col("vec_id") >= Stride), root)
+
+      // 3 queries per replica band — the query distribution drifts too
+      val queryIds = for {
+        r <- 0 until factor
+        q <- Seq(5L, 701L, 1303L)
+      } yield r * Stride + q
+
+      // exact ground truth per query (brute force over the same corpus),
+      // then the probed index at each nprobe; self excluded via k+1
+      def exact(qid: Long): Set[Long] = topIds(
+        graft.ops.Similarity.cosineTopK(
+          corpus.filter(col("vec_id") =!= qid),
+          corpus.filter(col("vec_id") === qid).select(col("embedding").as("qe")),
+          k = TopK))
+      def probed(qid: Long, nprobe: Int): Set[Long] = topIds(
+        graft.ops.VectorIndex.topK(spark, root,
+          corpus.filter(col("vec_id") === qid).select(col("embedding").as("qe")),
+          k = TopK + 1, nprobe = nprobe)
+          .filter(col("vec_id") =!= qid).limit(TopK))
+
+      val truths = queryIds.map(q => q -> exact(q)).toMap
+      val probes = Seq(4, 6, K)
+
+      // the OTHER frozen-quantizer failure mode — the one weak-cluster
+      // corpora actually exhibit (recall can stay high because queries
+      // drift WITH the corpus, while the drifted mass concentrates into
+      // few cells and the probe cost explodes): cell balance of the
+      // served index vs the training slice, and the realized scanned
+      // fraction per nprobe. imbalance = max cell rows / uniform share.
+      val idx = spark.read.parquet(s"$root/index")
+      val cellRows: Map[Long, Long] = idx.groupBy("cid").count()
+        .collect().map(r => r.getAs[Number]("cid").longValue -> r.getLong(1)).toMap
+      val trainCellRows: Map[Long, Long] = idx.filter(col("vec_id") < Stride)
+        .groupBy("cid").count()
+        .collect().map(r => r.getAs[Number]("cid").longValue -> r.getLong(1)).toMap
+      def imbalance(m: Map[Long, Long]): Double = {
+        val total = m.values.sum.toDouble
+        if (total == 0) 0.0 else m.values.max / (total / K)
+      }
+      val cents = graft.ops.Similarity.loadIvfCentroids(spark, s"$root/centroids")
+      def scanFraction(qid: Long, np: Int): Double = {
+        val cids = graft.ops.Similarity.probeCids(cents,
+          corpus.filter(col("vec_id") === qid).select(col("embedding").as("qe")), np)
+          .collect().map(_.getAs[Number]("cid").longValue)
+        cids.map(cellRows.getOrElse(_, 0L)).sum.toDouble / corpusRows
+      }
+      // per (nprobe, query) recall; then overall + per-replica means
+      val recalls: Map[Int, Map[Long, Double]] = probes.map { np =>
+        np -> queryIds.map { q =>
+          q -> (probed(q, np).intersect(truths(q)).size.toDouble / TopK)
+        }.toMap
+      }.toMap
+      def mean(xs: Iterable[Double]): Double =
+        if (xs.isEmpty) 0.0 else xs.sum / xs.size
+      val overall = probes.map(np => np -> mean(recalls(np).values)).toMap
+      val byReplica = probes.map { np =>
+        np -> (0 until factor).map { r =>
+          r -> mean(recalls(np).collect {
+            case (q, v) if q / Stride == r => v
+          })
+        }.toMap
+      }.toMap
+
+      def f(d: Double) = f"$d%.3f"
+      val scanFrac: Map[Int, Double] = probes.map { np =>
+        np -> mean(queryIds.map(scanFraction(_, np)))
+      }.toMap
+      val servedImb = imbalance(cellRows)
+      val trainImb = imbalance(trainCellRows)
+
+      // retrain threshold: first replica band where production-nprobe
+      // recall drops below 0.9, OR cost blowup — the served index's cell
+      // imbalance growing to 2x the training slice's (the weak-cluster
+      // corpus failure: recall stays high because queries drift WITH the
+      // corpus, but the probe reads an ever-larger fraction)
+      val prodNp = 6
+      val firstBad = (0 until factor)
+        .find(r => byReplica(prodNp)(r) < 0.9)
+      val costBlowup = servedImb > 2.0 * math.max(trainImb, 1.0)
+      val byRepJson = probes.map { np =>
+        s""""nprobe$np":[${(0 until factor).map(r => f(byReplica(np)(r))).mkString(",")}]"""
+      }.mkString(",")
+      val note = (firstBad, costBlowup) match {
+        case (None, false) =>
+          s"recall@10 >= 0.9 at production nprobe=$prodNp across all $factor replica bands and served cell imbalance ${f(servedImb)} within 2x the training slice's ${f(trainImb)}; no retrain needed at this drift"
+        case (Some(r), _) =>
+          s"RETRAIN THRESHOLD: production nprobe=$prodNp recall first drops below 0.9 at replica band $r (systematic drift ${f(ShiftStep * r)} = ${f(ShiftStep * r / 0.125)} sigma); " +
+            "the frozen quantizer needs an offline re-init + atomic swap once ingested drift reaches that band"
+        case (None, true) =>
+          s"RETRAIN THRESHOLD (cost): recall holds but the drifted mass concentrates — served cell imbalance ${f(servedImb)} exceeds 2x the training slice's ${f(trainImb)}, so probes scan a growing corpus fraction; " +
+            "re-init the quantizer from the read-back corpus and swap atomically"
+      }
+      val json =
+        s"""{"src":"$src","factor":$factor,"corpus_rows":$corpusRows,""" +
+          s""""train_rows":${train.count()},"k_centroids":$K,"queries":${queryIds.size},""" +
+          s""""shift_step_per_replica":$ShiftStep,"jitter":$Jitter,"component_sigma":0.125,""" +
+          s""""recall_at_10":{${probes.map(np => s""""nprobe$np":${f(overall(np))}""").mkString(",")}},""" +
+          s""""recall_by_replica":{$byRepJson},""" +
+          s""""scan_fraction":{${probes.map(np => s""""nprobe$np":${f(scanFrac(np))}""").mkString(",")}},""" +
+          s""""cell_imbalance":{"train":${f(trainImb)},"served":${f(servedImb)}},""" +
+          s""""production_nprobe":$prodNp,"note":"$note"}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json)
+      println(json)
+    } finally spark.stop()
+  }
+}

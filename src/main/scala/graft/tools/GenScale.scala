@@ -35,7 +35,10 @@ import org.apache.spark.sql.functions._
   *   - No RNG anywhere — replica index drives every transform, so two
   *     runs produce byte-identical corpora.
   *
-  * Usage: runMain graft.tools.GenScale <srcDir> <destDir> <factor>
+  * Usage: runMain graft.tools.GenScale <srcDir> <destDir> <factor> [tables]
+  * The optional comma-separated `tables` list restricts the run to those
+  * tables (a skew/soak rung that only joins lineitem⋈orders⋈customer
+  * doesn't need the factor-scaled documents corpus written).
   */
 object GenScale {
 
@@ -43,21 +46,24 @@ object GenScale {
   val Stride = 100000000L
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: GenScale <srcDir> <destDir> <factor>")
-    val Array(src, dest, factorS) = args
-    val factor = factorS.toInt
+    require(args.length >= 3, "usage: GenScale <srcDir> <destDir> <factor> [tables]")
+    val src = args(0); val dest = args(1); val factor = args(2).toInt
+    val only = if (args.length > 3) Some(args(3).split(',').map(_.trim).toSet) else None
     require(factor >= 1, s"factor must be >= 1, got $factor")
     val spark = graft.engine.Sessions.local()
     try {
-      scaleAll(spark, src, dest, factor)
+      scaleAll(spark, src, dest, factor, only)
       println(s"""{"scaled":"$dest","factor":$factor}""")
     } finally spark.stop()
   }
 
-  def scaleAll(spark: SparkSession, src: String, dest: String, factor: Int): Unit = {
+  def scaleAll(spark: SparkSession, src: String, dest: String, factor: Int,
+               only: Option[Set[String]] = None): Unit = {
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
-    def write(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dest/$t.parquet")
+    // `only` filter applied at the WRITE: a skipped table costs nothing
+    def write(df: => DataFrame, t: String): Unit =
+      if (only.forall(_.contains(t)))
+        df.write.mode("overwrite").parquet(s"$dest/$t.parquet")
 
     // fixed dims copy through untouched (TPC-H nation/region do not scale)
     Seq("region", "nation").foreach(t => write(read(t), t))

@@ -9,12 +9,13 @@ import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.ops.{Det, Skew}
 
-/** Skew-rung measurement (VERDICT r14 ask #7): materialize a deliberately
-  * hub-skewed variant of a ladder rung — ONE hot orderkey owning ~25% of
-  * lineitem rows — and measure the same fact⋈fact join+agg under four
-  * plans, instrumenting the per-task SHUFFLE-READ ROW distribution of the
-  * join's reduce stage (rows, not task durations: scan-stage file layout
-  * can't pollute it, and rows are what the hot task's CPU actually pays):
+/** Skew-rung measurement (VERDICT r14 ask #7; multi-rung + aggregate
+  * scenarios r15 ask #8): materialize a deliberately hub-skewed variant of
+  * a ladder rung — ONE hot orderkey owning ~25% of lineitem rows — and
+  * measure the same fact⋈fact join+agg under four plans, instrumenting the
+  * per-task SHUFFLE-READ ROW distribution of the join's reduce stage
+  * (rows, not task durations: scan-stage file layout can't pollute it, and
+  * rows are what the hot task's CPU actually pays):
   *
   *  - `aqe_bytes_blind`: AQE skew-join ON at thresholds sized to the rung
   *        (16 MB / 2× median). Does NOT split: detection is BYTES-based
@@ -38,24 +39,69 @@ import graft.ops.{Det, Skew}
   * the 5× row tail, the [[graft.queries.JoinQueries]] j2-style
   * aggregate-before-join rewrite collapses the hot key map-side (1.0×).
   *
+  * Plus the p8-family TWO-PHASE AGGREGATE pair (`agg_scenarios`, r15 ask
+  * #8). Decomposable aggregates never exhibit the hub tail — map-side
+  * partials emit one row per (task, key), so a plain
+  * `GROUP BY hot_key` count/sum arrives at the reduce bounded (and
+  * Spark 4 even spreads `count(DISTINCT v)`'s dedup exchange by (key, v)
+  * — verified against the physical plan). The aggregate shape that DOES
+  * ship every raw row of the hub to one task is the PER-ROW ENRICHMENT
+  * form, `sum() OVER (PARTITION BY key)` — "each line's share of its
+  * order's revenue" — because WindowExec needs a key's whole partition
+  * on one task. The p8-style two-phase rewrite computes the per-key
+  * aggregate FIRST (decimal partials bound the hub map-side) and joins
+  * the K-row... order-count-row sliver back with the row-aware salted
+  * join: no stage ever holds the hub's raw rows on one task. Money runs
+  * in exact decimal in BOTH plans, so the per-line shares are
+  * bit-identical and the parity gate is exact.
+  *
   * Broadcast is disabled in the fact scenarios (neither side broadcasts at
   * 100 TB). Every scenario pair is parity-gated to identical results.
-  * Emits one JSON artifact (SKEW_BENCH.json). Dev/evidence tool — not part
+  * Multi-rung: each `label=baseDir[:skewDir]` arg runs the full scenario
+  * set at that rung (r15 ask: the sf5 entry shows the row-tail bound holds
+  * as the hot key doubles again). Emits one JSON artifact
+  * (SKEW_BENCH.json) with per-rung objects. Dev/evidence tool — not part
   * of the library surface.
   */
 object SkewBench {
 
   /** Fraction of lineitem rows rewired to the hot orderkey. */
-  private val HotShare = 4L // 1-in-4 rows
+  private val HotShare = 4L
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: SkewBench <baseSfDir> <outJson> [skewDir]")
-    val baseDir = args(0)
-    val outJson = args(1)
-    val skewDir = if (args.length > 2) args(2) else "target/testdata/sf2skew"
+    require(args.length >= 2,
+      "usage: SkewBench <outJson> <label>=<baseSfDir>[:<skewDir>] ...")
+    val outJson = args(0)
+    val rungs: Seq[(String, String, String)] = args.drop(1).toSeq.map { spec =>
+      val Array(label, dirs) = spec.split("=", 2)
+      dirs.split(":", 2) match {
+        case Array(base)       => (label, base, s"target/testdata/${label}skew")
+        case Array(base, skew) => (label, base, skew)
+      }
+    }
 
     val spark = graft.engine.Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
+
+    val parts = rungs.map { case (label, base, skew) =>
+      println(s"[skew] ==== rung $label base=$base skew=$skew ====")
+      val (obj, ok) = runRung(spark, base, skew)
+      (label, obj, ok)
+    }
+    val ok = parts.forall(_._3)
+    val json =
+      s"""{"metric":"skew_bench","hot_share":"1/$HotShare",""" +
+        s""""rungs":{${parts.map(p => s""""${p._1}":${p._2}""").mkString(",")}},""" +
+        s""""ok":$ok}"""
+    Files.write(Paths.get(outJson), json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+
+  /** One rung: materialize the skewed tables, run all scenario pairs,
+    * return (json object text, ok). */
+  def runRung(spark: SparkSession, baseDir: String, skewDir: String): (String, Boolean) = {
 
     // ---- materialize the skewed rung (idempotent) --------------------
     val liPath = s"$skewDir/lineitem.parquet"
@@ -121,25 +167,14 @@ object SkewBench {
           durs.max, math.max(durs(durs.size / 2), 1L))
       }
 
-    def runScenario(name: String, confs: Map[String, String],
-                    plain: Boolean, hot: Seq[Long]): (String, Set[String], Double) = {
-      // conf.get can RETURN null (a defined key with a null default, e.g.
-      // adaptive.autoBroadcastJoinThreshold) — treat that as unset too
-      val saved = confs.keys.map(k =>
-        k -> scala.util.Try(spark.conf.get(k)).toOption.filter(_ != null)).toSeq
-      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    def measure(name: String, df: => DataFrame): (String, Set[String], Double) = {
       taskStats.synchronized(taskStats.clear())
       val t0 = System.nanoTime()
-      val rows = joined(plain, hot).collect()
-        .map(_.toSeq.mkString("|")).toSet
+      val rows = df.collect().map(_.toSeq.mkString("|")).toSet
       val wall = (System.nanoTime() - t0) / 1e9
       // wait for straggler task-end events before reading the buffer
       Thread.sleep(500)
       val (sid, n, maxR, medR, ratio, maxMs, medMs) = shuffleStage()
-      saved.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None)    => spark.conf.unset(k)
-      }
       val stats = s""""$name":{"wall_sec":${f"$wall%.2f"},"stage":$sid,""" +
         s""""tasks":$n,"max_task_rows":$maxR,"median_task_rows":$medR,""" +
         s""""rows_max_over_median":${f"$ratio%.2f"},""" +
@@ -148,6 +183,23 @@ object SkewBench {
         s"rows max=$maxR med=$medR ratio=${f"$ratio%.1f"} (ms $maxMs/$medMs)")
       (stats, rows, ratio)
     }
+
+    def withConfs[T](confs: Map[String, String])(body: => T): T = {
+      // conf.get can RETURN null (a defined key with a null default, e.g.
+      // adaptive.autoBroadcastJoinThreshold) — treat that as unset too
+      val saved = confs.keys.map(k =>
+        k -> scala.util.Try(spark.conf.get(k)).toOption.filter(_ != null)).toSeq
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+
+    def runScenario(name: String, confs: Map[String, String],
+                    plain: Boolean, hot: Seq[Long]): (String, Set[String], Double) =
+      withConfs(confs)(measure(name, joined(plain, hot)))
 
     val noBroadcast = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
@@ -161,11 +213,10 @@ object SkewBench {
     // aqe_bytes_blind: skew-join ON with byte thresholds sized for the
     // rung (16 MB / 2× median) does NOT split this partition — detection
     // is BYTES-based and the hot partition compresses ~35:1 (constant
-    // join key + replicated values: 3.38M rows report ~3.0 MB vs the
-    // 1.56 MB median), so a 9×-rows CPU hotspot hides below the byte
-    // factor. Row skew with compressible payloads is invisible to AQE —
-    // the case that keeps row-aware targeted salting necessary.
-    val (sAqeBlind, rAqeBlind, ratioAqeBlind) = runScenario("aqe_bytes_blind",
+    // join key + replicated values), so a 9×-rows CPU hotspot hides below
+    // the byte factor. Row skew with compressible payloads is invisible
+    // to AQE — the case that keeps row-aware targeted salting necessary.
+    val (sAqeBlind, rAqeBlind, _) = runScenario("aqe_bytes_blind",
       noBroadcast ++ Map(
         "spark.sql.adaptive.skewJoin.enabled" -> "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
@@ -178,7 +229,7 @@ object SkewBench {
     // BYTE ranges, and bytes:rows varies inside the partition too, so the
     // row tail barely moves (9.0→7.8 measured). Byte-proportional
     // splitting cannot fix row skew under non-uniform compression.
-    val (sAqe, rAqe, ratioAqe) = runScenario("aqe_tuned",
+    val (sAqe, rAqe, _) = runScenario("aqe_tuned",
       noBroadcast ++ Map(
         "spark.sql.adaptive.skewJoin.enabled" -> "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.5",
@@ -224,57 +275,77 @@ object SkewBench {
             .select("c_count")
       counts.groupBy("c_count").agg(count(lit(1)).as("custdist"))
     }
-    def runDim(name: String, preAgg: Boolean): (String, Set[String], Double) = {
-      taskStats.synchronized(taskStats.clear())
-      val t0 = System.nanoTime()
-      val rows = custHistogram(preAgg).collect().map(_.toSeq.mkString("|")).toSet
-      val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500)
-      val (sid, n, maxR, medR, ratio, maxMs, medMs) = shuffleStage()
-      val stats = s""""$name":{"wall_sec":${f"$wall%.2f"},"stage":$sid,""" +
-        s""""tasks":$n,"max_task_rows":$maxR,"median_task_rows":$medR,""" +
-        s""""rows_max_over_median":${f"$ratio%.2f"},""" +
-        s""""max_task_ms":$maxMs,"median_task_ms":$medMs}"""
-      println(s"[skew] $name wall=${f"$wall%.1f"}s stage=$sid tasks=$n " +
-        s"rows max=$maxR med=$medR ratio=${f"$ratio%.1f"} (ms $maxMs/$medMs)")
-      (stats, rows, ratio)
-    }
     // both dim scenarios under no-broadcast + AQE skew ON: show that AQE
     // alone does NOT bound the outer-join right-side skew, pre-agg does
     val dimConfs = noBroadcast ++ Map("spark.sql.adaptive.skewJoin.enabled" -> "true")
-    val savedDim = dimConfs.keys.map(k =>
-      k -> scala.util.Try(spark.conf.get(k)).toOption.filter(_ != null)).toSeq
-    dimConfs.foreach { case (k, v) => spark.conf.set(k, v) }
-    val (sJoinAgg, rJoinAgg, ratioJoinAgg) = runDim("dim_join_then_agg", preAgg = false)
-    val (sPreAgg, rPreAgg, ratioPreAgg) = runDim("dim_agg_before_join", preAgg = true)
-    savedDim.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
+    val (sJoinAgg, rJoinAgg, ratioJoinAgg) =
+      withConfs(dimConfs)(measure("dim_join_then_agg", custHistogram(preAgg = false)))
+    val (sPreAgg, rPreAgg, ratioPreAgg) =
+      withConfs(dimConfs)(measure("dim_agg_before_join", custHistogram(preAgg = true)))
+
+    // ---- p8-family TWO-PHASE AGGREGATE under the hub key --------------
+    // Per-line share of its order's revenue. Window form: WindowExec
+    // hash-partitions RAW rows by l_orderkey — the hub's ~25% of the fact
+    // lands on ONE task. Two-phase form: per-order decimal totals first
+    // (map-side partials bound the hub to one row per scan task), then
+    // the row-aware salted join attaches them back — no stage holds the
+    // hub's raw rows on one task. Exact-decimal money in both plans ⇒
+    // bit-identical shares ⇒ exact parity. The output is reduced to a
+    // 3-row per-flag summary (decimal share sums are order-independent).
+    def shareSummary(twoPhase: Boolean, hot: Seq[Long]): DataFrame = {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val li = spark.read.parquet(liPath)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(dec).as("line_rev"))
+      val enriched =
+        if (!twoPhase) {
+          val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+          li.withColumn("order_rev", sum(col("line_rev")).over(w))
+        } else {
+          val totals = spark.read.parquet(liPath)
+            .select(col("l_orderkey"),
+              (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                .cast(dec).as("line_rev"))
+            .groupBy("l_orderkey").agg(sum(col("line_rev")).as("order_rev"))
+          Skew.saltedJoinHot(li, totals, "l_orderkey", hot, salts = 32)
+        }
+      enriched
+        .withColumn("share",
+          (col("line_rev") / col("order_rev")).cast(dec))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("share")).cast("string").as("share_sum"))
     }
+    val aggConfs = noBroadcast ++ Map("spark.sql.adaptive.skewJoin.enabled" -> "false")
+    val (sWin, rWin, ratioWin) =
+      withConfs(aggConfs)(measure("agg_window_over_hub", shareSummary(twoPhase = false, Nil)))
+    val (sTwo, rTwo, ratioTwo) =
+      withConfs(aggConfs)(measure("agg_twophase_salted", shareSummary(twoPhase = true, hot)))
 
     spark.sparkContext.removeSparkListener(listener)
 
     val parity = rAqe == rNone && rNone == rSalt && rAqeBlind == rNone && rAqe.nonEmpty
     val dimParity = rJoinAgg == rPreAgg && rJoinAgg.nonEmpty
+    val aggParity = rWin == rTwo && rWin.nonEmpty
     // the ROW-AWARE mitigations must bound the rows tail the unmitigated
     // plan exhibits. The two AQE scenarios are recorded, not gated — they
     // exist to demonstrate the byte-based detection/split gap (blind: no
     // split at realistic thresholds; tuned: fires but the byte-range
     // split barely moves the row tail), which is precisely why the
     // row-aware forms below stay necessary.
-    val ok = parity && dimParity && hot.nonEmpty &&
+    val ok = parity && dimParity && aggParity && hot.nonEmpty &&
       ratioSalt < ratioNone / 2 &&
-      ratioPreAgg < ratioJoinAgg / 2
+      ratioPreAgg < ratioJoinAgg / 2 &&
+      ratioTwo < ratioWin / 2
 
-    val json =
-      s"""{"metric":"skew_bench","base":"$baseDir","skew_dir":"$skewDir",""" +
-        s""""hot_keys":[${hot.mkString(",")}],"hot_share":"1/$HotShare",""" +
+    val obj =
+      s"""{"base":"$baseDir","skew_dir":"$skewDir",""" +
+        s""""hot_keys":[${hot.mkString(",")}],""" +
         s""""scenarios":{$sAqeBlind,$sAqe,$sNone,$sSalt},""" +
         s""""dim_scenarios":{$sJoinAgg,$sPreAgg},"dim_parity":$dimParity,""" +
+        s""""agg_scenarios":{$sWin,$sTwo},"agg_parity":$aggParity,""" +
         s""""parity":$parity,"ok":$ok}"""
-    Files.write(Paths.get(outJson), json.getBytes("UTF-8"))
-    println(json)
-    spark.stop()
-    if (!ok) sys.exit(1)
+    (obj, ok)
   }
 }

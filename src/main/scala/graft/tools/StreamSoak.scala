@@ -98,6 +98,14 @@ object StreamSoak {
     // when state crosses the RocksDB cache cap and the provider starts
     // evicting/paging — the 100 TB steady state this soak certifies
     val batchMs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // per-batch OUTPUT rows and state rows REMOVED (r15 verdict wrong #1:
+    // the closing batch ran 25.3 s against a ~10-13 s steady state and the
+    // artifact could not distinguish the watermark-close flush — emitting
+    // the finalized-session tail and evicting its state — from an
+    // eviction-latency step at the cache cap; these two series make every
+    // above-median batch attributable from the artifact alone)
+    val batchIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val removedRows = scala.collection.mutable.ArrayBuffer.empty[Long]
     var rawPeakMb = 0L
     val listener = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -113,6 +121,8 @@ object StreamSoak {
           stateMemMb += (ops.map(_.memoryUsedBytes).sum >> 20)
           inputRows += e.progress.numInputRows
           batchMs += e.progress.batchDuration
+          batchIds += e.progress.batchId
+          removedRows += ops.map(_.numRowsRemoved).sum
         }
     }
     spark.streams.addListener(listener)
@@ -142,6 +152,34 @@ object StreamSoak {
     val outputRows =
       if (failure.isDefined) -1L
       else scala.util.Try(spark.read.parquet(outDir).count()).getOrElse(-1L)
+    // per-batch OUTPUT rows: the parquet sink reports numOutputRows = -1
+    // in progress events, so the series is recovered from the sink's own
+    // _spark_metadata commit manifests (one file per batch id listing the
+    // parquet files that batch added; a N.compact manifest is CUMULATIVE,
+    // so files already attributed to earlier batches are subtracted).
+    // Keyed by batchId and mapped onto the listener series, so every
+    // above-median batch_ms entry is attributable to its own flush size.
+    val outRowsById: Map[Long, Long] = scala.util.Try {
+      val metaDir = new java.io.File(s"$outDir/_spark_metadata")
+      val metaFiles = Option(metaDir.listFiles()).toSeq.flatten
+        .filter(_.getName.matches("\\d+(\\.compact)?"))
+        .sortBy(f => (f.getName.takeWhile(_.isDigit).toLong, f.getName.length))
+      val seen = scala.collection.mutable.Set.empty[String]
+      val pathRe = """"path":"([^"]+)"""".r
+      metaFiles.map { f =>
+        val id = f.getName.takeWhile(_.isDigit).toLong
+        val src = scala.io.Source.fromFile(f)
+        val paths = try src.getLines().flatMap(l =>
+          pathRe.findFirstMatchIn(l).map(_.group(1))).toList
+        finally src.close()
+        val fresh = paths.filterNot(seen)
+        seen ++= paths
+        val n = if (fresh.isEmpty) 0L
+          else spark.read.parquet(fresh.map(_.stripPrefix("file:")): _*).count()
+        id -> n
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+    }.getOrElse(Map.empty)
+    val outRows = batchIds.map(outRowsById.getOrElse(_, 0L))
     // stream==batch parity IN the soak harness (not just the small-scale
     // RocksDbParitySpec): the streamed sessions must set-equal the batch
     // twin at THIS state scale — eviction/paging past the cache cap is
@@ -171,6 +209,8 @@ object StreamSoak {
         s""""max_state_rows":${if (stateRows.isEmpty) -1 else stateRows.max},""" +
         s""""max_state_mem_mb":${if (stateMemMb.isEmpty) -1 else stateMemMb.max},""" +
         s""""batch_ms":${arr(batchMs.toSeq)},""" +
+        s""""batch_output_rows":${arr(outRows.toSeq)},""" +
+        s""""batch_state_removed":${arr(removedRows.toSeq)},""" +
         s""""output_rows":$outputRows,"parity":$parityOk,""" +
         // full JSON-escape (r14 advice: quote/newline-only escaping emitted
         // an invalid artifact exactly when a failure message carried a

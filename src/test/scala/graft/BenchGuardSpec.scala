@@ -13,6 +13,51 @@ class BenchGuardSpec extends AnyFunSuite {
   private def artifact(sf: String, noise: Double, ioNoise: Double): String =
     s"""{"metric":"total","queries":{"sf_fake_query":1.0},"noise_factor":$noise,"io_noise_factor":$ioNoise,"sf":"$sf","value":100.0}"""
 
+  /** Synthetic delta artifact: one query at time `t` with three identical
+    * per-pass samples (so the sample-floor burst check can NOT clear a
+    * regression — every pass is equally slow, exactly the shape that used
+    * to need a hand-run solo re-measure). */
+  private def deltaArtifact(t: Double): String =
+    s"""{"metric":"total","queries":{"q_syn":$t},"samples":{"q_syn":[$t,$t,$t]},""" +
+      s""""noise_factor":0.5,"io_noise_factor":1.0,"sf":"$sf01","value":$t}"""
+
+  /** Run tools/compare_bench.py on synthetic old/new artifacts with a
+    * --solo-cmd that replays a canned solo Bench artifact; returns the
+    * output JSON text. Pins the r15 ask: residual adjudication fires
+    * UNATTENDED — no builder in the loop. */
+  private def runCompare(soloTime: Double): String = {
+    import scala.sys.process._
+    val dir = java.nio.file.Files.createTempDirectory("graft-benchguard")
+    def write(name: String, text: String): java.nio.file.Path =
+      java.nio.file.Files.writeString(dir.resolve(name), text)
+    write("old.json", deltaArtifact(1.0))
+    write("new.json", deltaArtifact(5.0)) // 5x at identical sentinels -> residual
+    val solo = write("solo.json", deltaArtifact(soloTime))
+    val out = dir.resolve("delta.json")
+    val cmd = Seq("python3", "tools/compare_bench.py", out.toString,
+      dir.resolve("old.json").toString, dir.resolve("new.json").toString,
+      "--solo-cmd", s"cat $solo # {query}")
+    assert(cmd.! == 0, s"compare_bench failed: $cmd")
+    java.nio.file.Files.readString(out)
+  }
+
+  test("delta residual auto-adjudicates via the unattended solo re-measure (fast solo => solo-cleared, no open regression)") {
+    val out = runCompare(soloTime = 1.1)
+    assert(out.contains(""""class": "solo-cleared""""), out)
+    assert(out.contains(""""solo_cleared": [\n  "q_syn"\n ]""".stripMargin) ||
+      out.contains(""""solo_cleared":["q_syn"]""") ||
+      out.replaceAll("\\s", "").contains(""""solo_cleared":["q_syn"]"""), out)
+    assert(out.replaceAll("\\s", "").contains(""""open_regressions":[]"""), out)
+    assert(out.contains("unattended solo re-measure at identical code"), out)
+  }
+
+  test("a solo re-measure that is STILL slow keeps the residual open — the adjudication can confirm a real regression, not just dismiss") {
+    val out = runCompare(soloTime = 5.0)
+    assert(out.replaceAll("\\s", "").contains(""""open_regressions":["q_syn"]"""), out)
+    assert(out.replaceAll("\\s", "").contains(""""solo_sec":5.0"""), out)
+    assert(!out.contains("solo-cleared"), out)
+  }
+
   test("subset run always diverts, even at matching sf and clean noise") {
     val r = Bench.guardReason(Some(artifact(sf01, 0.5, 1.0)), sf01,
       subsetSize = Some(3), noiseFactor = 0.5, ioNoiseFactor = 1.0)

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.model.Tables
+
+/** StreamGuard semantics: the constructed unbounded-state offenders are
+  * refused BEFORE start() — plan-only, no query ever runs — and every
+  * registry stream shape admits. Pure analysis tests: nothing here
+  * executes a streaming query. */
+class StreamGuardSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("graft-streamguard-events").toString
+    Tables.events(spark, TestSpark.sfDir).write.mode("overwrite").parquet(dir)
+    dir
+  }
+  private def streamEvents = {
+    val schema = Tables.events(spark, TestSpark.sfDir).schema
+    spark.readStream.schema(schema).parquet(eventsDir)
+  }
+
+  test("unbounded-agg: streaming keyed aggregate without a watermark is refused; watermarked twin admits") {
+    val bare = streamEvents.groupBy("event_type").count()
+    val fs = StreamGuard.lint(bare)
+    assert(fs.exists(f => f.rule == "unbounded-agg" && f.fatal), fs.mkString("; "))
+    intercept[graft.engine.PlanGuard.PlanRejected](StreamGuard.admit(bare))
+    val bounded = streamEvents
+      .withColumn("ts", date_trunc("second", col("ts")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type")).count()
+    assert(StreamGuard.lint(bounded).isEmpty,
+      StreamGuard.lint(bounded).mkString("; "))
+  }
+
+  test("unbounded-dedup: streaming dropDuplicates without a watermark is refused; the Admission.guard shape admits") {
+    val bare = streamEvents.dropDuplicates("event_id")
+    assert(StreamGuard.lint(bare).exists(_.rule == "unbounded-dedup"))
+    val guarded = Admission.guard(
+      streamEvents.withColumn("ts", date_trunc("second", col("ts"))),
+      tsCol = "ts", delay = "1 hour", idCols = Seq("event_id"))
+    assert(StreamGuard.lint(guarded).isEmpty,
+      StreamGuard.lint(guarded).mkString("; "))
+  }
+
+  test("unbounded-join: stream-stream join without watermarks, and watermarked-but-unbounded equi join, both refused") {
+    val a = streamEvents.select(col("user_id"), col("ts").as("a_ts"))
+    val b = streamEvents.select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+    val noWm = a.join(b, col("user_id") === col("b_user"))
+    assert(StreamGuard.lint(noWm).exists(f =>
+      f.rule == "unbounded-join" && f.detail.contains("watermarks")),
+      StreamGuard.lint(noWm).mkString("; "))
+    // watermarks alone do NOT bound a stream-stream buffer: without the
+    // cross-side time-range conjunct neither side can discard rows —
+    // Spark plans this happily (inner join), the guard refuses it
+    val aw = streamEvents.withColumn("a_ts", date_trunc("second", col("ts")))
+      .withWatermark("a_ts", "1 hour").select(col("user_id"), col("a_ts"))
+    val bw = streamEvents.withColumn("b_ts", date_trunc("second", col("ts")))
+      .withWatermark("b_ts", "1 hour")
+      .select(col("user_id").as("b_user"), col("b_ts"))
+    val equiOnly = aw.join(bw, col("user_id") === col("b_user"))
+    assert(StreamGuard.lint(equiOnly).exists(f =>
+      f.rule == "unbounded-join" && f.detail.contains("time-range")),
+      StreamGuard.lint(equiOnly).mkString("; "))
+    val bounded = aw.join(bw,
+      col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") && col("b_ts") <= col("a_ts") + expr("INTERVAL 1 hour"))
+    assert(StreamGuard.lint(bounded).isEmpty,
+      StreamGuard.lint(bounded).mkString("; "))
+  }
+
+  test("batch frames lint empty — the rules only exist for streaming state") {
+    val batch = Tables.events(spark, TestSpark.sfDir).groupBy("event_type").count()
+    assert(StreamGuard.lint(batch).isEmpty)
+    assert(StreamGuard.admit(batch) eq batch)
+  }
+
+  test("registry audit: every registry stream shape admits") {
+    def ev = streamEvents.withColumn("ts", date_trunc("second", col("ts")))
+    def guarded = Admission.guard(ev, "ts", "3650 days", Seq("event_id"))
+    val shapes: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "tumbling" -> EventStreams.tumblingCounts(ev),
+      "sliding" -> EventStreams.slidingCounts(ev),
+      "ss_inner" -> EventStreams.clickPurchaseJoin(ev, ev),
+      "ss_left" -> EventStreams.clickPurchaseJoinOuter(ev, ev),
+      "ss_full" -> EventStreams.clickPurchaseJoinFull(ev, ev),
+      "stream_static" -> EventStreams.enrichedSegmentCounts(ev,
+        Tables.customer(spark, TestSpark.sfDir)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))),
+      "sessions" -> EventStreams.userSessions(ev),
+      "session_attrib_guarded" -> EventStreams.sessionAttributionGuarded(guarded, guarded),
+      "admission_observed" -> Admission.guardObserved(ev, "ts", "1 hour", Seq("event_id")))
+    val bad = shapes.flatMap { case (name, df) =>
+      val fs = try StreamGuard.lint(df)
+      catch { case e: Throwable => Seq(graft.engine.PlanGuard.Finding(
+        "lint-error", fatal = true, name, e.toString)) }
+      fs.filter(_.fatal).map(name -> _)
+    }
+    assert(bad.isEmpty,
+      bad.map { case (n, f) => s"$n: [${f.rule}] ${f.detail}" }.mkString("\n"))
+  }
+}
