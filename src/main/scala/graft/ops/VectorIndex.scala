@@ -76,7 +76,8 @@ object VectorIndex {
     * replay == batch loop through it). */
   def attach(stream: DataFrame, root: String):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    stream.writeStream
+    // StreamGuard-admitted, like every attach funnel (see StreamingDedup)
+    graft.streaming.StreamGuard.admit(stream).writeStream
       .foreachBatch { (batch: DataFrame, id: Long) => applyBatch(batch, root, id) }
 
   /** The foreachBatch body with crash-replay protection: applied batch

@@ -271,7 +271,8 @@ object IncrementalIngest {
              maxDf: Long = Dedup.DefaultMaxDf,
              checkpointEvery: Int = 16):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    stream.writeStream
+    // StreamGuard-admitted, like every attach funnel (see StreamingDedup)
+    graft.streaming.StreamGuard.admit(stream).writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         applyBatch(batch, root, id, maxDf, checkpointEvery)
       }

@@ -127,7 +127,10 @@ object StreamingDedup {
     * with `.start()` / await as usual; each micro-batch runs
     * [[applyBatch]]. */
   def attach(stream: DataFrame, cfg: Config): DataStreamWriter[org.apache.spark.sql.Row] =
-    stream.writeStream
+    // admission-guarded like every batch pipeline write (StreamGuard is
+    // PlanGuard's ingest twin): an unbounded-state shape upstream of the
+    // sink is refused BEFORE start(), not discovered at 3am
+    StreamGuard.admit(stream).writeStream
       .foreachBatch { (batch: DataFrame, id: Long) => applyBatch(batch, cfg, id) }
 
   /** [[processBatch]] with CRASH-REPLAY protection: on recovery Spark

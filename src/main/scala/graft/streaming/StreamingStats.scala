@@ -172,7 +172,8 @@ object StreamingStats {
 
   /** Attach the sink to a stream carrying the configured columns. */
   def attach(stream: DataFrame, cfg: Config): DataStreamWriter[org.apache.spark.sql.Row] =
-    stream.writeStream
+    // StreamGuard-admitted, like every attach funnel (see StreamingDedup)
+    StreamGuard.admit(stream).writeStream
       .foreachBatch { (batch: DataFrame, id: Long) => applyBatch(batch, cfg, id) }
 
   /** [[processBatch]] with crash-replay protection: counting states are

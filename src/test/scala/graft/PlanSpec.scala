@@ -679,9 +679,14 @@ class PlanSpec extends AnyFunSuite {
     //   ops/Skew.scala            hotKeys: 1-row sampled-total scalar +
     //     ≤ maxKeys hot-key list — the statistics pre-pass that decides
     //     whether to salt; bounded by maxKeys, never row data
-    //   tools/SkewBench.scala     5-row priority aggregate + ~40-row
-    //     count-histogram for the cross-scenario parity gates in the
-    //     skew HARNESS (×2)
+    //   tools/SkewBench.scala     one shared measure() collect: the 5-row
+    //     priority aggregate / ~40-row count-histogram / 3-row share
+    //     summary parity gates of the skew HARNESS
+    //   tools/AnnRecall.scala     recall HARNESS driver reads, all
+    //     top-k/dim-bounded: top-10 id lists per query (×1 via topIds),
+    //     rows-per-cid of the served index and of the training slice
+    //     (K=8 rows each, ×2), and the ≤nprobe probed-cid list (×1) —
+    //     statistics about the index, never corpus rows
     // Scala-collection .head/.take on arrays/strings don't match these
     // patterns; a new DataFrame action anywhere else fails this test.
     val actionPattern = """\.collect\(\)|\.head\(\)|\.head\.|\.first\(\)|\.toLocalIterator|collectAsList|toPandas""".r
@@ -694,7 +699,8 @@ class PlanSpec extends AnyFunSuite {
       "ops/Expectations.scala" -> 1,
       "tools/StreamSoak.scala" -> 1,
       "ops/Skew.scala" -> 2,
-      "tools/SkewBench.scala" -> 2,
+      "tools/SkewBench.scala" -> 1,
+      "tools/AnnRecall.scala" -> 4,
       "queries/DedupQueries.scala" -> 1)
     val found = mainSourceLines
       .filter { case (_, line) => actionPattern.findFirstIn(line).isDefined }

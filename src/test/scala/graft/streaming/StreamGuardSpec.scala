@@ -79,6 +79,17 @@ class StreamGuardSpec extends AnyFunSuite {
     assert(StreamGuard.admit(batch) eq batch)
   }
 
+  test("attach funnels are guarded: an unbounded-state stream is refused AT attach(), before start()") {
+    val offender = streamEvents.groupBy("event_type").count()
+      .selectExpr("event_type as doc_id", "cast(count as string) as text")
+    val cfg = StreamingDedup.Config(
+      Files.createTempDirectory("graft-streamguard-dd").toString)
+    intercept[graft.engine.PlanGuard.PlanRejected](
+      StreamingDedup.attach(offender, cfg))
+    intercept[graft.engine.PlanGuard.PlanRejected](
+      graft.ops.VectorIndex.attach(offender, cfg.stateDir))
+  }
+
   test("registry audit: every registry stream shape admits") {
     def ev = streamEvents.withColumn("ts", date_trunc("second", col("ts")))
     def guarded = Admission.guard(ev, "ts", "3650 days", Seq("event_id"))
