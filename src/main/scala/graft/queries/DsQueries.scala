@@ -232,6 +232,35 @@ object DsQueries {
       }
     },
 
+    sql("ds8_urgent_no_returns",
+      "DS8: TPC-DS Q69/Q35-shaped EXISTS-AND-NOT-EXISTS — per-segment counts of customers WITH an urgent order and WITHOUT any returned line (the second test is itself a 2-way join). The CONJUNCTION of existence tests is ds5's counterpart: where a disjunction must become ExistenceJoin flags, a conjunction decorrelates fully — EXISTS to LeftSemi, NOT EXISTS to LeftAnti, chained on the customer stream with no boolean flags, no Expand, no per-customer re-execution. Scale: each membership probe reduces to a custkey sliver before touching customers (the urgent filter pushes into its orders scan; the returned-line probe is orders semi-joined to the flag-pushed lineitem slice), and the final aggregate runs on the filtered customer sliver",
+      s"""SELECT c_mktsegment, COUNT(*) AS n_customers
+         | FROM customer c
+         | WHERE EXISTS (SELECT 1 FROM orders o
+         |               WHERE o.o_custkey = c.c_custkey
+         |                 AND o.o_orderpriority = '1-URGENT')
+         |   AND NOT EXISTS (SELECT 1 FROM orders o JOIN lineitem l
+         |                     ON o.o_orderkey = l.l_orderkey
+         |                   WHERE o.o_custkey = c.c_custkey
+         |                     AND l.l_returnflag = 'R')
+         | GROUP BY c_mktsegment
+         | ORDER BY c_mktsegment""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+        val returned = o.join(
+            Tables.lineitem(s, d).filter(col("l_returnflag") === "R").select("l_orderkey"),
+            col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .select("o_custkey")
+        Tables.customer(s, d)
+          .join(urgent, col("c_custkey") === urgent("o_custkey"), "left_semi")
+          .join(returned, col("c_custkey") === returned("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("c_mktsegment")
+      }
+    },
+
     sql("ds4_yoy_spend",
       "DS4: TPC-DS Q74-shaped YEAR-OVER-YEAR growth — per-customer yearly spend compared against itself shifted one year, keeping customers whose spend grew by more than half. The oracle keeps the classic aggregate-vs-itself self-join text; the engine plan refuses it (a year-shift self-join can never reuse its exchange — the two sides hash DIFFERENT expressions, y vs y+1, over the same aggregate, so Spark re-scans the fact for the shifted copy — verified empirically) and instead reads the adjacent year with lag() OVER (PARTITION BY custkey ORDER BY y): ONE fact scan, one map-side-combined aggregate, one custkey-partitioned window on the (customer × year) sliver, no join at all; the y = lag(y)+1 gate reproduces the join's adjacency semantics exactly. Growth is one IEEE division of two exact-decimal doubles, bit-portable",
       s"""WITH yr AS (SELECT o_custkey, year(o_orderdate) AS y,

@@ -1,8 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, EventTimeWatermark, Join, LogicalPlan}
+import org.apache.spark.sql.types.{StructType, TimestampType}
 
 /** STREAMING-plan admission guard — [[graft.engine.PlanGuard]]'s twin for
   * the ingest side (r15 verdict ask #9): lint a streaming DataFrame
@@ -27,10 +28,11 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Even
   *     (`dropDuplicatesWithinWatermark` plans its own node and carries
   *     its bound by construction.)
   *   - `unbounded-join` (fatal): a stream-stream Join where either side
-  *     lacks a watermark, or whose condition carries no cross-side
-  *     time-range conjunct — without both, neither side's buffered rows
-  *     can ever be discarded. (Stream-static joins are stateless and
-  *     pass untouched.)
+  *     lacks a watermark, or whose condition carries no cross-side time
+  *     bound — an event-time range conjunct or window/timestamp equality
+  *     (Spark's two documented state bounds); without both, neither
+  *     side's buffered rows can ever be discarded. (Stream-static joins
+  *     are stateless and pass untouched.)
   *
   * All rules are fatal: unlike the batch guard's byte thresholds there
   * is no "small enough" unbounded state — growth is a function of
@@ -45,10 +47,13 @@ object StreamGuard {
   private def hasWatermark(p: LogicalPlan): Boolean =
     p.exists { case _: EventTimeWatermark => true; case _ => false }
 
-  /** A conjunct comparing expressions from both sides with a range
-    * operator — the time bound that lets a stream-stream join discard
-    * buffered rows once the opposite watermark passes. */
-  private def hasCrossSideRange(cond: Expression, left: LogicalPlan, right: LogicalPlan): Boolean = {
+  /** A conjunct that lets a stream-stream join discard buffered rows once
+    * the opposite watermark passes: a cross-side RANGE over any columns
+    * (the event-time interval form), or cross-side EQUALITY on time
+    * windows / timestamps (Spark's other documented state bound — joining
+    * on `window(ts) = window(ts)` expires a window's buffered rows when
+    * the watermark crosses its end). */
+  private def hasCrossSideTimeBound(cond: Expression, left: LogicalPlan, right: LogicalPlan): Boolean = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case org.apache.spark.sql.catalyst.expressions.And(a, b) => conjuncts(a) ++ conjuncts(b)
       case other => Seq(other)
@@ -59,11 +64,19 @@ object StreamGuard {
       (a.references.nonEmpty && b.references.nonEmpty) &&
         ((a.references.subsetOf(l) && b.references.subsetOf(r)) ||
           (a.references.subsetOf(r) && b.references.subsetOf(l)))
+    def timeTyped(e: Expression): Boolean = e.dataType match {
+      case TimestampType => true
+      case s: StructType => // the window() struct: start/end timestamps
+        s.fieldNames.contains("start") && s.fieldNames.contains("end") &&
+          s.fields.forall(_.dataType == TimestampType)
+      case _ => false
+    }
     conjuncts(cond).exists {
       case GreaterThan(a, b)        => spans(a, b)
       case GreaterThanOrEqual(a, b) => spans(a, b)
       case LessThan(a, b)           => spans(a, b)
       case LessThanOrEqual(a, b)    => spans(a, b)
+      case EqualTo(a, b)            => spans(a, b) && timeTyped(a) && timeTyped(b)
       case _                        => false
     }
   }
@@ -91,10 +104,10 @@ object StreamGuard {
         Finding("unbounded-join", fatal = true, j.joinType.sql,
           "stream-stream join without watermarks on both sides: buffered rows can never be discarded")
       case j: Join if j.left.isStreaming && j.right.isStreaming &&
-          !j.condition.exists(hasCrossSideRange(_, j.left, j.right)) =>
+          !j.condition.exists(hasCrossSideTimeBound(_, j.left, j.right)) =>
         Finding("unbounded-join", fatal = true, j.joinType.sql,
-          "stream-stream join without a cross-side time-range conjunct: watermarks alone " +
-            "cannot bound the buffer — add the event-time interval condition")
+          "stream-stream join without a cross-side time bound (event-time range or " +
+            "window/timestamp equality): watermarks alone cannot bound the buffer")
     }
     aggs ++ dedups ++ joins
   }

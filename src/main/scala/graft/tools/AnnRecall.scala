@@ -50,7 +50,7 @@ import org.apache.spark.sql.functions._
 object AnnRecall {
 
   val Stride = 100000000L
-  private var ShiftStep = 0.02
+  private val DefaultShiftStep = 0.02
   private val Jitter = 0.01
   private val K = 8
   private val TopK = 10
@@ -61,13 +61,13 @@ object AnnRecall {
 
   /** factor× corpus with per-replica systematic drift + per-vector jitter
     * (replica 0 verbatim). */
-  def driftedCorpus(src: DataFrame, factor: Int): DataFrame =
+  def driftedCorpus(src: DataFrame, factor: Int, shiftStep: Double): DataFrame =
     src.withColumn("__r", explode(sequence(lit(0), lit(factor - 1))))
       .withColumn("embedding",
         when(col("__r") === 0, col("embedding"))
           .otherwise(transform(col("embedding"), (x, i) =>
             (x.cast("double")
-              + noise(lit("shift"), col("__r"), i) * (lit(ShiftStep) * col("__r"))
+              + noise(lit("shift"), col("__r"), i) * (lit(shiftStep) * col("__r"))
               + noise(col("vec_id"), col("__r"), i) * lit(Jitter)).cast("float"))))
       .withColumn("vec_id", col("vec_id") + col("__r").cast("long") * lit(Stride))
       .drop("__r")
@@ -78,12 +78,12 @@ object AnnRecall {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: AnnRecall <srcDir> <factor> <out.json> [shiftStep]")
     val src = args(0); val factorS = args(1); val outPath = args(2)
-    if (args.length > 3) ShiftStep = args(3).toDouble
+    val shiftStep = if (args.length > 3) args(3).toDouble else DefaultShiftStep
     val factor = factorS.toInt
     val spark = graft.engine.Sessions.local()
     try {
       val corpus = driftedCorpus(
-        spark.read.parquet(s"$src/embeddings.parquet"), factor)
+        spark.read.parquet(s"$src/embeddings.parquet"), factor, shiftStep)
         .localCheckpoint() // pin the drifted rows: index build and ground
                            // truth must score the identical corpus
       val corpusRows = corpus.count()
@@ -181,7 +181,7 @@ object AnnRecall {
         case (None, false) =>
           s"recall@10 >= 0.9 at production nprobe=$prodNp across all $factor replica bands and served cell imbalance ${f(servedImb)} within 2x the training slice's ${f(trainImb)}; no retrain needed at this drift"
         case (Some(r), _) =>
-          s"RETRAIN THRESHOLD: production nprobe=$prodNp recall first drops below 0.9 at replica band $r (systematic drift ${f(ShiftStep * r)} = ${f(ShiftStep * r / 0.125)} sigma); " +
+          s"RETRAIN THRESHOLD: production nprobe=$prodNp recall first drops below 0.9 at replica band $r (systematic drift ${f(shiftStep * r)} = ${f(shiftStep * r / 0.125)} sigma); " +
             "the frozen quantizer needs an offline re-init + atomic swap once ingested drift reaches that band"
         case (None, true) =>
           s"RETRAIN THRESHOLD (cost): recall holds but the drifted mass concentrates — served cell imbalance ${f(servedImb)} exceeds 2x the training slice's ${f(trainImb)}, so probes scan a growing corpus fraction; " +
@@ -190,7 +190,7 @@ object AnnRecall {
       val json =
         s"""{"src":"$src","factor":$factor,"corpus_rows":$corpusRows,""" +
           s""""train_rows":${train.count()},"k_centroids":$K,"queries":${queryIds.size},""" +
-          s""""shift_step_per_replica":$ShiftStep,"jitter":$Jitter,"component_sigma":0.125,""" +
+          s""""shift_step_per_replica":$shiftStep,"jitter":$Jitter,"component_sigma":0.125,""" +
           s""""recall_at_10":{${probes.map(np => s""""nprobe$np":${f(overall(np))}""").mkString(",")}},""" +
           s""""recall_by_replica":{$byRepJson},""" +
           s""""scan_fraction":{${probes.map(np => s""""nprobe$np":${f(scanFrac(np))}""").mkString(",")}},""" +

@@ -370,6 +370,23 @@ class PlanSpec extends AnyFunSuite {
     assert(e7 >= 0 && u7 > e7 &&
       "HashAggregate".r.findAllMatchIn(p7).exists(m => m.start > e7 && m.start < u7),
       s"ds7 Expand feeds on the unioned facts instead of the shared sliver:\n$p7")
+
+    // ds8 (Q69/Q35 class): the CONJUNCTION of existence tests — ds5's
+    // counterpart — must decorrelate fully: EXISTS → LeftSemi, NOT EXISTS
+    // → LeftAnti, chained; no ExistenceJoin flags, no Expand, no nested
+    // loop, both probe filters pushed into their scans
+    val p8 = plan(specs("ds8_urgent_no_returns").run(spark, TestSpark.sfDir))
+    assert("LeftSemi".r.findAllIn(p8).length == 2,
+      s"ds8 needs the EXISTS semi + the returned-line inner-probe semi:\n$p8")
+    assert("LeftAnti".r.findAllIn(p8).length == 1,
+      s"ds8 NOT EXISTS must be one LeftAnti:\n$p8")
+    assert(!p8.contains("ExistenceJoin"),
+      s"ds8 conjunction must decorrelate, never flag-join:\n$p8")
+    assert(!p8.contains("CartesianProduct") && !p8.contains("BroadcastNestedLoop"),
+      s"ds8 planned a nested loop:\n$p8")
+    assert(p8.contains("EqualTo(o_orderpriority,1-URGENT)") &&
+      p8.contains("EqualTo(l_returnflag,R)"),
+      s"ds8 probe filters not pushed:\n$p8")
   }
 
   test("g6 recursive CTE: UnionLoop over a MATERIALIZED pair substrate, never re-deriving per iteration") {

@@ -64,13 +64,22 @@ class StreamGuardSpec extends AnyFunSuite {
       .select(col("user_id").as("b_user"), col("b_ts"))
     val equiOnly = aw.join(bw, col("user_id") === col("b_user"))
     assert(StreamGuard.lint(equiOnly).exists(f =>
-      f.rule == "unbounded-join" && f.detail.contains("time-range")),
+      f.rule == "unbounded-join" && f.detail.contains("time bound")),
       StreamGuard.lint(equiOnly).mkString("; "))
     val bounded = aw.join(bw,
       col("user_id") === col("b_user") &&
         col("b_ts") >= col("a_ts") && col("b_ts") <= col("a_ts") + expr("INTERVAL 1 hour"))
     assert(StreamGuard.lint(bounded).isEmpty,
       StreamGuard.lint(bounded).mkString("; "))
+    // Spark's OTHER documented state bound — joining on time-window
+    // equality (a window's buffer expires when the watermark crosses its
+    // end) — must admit too, not be a false positive of the range rule
+    val awin = aw.select(col("user_id"), window(col("a_ts"), "10 minutes").as("aw"))
+    val bwin = bw.select(col("b_user"), window(col("b_ts"), "10 minutes").as("bw"))
+    val windowEqui = awin.join(bwin,
+      col("user_id") === col("b_user") && col("aw") === col("bw"))
+    assert(StreamGuard.lint(windowEqui).isEmpty,
+      StreamGuard.lint(windowEqui).mkString("; "))
   }
 
   test("batch frames lint empty — the rules only exist for streaming state") {
