@@ -182,6 +182,33 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(PlanGuard.lint(exploded, oneByte).exists(_.rule == "global-window"))
   }
 
+  test("CBO remedy pinned: ANALYZEd catalog stats give Aggregates row-count-aware estimates") {
+    // the guard's documented alternative to the CBO-off sliver exemption:
+    // with spark.sql.cbo.enabled + ANALYZE ... FOR COLUMNS, Catalyst's
+    // aggregate estimate carries rowCount = grouping-key cardinality (the
+    // genuine sliver), so byte thresholds judge post-aggregation subtrees
+    // truthfully at any scale — where the size-only visitor's width-ratio
+    // shrinkage still multiplies by FACT row count
+    spark.sql("DROP TABLE IF EXISTS cbo_guard_li")
+    try {
+      li.write.saveAsTable("cbo_guard_li")
+      spark.sql("ANALYZE TABLE cbo_guard_li COMPUTE STATISTICS FOR COLUMNS l_returnflag")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val agg = spark.table("cbo_guard_li")
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val stats = agg.queryExecution.optimizedPlan.stats
+      val factRows = spark.table("cbo_guard_li").count()
+      assert(stats.rowCount.isDefined,
+        s"CBO must attach a row count to the aggregate, got $stats")
+      assert(stats.rowCount.get.toLong < factRows / 10,
+        s"aggregate row estimate ${stats.rowCount} should be group-cardinality, " +
+          s"not the $factRows fact rows")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.sql("DROP TABLE IF EXISTS cbo_guard_li")
+    }
+  }
+
   test("registry audit: every registered production plan admits under the default policy") {
     // the engine holds its own surface to the bar it offers deployments:
     // no registered query plans a non-sliver nested loop or a ScalaUDF
