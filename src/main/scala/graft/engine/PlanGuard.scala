@@ -183,17 +183,34 @@ object PlanGuard {
     }
     // Expands introduced by Catalyst's multi-distinct rewrite
     // (RewriteDistinctAggregates) are exempt: they are ALWAYS capped by a
-    // pure-dedup Aggregate (grouping-only, no aggregate functions) that
-    // absorbs the replication map-side, and no single-pass sliver-first
-    // equivalent exists for `count(DISTINCT a), count(DISTINCT b)` — the
-    // guard flags what a user can FIX, and the fixable class is
-    // rollup/cube/grouping-sets over an unaggregated fact.
+    // first Aggregate that absorbs the replication map-side (pure dedup
+    // when all aggregates are distinct; dedup + regular partials when
+    // distinct and plain aggregates are MIXED — `count(DISTINCT a),
+    // count(DISTINCT b), sum(c)`), and no single-pass sliver-first
+    // equivalent exists for multiple distincts — the guard flags what a
+    // user can FIX, and the fixable class is rollup/cube/grouping-sets
+    // over an unaggregated fact. The rewrite is recognized structurally,
+    // not by aggregate purity (the mixed form's first Aggregate DOES carry
+    // partial regular aggregates): Aggregate(final) over Aggregate(first)
+    // over Expand, where the first groups by the rewrite's Expand-
+    // introduced `gid` attribute. ROLLUP's Expand never matches — its
+    // grouping-id is `spark_grouping_id` and a single Aggregate caps it.
+    def capsDistinctRewrite(a: Aggregate): Boolean = a.child match {
+      case e: Expand =>
+        val introduced = e.producedAttributes
+        a.groupingExpressions.exists {
+          case attr: org.apache.spark.sql.catalyst.expressions.Attribute =>
+            attr.name == "gid" && introduced.contains(attr)
+          case _ => false
+        }
+      case _ => false
+    }
     val dedupCapped: Set[LogicalPlan] = plan.collectWithSubqueries {
-      case a: Aggregate if a.child.isInstanceOf[Expand] &&
-          !a.aggregateExpressions.exists(_.exists(
-            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression])) =>
-        a.child
-    }.toSet
+      case outer: Aggregate => outer.child match {
+        case first: Aggregate if capsDistinctRewrite(first) => Some(first.child)
+        case _ => None
+      }
+    }.flatten.toSet
     val expands = plan.collectWithSubqueries {
       case e: Expand if !dedupCapped.contains(e) && overBudget(e.child, policy.maxExpandBytes) =>
         Finding("expand-over-fact", fatal = policy.expandFatal, "Expand",

@@ -48,11 +48,15 @@ object StreamGuard {
     p.exists { case _: EventTimeWatermark => true; case _ => false }
 
   /** A conjunct that lets a stream-stream join discard buffered rows once
-    * the opposite watermark passes: a cross-side RANGE over any columns
-    * (the event-time interval form), or cross-side EQUALITY on time
-    * windows / timestamps (Spark's other documented state bound — joining
-    * on `window(ts) = window(ts)` expires a window's buffered rows when
-    * the watermark crosses its end). */
+    * the opposite watermark passes: a cross-side RANGE over EVENT-TIME
+    * typed operands (the interval form `b_ts >= a_ts AND b_ts <= a_ts +
+    * INTERVAL …` — both sides stay TimestampType), or cross-side EQUALITY
+    * on time windows / timestamps (Spark's other documented state bound —
+    * joining on `window(ts) = window(ts)` expires a window's buffered rows
+    * when the watermark crosses its end). Ranges over NON-time columns
+    * (`a.amount < b.quantity`) derive no state eviction in Spark and must
+    * NOT satisfy the guard — the timeTyped check applies to ranges exactly
+    * as it does to equalities. */
   private def hasCrossSideTimeBound(cond: Expression, left: LogicalPlan, right: LogicalPlan): Boolean = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case org.apache.spark.sql.catalyst.expressions.And(a, b) => conjuncts(a) ++ conjuncts(b)
@@ -72,10 +76,10 @@ object StreamGuard {
       case _ => false
     }
     conjuncts(cond).exists {
-      case GreaterThan(a, b)        => spans(a, b)
-      case GreaterThanOrEqual(a, b) => spans(a, b)
-      case LessThan(a, b)           => spans(a, b)
-      case LessThanOrEqual(a, b)    => spans(a, b)
+      case GreaterThan(a, b)        => spans(a, b) && timeTyped(a) && timeTyped(b)
+      case GreaterThanOrEqual(a, b) => spans(a, b) && timeTyped(a) && timeTyped(b)
+      case LessThan(a, b)           => spans(a, b) && timeTyped(a) && timeTyped(b)
+      case LessThanOrEqual(a, b)    => spans(a, b) && timeTyped(a) && timeTyped(b)
       case EqualTo(a, b)            => spans(a, b) && timeTyped(a) && timeTyped(b)
       case _                        => false
     }

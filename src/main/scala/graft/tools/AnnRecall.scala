@@ -103,17 +103,22 @@ object AnnRecall {
       } yield r * Stride + q
 
       // exact ground truth per query (brute force over the same corpus),
-      // then the probed index at each nprobe; self excluded via k+1
+      // then the probed index at each nprobe
       def exact(qid: Long): Set[Long] = topIds(
         graft.ops.Similarity.cosineTopK(
           corpus.filter(col("vec_id") =!= qid),
           corpus.filter(col("vec_id") === qid).select(col("embedding").as("qe")),
           k = TopK))
+      // self excluded via k+1, then RE-SORTED before the final limit —
+      // Filter into GlobalLimit does not contractually preserve the
+      // upstream sort order, and silently dropping a true top-10 neighbor
+      // would bias the recall measurement
       def probed(qid: Long, nprobe: Int): Set[Long] = topIds(
         graft.ops.VectorIndex.topK(spark, root,
           corpus.filter(col("vec_id") === qid).select(col("embedding").as("qe")),
           k = TopK + 1, nprobe = nprobe)
-          .filter(col("vec_id") =!= qid).limit(TopK))
+          .filter(col("vec_id") =!= qid)
+          .orderBy(col("cosine").desc, col("vec_id")).limit(TopK))
 
       val truths = queryIds.map(q => q -> exact(q)).toMap
       val probes = Seq(4, 6, K)

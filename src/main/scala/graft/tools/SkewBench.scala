@@ -72,11 +72,21 @@ object SkewBench {
     require(args.length >= 2,
       "usage: SkewBench <outJson> <label>=<baseSfDir>[:<skewDir>] ...")
     val outJson = args(0)
+    val usage = "usage: SkewBench <outJson> <label>=<baseSfDir>[:<skewDir>] ..."
     val rungs: Seq[(String, String, String)] = args.drop(1).toSeq.map { spec =>
-      val Array(label, dirs) = spec.split("=", 2)
-      dirs.split(":", 2) match {
-        case Array(base)       => (label, base, s"target/testdata/${label}skew")
-        case Array(base, skew) => (label, base, skew)
+      val eq = spec.indexOf('=')
+      require(eq > 0 && eq < spec.length - 1, s"bad rung spec '$spec' — $usage")
+      val label = spec.substring(0, eq)
+      val dirs = spec.substring(eq + 1)
+      // the base:skew separator is the first ':' NOT opening a URI scheme
+      // ("hdfs://", "s3a://") — a scheme colon is always followed by "//"
+      val sep = dirs.indices.find(i => dirs(i) == ':' && !dirs.startsWith("://", i))
+      sep match {
+        case None    => (label, dirs, s"target/testdata/${label}skew")
+        case Some(i) =>
+          val (base, skew) = (dirs.substring(0, i), dirs.substring(i + 1))
+          require(base.nonEmpty && skew.nonEmpty, s"bad rung spec '$spec' — $usage")
+          (label, base, skew)
       }
     }
 

@@ -132,6 +132,31 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!fs.exists(_.rule == "expand-over-fact"), fs.mkString("; "))
   }
 
+  test("expand-over-fact: MIXED distinct + regular aggregates are exempt too") {
+    // ADVICE r16: `count(DISTINCT a), count(DISTINCT b), sum(c)` — the
+    // rewrite's first aggregate carries the partial regular aggregates, so
+    // a purity test misses it; the structural gid-grouping detection must
+    // still recognize the Expand as Catalyst's unavoidable rewrite
+    val df = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("d1"),
+        countDistinct(col("l_partkey")).as("d2"),
+        sum(col("l_quantity")).as("s"))
+    assert(df.queryExecution.sparkPlan.toString.contains("Expand"),
+      "precondition: mixed multi-distinct must plan an Expand")
+    val zero = PlanGuard.Policy.default.copy(
+      maxExpandBytes = 0L, expandFatal = true, assumeAggSlivers = false)
+    val fs = PlanGuard.lint(df, zero)
+    assert(!fs.exists(_.rule == "expand-over-fact"), fs.mkString("; "))
+    PlanGuard.admit(df, zero)
+    // and the fixable offender class — rollup straight over the fact —
+    // must STILL flag under the structural detection (its grouping id is
+    // spark_grouping_id, not the rewrite's gid)
+    val rollup = li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("q"))
+    assert(PlanGuard.lint(rollup, zero).exists(_.rule == "expand-over-fact"),
+      "rollup-over-fact must not be swept up by the multi-distinct exemption")
+  }
+
   test("subquery traversal: a ScalaUDF hiding inside a scalar subquery is found") {
     spark.udf.register("graft_guard_test_udf", (x: Double) => x + 1.0)
     li.createOrReplaceTempView("guard_li")

@@ -82,6 +82,31 @@ class StreamGuardSpec extends AnyFunSuite {
       StreamGuard.lint(windowEqui).mkString("; "))
   }
 
+  test("unbounded-join: a NON-time cross-side range does not count as a state bound") {
+    // ADVICE r16: `a.value < b.value` is a range conjunct spanning both
+    // sides, but Spark derives state eviction ONLY from ranges on
+    // watermarked event-time columns — admitting this would green-light
+    // exactly the unbounded-state join the rule exists to refuse
+    val aw = streamEvents.withColumn("a_ts", date_trunc("second", col("ts")))
+      .withWatermark("a_ts", "1 hour")
+      .select(col("user_id"), col("a_ts"), col("value").as("a_v"))
+    val bw = streamEvents.withColumn("b_ts", date_trunc("second", col("ts")))
+      .withWatermark("b_ts", "1 hour")
+      .select(col("user_id").as("b_user"), col("b_ts"), col("value").as("b_v"))
+    val nonTimeRange = aw.join(bw,
+      col("user_id") === col("b_user") && col("a_v") < col("b_v"))
+    assert(StreamGuard.lint(nonTimeRange).exists(f =>
+      f.rule == "unbounded-join" && f.detail.contains("time bound")),
+      StreamGuard.lint(nonTimeRange).mkString("; "))
+    // the legitimate interval form stays TimestampType on both operands
+    // and still admits (regression pin for the timeTyped range check)
+    val bounded = aw.join(bw,
+      col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") && col("b_ts") <= col("a_ts") + expr("INTERVAL 1 hour"))
+    assert(StreamGuard.lint(bounded).isEmpty,
+      StreamGuard.lint(bounded).mkString("; "))
+  }
+
   test("batch frames lint empty — the rules only exist for streaming state") {
     val batch = Tables.events(spark, TestSpark.sfDir).groupBy("event_type").count()
     assert(StreamGuard.lint(batch).isEmpty)
