@@ -234,6 +234,39 @@ object Bench {
     if (s.size < 2) s.headOption.getOrElse(-1.0) else s(1)
   }
 
+  /** Prior-canonical burst adjudication (VERDICT r16 wrong #2 — unify the
+    * in-run burst path with tools/compare_bench.py's unattended solo
+    * re-measure so no artifact ships with an unresolved burst): the burst
+    * reruns ARE solo re-measures of that query alone, so when the robust
+    * floor they produced, sentinel-discounted against the prior canonical's
+    * own factors, lands within [[BurstAgreeRatio]] of the prior canonical's
+    * admitted value for the query, the intra-run spread is a co-tenant
+    * burst by the same evidence rule the delta tool applies — the code,
+    * run alone, is as fast as the committed baseline. Returns the
+    * in-artifact evidence string when cleared, None when the floor is
+    * genuinely slow (or no prior value exists) — those stay
+    * `burst_unresolved`, which is now a positive signal, not a shrug.
+    * Pure for BenchGuardSpec. */
+  def burstPriorCleared(priorJson: Option[String], name: String,
+                        floorValue: Double,
+                        noiseFactor: Double, ioNoiseFactor: Double): Option[String] =
+    priorJson.flatMap { txt =>
+      def num(field: String): Option[Double] =
+        ("\"" + java.util.regex.Pattern.quote(field) + "\"\\s*:\\s*([0-9.eE+-]+)").r
+          .findFirstMatchIn(txt).flatMap(_.group(1).toDoubleOption)
+      for {
+        pv <- num(name) if pv > 0 && floorValue > 0
+        pn = num("noise_factor").getOrElse(1.0)
+        pi = num("io_noise_factor").getOrElse(1.0)
+        ratio = floorValue / pv
+        best = math.min(
+          ratio / math.max(noiseFactor / math.max(pn, 1e-9), 1e-9),
+          ratio / math.max(ioNoiseFactor / math.max(pi, 1e-9), 1e-9))
+        if best <= BurstAgreeRatio
+      } yield f"solo floor $floorValue%.2f s vs prior canonical $pv%.2f s " +
+        f"(sentinel-discounted $best%.2fx <= $BurstAgreeRatio) — co-tenant burst"
+    }
+
   /** Heavy-tail burst guard (object scaladoc): divert the run when the
     * top-10 queries by admitted value carry >50% unresolved-burst time —
     * such a canonical's headline total is dominated by numbers that
@@ -387,6 +420,25 @@ object Bench {
       calibrations += probes.toSeq
       ioCalibrations += ioProbes.toSeq
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    // whole-run contention factors (CPU + IO) vs the recorded idle
+    // references — computed BEFORE burst resolution so the prior-canonical
+    // adjudication below can sentinel-discount its floor comparison
+    val noisePerPass = calibrations.toSeq.map(p => median(p) / IdleProbeSec)
+    val noiseFactor = if (noisePerPass.nonEmpty) median(noisePerPass) else 1.0
+    val ioNoisePerPass = ioCalibrations.toSeq.map(p => median(p) / IdleIoProbeSec)
+    val ioNoiseFactor = if (ioNoisePerPass.nonEmpty) median(ioNoisePerPass) else 1.0
+    val defaultPath = "BENCH_full.json"
+    val priorJson: Option[String] = {
+      val prior = new java.io.File(defaultPath)
+      if (prior.isFile)
+        Some(new String(java.nio.file.Files.readAllBytes(prior.toPath), "UTF-8"))
+      else None
+    }
     // PER-QUERY BURST RESOLUTION (object scaladoc / VERDICT r13 ask #2):
     // a query whose per-pass spread exceeds BurstSpreadRatio is re-run —
     // that query alone — until its two fastest samples agree within the
@@ -394,6 +446,7 @@ object Bench {
     // samples append to the chronological "samples" record like any pass.
     val burstFlagged = scala.collection.mutable.Set.empty[String]
     val burstUnresolved = scala.collection.mutable.Set.empty[String]
+    val burstPriorClearedDetail = scala.collection.mutable.Map.empty[String, String]
     for (spec <- ordered if !broken(spec.name)) {
       if (burstSpread(times.getOrElse(spec.name, Nil)) > BurstSpreadRatio) {
         burstFlagged += spec.name
@@ -416,9 +469,21 @@ object Bench {
           reruns += 1
         }
         if (!broken(spec.name) && !floorAgreed(times(spec.name))) {
-          burstUnresolved += spec.name
-          System.err.println(s"[bench] burst UNRESOLVED after $reruns reruns: " +
-            s"${spec.name} samples ${times(spec.name).reverse.map(t => f"$t%.2f").mkString(",")}")
+          // the floor never converged in-run — adjudicate against the
+          // prior canonical the way the delta tool's solo re-measure does
+          // (r16 wrong #2: no artifact should ship an unresolved burst
+          // when the solo evidence to classify it already exists)
+          burstPriorCleared(priorJson, spec.name,
+            robustFloorValue(times(spec.name)), noiseFactor, ioNoiseFactor) match {
+            case Some(detail) =>
+              burstPriorClearedDetail(spec.name) = detail
+              System.err.println(s"[bench] burst cleared vs prior canonical: " +
+                s"${spec.name} — $detail")
+            case None =>
+              burstUnresolved += spec.name
+              System.err.println(s"[bench] burst UNRESOLVED after $reruns reruns: " +
+                s"${spec.name} samples ${times(spec.name).reverse.map(t => f"$t%.2f").mkString(",")}")
+          }
         }
       }
     }
@@ -456,19 +521,9 @@ object Bench {
     // order is irrelevant to a real parser.
     val calib = calibrations
       .map(_.map(t => f"$t%.3f").mkString("[", ",", "]")).mkString("[", ",", "]")
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
-    }
-    // per-pass contention factors (CPU + IO) vs the recorded idle
-    // references, then the whole-run factors + discounted total (see
-    // object scaladoc) — the discount uses the LARGER factor, since
-    // whichever resource is contended bounds the whole run
-    val noisePerPass = calibrations.toSeq.map(p => median(p) / IdleProbeSec)
-    val noiseFactor = if (noisePerPass.nonEmpty) median(noisePerPass) else 1.0
-    val ioNoisePerPass = ioCalibrations.toSeq.map(p => median(p) / IdleIoProbeSec)
-    val ioNoiseFactor = if (ioNoisePerPass.nonEmpty) median(ioNoisePerPass) else 1.0
+    // the whole-run discount uses the LARGER factor, since whichever
+    // resource is contended bounds the whole run (factors computed above,
+    // before burst resolution)
     val contended = noiseFactor >= 1.5 || ioNoiseFactor >= IoContendedFactor
     val idleEst = total / math.max(1.0, math.max(noiseFactor, ioNoiseFactor))
     val noise = noisePerPass.map(f => f"$f%.2f").mkString("[", ",", "]")
@@ -484,9 +539,12 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
+    val burstPriorClearedJson = burstPriorClearedDetail.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + jstr(v) + "\"" }
+      .mkString("{", ",", "}")
     def jsonLine(guard: Option[String]): String = {
       val guardField = guard.map(g => s""""guard":"${jstr(g)}",""").getOrElse("")
-      f"""{"metric":"total","unit":"sec","iterations":$Iterations,"queries":$qs,"samples":$samples,"failed":$failed,"burst":$burstJson,"burst_unresolved":$burstUnresolvedJson,"calibration":$calib,"noise":$noise,"noise_factor":$noiseFactor%.2f,"io_calibration":$ioCalib,"io_noise":$ioNoise,"io_noise_factor":$ioNoiseFactor%.2f,${guardField}"value_idle_est":$idleEst%.3f,"contended":$contended,"sf":"${jstr(sfDir)}","value":$total%.3f}"""
+      f"""{"metric":"total","unit":"sec","iterations":$Iterations,"queries":$qs,"samples":$samples,"failed":$failed,"burst":$burstJson,"burst_unresolved":$burstUnresolvedJson,"burst_prior_cleared":$burstPriorClearedJson,"calibration":$calib,"noise":$noise,"noise_factor":$noiseFactor%.2f,"io_calibration":$ioCalib,"io_noise":$ioNoise,"io_noise_factor":$ioNoiseFactor%.2f,${guardField}"value_idle_est":$idleEst%.3f,"contended":$contended,"sf":"${jstr(sfDir)}","value":$total%.3f}"""
     }
     // The stdout line below is tail-truncatable by log-capture harnesses
     // (round 6 lost every median alphabetically before f8 that way) — also
@@ -501,13 +559,6 @@ object Bench {
     // committed canonical artifact can't be silently degraded by a smoke
     // run or a contended pass.
     val explicitOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
-    val defaultPath = "BENCH_full.json"
-    val priorJson: Option[String] = {
-      val prior = new java.io.File(defaultPath)
-      if (prior.isFile)
-        Some(new String(java.nio.file.Files.readAllBytes(prior.toPath), "UTF-8"))
-      else None
-    }
     val reason: Option[String] =
       if (explicitOut.isDefined) None
       else guardReason(priorJson, sfDir, only.map(_ => ordered.size),

@@ -10,10 +10,14 @@ import org.apache.spark.sql.DataFrame
 object Sinks {
 
   /** Shared columnar-writer plumbing (mode + optional partitionBy) —
-    * parquet and orc differ only in the terminal format call. */
+    * parquet and orc differ only in the terminal format call. Partitioned
+    * writes pass [[graft.engine.WriteGuard.admit]] first (r16 ask #7): a
+    * partition key whose cardinality exceeds GRAFT_GUARD_MAX_WRITE_PARTITIONS
+    * is refused BEFORE any directory lands — the write-funnel twin of the
+    * read-side plan guards. */
   private def columnar(df: DataFrame, partitionBy: Seq[String], mode: String)(
       finish: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] => Unit): Unit = {
-    val w = df.write.mode(mode)
+    val w = graft.engine.WriteGuard.admit(df, partitionBy).write.mode(mode)
     finish(if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
   }
 
@@ -119,6 +123,7 @@ object Sinks {
     require(partitionBy.nonEmpty,
       "parquetPartitionOverwrite needs partition columns — without them " +
         "dynamic mode degenerates to a full-table overwrite")
+    graft.engine.WriteGuard.admit(df, partitionBy)
     df.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionBy: _*)

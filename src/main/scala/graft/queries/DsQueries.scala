@@ -31,6 +31,32 @@ import graft.ops.Det.{dsum}
 object DsQueries {
   private def ssum(e: String): String = Det.Sql.dsum(e)
 
+  /** ds9's warehouse layout, materialized once per sfDir (the dd6b/dd8b
+    * PersistedState discipline): lineitem written `partitionBy(ship_month)`
+    * — the reference's own ingest IS a month-partitioned layout
+    * (src/main.py:93-99 loops month files) — plus a tiny month dim
+    * (ship_month, yr) derived from the fact's distinct months. The point
+    * of splitting dim from fact is the PLAN CLASS: the fact scan must
+    * prune partitions via a DYNAMIC-pruning subquery fed by the dim's
+    * selective filter, not a static literal filter. Built lazily on first
+    * use (Verify), or untimed via QuerySpec.prepare (Bench). */
+  private[graft] object PartitionedState {
+    private val cache = scala.collection.concurrent.TrieMap.empty[String, String]
+    def ensure(s: org.apache.spark.sql.SparkSession, d: String): String =
+      cache.getOrElseUpdate(d, {
+        val root = java.nio.file.Files.createTempDirectory("graft-dslayout").toString
+        val fact = Tables.lineitem(s, d)
+          .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        graft.io.Sinks.parquet(fact, s"$root/lineitem_by_month",
+          partitionBy = Seq("ship_month"))
+        fact.select(col("ship_month"),
+            year(col("l_shipdate")).cast("long").as("yr")).distinct()
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/month_dim")
+        root
+      })
+  }
+
   /** Q10/Q35 body — shared between the DuckDB oracle (bare table names)
     * and the Spark run (prefixed temp views), the j24/j29 single-source
     * discipline: the two sides can never drift. */
@@ -260,6 +286,26 @@ object DsQueries {
           .orderBy("c_mktsegment")
       }
     },
+
+    sql("ds9_partitioned_fact",
+      "DS9: DYNAMIC PARTITION PRUNING over a date-partitioned fact — the bread-and-butter warehouse physical shape (TPC-DS's store_sales ⋈ date_dim WHERE d_year = N): lineitem laid out partitionBy(ship_month) — the reference's own ingest is a month-partitioned layout — joined to a month dim filtered to one year, aggregated to per-month revenue. The dim's filter is on yr, NOT the partition column, so static pruning is impossible: Spark must insert a dynamicpruning subquery into the fact scan (fed by the broadcast dim exchange, reused — no extra dim scan) and read ONLY the matching month partitions, never the archive. PlanSpec pins the subquery AND the pruned file count (12 of 84 months read); at 100 TB this is the difference between scanning one year and scanning the decade. Oracle: the equivalent year filter over the flat table",
+      s"""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         |  COUNT(*) AS n_lines,
+         |  ${ssum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         | FROM lineitem
+         | WHERE year(l_shipdate) = 1995
+         | GROUP BY 1 ORDER BY 1""".stripMargin.replace("\n", "")) {
+      (s, d) => {
+        val root = PartitionedState.ensure(s, d)
+        val fact = s.read.parquet(s"$root/lineitem_by_month")
+        val dim = s.read.parquet(s"$root/month_dim").filter(col("yr") === 1995)
+        fact.join(broadcast(dim), Seq("ship_month"))
+          .groupBy("ship_month")
+          .agg(count(lit(1)).as("n_lines"),
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+          .orderBy("ship_month")
+      }
+    }.withPrepare((s, d) => { PartitionedState.ensure(s, d); () }),
 
     sql("ds4_yoy_spend",
       "DS4: TPC-DS Q74-shaped YEAR-OVER-YEAR growth — per-customer yearly spend compared against itself shifted one year, keeping customers whose spend grew by more than half. The oracle keeps the classic aggregate-vs-itself self-join text; the engine plan refuses it (a year-shift self-join can never reuse its exchange — the two sides hash DIFFERENT expressions, y vs y+1, over the same aggregate, so Spark re-scans the fact for the shifted copy — verified empirically) and instead reads the adjacent year with lag() OVER (PARTITION BY custkey ORDER BY y): ONE fact scan, one map-side-combined aggregate, one custkey-partitioned window on the (customer × year) sliver, no join at all; the y = lag(y)+1 gate reproduces the join's adjacency semantics exactly. Growth is one IEEE division of two exact-decimal doubles, bit-portable",

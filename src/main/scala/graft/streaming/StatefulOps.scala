@@ -20,7 +20,14 @@ object StatefulOps {
   final case class UserStats(user_id: Long, n_events: Long, n_purchases: Long, total_value: Double)
 
   /** Running per-user totals, emitted once per key per micro-batch (or
-    * once overall in batch mode). State = the running UserStats. */
+    * once overall in batch mode). State = the running UserStats.
+    *
+    * NoTimeout is right for a BOUNDED key population (this corpus's fixed
+    * user set) and for the batch oracle twin — but it is exactly the
+    * unbounded-state shape [[StreamGuard]] refuses on an ad-hoc STREAM
+    * (r16 verdict ask #2): at an open key population the per-key state
+    * grows with every user ever seen. A guarded streaming deployment uses
+    * [[runningUserStatsExpiring]] instead. */
   def runningUserStats(events: Dataset[UserEvent]): Dataset[UserStats] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
@@ -37,6 +44,41 @@ object StatefulOps {
           val next = UserStats(uid, n, p, v)
           state.update(next)
           Iterator.single(next)
+      }
+  }
+
+  /** [[runningUserStats]] with BOUNDED state — the StreamGuard-admissible
+    * form for an open key population: a processing-time timeout evicts a
+    * key's state after `idleTimeout` without events (a key that reappears
+    * later restarts from zero — the documented cost of eviction; pick the
+    * timeout ≥ the business definition of "lapsed"). While every key stays
+    * active the emitted stats are identical to the NoTimeout form, which
+    * is what StatefulSpec pins. */
+  def runningUserStatsExpiring(events: Dataset[UserEvent],
+                               idleTimeout: String = "30 days"): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserStats, UserStats](
+        OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout) {
+        (uid: Long, batch: Iterator[UserEvent], state: GroupState[UserStats]) =>
+          if (state.hasTimedOut) {
+            // idle key: drop the state, emit nothing — the state store
+            // shrinks by exactly the lapsed keys
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0L, 0.0))
+            var n = prev.n_events; var p = prev.n_purchases; var v = prev.total_value
+            batch.foreach { e =>
+              n += 1
+              if (e.event_type == "purchase") p += 1
+              v += e.value
+            }
+            val next = UserStats(uid, n, p, v)
+            state.update(next)
+            state.setTimeoutDuration(idleTimeout)
+            Iterator.single(next)
+          }
       }
   }
 
@@ -94,13 +136,64 @@ object StatefulOps {
   /** Running per-user totals via [[RunningStatsProcessor]]. Works in batch
     * mode too (each key's rows arrive in one handleInputRows call, so the
     * emission IS the final aggregate) — which is what makes the operator
-    * DuckDB-oracle-verifiable like every other st* query. */
+    * DuckDB-oracle-verifiable like every other st* query.
+    *
+    * TimeMode.None + TTLConfig.NONE is the batch-twin setting; on an
+    * ad-hoc STREAM it is unbounded custom state and [[StreamGuard]]
+    * refuses it (r16 ask #2) — the guarded streaming form is
+    * [[runningUserStatsTwsTtl]]. */
   def runningUserStatsTws(events: Dataset[UserEventCents]): Dataset[UserStatsCents] = {
     import events.sparkSession.implicits._
     ensureStateStoreCoordinator(events.sparkSession)
     events.groupByKey(_.user_id)
       .transformWithState(new RunningStatsProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** [[RunningStatsProcessor]] with per-state TTL — the transformWithState
+    * idiom for bounded state at an open key population: the ValueState
+    * carries a TTLConfig, so a key untouched for `ttl` is evicted by the
+    * state store itself (no timer code; a reappearing key restarts from
+    * zero). TimeMode.ProcessingTime is required for TTL to tick. */
+  class RunningStatsProcessorTtl(ttl: java.time.Duration)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserEventCents, UserStatsCents] {
+    @transient private var stats:
+      org.apache.spark.sql.streaming.ValueState[UserStatsCents] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      stats = getHandle.getValueState[UserStatsCents]("stats",
+        org.apache.spark.sql.Encoders.product[UserStatsCents],
+        org.apache.spark.sql.streaming.TTLConfig(ttl))
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEventCents],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserStatsCents] = {
+      val prev = if (stats.exists()) stats.get() else UserStatsCents(key, 0L, 0L, 0L)
+      var n = prev.n_events; var p = prev.n_purchases; var c = prev.total_cents
+      rows.foreach { e =>
+        n += 1
+        if (e.event_type == "purchase") p += 1
+        c += e.cents
+      }
+      val next = UserStatsCents(key, n, p, c)
+      stats.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** StreamGuard-admissible streaming form of [[runningUserStatsTws]]:
+    * TTL'd state under TimeMode.ProcessingTime. Active keys emit the same
+    * running totals as the batch twin. */
+  def runningUserStatsTwsTtl(events: Dataset[UserEventCents],
+                             ttl: java.time.Duration = java.time.Duration.ofDays(30))
+      : Dataset[UserStatsCents] = {
+    import events.sparkSession.implicits._
+    ensureStateStoreCoordinator(events.sparkSession)
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessorTtl(ttl),
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
         OutputMode.Update())
   }
 

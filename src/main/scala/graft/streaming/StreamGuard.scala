@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, EventTimeWatermark, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, EventTimeWatermark, FlatMapGroupsWithState, Join, LogicalPlan, TransformWithState}
+import org.apache.spark.sql.streaming.GroupStateTimeout
 import org.apache.spark.sql.types.{StructType, TimestampType}
 
 /** STREAMING-plan admission guard — [[graft.engine.PlanGuard]]'s twin for
@@ -33,6 +34,21 @@ import org.apache.spark.sql.types.{StructType, TimestampType}
   *     (Spark's two documented state bounds); without both, neither
   *     side's buffered rows can ever be discarded. (Stream-static joins
   *     are stateless and pass untouched.)
+  *   - `unbounded-custom-state` (fatal, r16 verdict ask #2): a streaming
+  *     `flatMapGroupsWithState`/`mapGroupsWithState` with
+  *     GroupStateTimeout.NoTimeout (per-key state with NO expiry path the
+  *     plan can prove — exactly as unbounded as a watermark-less
+  *     aggregate; the function body MAY call state.remove(), but that is
+  *     invisible to the plan and the guard holds ad-hoc custom state to
+  *     the machine-checkable bar), or with EventTimeTimeout but no
+  *     watermark below (timers can never fire); and a streaming
+  *     `transformWithState` under TimeMode.None (no timers can tick and
+  *     per-state TTL — the remaining expiry path — requires a clocked
+  *     TimeMode, so nothing can ever expire). Under
+  *     ProcessingTime/EventTime modes a processor's TTL lives in runtime
+  *     TTLConfig per state variable, which the plan does NOT expose —
+  *     that residual is documented, not silently admitted: the refusable
+  *     class is the one the plan proves unbounded.
   *
   * All rules are fatal: unlike the batch guard's byte thresholds there
   * is no "small enough" unbounded state — growth is a function of
@@ -113,7 +129,26 @@ object StreamGuard {
           "stream-stream join without a cross-side time bound (event-time range or " +
             "window/timestamp equality): watermarks alone cannot bound the buffer")
     }
-    aggs ++ dedups ++ joins
+    val custom = plan.collect {
+      case f: FlatMapGroupsWithState if f.isStreaming &&
+          f.timeout == GroupStateTimeout.NoTimeout =>
+        Finding("unbounded-custom-state", fatal = true, "FlatMapGroupsWithState",
+          "streaming flatMapGroupsWithState with NoTimeout: per-key state has no " +
+            "expiry path the plan can prove — use ProcessingTimeTimeout/EventTimeTimeout " +
+            "and evict on state.hasTimedOut")
+      case f: FlatMapGroupsWithState if f.isStreaming &&
+          f.timeout == GroupStateTimeout.EventTimeTimeout && !hasWatermark(f.child) =>
+        Finding("unbounded-custom-state", fatal = true, "FlatMapGroupsWithState",
+          "streaming flatMapGroupsWithState with EventTimeTimeout but no watermark " +
+            "below: timers can never fire, so state never expires — withWatermark upstream")
+      case t: TransformWithState if t.isStreaming &&
+          t.timeMode == org.apache.spark.sql.streaming.TimeMode.None() =>
+        Finding("unbounded-custom-state", fatal = true, "TransformWithState",
+          "streaming transformWithState under TimeMode.None: no timers can tick and " +
+            "state TTL requires a clocked TimeMode, so no state can ever expire — " +
+            "use TimeMode.ProcessingTime/EventTime with TTLConfig'd state")
+    }
+    aggs ++ dedups ++ joins ++ custom
   }
 
   /** Pass-through admission: returns `df` unchanged when clean, throws

@@ -58,6 +58,78 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!out.contains("solo-cleared"), out)
   }
 
+  test("suite-drift attribution: the r16 raw-1.06-vs-normalized-1.21 split is reconciled by the solo battery") {
+    // r16 verdict wrong #1, reconstructed: both sentinels read ~12%
+    // faster on the new host (cpu 0.58->0.51, io 1.14->1.00) while every
+    // query ran 6% slower raw -- normalization manufactures a ~1.21
+    // normalized median that no per-query evidence supports. The solo
+    // battery (replaying the new times on a "quiet core") must side with
+    // raw_median and say so in the artifact.
+    import scala.sys.process._
+    val dir = java.nio.file.Files.createTempDirectory("graft-suitedrift")
+    def artifact(t: Double, nf: Double, io: Double): String = {
+      val qs = (1 to 11).map(i => s""""q$i":$t""").mkString(",")
+      s"""{"metric":"total","queries":{$qs},"noise_factor":$nf,"io_noise_factor":$io,"sf":"$sf01","value":${t * 11}}"""
+    }
+    def write(name: String, text: String): java.nio.file.Path =
+      java.nio.file.Files.writeString(dir.resolve(name), text)
+    write("old.json", artifact(1.0, 0.58, 1.14))
+    write("new.json", artifact(1.06, 0.51, 1.00))
+    val solo = write("solo.json", artifact(1.06, 0.51, 1.00))
+    val out = dir.resolve("delta.json")
+    val cmd = Seq("python3", "tools/compare_bench.py", out.toString,
+      dir.resolve("old.json").toString, dir.resolve("new.json").toString,
+      "--solo-cmd", s"cat $solo # {query}")
+    assert(cmd.! == 0, s"compare_bench failed: $cmd")
+    val text = java.nio.file.Files.readString(out).replaceAll("\\s", "")
+    assert(text.contains(""""suite_drift":{"""), text)
+    assert(text.contains(""""trusted":"raw_median""""), text)
+    assert(text.contains(""""battery_median":1.06"""), text)
+    assert(text.contains("sentinelmiscalibration"), text)
+    assert(text.contains(""""open_regressions":[]"""), text)
+    // and when the medians agree, no drift section is manufactured
+    write("new2.json", artifact(1.06, 0.58, 1.14))
+    val out2 = dir.resolve("delta2.json")
+    assert(Seq("python3", "tools/compare_bench.py", out2.toString,
+      dir.resolve("old.json").toString, dir.resolve("new2.json").toString).! == 0)
+    assert(java.nio.file.Files.readString(out2).replaceAll("\\s", "")
+      .contains(""""suite_drift":null"""))
+  }
+
+  test("suite-drift without a solo battery is recorded as UNATTRIBUTED, never silently trusted") {
+    import scala.sys.process._
+    val dir = java.nio.file.Files.createTempDirectory("graft-suitedrift2")
+    def artifact(t: Double, nf: Double, io: Double): String = {
+      val qs = (1 to 11).map(i => s""""q$i":$t""").mkString(",")
+      s"""{"metric":"total","queries":{$qs},"noise_factor":$nf,"io_noise_factor":$io,"sf":"$sf01","value":${t * 11}}"""
+    }
+    java.nio.file.Files.writeString(dir.resolve("old.json"), artifact(1.0, 0.58, 1.14))
+    java.nio.file.Files.writeString(dir.resolve("new.json"), artifact(1.06, 0.51, 1.00))
+    val out = dir.resolve("delta.json")
+    assert(Seq("python3", "tools/compare_bench.py", out.toString,
+      dir.resolve("old.json").toString, dir.resolve("new.json").toString).! == 0)
+    val text = java.nio.file.Files.readString(out).replaceAll("\\s", "")
+    assert(text.contains(""""trusted":null"""), text)
+    assert(text.contains("UNATTRIBUTED"), text)
+  }
+
+  test("burstPriorCleared: an unconverged floor near the prior canonical clears; a genuinely slow floor stays unresolved") {
+    val prior = Some(
+      s"""{"metric":"total","queries":{"u19_kmv":3.2,"other":1.0},""" +
+        s""""noise_factor":0.5,"io_noise_factor":1.0,"sf":"$sf01","value":100.0}""")
+    // floor 3.5 vs prior 3.2 at identical sentinels: 1.09x — cleared
+    val cleared = Bench.burstPriorCleared(prior, "u19_kmv", 3.5, 0.5, 1.0)
+    assert(cleared.exists(_.contains("co-tenant burst")), cleared.toString)
+    // floor 12.0 vs prior 3.2: 3.75x — stays unresolved (positive signal)
+    assert(Bench.burstPriorCleared(prior, "u19_kmv", 12.0, 0.5, 1.0).isEmpty)
+    // sentinel discounting mirrors the delta tool: a 2x-noisier current
+    // run licenses a 2x-slower floor on the contended axis
+    assert(Bench.burstPriorCleared(prior, "u19_kmv", 6.0, 1.0, 1.0).isDefined)
+    // no prior value for the query (or no prior artifact): never clears
+    assert(Bench.burstPriorCleared(prior, "unknown_q", 1.0, 0.5, 1.0).isEmpty)
+    assert(Bench.burstPriorCleared(None, "u19_kmv", 3.5, 0.5, 1.0).isEmpty)
+  }
+
   test("subset run always diverts, even at matching sf and clean noise") {
     val r = Bench.guardReason(Some(artifact(sf01, 0.5, 1.0)), sf01,
       subsetSize = Some(3), noiseFactor = 0.5, ioNoiseFactor = 1.0)

@@ -389,6 +389,42 @@ class PlanSpec extends AnyFunSuite {
       s"ds8 probe filters not pushed:\n$p8")
   }
 
+  test("ds9: dynamic partition pruning — the fact scan reads ONLY the dim-selected month partitions") {
+    // the bread-and-butter warehouse plan shape (r16 verdict ask #1): a
+    // date-partitioned fact joined to a dim filtered on yr (NOT the
+    // partition column — static pruning impossible) must get a
+    // dynamicpruning subquery on the scan and read ≪ all partitions
+    val df = specs("ds9_partitioned_fact").run(spark, TestSpark.sfDir)
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => (other.children ++ other.subqueries).flatMap(scans)
+    }
+    val exec = df.queryExecution.executedPlan
+    val factScans = scans(exec).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("lineitem_by_month")))
+    assert(factScans.nonEmpty, s"no partitioned-fact scan in the plan:\n$exec")
+    // the pruning is DYNAMIC — a runtime subquery on the partition column,
+    // not a hand-collected literal month list
+    assert(exec.toString.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic-partition-pruning subquery on the fact scan:\n$exec")
+    // and it actually pruned: the layout holds ~7 years of months, the
+    // dim filter selects one year — the scan must touch ≤ 12 month
+    // partitions out of strictly more
+    val root = graft.queries.DsQueries.PartitionedState.ensure(spark, TestSpark.sfDir)
+    val totalMonths = new java.io.File(s"$root/lineitem_by_month")
+      .listFiles().count(_.getName.startsWith("ship_month="))
+    val readPartitions = factScans.map(_.metrics("numPartitions").value).sum
+    assert(totalMonths > 12,
+      s"layout precondition: expected >12 month partitions, got $totalMonths")
+    assert(readPartitions <= 12 && readPartitions > 0,
+      s"DPP read $readPartitions of $totalMonths month partitions — expected ≤ 12 (one year)")
+  }
+
   test("g6 recursive CTE: UnionLoop over a MATERIALIZED pair substrate, never re-deriving per iteration") {
     val p = plan(specs("g6_reachability").run(spark, TestSpark.sfDir))
     assert(p.contains("UnionLoop"),
@@ -696,13 +732,18 @@ class PlanSpec extends AnyFunSuite {
     //   ops/Skew.scala            hotKeys: 1-row sampled-total scalar +
     //     ≤ maxKeys hot-key list — the statistics pre-pass that decides
     //     whether to salt; bounded by maxKeys, never row data
+    //   engine/WriteGuard.scala   partition-cardinality scalar — ONE
+    //     approx_count_distinct row deciding write admission (the Skew
+    //     .hotKeys class: a statistics pre-pass, never row data)
     //   tools/SkewBench.scala     one shared measure() collect: the 5-row
     //     priority aggregate / ~40-row count-histogram / 3-row share
     //     summary parity gates of the skew HARNESS
     //   tools/AnnRecall.scala     recall HARNESS driver reads, all
     //     top-k/dim-bounded: top-10 id lists per query (×1 via topIds),
     //     rows-per-cid of the served index and of the training slice
-    //     (K=8 rows each, ×2), and the ≤nprobe probed-cid list (×1) —
+    //     (K=8 rows each, ×2), the ≤nprobe probed-cid list (×1), and the
+    //     post-refresh twin of the cid/probed reads (×2 — same K-bounded
+    //     statistics re-measured after VectorIndex.refresh) —
     //     statistics about the index, never corpus rows
     // Scala-collection .head/.take on arrays/strings don't match these
     // patterns; a new DataFrame action anywhere else fails this test.
@@ -717,7 +758,8 @@ class PlanSpec extends AnyFunSuite {
       "tools/StreamSoak.scala" -> 1,
       "ops/Skew.scala" -> 2,
       "tools/SkewBench.scala" -> 1,
-      "tools/AnnRecall.scala" -> 4,
+      "tools/AnnRecall.scala" -> 6,
+      "engine/WriteGuard.scala" -> 1,
       "queries/DedupQueries.scala" -> 1)
     val found = mainSourceLines
       .filter { case (_, line) => actionPattern.findFirstIn(line).isDefined }
@@ -759,8 +801,10 @@ class PlanSpec extends AnyFunSuite {
     //   queries/LlmPipelineQueries.scala (1) llm4 eval-driven contaminated-id
     //                                   sliver (eval-sized — sanctioned, unlike
     //                                   llm1's removed corpus-fraction hint)
-    //   queries/DsQueries.scala (2)     ds2's customer + nation dims into the
-    //                                   orders scan (classic star-dim hints)
+    //   queries/DsQueries.scala (3)     ds2's customer + nation dims into the
+    //                                   orders scan (classic star-dim hints);
+    //                                   ds9's ~84-row month dim (the DPP
+    //                                   broadcast the pruning subquery reuses)
     // A new hint (or a removed one) fails this test until re-justified here.
     val allowed = Map(
       "ops/Similarity.scala" -> 7,
@@ -777,7 +821,7 @@ class PlanSpec extends AnyFunSuite {
       "queries/SimilarityQueries.scala" -> 3,
       "queries/TextQueries.scala" -> 6,
       "queries/LlmPipelineQueries.scala" -> 1,
-      "queries/DsQueries.scala" -> 2)
+      "queries/DsQueries.scala" -> 3)
     val found = mainSourceLines
       .filter { case (_, line) => line.contains("broadcast(") }
       .groupBy(_._1).view.mapValues(_.size).toMap

@@ -163,6 +163,66 @@ class VectorIndexSpec extends AnyFunSuite {
       "expected a dynamic-partition-pruning subquery on the index scan")
   }
 
+  test("refresh re-trains on the drifted corpus and atomic-swaps: rows unchanged, imbalance back in trigger, recall held, forget still correct") {
+    // the r16 ask: the remedy ANN_RECALL names, implemented and measured.
+    // Stress-drifted corpus (AnnRecall's deterministic mean-shift — the
+    // new-data-mode the frozen centroids don't cover): train on replica 0
+    // only, ingest the drifted mass against the frozen quantizer
+    val src = graft.model.Tables.embeddings(spark, TestSpark.sfDir)
+    val drifted = graft.tools.AnnRecall.driftedCorpus(src, factor = 10, shiftStep = 0.12)
+      .localCheckpoint()
+    val stride = graft.tools.AnnRecall.Stride
+    val r = java.nio.file.Files.createTempDirectory("graft-vecidx-refresh")
+      .toString + "/idx"
+    VectorIndex.init(spark, drifted.filter(col("vec_id") < stride), r, k = 8)
+    VectorIndex.ingest(spark, drifted.filter(col("vec_id") >= stride), r)
+
+    def cellRows(): Map[Long, Long] = spark.read.parquet(s"$r/index")
+      .groupBy("cid").count().collect()
+      .map(x => x.getAs[Number]("cid").longValue -> x.getLong(1)).toMap
+    def imbalance(m: Map[Long, Long]): Double =
+      m.values.max.toDouble / (m.values.sum.toDouble / 8)
+    def ids(): Set[Long] = spark.read.parquet(s"$r/index")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val idsBefore = ids()
+    val imbBefore = imbalance(cellRows())
+    assert(imbBefore > 2.0,
+      f"precondition: stress drift must concentrate the served mass past the 2x trigger, got $imbBefore%.2f")
+
+    VectorIndex.refresh(spark, r, k = 8)
+
+    // same rows, new assignment; the drifted mass is now spread by
+    // centroids trained on it
+    assert(ids() == idsBefore)
+    val imbAfter = imbalance(cellRows())
+    assert(imbAfter <= 2.0 && imbAfter < imbBefore,
+      f"refresh must pull imbalance back inside the trigger: $imbBefore%.2f -> $imbAfter%.2f")
+    // staging/retired trees are gone — the swap completed and cleaned up
+    assert(!new java.io.File(s"$r.refresh-staging").exists())
+    assert(!new java.io.File(s"$r.refresh-retired").exists())
+
+    // recall@10 at production nprobe vs brute force over the same corpus,
+    // for a drifted-band query (the production query distribution)
+    val qid = 5L + 7L * stride
+    val qv = drifted.filter(col("vec_id") === qid).select(col("embedding").as("qe"))
+    val base = drifted.filter(col("vec_id") =!= qid)
+    val ann = VectorIndex.topK(spark, r, qv, k = 10, nprobe = 6)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = Similarity.cosineTopK(base, qv, k = 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (ann & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"post-refresh recall@10 = $recall at nprobe=6/8")
+
+    // forget still correct against the refreshed layout
+    val gone = drifted.select("vec_id").filter(col("vec_id") % 7 === 0)
+    VectorIndex.forget(spark, gone, r)
+    val goneIds = gone.collect().map(_.getLong(0)).toSet
+    assert(ids() == idsBefore -- goneIds)
+    val top = VectorIndex.topK(spark, r, qv, k = 10, nprobe = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(top.intersect(goneIds).isEmpty)
+  }
+
   test("forget erases ids partition-locally: index == rebuild over survivors; idempotent; emptied partitions cleared") {
     import spark.implicits._
     // dedicated index (the shared lazy `root` must stay intact for the

@@ -107,6 +107,49 @@ class StreamGuardSpec extends AnyFunSuite {
       StreamGuard.lint(bounded).mkString("; "))
   }
 
+  test("unbounded-custom-state: NoTimeout flatMapGroupsWithState refused; ProcessingTimeTimeout twin admits") {
+    // r16 verdict ask #2: a custom-state stream with no machine-provable
+    // expiry path is exactly as unbounded as a watermark-less aggregate
+    val noTimeout = StatefulOps.runningUserStats(
+      StatefulOps.asUserEvents(streamEvents)).toDF()
+    val fs = StreamGuard.lint(noTimeout)
+    assert(fs.exists(f => f.rule == "unbounded-custom-state" && f.fatal &&
+      f.detail.contains("NoTimeout")), fs.mkString("; "))
+    intercept[graft.engine.PlanGuard.PlanRejected](StreamGuard.admit(noTimeout))
+    val expiring = StatefulOps.runningUserStatsExpiring(
+      StatefulOps.asUserEvents(streamEvents)).toDF()
+    assert(StreamGuard.lint(expiring).isEmpty,
+      StreamGuard.lint(expiring).mkString("; "))
+    // EventTimeTimeout WITHOUT a watermark below: timers can never fire
+    import spark.implicits._
+    val noWm = StatefulOps.asUserEvents(streamEvents)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[StatefulOps.UserStats, StatefulOps.UserStats](
+        org.apache.spark.sql.streaming.OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout) {
+        (uid, batch, state) =>
+          Iterator.single(StatefulOps.UserStats(uid, batch.size.toLong, 0L, 0.0))
+      }.toDF()
+    assert(StreamGuard.lint(noWm).exists(f =>
+      f.rule == "unbounded-custom-state" && f.detail.contains("EventTimeTimeout")),
+      StreamGuard.lint(noWm).mkString("; "))
+  }
+
+  test("unbounded-custom-state: TimeMode.None transformWithState refused; TTL'd ProcessingTime twin admits; batch twin lints empty") {
+    val ev = StatefulOps.asUserEventsCents(streamEvents)
+    val none = StatefulOps.runningUserStatsTws(ev).toDF()
+    val fs = StreamGuard.lint(none)
+    assert(fs.exists(f => f.rule == "unbounded-custom-state" && f.fatal &&
+      f.detail.contains("TimeMode.None")), fs.mkString("; "))
+    val ttl = StatefulOps.runningUserStatsTwsTtl(ev).toDF()
+    assert(StreamGuard.lint(ttl).isEmpty, StreamGuard.lint(ttl).mkString("; "))
+    // the BATCH twin (the st9 oracle form) is untouched — the rules only
+    // exist for streaming state
+    val batchTws = StatefulOps.runningUserStatsTws(
+      StatefulOps.asUserEventsCents(Tables.events(spark, TestSpark.sfDir))).toDF()
+    assert(StreamGuard.lint(batchTws).isEmpty)
+  }
+
   test("batch frames lint empty — the rules only exist for streaming state") {
     val batch = Tables.events(spark, TestSpark.sfDir).groupBy("event_type").count()
     assert(StreamGuard.lint(batch).isEmpty)
@@ -138,7 +181,11 @@ class StreamGuardSpec extends AnyFunSuite {
           .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))),
       "sessions" -> EventStreams.userSessions(ev),
       "session_attrib_guarded" -> EventStreams.sessionAttributionGuarded(guarded, guarded),
-      "admission_observed" -> Admission.guardObserved(ev, "ts", "1 hour", Seq("event_id")))
+      "admission_observed" -> Admission.guardObserved(ev, "ts", "1 hour", Seq("event_id")),
+      "custom_state_expiring" -> StatefulOps.runningUserStatsExpiring(
+        StatefulOps.asUserEvents(streamEvents)).toDF(),
+      "custom_state_tws_ttl" -> StatefulOps.runningUserStatsTwsTtl(
+        StatefulOps.asUserEventsCents(streamEvents)).toDF())
     val bad = shapes.flatMap { case (name, df) =>
       val fs = try StreamGuard.lint(df)
       catch { case e: Throwable => Seq(graft.engine.PlanGuard.Finding(

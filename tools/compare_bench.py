@@ -76,6 +76,21 @@ Headline fields:
   explain_factor    max(nf_new/nf_old, io_new/io_old, 1) -- how much of a
                     flat slowdown the sentinels alone license
 
+SUITE-DRIFT ATTRIBUTION (r16 verdict wrong #1): raw_median and
+normalized_median can disagree -- r16 shipped 1.062 raw vs 1.205
+normalized because the new host's sentinels read ~12% faster while the
+suite ran ~2% slower raw, so sentinel normalization manufactured an
+apparent 20% suite-wide slowdown that every per-query check contradicted.
+When the two medians disagree by more than DRIFT_BOUND while no residual
+is open, the artifact must reconcile them instead of leaving the reader
+to trust one: a fixed battery of the longest-running stable queries is
+re-measured solo (--solo-cmd) at identical code on a quiet core, and the
+battery's raw solo/old median -- a direct code-change measurement immune
+to sentinel miscalibration -- picks which headline median the artifact
+trusts. The `suite_drift` section records the battery evidence, the
+trusted median, and the reason; without --solo-cmd it records the
+disagreement as unattributed so no reader mistakes silence for agreement.
+
 best_norm assumes a query's cost scales with ONE contended resource
 class; a query bound by the less-contended class is over-discounted, so
 normalized_median is a LOWER bound on real change and residual flags are
@@ -91,6 +106,9 @@ import sys
 
 FLAG_RATIO = 1.5   # best_norm above this => residual (unexplained)
 MIN_SEC = 0.05     # ignore sub-50ms queries: %.3f quantization dominates
+DRIFT_BOUND = 0.10   # raw-vs-normalized median disagreement needing attribution
+BATTERY_SIZE = 6     # stable queries re-measured solo for drift attribution
+BATTERY_MIN_SEC = 0.3  # battery members need enough runtime for signal
 
 
 def solo_rerun(cmd_template, name):
@@ -258,6 +276,59 @@ def main():
                                f"{FLAG_RATIO}) -- co-tenant burst"),
                 }
 
+    # suite-drift attribution (docstring section): reconcile disagreeing
+    # headline medians with a solo battery of the longest stable queries
+    raw_median = round(median(raws), 3) if raws else None
+    normalized_median = round(median(norms), 3) if norms else None
+    suite_drift = None
+    if raw_median and normalized_median:
+        disagreement = abs(normalized_median - raw_median) / raw_median
+        if disagreement > DRIFT_BOUND:
+            suite_drift = {
+                "raw_median": raw_median,
+                "normalized_median": normalized_median,
+                "disagreement": round(disagreement, 3),
+                "bound": DRIFT_BOUND,
+            }
+            battery = sorted(
+                (n for n, q in queries.items()
+                 if q.get("class") == "stable" and old_q[n] >= BATTERY_MIN_SEC),
+                key=lambda n: -old_q[n])[:BATTERY_SIZE]
+            ratios, rows = [], {}
+            if solo_cmd:
+                for name in battery:
+                    art = solo_rerun(solo_cmd, name)
+                    t = (art or {}).get("queries", {}).get(name)
+                    if not isinstance(t, (int, float)) or t <= 0:
+                        continue
+                    r = t / old_q[name]
+                    ratios.append(r)
+                    rows[name] = {"old": old_q[name], "solo": t,
+                                  "solo_raw_ratio": round(r, 3)}
+            if ratios:
+                bm = round(median(ratios), 3)
+                trusted = ("raw_median"
+                           if abs(bm - raw_median) <= abs(bm - normalized_median)
+                           else "normalized_median")
+                suite_drift.update({
+                    "battery": rows,
+                    "battery_median": bm,
+                    "trusted": trusted,
+                    "reason": (
+                        f"solo battery of {len(ratios)} stable queries at "
+                        f"identical code on a quiet core measured raw "
+                        f"solo/old median {bm}, closer to {trusted}; the "
+                        f"other median reflects sentinel miscalibration "
+                        f"between the two hosts, not a code change"),
+                })
+            else:
+                suite_drift.update({
+                    "trusted": None,
+                    "reason": ("medians disagree beyond the bound but no "
+                               "--solo-cmd battery could run -- UNATTRIBUTED; "
+                               "do not trust either headline median alone"),
+                })
+
     residual = sorted(
         (n for n, q in queries.items() if q.get("class") == "residual"),
         key=lambda n: -queries[n]["best_norm_ratio"])
@@ -288,8 +359,9 @@ def main():
         "cpu_discount": round(cpu_disc, 3),
         "io_discount": round(io_disc, 3),
         "explain_factor": round(explain, 3),
-        "raw_median": round(median(raws), 3) if raws else None,
-        "normalized_median": round(median(norms), 3) if norms else None,
+        "raw_median": raw_median,
+        "normalized_median": normalized_median,
+        "suite_drift": suite_drift,
         "flag_ratio": FLAG_RATIO,
         "residual": residual,
         "burst": burst,
@@ -299,11 +371,15 @@ def main():
     }
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
+    drift_note = ""
+    if suite_drift:
+        drift_note = (f" suite_drift(trusted={suite_drift.get('trusted')} "
+                      f"battery_median={suite_drift.get('battery_median')})")
     print(f"common={len(common)} raw_median={result['raw_median']} "
           f"normalized_median={result['normalized_median']} "
           f"explain_factor={result['explain_factor']} "
           f"burst={burst} solo_cleared={solo_cleared} residual={residual} "
-          f"open_regressions={open_regressions}")
+          f"open_regressions={open_regressions}{drift_note}")
 
 
 if __name__ == "__main__":

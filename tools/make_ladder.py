@@ -39,7 +39,11 @@ def main():
     for spec in sys.argv[2:]:
         label, path = spec.split("=", 1)
         art = json.load(open(path))
-        rungs.append((label, art, lineitem_rows(art["sf"])))
+        # an artifact re-synthesized from a committed ladder carries its
+        # rung size directly (the original sf dir may no longer exist on
+        # this machine); a fresh Bench artifact is sized from its sf dir
+        n = art.get("lineitem_rows") or lineitem_rows(art["sf"])
+        rungs.append((label, art, n))
 
     names = sorted(set.union(*(set(a["queries"]) for _, a, _ in rungs)))
     queries, growth = {}, {}
