@@ -67,7 +67,10 @@ object Config {
     // PlanGuard thresholds, env-tunable per deployment (MiB units — the
     // values are logical-plan size estimates, see PlanGuard's scaladoc);
     // GRAFT_GUARD_FORBID_UDFS holds ad-hoc queries to the engine's own
-    // zero-UDF bar.
+    // zero-UDF bar. The write-funnel cap of the same family,
+    // GRAFT_GUARD_MAX_WRITE_PARTITIONS, is read at the sink seam by
+    // [[WriteGuard.maxWritePartitionsFromEnv]] (the sinks take no policy
+    // object to thread it through) with the same fail-loud validation.
     // bounded above so `_ << 20` can't wrap: a silently-negative threshold
     // would reject every plan with no configuration error to explain why
     def mib(key: String, dfltBytes: Long): Either[String, Long] =

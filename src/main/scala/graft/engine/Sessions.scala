@@ -25,6 +25,17 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE picks each stage's EFFECTIVE partition count by coalescing
+      // down from this initial granularity toward its target size, so a
+      // high initial number is nearly free at small scale — while a LOW
+      // one is the classic 100 TB failure: with initial == core count,
+      // a 180 M-row hash aggregate hands each task ~6 M keys of state
+      // and OOMs executor memory no heap can reasonably cover (measured:
+      // dd3 at the sf30 ladder rung). 8× the core count keeps per-task
+      // state executor-sized at the big rungs and coalesces back to
+      // ~core-count partitions on the small ones.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (shufflePartitions.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       // the events table carries parquet TIMESTAMP(NANOS) which Spark does
       // not support natively; read as long (ns since epoch) and convert in

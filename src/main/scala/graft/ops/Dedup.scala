@@ -52,6 +52,20 @@ object Dedup {
     * candidate semi-join, the 3-way verify join — and a lazy cap would
     * re-run this groupBy + anti-join once per consumer, measured ~4× per
     * dedup query at sf0.1). */
+  /** Materialize a CORPUS-SCALE substrate (the per-doc shingle frame —
+    * the widest thing the engine ever snapshots) as a SERIALIZED,
+    * spillable local checkpoint. `localCheckpoint()`'s default
+    * MEMORY_AND_DISK stores DESERIALIZED rows: java String overhead is
+    * several × the data, and at the sf30 ladder rung (1.5 M docs, ~10⁸
+    * shingle rows) those blocks OOM even a 48 GiB heap across bench
+    * passes; MEMORY_AND_DISK_SER keeps the snapshot a compact byte
+    * stream that evicts to disk cleanly, at a small per-consumer decode
+    * cost. Sliver-scale checkpoints (edge lists, centroids, label
+    * tables) keep the deserialized default — their footprint is noise. */
+  private def checkpointSubstrate(df: DataFrame): DataFrame =
+    df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   def capDocumentFrequency(sh: DataFrame, maxDf: Long = DefaultMaxDf): DataFrame = {
     val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("shingle")
@@ -217,7 +231,7 @@ object Dedup {
     // flips that verdict: capping inserts a shuffle-bearing anti-join
     // into every recompute, so the capped substrate is materialized once
     // (localCheckpoint) and all consumers read the snapshot.
-    val capped = maxDf.fold(sh)(m => capDocumentFrequency(sh, m).localCheckpoint())
+    val capped = maxDf.fold(sh)(m => checkpointSubstrate(capDocumentFrequency(sh, m)))
     minhashNearDupFromBands(capped,
       lshBands(minhashSignatures(capped, numPerm), bands, rows), thr)
   }
@@ -368,7 +382,7 @@ object Dedup {
                                bands: Int = 16, rows: Int = 4,
                                thr: Double = 0.8): DataFrame =
     incrementalNearDupWithCap(newDocs, corpus, index,
-      sh => capWithDfTable(sh, dfTable, maxDf).localCheckpoint(),
+      sh => checkpointSubstrate(capWithDfTable(sh, dfTable, maxDf)),
       k, numPerm, bands, rows, thr)
 
   private def incrementalNearDupWithCap(newDocs: DataFrame, corpus: DataFrame,
@@ -443,7 +457,7 @@ object Dedup {
     // verify) — capped production runs materialize the substrate once;
     // the uncapped lazy path keeps pipelined recompute (see
     // minhashNearDupFromShingles for the measured tradeoff)
-    val sh = maxDf.fold(shAll)(m => capDocumentFrequency(shAll, m).localCheckpoint())
+    val sh = maxDf.fold(shAll)(m => checkpointSubstrate(capDocumentFrequency(shAll, m)))
     val docFreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     // rank + doc size in ONE window pass: both functions partition by
     // doc_id, so Spark serves them from a single shuffle+sort (a separate
