@@ -33,9 +33,16 @@ object Sessions {
       // and OOMs executor memory no heap can reasonably cover (measured:
       // dd3 at the sf30 ladder rung). 8× the core count keeps per-task
       // state executor-sized at the big rungs and coalesces back to
-      // ~core-count partitions on the small ones.
+      // ~core-count partitions on the small ones. (Batch STATEFUL
+      // operators are exempt from coalescing and would inherit the full
+      // initial width as their state-store count — those pin their own
+      // width at the seam instead: StatefulOps.rebindForBatchState.)
+      // SPARK_GRAFT_AQE_INITIAL_FACTOR overrides the multiplier for
+      // same-code A/B measurement of this setting (r17 ask #7).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (shufflePartitions.toInt * 8).toString)
+        (shufflePartitions.toInt *
+          sys.env.get("SPARK_GRAFT_AQE_INITIAL_FACTOR")
+            .map(_.toInt).getOrElse(8)).toString)
       .config("spark.sql.session.timeZone", "UTC")
       // the events table carries parquet TIMESTAMP(NANOS) which Spark does
       // not support natively; read as long (ns since epoch) and convert in

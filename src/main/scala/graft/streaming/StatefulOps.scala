@@ -93,6 +93,65 @@ object StatefulOps {
 
   // ---- transformWithState (Spark 4's arbitrary-state API) -------------
 
+  /** Sibling sessions for batch state-store-backed operators, keyed by the
+    * parent session (weak keys — test sessions come and go). See
+    * [[rebindForBatchState]]. */
+  private val statefulScopes =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+                                org.apache.spark.sql.SparkSession]())
+  private val rebindCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Pin the shuffle width of a BATCH state-store-backed operator to the
+    * session's real shuffle-partition count.
+    *
+    * Batch `transformWithState` pins its state-store count to
+    * `conf.numShufflePartitions` — which, under AQE coalescing, is the
+    * INITIAL partition number, and stateful operators are exempt from
+    * coalescing (the partition↔state-store mapping is fixed at planning:
+    * the Exchange is tagged REQUIRED_BY_STATEFUL_OPERATOR). The engine's
+    * global 8×-cores initial width (`engine/Sessions.scala` — right for
+    * big hash aggregates; it is the sf30-ladder OOM fix) therefore
+    * instantiates 8× state-store providers and pays their fixed init cost
+    * 8× on small inputs (measured: st9 0.99 s → 3.9 s in the round-17
+    * bench delta; 256 stores for 150 keys).
+    *
+    * Fix at the seam, not globally: rebind the batch input to a sibling
+    * session (shared SparkContext, own SQLConf) whose initialPartitionNum
+    * equals the real shuffle width. The logical plan crosses sessions via
+    * a global temp view — global-temp is context-shared, and the view is
+    * the already-analyzed plan, so pushdown/pruning survive and the
+    * sibling only re-plans physically. Streaming inputs pass through
+    * untouched (AQE is disabled on streams; the checkpoint pins width).
+    * A pre-`repartition(n, key)` canNOT express this — the stateful
+    * operator's required distribution demands exactly
+    * `conf.numShufflePartitions` partitions, so the narrower Exchange
+    * would just be re-shuffled back up. */
+  private def rebindForBatchState[T: org.apache.spark.sql.Encoder](
+      ds: Dataset[T]): Dataset[T] = {
+    if (ds.isStreaming) return ds
+    val parent = ds.sparkSession
+    val width = parent.conf.get("spark.sql.shuffle.partitions")
+    val init = parent.conf.getOption(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+    if (init.isEmpty || init.contains(width)) return ds
+    val scoped = statefulScopes.synchronized {
+      val cached = statefulScopes.get(parent)
+      if (cached != null) cached
+      else {
+        val s = parent.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", width)
+        s.conf.set(
+          "spark.sql.adaptive.coalescePartitions.initialPartitionNum", width)
+        statefulScopes.put(parent, s)
+        s
+      }
+    }
+    val name = s"graft_batch_state_rebind_${rebindCounter.incrementAndGet()}"
+    ds.createOrReplaceGlobalTempView(name)
+    scoped.table(s"global_temp.$name").as[T]
+  }
+
   final case class UserEventCents(user_id: Long, event_type: String, cents: Long)
   final case class UserStatsCents(user_id: Long, n_events: Long,
                                   n_purchases: Long, total_cents: Long)
@@ -145,7 +204,7 @@ object StatefulOps {
   def runningUserStatsTws(events: Dataset[UserEventCents]): Dataset[UserStatsCents] = {
     import events.sparkSession.implicits._
     ensureStateStoreCoordinator(events.sparkSession)
-    events.groupByKey(_.user_id)
+    rebindForBatchState(events).groupByKey(_.user_id)
       .transformWithState(new RunningStatsProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
@@ -155,18 +214,22 @@ object StatefulOps {
     * idiom for bounded state at an open key population: the ValueState
     * carries a TTLConfig, so a key untouched for `ttl` is evicted by the
     * state store itself (no timer code; a reappearing key restarts from
-    * zero). TimeMode.ProcessingTime is required for TTL to tick. */
+    * zero). TimeMode.ProcessingTime is required for TTL to tick.
+    *
+    * Extends [[GuardedStatefulProcessor]] (r17 ask #3): the TTL is a
+    * CONSTRUCTOR obligation, so copying this processor and dropping the
+    * TTL no longer compiles into plan-invisible unbounded state — and
+    * StreamGuard's `unguarded-custom-state` rule admits it on streams. */
   class RunningStatsProcessorTtl(ttl: java.time.Duration)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Long, UserEventCents, UserStatsCents] {
+      extends GuardedStatefulProcessor[Long, UserEventCents, UserStatsCents](
+        org.apache.spark.sql.streaming.TTLConfig(ttl)) {
     @transient private var stats:
       org.apache.spark.sql.streaming.ValueState[UserStatsCents] = _
 
     override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      stats = getHandle.getValueState[UserStatsCents]("stats",
-        org.apache.spark.sql.Encoders.product[UserStatsCents],
-        org.apache.spark.sql.streaming.TTLConfig(ttl))
+      stats = ttlValueState[UserStatsCents]("stats",
+        org.apache.spark.sql.Encoders.product[UserStatsCents])
 
     override def handleInputRows(key: Long, rows: Iterator[UserEventCents],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserStatsCents] = {
@@ -191,7 +254,7 @@ object StatefulOps {
       : Dataset[UserStatsCents] = {
     import events.sparkSession.implicits._
     ensureStateStoreCoordinator(events.sparkSession)
-    events.groupByKey(_.user_id)
+    rebindForBatchState(events).groupByKey(_.user_id)
       .transformWithState(new RunningStatsProcessorTtl(ttl),
         org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
         OutputMode.Update())

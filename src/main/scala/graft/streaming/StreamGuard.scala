@@ -44,11 +44,18 @@ import org.apache.spark.sql.types.{StructType, TimestampType}
   *     watermark below (timers can never fire); and a streaming
   *     `transformWithState` under TimeMode.None (no timers can tick and
   *     per-state TTL — the remaining expiry path — requires a clocked
-  *     TimeMode, so nothing can ever expire). Under
-  *     ProcessingTime/EventTime modes a processor's TTL lives in runtime
-  *     TTLConfig per state variable, which the plan does NOT expose —
-  *     that residual is documented, not silently admitted: the refusable
-  *     class is the one the plan proves unbounded.
+  *     TimeMode, so nothing can ever expire).
+  *   - `unguarded-custom-state` (fatal, policy `GRAFT_GUARD_REQUIRE_
+  *     GUARDED_TWS`, default ON — r17 verdict ask #3): a streaming
+  *     `transformWithState` whose processor is not a
+  *     [[GuardedStatefulProcessor]]. Under ProcessingTime/EventTime
+  *     modes a processor's TTL lives in runtime TTLConfig per state
+  *     VARIABLE, which the plan does not expose — so a raw processor
+  *     that skips TTLConfig is plan-invisible unbounded state. The
+  *     guarded base makes the bound machine-checkable at the API seam
+  *     (positive TTL required at construction; acquisition wrappers
+  *     apply it), and this rule funnels streams onto that seam. Set the
+  *     env var to `false` to run raw processors at your own risk.
   *
   * All rules are fatal: unlike the batch guard's byte thresholds there
   * is no "small enough" unbounded state — growth is a function of
@@ -147,9 +154,31 @@ object StreamGuard {
           "streaming transformWithState under TimeMode.None: no timers can tick and " +
             "state TTL requires a clocked TimeMode, so no state can ever expire — " +
             "use TimeMode.ProcessingTime/EventTime with TTLConfig'd state")
+      case t: TransformWithState if t.isStreaming &&
+          t.timeMode != org.apache.spark.sql.streaming.TimeMode.None() &&
+          requireGuardedTws &&
+          !t.statefulProcessor.isInstanceOf[GuardedStatefulProcessor[_, _, _]] =>
+        Finding("unguarded-custom-state", fatal = true, "TransformWithState",
+          s"streaming transformWithState with a raw ${t.statefulProcessor.getClass.getName}: " +
+            "per-variable TTLConfig is invisible to the plan, so a processor that skips it " +
+            "is unbounded state this guard cannot see — extend " +
+            "graft.streaming.GuardedStatefulProcessor (TTL required at construction) or set " +
+            "GRAFT_GUARD_REQUIRE_GUARDED_TWS=false to waive")
     }
     aggs ++ dedups ++ joins ++ custom
   }
+
+  /** Policy: require [[GuardedStatefulProcessor]] for streaming
+    * transformWithState (default ON; malformed values fail loudly like
+    * the rest of the GRAFT_GUARD_* family). */
+  private def requireGuardedTws: Boolean =
+    sys.env.get("GRAFT_GUARD_REQUIRE_GUARDED_TWS") match {
+      case None          => true
+      case Some("true")  => true
+      case Some("false") => false
+      case Some(v) => throw new IllegalArgumentException(
+        s"GRAFT_GUARD_REQUIRE_GUARDED_TWS must be true or false, got '$v'")
+    }
 
   /** Pass-through admission: returns `df` unchanged when clean, throws
     * [[graft.engine.PlanGuard.PlanRejected]] otherwise. */

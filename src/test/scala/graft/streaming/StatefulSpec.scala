@@ -86,6 +86,23 @@ class StatefulSpec extends AnyFunSuite {
     assert(ttl == base && base.nonEmpty)
   }
 
+  test("batch transformWithState pins its shuffle width to shuffle.partitions, not AQE's initialPartitionNum") {
+    // engine/Sessions sets initialPartitionNum = 8x the shuffle width
+    // (the sf30-ladder OOM fix); stateful batch operators are exempt from
+    // AQE coalescing, so without the rebind seam st9 instantiated 8x the
+    // state stores (256 for 150 keys — the round-17 regression). The test
+    // session is built with the same 8x ratio (shuffle=8, initial=64), so
+    // this pin fails if the rebind is ever dropped.
+    assert(spark.conf.get(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum") == "64")
+    val ev = StatefulOps.asUserEventsCents(Tables.events(spark, TestSpark.sfDir))
+    val out = StatefulOps.runningUserStatsTws(ev)
+    assert(out.rdd.getNumPartitions ==
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("numPartitions = 8"), plan.linesIterator.take(4).mkString("\n"))
+  }
+
   test("the same stateful function runs in plain batch mode (empty initial state)") {
     val out = StatefulOps.runningUserStats(
       StatefulOps.asUserEvents(Tables.events(spark, TestSpark.sfDir)))

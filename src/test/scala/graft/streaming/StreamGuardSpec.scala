@@ -150,6 +150,61 @@ class StreamGuardSpec extends AnyFunSuite {
     assert(StreamGuard.lint(batchTws).isEmpty)
   }
 
+  test("unguarded-custom-state: a TTL-less CLOCKED raw processor is refused at attach; the GuardedStatefulProcessor twin admits") {
+    // r17 verdict ask #3 — the residual the plan cannot see: a
+    // ProcessingTime-mode processor whose state variables skip TTLConfig
+    // used to admit (TTL is per-variable runtime config, plan-invisible).
+    // The guard now requires the GuardedStatefulProcessor seam, where the
+    // TTL is a constructor obligation.
+    import spark.implicits._
+    val ev = StatefulOps.asUserEventsCents(streamEvents)
+    val rawClocked = ev.groupByKey(_.user_id)
+      .transformWithState(new StatefulOps.RunningStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        org.apache.spark.sql.streaming.OutputMode.Update()).toDF()
+    val fs = StreamGuard.lint(rawClocked)
+    assert(fs.exists(f => f.rule == "unguarded-custom-state" && f.fatal &&
+      f.detail.contains("GuardedStatefulProcessor")), fs.mkString("; "))
+    intercept[graft.engine.PlanGuard.PlanRejected](StreamGuard.admit(rawClocked))
+    // the guarded twin (RunningStatsProcessorTtl extends the base) admits
+    val guarded = StatefulOps.runningUserStatsTwsTtl(ev).toDF()
+    assert(StreamGuard.lint(guarded).isEmpty, StreamGuard.lint(guarded).mkString("; "))
+  }
+
+  test("GuardedStatefulProcessor: TTL is a constructor obligation; guardedHandle refuses TTLConfig.NONE") {
+    import org.apache.spark.sql.streaming.TTLConfig
+    // NONE (= PT0S) / zero / negative all refused at construction.
+    // (Spark's own TTLConfig.apply refuses a negative Duration with a
+    // SparkRuntimeException before our guard can — both are refusals, so
+    // the pin accepts either exception type for that case.)
+    for (bad <- Seq(TTLConfig.NONE.ttlDuration, java.time.Duration.ZERO,
+        java.time.Duration.ofDays(-1))) {
+      val e = intercept[Exception] {
+        new StatefulOps.RunningStatsProcessorTtl(bad)
+      }
+      assert(e.isInstanceOf[IllegalArgumentException] ||
+        e.getClass.getName.contains("SparkRuntimeException"), e.toString)
+    }
+    // a positive TTL constructs, and its batch emission equals the
+    // TTL-less batch twin (TTL only changes idle-key retention)
+    val ev = StatefulOps.asUserEventsCents(Tables.events(spark, TestSpark.sfDir))
+    val base = StatefulOps.runningUserStatsTws(ev).collect().map(s => s.user_id -> s).toMap
+    val ttl = StatefulOps.runningUserStatsTwsTtl(ev).collect().map(s => s.user_id -> s).toMap
+    assert(ttl == base && base.nonEmpty)
+    // guardedHandle's acquisition wrappers refuse a NONE per-variable TTL
+    // (enforced before any delegation — no live handle needed)
+    val p = new GuardedStatefulProcessor[Long, Long, Long](
+        TTLConfig(java.time.Duration.ofDays(1))) {
+      override def init(om: org.apache.spark.sql.streaming.OutputMode,
+                        tm: org.apache.spark.sql.streaming.TimeMode): Unit = ()
+      override def handleInputRows(k: Long, rows: Iterator[Long],
+          tv: org.apache.spark.sql.streaming.TimerValues): Iterator[Long] = rows
+      def tryNone(): Unit = guardedHandle.getValueState[Long]("s",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    intercept[IllegalArgumentException](p.tryNone())
+  }
+
   test("batch frames lint empty — the rules only exist for streaming state") {
     val batch = Tables.events(spark, TestSpark.sfDir).groupBy("event_type").count()
     assert(StreamGuard.lint(batch).isEmpty)
