@@ -15,19 +15,26 @@ object Sinks {
     * partition key whose cardinality exceeds GRAFT_GUARD_MAX_WRITE_PARTITIONS
     * is refused BEFORE any directory lands — the write-funnel twin of the
     * read-side plan guards. */
-  private def columnar(df: DataFrame, partitionBy: Seq[String], mode: String)(
+  private def columnar(df: DataFrame, partitionBy: Seq[String], mode: String,
+                       path: String, knownKeyBound: Option[Long] = None)(
       finish: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] => Unit): Unit = {
-    val w = graft.engine.WriteGuard.admit(df, partitionBy).write.mode(mode)
+    val w = graft.engine.WriteGuard.admit(df, partitionBy,
+      mode = mode, target = Some(path), knownKeyBound = knownKeyBound)
+      .write.mode(mode)
     finish(if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
   }
 
   /** S2/S7: parquet sink (any Hadoop-compatible path: local, hdfs://,
     * s3a://). `partitionBy` enables partition pruning for downstream
-    * readers — the 100 TB default for date/month-keyed outputs. */
+    * readers — the 100 TB default for date/month-keyed outputs.
+    * `knownKeyBound`: caller-contracted total cardinality of the
+    * partition key (e.g. an IVF layout's K cells) — lets WriteGuard admit
+    * per-micro-batch appends with zero extra jobs (r17 advice). */
   def parquet(df: DataFrame, path: String,
               partitionBy: Seq[String] = Nil,
-              mode: String = "overwrite"): Unit =
-    columnar(df, partitionBy, mode)(_.parquet(path))
+              mode: String = "overwrite",
+              knownKeyBound: Option[Long] = None): Unit =
+    columnar(df, partitionBy, mode, path, knownKeyBound)(_.parquet(path))
 
   /** Parquet sink with output-file sizing: repartitions so each written
     * file lands near `targetBytes` (in-memory plan-statistics estimate;
@@ -123,7 +130,10 @@ object Sinks {
     require(partitionBy.nonEmpty,
       "parquetPartitionOverwrite needs partition columns — without them " +
         "dynamic mode degenerates to a full-table overwrite")
-    graft.engine.WriteGuard.admit(df, partitionBy)
+    // dynamic overwrite only ever ADDS directories to the target (replaced
+    // partitions already exist) — cumulative semantics, like append
+    graft.engine.WriteGuard.admit(df, partitionBy,
+      mode = "dynamic-overwrite", target = Some(path))
     df.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionBy: _*)
@@ -179,7 +189,7 @@ object Sinks {
   def orc(df: DataFrame, path: String,
           partitionBy: Seq[String] = Nil,
           mode: String = "overwrite"): Unit =
-    columnar(df, partitionBy, mode)(_.orc(path))
+    columnar(df, partitionBy, mode, path)(_.orc(path))
 
   /** S4: JDBC append sink (reference: postgres_manager.py:95-152 does a
     * driver-side chunked pandas insert; this pushes batched inserts from

@@ -61,6 +61,43 @@ class WriteGuardSpec extends AnyFunSuite {
     assert(WriteGuard.admit(tiny, Seq("k"), maxPartitions = 3) eq tiny)
   }
 
+  test("append admission is per-LAYOUT: existing directories count against the cap; knownKeyBound skips the scans") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-writeguard-cum").toString
+    val target = s"$out/by_k"
+    // first write: 6 keys, cap 10 — admits and lands
+    val first = Seq.tabulate(60)(i => (i % 6, s"v$i")).toDF("k", "v")
+    graft.io.Sinks.parquet(first, target, partitionBy = Seq("k"), mode = "overwrite")
+    assert(WriteGuard.existingPartitionDirs(first, target, 1, 100L) == 6L)
+    // an APPEND bringing 6 disjoint new keys would put the layout at 12
+    // dirs > cap — refused even though the batch alone (6) is within cap;
+    // and nothing landed
+    val disjoint = Seq.tabulate(60)(i => (6 + i % 6, s"w$i")).toDF("k", "v")
+    val e = intercept[PlanGuard.PlanRejected](
+      WriteGuard.admit(disjoint, Seq("k"), maxPartitions = 10,
+        mode = "append", target = Some(target)))
+    assert(e.getMessage.contains("already on disk"), e.getMessage)
+    assert(WriteGuard.existingPartitionDirs(first, target, 1, 100L) == 6L)
+    // the pre-cumulative behavior would have admitted this batch: per-write
+    // check (no target) passes, pinning that the refusal above came from
+    // the existing-dirs term
+    WriteGuard.admit(disjoint, Seq("k"), maxPartitions = 10, mode = "append")
+    // a layout already past the cap refuses any further partitioned append
+    intercept[PlanGuard.PlanRejected](
+      WriteGuard.admit(disjoint, Seq("k"), maxPartitions = 5,
+        mode = "append", target = Some(target)))
+    // knownKeyBound: a caller-contracted bounded key admits with no
+    // listing and no ACD scan — and refuses when the BOUND itself is
+    // over the cap
+    WriteGuard.admit(disjoint, Seq("k"), maxPartitions = 12,
+      mode = "append", target = Some(target), knownKeyBound = Some(12L))
+    intercept[PlanGuard.PlanRejected](
+      WriteGuard.admit(disjoint, Seq("k"), maxPartitions = 10,
+        mode = "append", target = Some(target), knownKeyBound = Some(11L)))
+    // an absent target counts zero existing — the first write of a layout
+    assert(WriteGuard.existingPartitionDirs(first, s"$out/nothing", 1, 100L) == 0L)
+  }
+
   test("env cap parsing: default, explicit, malformed fails loudly") {
     assert(WriteGuard.maxWritePartitionsFromEnv(Map.empty) ==
       WriteGuard.DefaultMaxWritePartitions)
