@@ -64,8 +64,12 @@ object VectorIndex {
     val cents = Similarity.loadIvfCentroids(spark, p.centroids)
     val assigned = vectors.join(
       Similarity.ivfAssign(vectors, cents), Seq("vec_id"))
+    // cid is structurally bounded by the frozen quantizer's K cells, so
+    // the write guard admits on that bound — a per-micro-batch streaming
+    // ingest pays no approx_count_distinct scan at the funnel (r17 advice)
     graft.io.Sinks.parquet(assigned, p.index,
-      partitionBy = Seq("cid"), mode = mode)
+      partitionBy = Seq("cid"), mode = mode,
+      knownKeyBound = Some(cents.count()))
   }
 
   /** Streaming form of [[ingest]]: a foreachBatch sink assigning every
@@ -108,15 +112,21 @@ object VectorIndex {
     *     under `<root>.refresh-staging` while the OLD index keeps serving
     *     every query untouched;
     *  2. the swap is two directory renames (live → retired, staging →
-    *     live) — metadata-only ops, so the unserveable window is
-    *     microseconds; readers that already opened the old files keep
-    *     them (POSIX unlink semantics), new [[topK]] calls see the
-    *     refreshed layout;
-    *  3. the retired tree is deleted after the swap; a stale staging or
-    *     retired dir from a crashed refresh is cleared at the next
-    *     refresh's start (recovery: if `<root>` is absent, promote
-    *     whichever of staging/retired is complete — staging if the swap's
-    *     first rename happened, retired otherwise).
+    *     live) — on HDFS/POSIX filesystems these are metadata-only ops,
+    *     so the unserveable window is microseconds, and readers that
+    *     already opened the old files keep them (unlink semantics). On
+    *     an object store (S3A) a "rename" is copy+delete — neither
+    *     atomic nor cheap; there the swap discipline should be a
+    *     pointer/manifest flip instead, which this layout does not
+    *     implement — the segment cycle here targets HDFS-like stores;
+    *  3. the retired tree is deleted after the swap; a CRASH between the
+    *     two renames leaves no live root, and [[recover]] (run
+    *     automatically at the start of every [[refresh]]) promotes
+    *     whichever of staging/retired is complete — staging if its
+    *     `_SUCCESS` markers landed (the swap's first rename happened
+    *     after a finished build), retired otherwise. Stale leftover
+    *     trees are cleared after recovery, not before, so the promote
+    *     candidates survive.
     *
     * Assignment is a pure function of (vector, centroids), so the
     * refreshed index holds exactly the same rows under new cids —
@@ -125,23 +135,27 @@ object VectorIndex {
     * Work: one corpus read + the [[init]]-shaped train/assign/write —
     * the offline rebuild cost the segment discipline amortizes to the
     * rare drift event that actually fires the trigger. */
+  /** The `_SUCCESS` files whose joint presence marks a complete index
+    * layout (what [[StagedSwap]] checks before promoting a tree). */
+  private val SwapMarkers = Seq("centroids/_SUCCESS", "index/_SUCCESS")
+
   def refresh(spark: SparkSession, root: String, k: Int, iters: Int = 4): Unit = {
+    recover(spark, root) // heal a crashed swap BEFORE reading the corpus back
     val p = StatePaths(root)
-    // pin the corpus: the rewrite below replaces the very files a lazy
-    // plan would re-read mid-write
+    // pin the corpus BEFORE the swap deletes/replaces the very files a
+    // lazy plan would re-read mid-write
     val corpus = spark.read.parquet(p.index).drop("cid").localCheckpoint()
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(root)
-    val staging = new org.apache.hadoop.fs.Path(s"$root.refresh-staging")
-    val retired = new org.apache.hadoop.fs.Path(s"$root.refresh-retired")
-    fs.delete(staging, true) // stale staging from a crashed refresh
-    fs.delete(retired, true)
-    init(spark, corpus, staging.toString, k, iters)
-    require(fs.rename(live, retired), s"refresh swap: could not retire $live")
-    require(fs.rename(staging, live), s"refresh swap: could not promote $staging")
-    fs.delete(retired, true)
+    StagedSwap.swap(spark, root, SwapMarkers) { staging =>
+      init(spark, corpus, staging, k, iters); ()
+    }
   }
+
+  /** Crash recovery for a [[refresh]] that died between its two swap
+    * renames — [[StagedSwap.recover]] with this layout's markers. Runs
+    * automatically at the start of every refresh; also callable directly
+    * so a crashed swap is healable without paying a retrain. */
+  def recover(spark: SparkSession, root: String): Boolean =
+    StagedSwap.recover(spark, root, SwapMarkers)
 
   /** Right-to-be-forgotten over the persisted index: erase `forgetIds`
     * (column `vec_id`) with work ∝ the AFFECTED partitions, never an

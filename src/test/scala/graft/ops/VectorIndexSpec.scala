@@ -223,6 +223,53 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(top.intersect(goneIds).isEmpty)
   }
 
+  test("refresh crash recovery: a swap that died between its two renames is promoted back to a serving index") {
+    // r17 advice (medium): the scaladoc promised this recovery; now the
+    // code implements it. Both crash windows:
+    //  (a) after rename #1 with a COMPLETE staging -> promote staging
+    //      (the new index, one rename short of serving);
+    //  (b) live absent with an INCOMPLETE staging but intact retired ->
+    //      promote retired (the old index survives the failed refresh).
+    import java.nio.file.{Files, Paths}
+    def build(tag: String): String = {
+      val r = Files.createTempDirectory(s"graft-vecidx-$tag").toString + "/idx"
+      VectorIndex.init(spark, emb, r, k = 4)
+      r
+    }
+    def ids(r: String): Set[Long] = spark.read.parquet(s"$r/index")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+    // (a) crash after the first rename: live -> retired happened, staging
+    // is a complete freshly-built index (simulate with a second init)
+    val ra = build("recov-a")
+    val before = ids(ra)
+    VectorIndex.init(spark, spark.read.parquet(s"$ra/index").drop("cid"),
+      s"$ra.refresh-staging", k = 4)
+    Files.move(Paths.get(ra), Paths.get(s"$ra.refresh-retired"))
+    assert(VectorIndex.recover(spark, ra))
+    assert(ids(ra) == before)
+    assert(!new java.io.File(s"$ra.refresh-staging").exists() &&
+      !new java.io.File(s"$ra.refresh-retired").exists())
+    // a healed root recovers to false on the next call (live exists)
+    assert(!VectorIndex.recover(spark, ra))
+    // and refresh itself runs clean on the healed root
+    VectorIndex.refresh(spark, ra, k = 4)
+    assert(ids(ra) == before)
+
+    // (b) incomplete staging (build died mid-write): promote retired
+    val rb = build("recov-b")
+    val beforeB = ids(rb)
+    Files.createDirectories(Paths.get(s"$rb.refresh-staging/centroids"))
+    Files.move(Paths.get(rb), Paths.get(s"$rb.refresh-retired"))
+    assert(VectorIndex.recover(spark, rb))
+    assert(ids(rb) == beforeB)
+    assert(!new java.io.File(s"$rb.refresh-staging").exists())
+
+    // nothing recoverable: loud failure, not a silent absent index
+    val rc = Files.createTempDirectory("graft-vecidx-recov-c").toString + "/idx"
+    intercept[IllegalStateException](VectorIndex.recover(spark, rc))
+  }
+
   test("forget erases ids partition-locally: index == rebuild over survivors; idempotent; emptied partitions cleared") {
     import spark.implicits._
     // dedicated index (the shared lazy `root` must stay intact for the
