@@ -234,6 +234,19 @@ object Bench {
     if (s.size < 2) s.headOption.getOrElse(-1.0) else s(1)
   }
 
+  /** A floor at or below the prior (2% jitter tolerance) clears with no
+    * sentinel evidence needed — it cannot ratchet the canonical upward. */
+  val FasterClearTolerance = 1.02
+
+  /** Machine-readable record of one prior-canonical burst clear: the
+    * floor, the prior it was judged against, the raw and sentinel-
+    * discounted ratios, and the human detail string. Emitted as an object
+    * (not a bare string) under `burst_prior_cleared` so
+    * tools/compare_bench.py can audit CHAINED clears across rounds
+    * (r17 advice: a string-only record made creep invisible). */
+  final case class BurstClear(floor: Double, prior: Double, ratio: Double,
+                              discounted: Double, detail: String)
+
   /** Prior-canonical burst adjudication (VERDICT r16 wrong #2 — unify the
     * in-run burst path with tools/compare_bench.py's unattended solo
     * re-measure so no artifact ships with an unresolved burst): the burst
@@ -243,28 +256,58 @@ object Bench {
     * admitted value for the query, the intra-run spread is a co-tenant
     * burst by the same evidence rule the delta tool applies — the code,
     * run alone, is as fast as the committed baseline. Returns the
-    * in-artifact evidence string when cleared, None when the floor is
+    * in-artifact evidence when cleared, None when the floor is
     * genuinely slow (or no prior value exists) — those stay
     * `burst_unresolved`, which is now a positive signal, not a shrug.
-    * Pure for BenchGuardSpec. */
+    *
+    * CREEP GUARD (r17 advice): a cleared slower-than-prior floor becomes
+    * the next run's prior, so repeated sub-[[BurstAgreeRatio]] clears
+    * could compound a real regression indefinitely without ever flagging.
+    * Two rules bound that: (1) a floor ≤ prior × [[FasterClearTolerance]]
+    * always clears (no ratchet possible); (2) a SLOWER-than-prior floor
+    * clears only when the prior artifact does NOT itself carry a
+    * slower-than-prior `burst_prior_cleared` entry for the same query —
+    * chained slower clears are refused, capping total creep at one
+    * discounted step before the query surfaces as unresolved. The prior
+    * is parsed as JSON (json4s, shipped with Spark), not regex-matched
+    * against the raw text — the old first-numeric-match-anywhere parse
+    * could bind to an unrelated field. Pure for BenchGuardSpec. */
   def burstPriorCleared(priorJson: Option[String], name: String,
                         floorValue: Double,
-                        noiseFactor: Double, ioNoiseFactor: Double): Option[String] =
+                        noiseFactor: Double, ioNoiseFactor: Double): Option[BurstClear] =
     priorJson.flatMap { txt =>
-      def num(field: String): Option[Double] =
-        ("\"" + java.util.regex.Pattern.quote(field) + "\"\\s*:\\s*([0-9.eE+-]+)").r
-          .findFirstMatchIn(txt).flatMap(_.group(1).toDoubleOption)
+      import org.json4s._
+      val j = try jackson.JsonMethods.parse(txt) catch { case _: Throwable => JNothing }
+      def num(v: JValue): Option[Double] = v match {
+        case JDouble(d) => Some(d)
+        case JInt(i)    => Some(i.toDouble)
+        case JLong(l)   => Some(l.toDouble)
+        case JDecimal(d) => Some(d.toDouble)
+        case _ => None
+      }
+      val pvOpt = num(j \ "queries" \ name)
+      val pn = num(j \ "noise_factor").getOrElse(1.0)
+      val pi = num(j \ "io_noise_factor").getOrElse(1.0)
+      // did the PRIOR run itself admit this query via a slower-than-prior
+      // clear? (old-format string entries parse no ratio — treated as
+      // slower, the conservative side)
+      val priorChained = (j \ "burst_prior_cleared" \ name) match {
+        case JNothing | JNull => false
+        case entry => num(entry \ "ratio").forall(_ > FasterClearTolerance)
+      }
       for {
-        pv <- num(name) if pv > 0 && floorValue > 0
-        pn = num("noise_factor").getOrElse(1.0)
-        pi = num("io_noise_factor").getOrElse(1.0)
+        pv <- pvOpt if pv > 0 && floorValue > 0
         ratio = floorValue / pv
         best = math.min(
           ratio / math.max(noiseFactor / math.max(pn, 1e-9), 1e-9),
           ratio / math.max(ioNoiseFactor / math.max(pi, 1e-9), 1e-9))
-        if best <= BurstAgreeRatio
-      } yield f"solo floor $floorValue%.2f s vs prior canonical $pv%.2f s " +
-        f"(sentinel-discounted $best%.2fx <= $BurstAgreeRatio) — co-tenant burst"
+        if ratio <= FasterClearTolerance ||
+          (best <= BurstAgreeRatio && !priorChained)
+      } yield BurstClear(floorValue, pv, ratio, best,
+        f"solo floor $floorValue%.2f s vs prior canonical $pv%.2f s " +
+          f"(raw $ratio%.2fx, sentinel-discounted $best%.2fx <= $BurstAgreeRatio" +
+          (if (ratio > FasterClearTolerance) "; slower-than-prior — a chained clear next round is refused" else "") +
+          ") — co-tenant burst")
     }
 
   /** Heavy-tail burst guard (object scaladoc): divert the run when the
@@ -446,7 +489,7 @@ object Bench {
     // samples append to the chronological "samples" record like any pass.
     val burstFlagged = scala.collection.mutable.Set.empty[String]
     val burstUnresolved = scala.collection.mutable.Set.empty[String]
-    val burstPriorClearedDetail = scala.collection.mutable.Map.empty[String, String]
+    val burstPriorClearedDetail = scala.collection.mutable.Map.empty[String, BurstClear]
     for (spec <- ordered if !broken(spec.name)) {
       if (burstSpread(times.getOrElse(spec.name, Nil)) > BurstSpreadRatio) {
         burstFlagged += spec.name
@@ -475,10 +518,10 @@ object Bench {
           // when the solo evidence to classify it already exists)
           burstPriorCleared(priorJson, spec.name,
             robustFloorValue(times(spec.name)), noiseFactor, ioNoiseFactor) match {
-            case Some(detail) =>
-              burstPriorClearedDetail(spec.name) = detail
+            case Some(clear) =>
+              burstPriorClearedDetail(spec.name) = clear
               System.err.println(s"[bench] burst cleared vs prior canonical: " +
-                s"${spec.name} — $detail")
+                s"${spec.name} — ${clear.detail}")
             case None =>
               burstUnresolved += spec.name
               System.err.println(s"[bench] burst UNRESOLVED after $reruns reruns: " +
@@ -539,8 +582,16 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
+    // structured per-clear record (floor/prior/ratio machine-readable —
+    // r17 advice: the next run's creep guard and the delta tool both read
+    // the `ratio` field)
     val burstPriorClearedJson = burstPriorClearedDetail.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":\"" + jstr(v) + "\"" }
+      .map { case (k, c) =>
+        "\"" + k + "\":{" +
+          f""""floor":${c.floor}%.3f,"prior":${c.prior}%.3f,""" +
+          f""""ratio":${c.ratio}%.3f,"discounted":${c.discounted}%.3f,""" +
+          s""""detail":"${jstr(c.detail)}"}"""
+      }
       .mkString("{", ",", "}")
     def jsonLine(guard: Option[String]): String = {
       val guardField = guard.map(g => s""""guard":"${jstr(g)}",""").getOrElse("")

@@ -117,9 +117,12 @@ class BenchGuardSpec extends AnyFunSuite {
     val prior = Some(
       s"""{"metric":"total","queries":{"u19_kmv":3.2,"other":1.0},""" +
         s""""noise_factor":0.5,"io_noise_factor":1.0,"sf":"$sf01","value":100.0}""")
-    // floor 3.5 vs prior 3.2 at identical sentinels: 1.09x — cleared
+    // floor 3.5 vs prior 3.2 at identical sentinels: 1.09x — cleared,
+    // with the machine-readable floor/prior/ratio record (r17 advice)
     val cleared = Bench.burstPriorCleared(prior, "u19_kmv", 3.5, 0.5, 1.0)
-    assert(cleared.exists(_.contains("co-tenant burst")), cleared.toString)
+    assert(cleared.exists(_.detail.contains("co-tenant burst")), cleared.toString)
+    assert(cleared.exists(c => c.floor == 3.5 && c.prior == 3.2 &&
+      math.abs(c.ratio - 3.5 / 3.2) < 1e-9), cleared.toString)
     // floor 12.0 vs prior 3.2: 3.75x — stays unresolved (positive signal)
     assert(Bench.burstPriorCleared(prior, "u19_kmv", 12.0, 0.5, 1.0).isEmpty)
     // sentinel discounting mirrors the delta tool: a 2x-noisier current
@@ -128,6 +131,38 @@ class BenchGuardSpec extends AnyFunSuite {
     // no prior value for the query (or no prior artifact): never clears
     assert(Bench.burstPriorCleared(prior, "unknown_q", 1.0, 0.5, 1.0).isEmpty)
     assert(Bench.burstPriorCleared(None, "u19_kmv", 3.5, 0.5, 1.0).isEmpty)
+  }
+
+  test("burstPriorCleared creep guard: chained slower-than-prior clears are refused; faster floors always clear") {
+    // the r17 advice scenario: a sub-1.5x regression cleared as burst
+    // last round must not clear again this round — compounding creep is
+    // capped at one discounted step
+    def prior(clearEntry: String) = Some(
+      s"""{"metric":"total","queries":{"u19_kmv":3.5,"other":1.0},""" +
+        s""""burst_prior_cleared":{$clearEntry},""" +
+        s""""noise_factor":0.5,"io_noise_factor":1.0,"sf":"$sf01","value":100.0}""")
+    val chained = prior(
+      """"u19_kmv":{"floor":3.5,"prior":3.2,"ratio":1.094,"discounted":1.094,"detail":"x"}""")
+    // slower again (4.2 vs 3.5 = 1.2x, inside BurstAgreeRatio) — REFUSED:
+    // the prior value itself came from a slower-than-prior clear
+    assert(Bench.burstPriorCleared(chained, "u19_kmv", 4.2, 0.5, 1.0).isEmpty)
+    // but a floor back at/below the (inflated) prior still clears — the
+    // ratchet can only unwind, never advance
+    assert(Bench.burstPriorCleared(chained, "u19_kmv", 3.4, 0.5, 1.0).isDefined)
+    // a prior clear that was NOT slower (ratio <= tolerance) does not
+    // block this round's discounted clear
+    val benign = prior(
+      """"u19_kmv":{"floor":3.1,"prior":3.2,"ratio":0.969,"discounted":0.969,"detail":"x"}""")
+    assert(Bench.burstPriorCleared(benign, "u19_kmv", 4.2, 0.5, 1.0).isDefined)
+    // an OLD-FORMAT string entry (no parsable ratio) blocks slower clears
+    // — the conservative side
+    val oldFmt = prior(""""u19_kmv":"solo floor 3.50 s vs prior 3.20 s"""")
+    assert(Bench.burstPriorCleared(oldFmt, "u19_kmv", 4.2, 0.5, 1.0).isEmpty)
+    assert(Bench.burstPriorCleared(oldFmt, "u19_kmv", 3.5, 0.5, 1.0).isDefined)
+    // a different query's chained entry is irrelevant
+    val otherQ = prior(
+      """"w3_frames":{"floor":2.0,"prior":1.5,"ratio":1.33,"discounted":1.33,"detail":"x"}""")
+    assert(Bench.burstPriorCleared(otherQ, "u19_kmv", 4.2, 0.5, 1.0).isDefined)
   }
 
   test("subset run always diverts, even at matching sf and clean noise") {

@@ -294,6 +294,17 @@ def main():
                 (n for n, q in queries.items()
                  if q.get("class") == "stable" and old_q[n] >= BATTERY_MIN_SEC),
                 key=lambda n: -old_q[n])[:BATTERY_SIZE]
+            # FALLBACK (r17 advice): in a genuine suite-wide slowdown --
+            # the case attribution matters most -- long queries classify
+            # residual, not stable, and the stable battery can be empty.
+            # Top up with the longest-running common queries of ANY class
+            # rather than silently degrading to UNATTRIBUTED.
+            if len(battery) < BATTERY_SIZE:
+                extra = sorted(
+                    (n for n in queries if n not in battery
+                     and old_q.get(n, 0) >= BATTERY_MIN_SEC),
+                    key=lambda n: -old_q[n])[:BATTERY_SIZE - len(battery)]
+                battery = battery + extra
             ratios, rows = [], {}
             if solo_cmd:
                 for name in battery:
@@ -307,19 +318,35 @@ def main():
                                   "solo_raw_ratio": round(r, 3)}
             if ratios:
                 bm = round(median(ratios), 3)
-                trusted = ("raw_median"
-                           if abs(bm - raw_median) <= abs(bm - normalized_median)
+                d_raw = round(abs(bm - raw_median), 3)
+                d_norm = round(abs(bm - normalized_median), 3)
+                trusted = ("raw_median" if d_raw <= d_norm
                            else "normalized_median")
+                # r17 advice: a battery median FAR from both headline
+                # medians must be surfaced, not silently endorse the
+                # nearer one -- record both distances, and when even the
+                # nearer one is off by more than the drift bound, demote
+                # the verdict to the battery's own number.
+                contradicts = min(d_raw, d_norm) / raw_median > DRIFT_BOUND
                 suite_drift.update({
                     "battery": rows,
                     "battery_median": bm,
-                    "trusted": trusted,
+                    "battery_distance_raw": d_raw,
+                    "battery_distance_normalized": d_norm,
+                    "battery_contradicts_both": contradicts,
+                    "trusted": "battery_median" if contradicts else trusted,
                     "reason": (
-                        f"solo battery of {len(ratios)} stable queries at "
-                        f"identical code on a quiet core measured raw "
-                        f"solo/old median {bm}, closer to {trusted}; the "
-                        f"other median reflects sentinel miscalibration "
-                        f"between the two hosts, not a code change"),
+                        (f"solo battery of {len(ratios)} queries at "
+                         f"identical code on a quiet core measured raw "
+                         f"solo/old median {bm}, farther than {DRIFT_BOUND} "
+                         f"from BOTH headline medians -- trust the battery "
+                         f"itself; both headlines carry host artifacts")
+                        if contradicts else
+                        (f"solo battery of {len(ratios)} queries at "
+                         f"identical code on a quiet core measured raw "
+                         f"solo/old median {bm}, closer to {trusted}; the "
+                         f"other median reflects sentinel miscalibration "
+                         f"between the two hosts, not a code change")),
                 })
             else:
                 suite_drift.update({
