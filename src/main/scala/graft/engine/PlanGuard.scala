@@ -192,24 +192,52 @@ object PlanGuard {
     // over an unaggregated fact. The rewrite is recognized structurally,
     // not by aggregate purity (the mixed form's first Aggregate DOES carry
     // partial regular aggregates): Aggregate(final) over Aggregate(first)
-    // over Expand, where the first groups by the rewrite's Expand-
-    // introduced `gid` attribute. ROLLUP's Expand never matches — its
-    // grouping-id is `spark_grouping_id` and a single Aggregate caps it.
+    // over Expand, where the first groups by the rewrite's discriminator
+    // — an Expand-INTRODUCED attribute whose value is a per-projection
+    // integer LITERAL taking ≥2 distinct values (that is what makes it a
+    // discriminator, not data: a user column that merely happens to be
+    // named `gid` can never earn the exemption). The name check on top
+    // pins the rewrite's attribute (Spark 3.0–4.1: "gid",
+    // RewriteDistinctAggregates), so ROLLUP's otherwise-similar Expand
+    // (`spark_grouping_id` — also a literal discriminator) stays flagged:
+    // its single-Aggregate shape is the user-fixable sliver-first class.
+    // VERSION PIN: a Spark upgrade renaming "gid" silently drops the
+    // exemption and fatally refuses legitimate multi-distinct queries —
+    // PlanGuardSpec's mixed-form test is the canary that catches that at
+    // test time, not at a user's refused query.
+    def isLiteralDiscriminator(e: Expand,
+        attr: org.apache.spark.sql.catalyst.expressions.Attribute): Boolean = {
+      val i = e.output.indexWhere(_.exprId == attr.exprId)
+      i >= 0 && {
+        val vals = e.projections.map(_(i)).collect {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v
+        }
+        vals.length == e.projections.length && vals.distinct.length >= 2
+      }
+    }
     def capsDistinctRewrite(a: Aggregate): Boolean = a.child match {
       case e: Expand =>
         val introduced = e.producedAttributes
         a.groupingExpressions.exists {
           case attr: org.apache.spark.sql.catalyst.expressions.Attribute =>
-            attr.name == "gid" && introduced.contains(attr)
+            attr.name == "gid" && introduced.contains(attr) &&
+              isLiteralDiscriminator(e, attr)
           case _ => false
         }
       case _ => false
     }
+    // the first Aggregate caps the Expand map-side even when an optimizer
+    // rule leaves a column-pruning Project between the two aggregates —
+    // look through it rather than keying on direct parenthood
+    def firstAggBelow(p: LogicalPlan): Option[Aggregate] = p match {
+      case a: Aggregate => Some(a)
+      case prj: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        prj.child match { case a: Aggregate => Some(a); case _ => None }
+      case _ => None
+    }
     val dedupCapped: Set[LogicalPlan] = plan.collectWithSubqueries {
-      case outer: Aggregate => outer.child match {
-        case first: Aggregate if capsDistinctRewrite(first) => Some(first.child)
-        case _ => None
-      }
+      case outer: Aggregate =>
+        firstAggBelow(outer.child).filter(capsDistinctRewrite).map(_.child)
     }.flatten.toSet
     val expands = plan.collectWithSubqueries {
       case e: Expand if !dedupCapped.contains(e) && overBudget(e.child, policy.maxExpandBytes) =>
