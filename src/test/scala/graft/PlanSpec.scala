@@ -738,6 +738,9 @@ class PlanSpec extends AnyFunSuite {
     //   tools/SkewBench.scala     one shared measure() collect: the 5-row
     //     priority aggregate / ~40-row count-histogram / 3-row share
     //     summary parity gates of the skew HARNESS
+    //   tools/DsNineLadder.scala  the DPP-rung HARNESS's one measurement
+    //     collect (materialize the 12-row per-month aggregate so the
+    //     executed plan's numPartitions metric is real) — never row data
     //   tools/AnnRecall.scala     recall HARNESS driver reads, all
     //     top-k/dim-bounded: top-10 id lists per query (×1 via topIds),
     //     rows-per-cid of the served index and of the training slice
@@ -759,6 +762,7 @@ class PlanSpec extends AnyFunSuite {
       "ops/Skew.scala" -> 2,
       "tools/SkewBench.scala" -> 1,
       "tools/AnnRecall.scala" -> 6,
+      "tools/DsNineLadder.scala" -> 1,
       "engine/WriteGuard.scala" -> 1,
       "queries/DedupQueries.scala" -> 1)
     val found = mainSourceLines
