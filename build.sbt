@@ -31,4 +31,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits a fresh class per plan; a long-lived session
+  // running the full 251-query registry × 3 bench passes churns far past
+  // the JDK-17 default 240 MB reserved code cache, after which the JIT
+  // starves (flushing/recompile thrash, compile queue backlog) and late
+  // queries run their generated loops interpreted — measured at sf0.1:
+  // u19_kmv_overlap 2.6 s in a fresh JVM vs 16.6 s late in a full bench
+  // run at identical code. Standard JVM sizing for codegen-heavy Spark;
+  // scale-independent (any production driver JVM wants this headroom).
+  "-XX:ReservedCodeCacheSize=512m",
 )

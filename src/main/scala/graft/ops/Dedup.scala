@@ -249,7 +249,18 @@ object Dedup {
     val cand = candidatesFromBands(banded)
     val candDocs = cand.select(col("id1").as("doc_id"))
       .union(cand.select(col("id2").as("doc_id"))).distinct()
+    // The verify sliver is MATERIALIZED once (r18): exactJaccardPairs
+    // scans its input three times (cnt + both self-join sides), and each
+    // lazy scan re-runs the substrate pipeline (scan→tokenize→explode
+    // [→cap]) plus the semi-join. The sliver is candidate-docs-only —
+    // tiny at every scale by construction (candidates, not corpus) — so
+    // the snapshot costs one substrate pass and O(candidates) storage
+    // while removing two full substrate passes (measured at sf0.1:
+    // neardup 2.9→2.1 s uncapped; the win compounds in every CC-fold
+    // consumer). Unlike persisting the FULL substrate (measured slower —
+    // see minhashNearDupFromShingles), this persists only the sliver.
     val shCand = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     exactJaccardPairs(shCand, thr)
   }
 
@@ -425,9 +436,14 @@ object Dedup {
     // candidate-sized)
     val candIds = cand.select(col("id1").as("doc_id"))
       .union(cand.select(col("id2").as("doc_id"))).distinct()
-    val corpusCandSh = corpusCandShOf(candIds)
-    val newShCand = newSh.join(candIds, Seq("doc_id"), "left_semi")
-    val pairs = exactJaccardPairs(corpusCandSh.union(newShCand), thr)
+    // Verify sliver materialized once (same rationale as
+    // minhashNearDupFromBands): exactJaccardPairs scans its input 3×, and
+    // here each lazy scan re-reads the ARCHIVE for the corpus-candidate
+    // slice plus re-shingles the batch. The union is candidate-sized.
+    val pairs = exactJaccardPairs(
+      corpusCandShOf(candIds)
+        .union(newSh.join(candIds, Seq("doc_id"), "left_semi"))
+        .localCheckpoint(), thr)
     // keep pairs that involve a new doc; marker joins (not two semi-join
     // branches) so the pair frame is computed once. Join strategy left to
     // the planner: the aggregated id set is usually broadcast-sized, but
@@ -480,7 +496,9 @@ object Dedup {
       .distinct()
     val candDocs = cand.select(col("id1").as("doc_id"))
       .union(cand.select(col("id2").as("doc_id"))).distinct()
-    exactJaccardPairs(sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi"), thr)
+    // verify sliver materialized once — see minhashNearDupFromBands
+    exactJaccardPairs(
+      sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi").localCheckpoint(), thr)
   }
 
   /** Connected components over a near-dup pair graph: every doc that
@@ -533,12 +551,24 @@ object Dedup {
     var converged = edges.isEmpty
     var i = 0
     while (!converged && i < maxIters) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      // both sides are distinct canonical sets: equality ⇔ same count
-      // and next ⊆ edges (anti-join empty)
-      converged = next.count() == edges.count() &&
-        next.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
-      edges = next
+      // ONE materializing job per round (r18 — previously three: the
+      // next-edge checkpoint, a count, and an anti-join; the rounds are
+      // job-overhead-bound on sliver graphs). The tagged union of the
+      // round's RAW output (smallStar no longer distincts — duplicates
+      // are multiplicity-noise the groupBy absorbs) with the previous
+      // canonical set is grouped by edge: that one exchange
+      // simultaneously (a) canonicalizes the round output, and (b)
+      // decides exact set equality — a (hi, lo) group whose tags are
+      // one-sided exists on only one side, so the sets are equal iff no
+      // such group exists. The next round's edge set is a cheap filter
+      // over the checkpointed comparison frame.
+      val cmp = smallStar(largeStar(edges))
+        .select(col("hi"), col("lo"), lit(1).as("__s"))
+        .unionByName(edges.select(col("hi"), col("lo"), lit(2).as("__s")))
+        .groupBy("hi", "lo").agg(min("__s").as("__mn"), max("__s").as("__mx"))
+        .localCheckpoint()
+      converged = cmp.filter(col("__mn") === col("__mx")).isEmpty
+      edges = cmp.filter(col("__mn") === 1).select("hi", "lo")
       i += 1
     }
     // maxIters is a pure backstop now: the proven bound is O(log² n)
@@ -630,7 +660,12 @@ object Dedup {
 
   /** Large-star: for each node u, attach every STRICTLY LARGER neighbor
     * to min(Γ(u) ∪ {u}). Components are preserved; tall trees flatten
-    * geometrically. Input/output: canonical (hi, lo) edge sets. */
+    * geometrically. Input: canonical (hi, lo) edge set. Output MAY carry
+    * duplicates (r18: the explicit distinct was a whole exchange per
+    * round, and the only consumer — [[smallStar]] — is duplicate-safe:
+    * its min-aggregation ignores multiplicity and its own final distinct
+    * canonicalizes the round's output, which is what the convergence
+    * check compares). */
   private def largeStar(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
       .union(edges.select(col("lo").as("u"), col("hi").as("v")))
@@ -639,20 +674,22 @@ object Dedup {
     // v > u ≥ m ⇒ (v, m) is already canonical and never a self-loop
     sym.join(mins, "u").filter(col("v") > col("u"))
       .select(col("v").as("hi"), col("m").as("lo"))
-      .distinct()
   }
 
   /** Small-star: for each node u, attach its SMALLER-OR-EQUAL neighbors
     * (and u itself) to min(smaller neighbors). Canonical (hi, lo) edges
     * already orient every edge large→small, so u's smaller neighborhood
-    * is exactly its lo side. */
+    * is exactly its lo side. Duplicate-tolerant on both sides (r18): the
+    * input may carry [[largeStar]]'s duplicates (min-agg ignores
+    * multiplicity) and the output is NOT distinct'd here — the round
+    * loop's tagged-union groupBy canonicalizes it in the same exchange
+    * that decides convergence. */
   private def smallStar(edges: DataFrame): DataFrame = {
     val mins = edges.groupBy("hi").agg(min("lo").as("m")) // m < hi
     val joined = edges.join(mins, "hi")
     joined.filter(col("lo") =!= col("m"))
       .select(col("lo").as("hi"), col("m").as("lo")) // lo > m by minimality
       .union(mins.select(col("hi"), col("m").as("lo")))
-      .distinct()
   }
 
   /** 64-bit SimHash over term-frequency-weighted whitespace tokens: bit b

@@ -40,21 +40,25 @@ object Graph {
         col("id1").cast("long").as("dst")))
       .localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
-    val nodes = deg.select(col("src").as("id"))
-    var ranks = nodes.select(col("id"), lit(1.0).as("rank"))
+    // The rank vector CARRIES the (static) degree column (r18): the old
+    // loop joined `deg` back in every iteration — one whole join per
+    // sweep whose only purpose was re-attaching a value already keyed by
+    // the same id. Same per-edge contribution rank/deg, same grouping,
+    // identical output (GraphSpec conservation + fixed-point parity pins).
+    var ranks = deg.select(col("src").as("id"), lit(1.0).as("rank"), col("deg"))
     for (i <- 1 to iters) {
       val inflow = edges
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy("id").agg(sum("c").as("inflow"))
-      val next = nodes
+      val next = deg.select(col("src").as("id"), col("deg"))
         .join(inflow, Seq("id"), "left")
         .select(col("id"),
-          (lit(1.0 - beta) + lit(beta) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+          (lit(1.0 - beta) + lit(beta) * coalesce(col("inflow"), lit(0.0))).as("rank"),
+          col("deg"))
       ranks = if (i % checkpointEvery == 0 || i == iters) next.localCheckpoint() else next
     }
-    ranks
+    ranks.select(col("id"), col("rank"))
   }
 
   /** TRIANGLE enumeration over an undirected pair list (`id1`, `id2`) —
@@ -77,17 +81,32 @@ object Graph {
     * Input may contain duplicates or either orientation (canonicalized
     * + distinct'd here); self-loops are dropped. Output: one row per
     * triangle, vertices sorted ascending (`ta` < `tb` < `tc`). */
-  def triangles(pairs: DataFrame): DataFrame = {
-    val e = pairs.select(
+  def triangles(pairs: DataFrame): DataFrame = trianglesFromEdges(canonicalEdges(pairs))
+
+  /** Canonical undirected edge sliver, MATERIALIZED once (r18): every
+    * graph op scans its edge list several times (degrees, orientation,
+    * both wedge sides, the closing join), and without a snapshot each
+    * scan re-runs the caller's pair-generation pipeline — for the g2–g4
+    * co-order graph that is the corpus-scale lineitem self-join, repeated
+    * up to 3×. The edge list is a sliver relative to the corpus by the
+    * ops' own contract, so the snapshot is cheap at every scale. */
+  private def canonicalEdges(pairs: DataFrame): DataFrame = pairs.select(
       least(col("id1").cast("long"), col("id2").cast("long")).as("a"),
       greatest(col("id1").cast("long"), col("id2").cast("long")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
+    .filter(col("a") =!= col("b"))
+    .distinct()
+    .localCheckpoint()
+
+  /** [[triangles]] over an already-canonical materialized edge set. */
+  private def trianglesFromEdges(e: DataFrame): DataFrame = {
     val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     // orient low-rank → high-rank, rank = (deg, id) lexicographic; carry
     // the head's rank so wedge enumeration can order out-neighbors
-    // without another join
+    // without another join. Materialized: the wedge self-join reads it
+    // twice and the closing join a third time — each read would re-run
+    // the two degree joins (sliver-sized snapshot, same argument as
+    // canonicalEdges).
     val oriented = e
       .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
@@ -97,6 +116,7 @@ object Graph {
           .otherwise(struct(col("b").as("src"), col("a").as("dst"), col("da").as("ddst")))
           .as("o"))
       .select(col("o.src").as("src"), col("o.dst").as("dst"), col("o.ddst").as("ddst"))
+      .localCheckpoint()
     val wedges = oriented.select(col("src"), col("dst").as("v"), col("ddst").as("dv"))
       .join(oriented.select(col("src"), col("dst").as("w"), col("ddst").as("dw")), Seq("src"))
       .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
@@ -164,16 +184,16 @@ object Graph {
     * (id, n_triangles, deg). Coefficient = 2·t / (deg·(deg−1)) — left
     * to the caller so the division shape is the query's choice. */
   def triangleCounts(pairs: DataFrame): DataFrame = {
-    val t = triangles(pairs)
+    // one canonical edge snapshot feeds BOTH the triangle enumeration and
+    // the degree table (the old form re-derived the caller's pair
+    // pipeline for each); the triangle set is materialized because the
+    // per-node rollup scans it three times (once per vertex slot)
+    val e = canonicalEdges(pairs)
+    val t = trianglesFromEdges(e).localCheckpoint()
     val perNode = t.select(col("ta").as("id"))
       .unionAll(t.select(col("tb").as("id")))
       .unionAll(t.select(col("tc").as("id")))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
-    val e = pairs.select(
-      least(col("id1").cast("long"), col("id2").cast("long")).as("a"),
-      greatest(col("id1").cast("long"), col("id2").cast("long")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
     e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
       .join(perNode, Seq("id"), "left")
@@ -216,23 +236,25 @@ object Graph {
         col("id1").cast("long").as("dst")))
       .localCheckpoint()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
-    val nodes = deg.select(col("src").as("id"))
     val teleport = (one / betaDen) * (betaDen - betaNum)
-    var ranks = nodes.select(col("id"), lit(one).as("rank"))
+    // degree rides the rank vector — one fewer join per sweep (see
+    // [[pageRank]]); exact integer arithmetic is order-independent, so
+    // the output is bit-identical (g1's DuckDB oracle pins it)
+    var ranks = deg.select(col("src").as("id"), lit(one).as("rank"), col("deg"))
     for (i <- 1 to iters) {
       val inflow = edges
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .select(col("dst").as("id"), expr("rank DIV deg").as("c"))
         .groupBy("id").agg(sum("c").as("inflow"))
-      val next = nodes
+      val next = deg.select(col("src").as("id"), col("deg"))
         .join(inflow, Seq("id"), "left")
         .select(col("id"),
           (lit(teleport) + expr(s"(coalesce(inflow, CAST(0 AS BIGINT)) * $betaNum) DIV $betaDen"))
-            .as("rank"))
+            .as("rank"),
+          col("deg"))
       ranks = if (i % checkpointEvery == 0 || i == iters) next.localCheckpoint() else next
     }
-    ranks
+    ranks.select(col("id"), col("rank"))
   }
 
   /** Common-neighbor LINK PREDICTION over an undirected pair graph: every
@@ -253,11 +275,9 @@ object Graph {
     * Jaccard is one small-integer division (correctly-rounded IEEE,
     * bit-portable — the t14 argument); everything else exact BIGINT. */
   def linkCandidates(pairs: DataFrame, maxDegree: Long = Long.MaxValue): DataFrame = {
-    val e = pairs.select(
-      least(col("id1").cast("long"), col("id2").cast("long")).as("a"),
-      greatest(col("id1").cast("long"), col("id2").cast("long")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
+    // materialized once — adjacency (2 scans), the anti-join and both
+    // degree joins all read the same edge sliver (see canonicalEdges)
+    val e = canonicalEdges(pairs)
     val adj = e.select(col("a").as("id"), col("b").as("nb"))
       .unionAll(e.select(col("b").as("id"), col("a").as("nb")))
     val deg = adj.groupBy("id").agg(count(lit(1)).as("deg"))

@@ -192,7 +192,7 @@ object DedupQueries {
       "Dedup: MinHash(64) + LSH(16 bands × 4) candidates, exact-Jaccard verified ≥ 0.8",
       jaccardOracle) {
       (s, d) =>
-        Dedup.minhashNearDup(Tables.documents(s, d))
+        Dedup.minhashNearDup(Tables.widened(s, d, "documents"))
           .orderBy("id1", "id2")
     }.withBench { (s, d) =>
       // production: same plan minus the oracle sort, plus the hot-shingle
@@ -201,7 +201,7 @@ object DedupQueries {
       // hashShingles=true is the cross-network scale path (8-byte shuffle
       // keys) but measured SLOWER on single-node local[32] — the extra
       // hash pass costs CPU and there is no network to save.
-      Dedup.minhashNearDup(Tables.documents(s, d), maxDf = Some(Dedup.DefaultMaxDf))
+      Dedup.minhashNearDup(Tables.widened(s, d, "documents"), maxDf = Some(Dedup.DefaultMaxDf))
     },
 
     sql("dd3_ngram_jaccard",
@@ -209,7 +209,7 @@ object DedupQueries {
       jaccardOracle) {
       (s, d) =>
         Dedup.exactJaccardPairs(
-          Dedup.shingleDF(Tables.documents(s, d)), minJaccard = 0.8)
+          Dedup.shingleDF(Tables.widened(s, d, "documents")), minJaccard = 0.8)
           .orderBy("id1", "id2")
     }.withBench { (s, d) =>
       // production plan = PPJoin prefix filter + df-cap, NOT the direct
@@ -221,7 +221,7 @@ object DedupQueries {
       // (31-word vocab, nothing to prune) — a corpus property we no
       // longer let pick a scale-unsafe default. Direct join stays as the
       // oracle plan only.
-      Dedup.prefixFilteredJaccardPairs(Tables.documents(s, d),
+      Dedup.prefixFilteredJaccardPairs(Tables.widened(s, d, "documents"),
         thr = 0.8, maxDf = Some(Dedup.DefaultMaxDf))
     },
 
@@ -241,7 +241,7 @@ object DedupQueries {
          | FROM own o LEFT JOIN hits h ON o.eval_id = h.eval_id
          | ORDER BY o.eval_id""".stripMargin.replace("\n", "")) {
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        val docs = Tables.widened(s, d, "documents")
         Decontam.evalBurn(
           docs.filter(col("doc_id") % 20 =!= 7),
           docs.filter(col("doc_id") % 20 === 7), k = 5)
@@ -280,8 +280,12 @@ object DedupQueries {
         // association, making each per-pair double bit-identical
         def ipow(c: org.apache.spark.sql.Column, e: Int): org.apache.spark.sql.Column =
           if (e == 1) c else { val h = ipow(c, e / 2); h * h }
+        // the pair sliver feeds FOUR per-config selects (the unionByName
+        // below) — materialized once so the shared-shingle join pipeline
+        // runs once, not per config (r18)
         val pairs = graft.ops.Dedup.exactJaccardPairs(
-          graft.ops.Dedup.shingleDF(Tables.documents(s, d)), minJaccard = 0.8)
+          graft.ops.Dedup.shingleDF(Tables.widened(s, d, "documents")), minJaccard = 0.8)
+          .localCheckpoint()
         val configs = Seq((32, 2), (16, 4), (8, 8), (4, 16))
         configs.map { case (b, r) =>
           val p = lit(1.0) - ipow(lit(1.0) - ipow(col("jaccard"), r), b)
@@ -314,13 +318,13 @@ object DedupQueries {
         | ORDER BY id, in_id""".stripMargin.replace("\n", "")) {
       (s, d) =>
         Dedup.containmentPairs(
-          Dedup.shingleDF(Tables.documents(s, d)), minContainment = 0.9)
+          Dedup.shingleDF(Tables.widened(s, d, "documents")), minContainment = 0.9)
           .orderBy("id", "in_id")
     }.withBench { (s, d) =>
       // production: hashed shingles + df-cap — 8-byte join keys, hot
       // buckets bounded; containment only ever under-scores vs exact
       Dedup.containmentPairs(
-        Dedup.hashedShingleDF(Tables.documents(s, d)),
+        Dedup.hashedShingleDF(Tables.widened(s, d, "documents")),
         minContainment = 0.9, maxDf = Some(Dedup.DefaultMaxDf))
     },
 
@@ -331,18 +335,18 @@ object DedupQueries {
       // cluster with — greedy per-pair dropping over-keeps whenever two
       // docs are linked only through a common neighbor
       (s, d) =>
-        Dedup.connectedComponents(Dedup.minhashNearDup(Tables.documents(s, d)))
+        Dedup.connectedComponents(Dedup.minhashNearDup(Tables.widened(s, d, "documents")))
           .orderBy("doc_id")
     }.withBench { (s, d) =>
       Dedup.connectedComponents(
-        Dedup.minhashNearDup(Tables.documents(s, d), maxDf = Some(Dedup.DefaultMaxDf)))
+        Dedup.minhashNearDup(Tables.widened(s, d, "documents"), maxDf = Some(Dedup.DefaultMaxDf)))
     },
 
     sql("dd5b_dedup_clusters_served",
       "Dedup: dd5's FULL cluster table at deployable cost — every persisted artifact of the production layout (band index, label table, corpus shingle substrate) read back from parquet (built untimed via QuerySpec.prepare), so the timed work is ONLY the steady-state increment a deployment pays per batch: batch shingle+sign, index-bucket probe, candidate verify against the SHINGLE ARTIFACT (archive text never re-read — the step dd8b still recomputes), one updateClusters fold. Same recursive-CTE oracle as dd5; output == full-recompute clusters bit-for-bit",
       clusterOracle) {
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        val docs = Tables.widened(s, d, "documents")
         val split = batchSplit(docs)
         val batch = docs.filter(col("doc_id") >= split)
         val root = PersistedState.ensure(s, d)
@@ -372,7 +376,7 @@ object DedupQueries {
          |  CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups
          | FROM g GROUP BY 1 ORDER BY split""".stripMargin.replace("\n", "")) {
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        val docs = Tables.widened(s, d, "documents")
         // label table: at 100 TB this is the PERSISTED IncrementalIngest
         // label artifact, not an in-query closure — the split then costs
         // one left join against a sliver + a hash per doc
@@ -410,7 +414,7 @@ object DedupQueries {
       "Dedup: INCREMENTAL near-dup — new batch (top 20% of doc_ids) vs corpus via persisted LSH band index; archive re-read only for candidate docs",
       incrementalPairOracle) {
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        val docs = Tables.widened(s, d, "documents")
         val split = batchSplit(docs)
         val corpus = docs.filter(col("doc_id") < split)
         val batch = docs.filter(col("doc_id") >= split)
@@ -423,7 +427,7 @@ object DedupQueries {
       "Dedup: dd6's increment SERVED from persisted state — the band index read back from parquet (built untimed via QuerySpec.prepare in the bench), so the timed work is the amortized per-batch cost a deployment pays: batch shingle+sign, index-bucket probe, candidate-sliver verify. Same oracle as dd6",
       incrementalPairOracle) {
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        val docs = Tables.widened(s, d, "documents")
         val split = batchSplit(docs)
         val corpus = docs.filter(col("doc_id") < split)
         val batch = docs.filter(col("doc_id") >= split)
@@ -436,7 +440,7 @@ object DedupQueries {
       "Dedup: INCREMENTAL cluster maintenance — corpus labels updated with the new batch's pairs via representative contraction (updateClusters), never re-running CC over the historical pair graph; output == full-recompute clusters (dd5's oracle). Bench-honesty note (dd6's class): the in-query cost is dominated by building yesterday's persisted state (band index + label table) from scratch — exactly the work the operator amortizes in production, where both serve from parquet and the increment costs batch + one label-table pass",
       clusterOracle) {
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        val docs = Tables.widened(s, d, "documents")
         val split = batchSplit(docs)
         val corpus = docs.filter(col("doc_id") < split)
         val batch = docs.filter(col("doc_id") >= split)
@@ -459,7 +463,7 @@ object DedupQueries {
       "Dedup: dd8's cluster maintenance SERVED from persisted state — label table AND band index read back from parquet (built untimed via QuerySpec.prepare), so the timed work is the amortized increment: batch probe + updateClusters (pair-sliver joins, batch-sized contracted CC, one label-table pass). Same oracle as dd8",
       clusterOracle) {
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        val docs = Tables.widened(s, d, "documents")
         val split = batchSplit(docs)
         val corpus = docs.filter(col("doc_id") < split)
         val batch = docs.filter(col("doc_id") >= split)
@@ -484,7 +488,7 @@ object DedupQueries {
          | FROM tsh t JOIN esh e ON t.shingle = e.shingle
          | GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin.replace("\n", "")) {
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        val docs = Tables.widened(s, d, "documents")
         Decontam.contamination(
           docs.filter(col("doc_id") % 20 =!= 7),
           docs.filter(col("doc_id") % 20 === 7), k = 5)
@@ -494,7 +498,7 @@ object DedupQueries {
       // production: 8-byte hashed shingles in the broadcast hash table
       // (recall-biased: a collision can only add a flagged doc) — parity
       // vs the string form pinned in DecontamSpec
-      val docs = Tables.documents(s, d)
+      val docs = Tables.widened(s, d, "documents")
       Decontam.contaminationHashed(
         docs.filter(col("doc_id") % 20 =!= 7),
         docs.filter(col("doc_id") % 20 === 7), k = 5)
@@ -505,7 +509,7 @@ object DedupQueries {
       pageRankOracle) {
       (s, d) =>
         graft.ops.Graph.pageRankFixedPoint(
-          Dedup.minhashNearDup(Tables.documents(s, d)), iters = 10)
+          Dedup.minhashNearDup(Tables.widened(s, d, "documents")), iters = 10)
           .select(col("id"), col("rank").as("rank_fp"))
           .orderBy(col("rank_fp").desc, col("id"))
           .limit(20)
@@ -513,7 +517,7 @@ object DedupQueries {
       // production: plain double arithmetic (no fixed-point bound on node
       // count) over the df-capped pair graph — the 100 TB plan
       graft.ops.Graph.pageRank(
-        Dedup.minhashNearDup(Tables.documents(s, d), maxDf = Some(Dedup.DefaultMaxDf)),
+        Dedup.minhashNearDup(Tables.widened(s, d, "documents"), maxDf = Some(Dedup.DefaultMaxDf)),
         iters = 10)
         .orderBy(col("rank").desc, col("id"))
         .limit(20)
@@ -533,7 +537,7 @@ object DedupQueries {
          | FROM reach GROUP BY src
          | ORDER BY n_reachable DESC, src LIMIT 20""".stripMargin.replace("\n", "")) {
       (s, d) => {
-        Dedup.minhashNearDup(Tables.documents(s, d))
+        Dedup.minhashNearDup(Tables.widened(s, d, "documents"))
           .select("id1", "id2").localCheckpoint()
           .createOrReplaceTempView("g6_pairs")
         s.sql(
@@ -555,7 +559,7 @@ object DedupQueries {
       clusterSizeOracle) {
       (s, d) =>
         graft.ops.Dedup.connectedComponents(
-            Dedup.minhashNearDup(Tables.documents(s, d)))
+            Dedup.minhashNearDup(Tables.widened(s, d, "documents")))
           .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
           .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
           .select(col("cluster_size"),
@@ -586,7 +590,7 @@ object DedupQueries {
          | FROM tot t LEFT JOIN waste w ON t.source = w.source
          | ORDER BY t.source""".stripMargin.replace("\n", "")) {
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        val docs = Tables.widened(s, d, "documents")
         // non-survivors are a cluster-membership sliver; joining them
         // back to documents is an AQE-sized join (sliver vs corpus —
         // broadcast when small), and the per-source totals reuse one

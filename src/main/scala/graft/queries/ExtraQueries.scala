@@ -545,9 +545,17 @@ object ExtraQueries {
         // restores scan parallelism on the single-row-group corpus
         // (Tables.widened doc; 4.4 s -> 1.1 s state build, same JVM)
         val docs = Tables.widened(s, d, "documents")
+        // token array STAGED as a projected attribute before the shingle
+        // lambda (the Dedup.shinglesFromTokens contract): the inline
+        // shingles(text) form re-splits the text per element_at — O(len²)
+        // per doc and the heaviest interpreted loop in the suite when the
+        // JIT lags behind (measured 16.6 s suite / 2.6 s solo at sf0.1;
+        // staged: ~1 s both). Same shingle strings, same oracle rows.
         val sliced = graft.ops.Merge.kmvStateSliced(
           docs.select(col("source"), (col("doc_id") % 2).as("__slice"),
-            explode(graft.ops.Dedup.shingles(col("text"))).as("g")),
+              col("text"), graft.ops.Dedup.tokens(col("text")).as("__ws"))
+            .select(col("source"), col("__slice"),
+              explode(graft.ops.Dedup.shinglesFromTokens(col("text"), col("__ws"))).as("g")),
           "source", "__slice", md5(col("g")), k = 256)
         val merged = graft.ops.Merge.mergeKmvStates(
           Seq(sliced.drop("__slice")), "source", k = 256)
@@ -559,9 +567,12 @@ object ExtraQueries {
       // shuffle instead of 32-char md5 text), no oracle sort; same
       // single-scan sliced-state + merge shape as the oracle form
       val docs = Tables.widened(s, d, "documents")
+      // staged token array — same rationale as the oracle path above
       val sliced = graft.ops.Merge.kmvStateSliced(
         docs.select(col("source"), (col("doc_id") % 2).as("__slice"),
-          explode(graft.ops.Dedup.shingles(col("text"))).as("g")),
+            col("text"), graft.ops.Dedup.tokens(col("text")).as("__ws"))
+          .select(col("source"), col("__slice"),
+            explode(graft.ops.Dedup.shinglesFromTokens(col("text"), col("__ws"))).as("g")),
         "source", "__slice", xxhash64(col("g")), k = 256)
       val merged = graft.ops.Merge.mergeKmvStates(
         Seq(sliced.drop("__slice")), "source", k = 256)
@@ -1621,10 +1632,12 @@ object ExtraQueries {
       }
     }.withBench { (s, d) =>
       // production draw: one xxhash64 per (row, replicate) instead of an
-      // md5 hex parse — same 28-bit uniform, same threshold ladder
+      // md5 hex parse — same 28-bit uniform, same threshold ladder.
+      // widened: the 32× replicate explode + hash is the map-heavy stage
+      // and the single-row-group scan would run it in one task (r18)
       val thresholds = Seq(98751885L, 197503771L, 246879713L, 263338361L,
         267453023L, 268275955L, 268413111L)
-      val reps = Tables.orders(s, d)
+      val reps = Tables.widened(s, d, "orders")
         .select(col("o_orderkey"), col("o_totalprice"),
           explode(sequence(lit(0), lit(31))).as("replicate"))
       val u = pmod(xxhash64(col("o_orderkey"), col("replicate")), lit(1L << 28))

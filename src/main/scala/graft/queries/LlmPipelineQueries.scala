@@ -93,7 +93,7 @@ object LlmPipelineQueries {
       // production: the same composition with the hot-shingle df-cap in
       // the near-dup stage (no-op on this corpus; the scale guard at
       // 100 TB) and no oracle-only total sort
-      DocPipeline.cleanCorpus(Tables.documents(s, d),
+      DocPipeline.cleanCorpus(Tables.widened(s, d, "documents"),
         maxDf = Some(graft.ops.Dedup.DefaultMaxDf))
     },
 

@@ -512,11 +512,16 @@ object StatsQueries {
       (s, d) => {
         val lp = Tables.lineitem(s, d)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+        // the co-order pair graph (the one corpus-scale step) is
+        // materialized: it feeds BOTH the triangle enumeration and the
+        // degree table below — lazy, each would re-run the lineitem
+        // self-join (r18; sliver snapshot, same discipline as Graph ops)
         val pairs = lp.join(lp.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
           .filter(col("pk") < col("pk2"))
           .groupBy(col("pk").as("id1"), col("pk2").as("id2"))
           .agg(count(lit(1)).as("support"))
           .filter(col("support") >= 2)
+          .localCheckpoint()
         val tri = graft.ops.Graph.triangles(pairs)
         val tn = tri.select(col("ta").as("id"))
           .unionAll(tri.select(col("tb").as("id")))

@@ -99,7 +99,7 @@ object TextQueries {
       // xxhash64 instead of the bigram string (dd1's shuffle-width
       // discipline; a 2⁻⁶⁴ collision could only merge two bigram counts),
       // and the oracle-only sort is dropped
-      val base = Tables.documents(s, d)
+      val base = Tables.widened(s, d, "documents")
         .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("__ws"))
         .select(col("doc_id"),
           (lit(1.0) - size(array_distinct(col("__ws"))).cast("double") / size(col("__ws")))
