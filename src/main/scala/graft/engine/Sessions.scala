@@ -44,6 +44,16 @@ object Sessions {
           sys.env.get("SPARK_GRAFT_AQE_INITIAL_FACTOR")
             .map(_.toInt).getOrElse(8)).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // Generated-class cache (STATIC conf, default 100 entries): a
+      // long-lived session serving the whole 251-query registry evicts
+      // every plan's generated classes before their next execution, so
+      // each bench pass pays a fresh Janino compile + JIT warm-up per
+      // query (and the churn is what fills the JVM code cache — see
+      // build.sbt). 5000 entries keeps every registry plan's classes
+      // resident; memory cost is a few KB per class. Result-neutral,
+      // scale-independent (any production driver serving a query mix
+      // wants compiled-plan reuse).
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // the events table carries parquet TIMESTAMP(NANOS) which Spark does
       // not support natively; read as long (ns since epoch) and convert in
       // the loader (see graft.model.Tables.events).

@@ -566,6 +566,18 @@ object DedupQueries {
             col("n_clusters"),
             (col("cluster_size") * col("n_clusters")).as("n_docs"))
           .orderBy("cluster_size")
+    }.withBench { (s, d) =>
+      // production: dd5's discipline — hot-shingle df-cap in the pair
+      // stage (no-op on this corpus, the 100 TB bucket guard; parity
+      // pinned in DedupSpec) and no oracle-only total sort
+      graft.ops.Dedup.connectedComponents(
+          Dedup.minhashNearDup(Tables.widened(s, d, "documents"),
+            maxDf = Some(Dedup.DefaultMaxDf)))
+        .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"),
+          col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
     },
 
     sql("dd11_wasted_tokens",
@@ -612,6 +624,25 @@ object DedupQueries {
             coalesce(col("wasted_tokens"), lit(0L)).as("wasted_tokens"))
           .orderBy("source")
       }
+    }.withBench { (s, d) =>
+      // production: df-capped pair stage + no oracle sort (dd5/dd10's
+      // discipline); the waste/total joins are unchanged
+      val docs = Tables.widened(s, d, "documents")
+      val nonSurvivors = graft.ops.Dedup.connectedComponents(
+          Dedup.minhashNearDup(docs, maxDf = Some(Dedup.DefaultMaxDf)))
+        .filter(col("doc_id") =!= col("cluster"))
+        .select("doc_id")
+      val waste = docs.join(nonSurvivors, Seq("doc_id"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_dup_docs"),
+          sum(graft.ops.TextOps.tokenCount(col("text"))).as("wasted_tokens"))
+      docs.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(graft.ops.TextOps.tokenCount(col("text"))).as("total_tokens"))
+        .join(waste, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+          coalesce(col("wasted_tokens"), lit(0L)).as("wasted_tokens"))
     },
 
     sql("dd4_simhash_neardup",

@@ -116,8 +116,11 @@ object MultimodalQueries {
          | FROM f2 ORDER BY media_id, frame""".stripMargin.replace("\n", "")
     }) {
       (s, d) =>
+        // widened: the int16 decode + per-frame energy is the heaviest
+        // map stage of the mm family and the single-row-group scan would
+        // run it in one task (r18; size-gated, no-op at cluster scale)
         Multimodal.audioFrameEnergy(
-          Multimodal.mediaWithHeaders(Tables.documents(s, d)).toDF(),
+          Multimodal.mediaWithHeaders(Tables.widened(s, d, "documents")).toDF(),
           frameSamples = 32)
           .orderBy("media_id", "frame")
     }
