@@ -763,6 +763,9 @@ class PlanSpec extends AnyFunSuite {
       "tools/SkewBench.scala" -> 1,
       "tools/AnnRecall.scala" -> 6,
       "tools/DsNineLadder.scala" -> 1,
+      // r18 stage-probe HARNESS (guide §1 measure-first): dd8's sanctioned
+      // batch-split scalar, reproduced so the probe times the real shape
+      "tools/StageBench2.scala" -> 1,
       "engine/WriteGuard.scala" -> 1,
       "queries/DedupQueries.scala" -> 1)
     val found = mainSourceLines
